@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.core.{Decimals, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream surface Q-B1..Q-B4 (SURVEY §2.4-B), run in batch over the
+  * `events` table but written with the same operators Structured Streaming
+  * uses (`window()`, session gap logic, as-of ordering), so each plan is
+  * streaming-ready: swap `read` for `readStream`, add a watermark.
+  *
+  * Event-time canonicalization: the driver's `events.ts` parquet column is
+  * TIMESTAMP(NANOS), which Spark's µs timestamps cannot represent and
+  * DuckDB truncates to µs on scan. We therefore read it as BIGINT nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every graft session)
+  * and canonicalize to **int64 epoch microseconds** (`ts DIV 1000`) — the
+  * exact value DuckDB's `epoch_us(ts)` produces — so every comparison,
+  * window bucket and gap test is identical integer arithmetic on both
+  * engines. `timestamp_micros()` lifts back to a (lossless) Spark timestamp
+  * where the idiomatic operator wants one (`window()`, as-of range join).
+  *
+  * The streaming variants live in [[graft.streaming.StreamingOps]].
+  */
+object EventQueries {
+  import Decimals._
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- Q-B1: tumbling window aggregate ---------------------------------
+    QueryDef(
+      "q_b1_tumbling_window",
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start_us, event_type""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumMoney(col("value")).as("total_value")
+        )
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"),
+          col("cnt"),
+          col("total_value")
+        )
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+
+    // ---- Q-B2: sliding window (1h window, 15m slide) ---------------------
+    // Spark assigns each event to windowDuration/slide = 4 epoch-aligned
+    // windows; the oracle reproduces that assignment with 15m buckets - k·15m.
+    QueryDef(
+      "q_b2_sliding_window",
+      Some("""WITH ks AS (SELECT ts, value, unnest(range(4)) AS k FROM events)
+             |SELECT epoch_us(ts) - epoch_us(ts) % 900000000 - k * 900000000 AS window_start_us,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+             |FROM ks
+             |GROUP BY 1
+             |ORDER BY window_start_us""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ets"), "1 hour", "15 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumMoney(col("value")).as("total_value")
+        )
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("cnt"),
+          col("total_value")
+        )
+        .orderBy(col("window_start_us"))
+    },
+
+    // ---- Q-B3: sessionization (30-minute inactivity gap) -----------------
+    // Batch analog of session_window(ts, '30 minutes'): lag + cumulative
+    // new-session flag, all in exact int64 µs arithmetic.
+    QueryDef(
+      "q_b3_sessionize",
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN prev_tsu IS NULL
+             |                   OR tsu - prev_tsu > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_sess
+             |  FROM t),
+             |s AS (
+             |  SELECT user_id, tsu, event_id,
+             |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM f)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)
+    ) { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("tsu", expr("ts DIV 1000"))
+        .withColumn("prev_tsu", lag(col("tsu"), 1).over(wOrd))
+        .withColumn(
+          "new_sess",
+          when(
+            col("prev_tsu").isNull || (col("tsu") - col("prev_tsu") > 1800000000L),
+            1L
+          ).otherwise(0L)
+        )
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tsu")).as("session_start_us"),
+          max(col("tsu")).as("session_end_us")
+        )
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- Q-B4: as-of join (latest prior order per event) -----------------
+    // Range-join shape: equi-join on the user/customer key plus
+    // o_orderdate <= ts, deduplicated to the latest order with a fully
+    // deterministic tie-break (orderdate DESC, orderkey DESC). At scale the
+    // equi-key carries the shuffle; AQE handles skewed users.
+    QueryDef(
+      "q_b4_asof_join",
+      Some("""SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
+             |FROM (
+             |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+             |         o.o_orderkey AS last_orderkey,
+             |         o.o_orderdate AS last_orderdate,
+             |         CAST(o.o_totalprice AS DECIMAL(18,6)) AS last_totalprice,
+             |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e
+             |  JOIN orders o ON e.user_id = o.o_custkey AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+             |)
+             |WHERE rn = 1
+             |ORDER BY event_id""".stripMargin)
+    ) { (s, d) =>
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val w = Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(
+        o,
+        col("user_id") === col("o_custkey")
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+          // the identity epoch mapping and unix_micros == DuckDB epoch_us
+          && unix_micros(col("o_orderdate").cast("timestamp")) <= col("ts_us")
+      )
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("event_id"),
+          col("ts_us"),
+          col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_orderdate").as("last_orderdate"),
+          dec(col("o_totalprice")).as("last_totalprice")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+}

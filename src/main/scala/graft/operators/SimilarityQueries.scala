@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.core.{Decimals, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (Array[Float] column).
+  *
+  * Dot products run in DOUBLE after an explicit float→double cast on both
+  * engines (identical IEEE sequential fold), and scores are emitted as
+  * round(CAST(score AS DECIMAL(18,6)), 4) so the hash ignores last-ulp
+  * noise. Ranking orders by the ROUNDED score with vec_id tie-break —
+  * fully deterministic.
+  *
+  * Scale posture: the query side is tiny (fixed query ids) and broadcast;
+  * the corpus side streams — brute force is one scan + local top-k
+  * (window over query_id partitions). The IVF variant prunes the corpus to
+  * the nearest centroid's bucket, the standard ANN scale path; centroids
+  * are learned per label (k-means-style single assignment step) so the
+  * whole thing stays a Spark plan with no driver loops over data.
+  */
+object SimilarityQueries {
+  import Decimals._
+
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
+      )
+
+  private val dot =
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val normV = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+  private val normQ = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- Q-B7: brute-force cosine top-k ----------------------------------
+    QueryDef(
+      "q_b7_cosine_topk",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |    round(CAST(list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+             |      AS DECIMAL(18,6)), 4) AS score
+             |  FROM e, q WHERE e.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, vec_id, CAST(score AS DECIMAL(38,6)) AS score
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)
+    ) { (s, d) =>
+      val e = embDouble(s, d)
+      val q = e
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score", round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- embedding cosine near-dup pairs, blocked by label ---------------
+    QueryDef(
+      "q_c4_embedding_neardup",
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    round(CAST(list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             |      AS DECIMAL(18,6)), 4) AS cos_sim
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, CAST(cos_sim AS DECIMAL(38,6)) AS cos_sim
+             |FROM pairs WHERE cos_sim >= 0.90
+             |ORDER BY vec_a, vec_b""".stripMargin)
+    ) { (s, d) =>
+      val e = embDouble(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("v").as("qv"))
+      a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .withColumn(
+          "cos_sim",
+          round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4)
+        )
+        .filter(col("cos_sim") >= 0.90)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim").cast(D38).as("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- IVF-style ANN: centroid assignment + in-bucket search -----------
+    // Centroids = per-label mean vectors (one k-means assignment step,
+    // computed distributed via posexplode + groupBy — never collected).
+    // Each query searches only its nearest centroid's bucket: the 1/k
+    // corpus-pruning that makes ANN viable at 100 TB. Approximate by
+    // construction ⇒ rows-only check (no oracle); recall vs brute force is
+    // asserted in the ScalaTest spec instead.
+    QueryDef("q_c9_ann_ivf", None) { (s, d) =>
+      val e = embDouble(s, d)
+      // centroid[label] = elementwise mean — distributed, shuffle on (label, dim)
+      val centroids = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+        .select(
+          col("label").as("c_label"),
+          expr("transform(pairs, p -> p.cx)").as("cv")
+        )
+      val q = e
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // assign each query to its nearest centroid (broadcast both sides: tiny)
+      val qAssign = q
+        .crossJoin(broadcast(centroids))
+        .withColumn(
+          "dist2",
+          expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+        )
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("c_label"))
+          )
+        )
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("qv"), col("c_label"))
+      // search only within the assigned bucket
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+      e.join(broadcast(qAssign), col("label") === col("c_label") && col("vec_id") =!= col("query_id"))
+        .withColumn("score", round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+}

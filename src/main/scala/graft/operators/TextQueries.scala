@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.core.{Decimals, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents` (north-star ops + Q-B8):
+  * language-ID (stopword-overlap heuristic), quality scoring, token
+  * counting (whitespace + regex), document fingerprinting (rolling hash),
+  * exact per-group percentiles.
+  *
+  * All scoring arithmetic is decimal or integer so DuckDB reproduces it
+  * bit-for-bit; regexes are kept to the common RE2/Java subset.
+  */
+object TextQueries {
+  import Decimals._
+
+  /** Tiny public stopword profiles per language (heuristic lang-ID). */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "es" -> Seq("el", "de", "la", "que", "en"),
+    "fr" -> Seq("le", "de", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  val defs: Seq[graft.core.QueryDef] = Seq(
+    // ---- Q-B8: exact percentiles per group -------------------------------
+    QueryDef(
+      "q_b8_percentiles",
+      Some("""SELECT lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,6)) AS p25,
+             |  CAST(quantile_cont(n_chars, 0.50) AS DECIMAL(18,6)) AS p50,
+             |  CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,6)) AS p75
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("CAST(percentile(n_chars, 0.25) AS DECIMAL(18,6))").as("p25"),
+          expr("CAST(percentile(n_chars, 0.50) AS DECIMAL(18,6))").as("p50"),
+          expr("CAST(percentile(n_chars, 0.75) AS DECIMAL(18,6))").as("p75")
+        )
+        .orderBy(col("lang"))
+    },
+
+    // ---- language-ID: stopword-profile overlap, argmax with name tiebreak
+    QueryDef(
+      "q_c5_langid",
+      Some {
+        val scoreExprs = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_intersect(toks, $arr)) AS BIGINT) AS score_$lang"
+        }
+        val langs = stopwords.keys.toSeq.sorted
+        val best = langs
+          .map(l => s"score_$l")
+          .zip(langs)
+          .map { case (sc, l) => s"($sc, '$l')" }
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           |  FROM documents),
+           |sc AS (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM t),
+           |b AS (SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  list_sort($best, 'DESC')[1] AS top FROM sc)
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  CASE WHEN ${langs.map(l => s"score_$l").mkString(" + ")} = 0
+           |       THEN 'und' ELSE top[2] END AS pred_lang
+           |FROM b ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val langs = stopwords.keys.toSeq.sorted
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val scored = stopwords.toSeq.sortBy(_._1).foldLeft(t) { case (df, (lang, words)) =>
+        df.withColumn(
+          s"score_$lang",
+          size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long")
+        )
+      }
+      // argmax by (score DESC, lang ASC): sort (score, lang) structs DESC and
+      // take the head — struct ordering is lexicographic on both engines, so
+      // ties on score resolve to the LAST lang name, matching DuckDB's
+      // list_sort DESC. To get deterministic asc-name tie-break semantics we
+      // mirror DuckDB exactly: DESC sort of (score, name) → head.
+      val best = scored.withColumn(
+        "top",
+        expr(
+          "reverse(array_sort(" +
+            langs.map(l => s"struct(score_$l AS s, '$l' AS l)").mkString("array(", ", ", ")") +
+            "))[0]"
+        )
+      )
+      best
+        .withColumn(
+          "pred_lang",
+          when(langs.map(l => col(s"score_$l")).reduce(_ + _) === 0, "und")
+            .otherwise(col("top.l"))
+        )
+        .select((Seq(col("doc_id")) ++ langs.map(l => col(s"score_$l")) :+ col("pred_lang")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring: length/stopword/uniqueness ratios --------------
+    QueryDef(
+      "q_c6_quality",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+             |    string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, n_chars_actual,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |    CAST(len(list_intersect(toks, ['the','of','and','to','in','a','is'])) AS BIGINT) AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_chars_actual, n_tokens, n_uniq, n_stop,
+             |  CAST(CAST(n_uniq AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS uniq_ratio,
+             |  CAST(CAST(n_chars_actual AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS avg_token_len,
+             |  (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq * 10 >= n_tokens * 3) AS passes_quality
+             |FROM f ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          split(lower(col("text")), " ").as("toks")
+        )
+      t.select(
+        col("doc_id"),
+        col("n_chars_actual"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        size(
+          array_intersect(
+            col("toks"),
+            array(Seq("the", "of", "and", "to", "in", "a", "is").map(lit): _*)
+          )
+        ).cast("long").as("n_stop")
+      ).select(
+        col("doc_id"),
+        col("n_chars_actual"),
+        col("n_tokens"),
+        col("n_uniq"),
+        col("n_stop"),
+        (dec(col("n_uniq")) / dec(col("n_tokens"))).cast(D38).as("uniq_ratio"),
+        (dec(col("n_chars_actual")) / dec(col("n_tokens"))).cast(D38).as("avg_token_len"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000
+          && col("n_uniq") * 10 >= col("n_tokens") * 3).as("passes_quality")
+      ).orderBy(col("doc_id"))
+    },
+
+    // ---- token counting: whitespace + regex ("BPE-ish") ------------------
+    QueryDef(
+      "q_c7_token_count",
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+             |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS uniq_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .cast("long")
+            .as("re_tokens"),
+          size(array_distinct(split(lower(col("text")), " ")))
+            .cast("long")
+            .as("uniq_tokens")
+        )
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprinting: full-text rolling hash -----------------
+    QueryDef(
+      "q_c8_fingerprint",
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ascii(x) AS BIGINT) for x in string_split(text, '')]),
+             |      (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint
+             |  FROM documents)
+             |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          expr(
+            "aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"
+          ).as("fingerprint")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+}
