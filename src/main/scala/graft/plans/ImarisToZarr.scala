@@ -1,0 +1,324 @@
+package graft.plans
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.Geometry
+import graft.core.Geometry.{Shape3, ShardTask, TrueShape}
+import graft.meta.OmeNgff
+import graft.sinks.ZarrV3
+import graft.sources.{Hdf5Reader, Imaris}
+
+/** IMS → OME-NGFF 0.5 Zarr v3 conversion as one Spark pipeline
+  * (reference flows §3.1–3.3: `imaris_job.run_job` →
+  * `imaris_to_zarr_distributed` / `..._translate_pyramid`).
+  *
+  * Execution shape (SURVEY §1.4 / §3):
+  *  - planning is driver-side metadata-only (open each file once, read
+  *    attrs + level shapes — reference `_build_global_shard_task_list`,
+  *    `imaris_job.py:535-556`);
+  *  - all store metadata (every level zarr.json + root OME metadata) is
+  *    created by the DRIVER before the job launches — the reference's
+  *    idempotent-create race workaround (W7, `imaris_to_zarr.py:1759-1831`)
+  *    disappears because only one process initializes;
+  *  - voxel work is a single `Dataset[ShardTask].mapPartitions` action:
+  *    each task reads its input region (chunk-aligned, X1), encodes and
+  *    writes exactly one shard file (W4/X3) and emits a stats row (A5);
+  *  - pyramid levels are sequential Spark jobs (A3 — inter-level barrier
+  *    is inherent: level l+1 reads level l).
+  *
+  * Scale posture: tasks are ~256 MB of voxels at the reference's default
+  * shard (512³ uint16); 100 TB ⇒ ~400k tasks, far beyond any driver
+  * bottleneck since a task row is ~100 bytes. No shuffle anywhere —
+  * downsampling is block-local because shard % factor == 0 (X6).
+  */
+object ImarisToZarr {
+
+  /** Job settings (reference `models.ImarisJobSettings`, `models.py:20-143`). */
+  final case class Settings(
+      shard: Shape3 = Shape3(512, 512, 512),
+      chunk: Shape3 = Shape3(128, 256, 256),
+      zstdLevel: Int = 3,
+      translatePyramid: Boolean = true,   // models.py:99-108
+      computeLevels: Int = 1,             // levels to materialize if not translating
+      downsampleMode: String = "mean",    // stride|median|mode|mean|min|max (models.py:79-85)
+      scaleFactor: Shape3 = Shape3(2, 2, 2),
+      singleTileOnly: Boolean = false,    // models.py:131-143 (S3)
+      // voxel-size precedence chain (imaris_job.py:362-403): manifest
+      // value if present, else per-file Imaris metadata
+      voxelSizeOverrideUm: Option[(Double, Double, Double)] = None,
+      // tile translation from acquisition.json (imaris_job.py:256-307);
+      // absent → Imaris ExtMin origin
+      originOverrideUm: Option[(Double, Double, Double)] = None
+  )
+
+  final case class ShardStats(
+      file: String, level: Int, key: String, bytesWritten: Long, voxels: Long)
+
+  /** Deterministic discovery: recursive *.ims listing, *.h5 fallback,
+    * lexicographic order, optional first-only (reference S1–S3,
+    * `imaris_job.py:48-112`).
+    */
+  def discover(inputDir: String, singleTileOnly: Boolean,
+               conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(inputDir)
+    val fs = p.getFileSystem(conf)
+    def walk(dir: Path): Seq[Path] = {
+      val st = fs.listStatus(dir)
+      st.toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath)
+      }
+    }
+    val all = walk(p)
+    val ims = all.filter(_.getName.endsWith(".ims"))
+    val chosen = if (ims.nonEmpty) ims else all.filter(_.getName.endsWith(".h5"))
+    val sorted = chosen.map(_.toString).sorted
+    if (singleTileOnly) sorted.take(1) else sorted
+  }
+
+  /** Convert one Imaris file to `<outDir>/<stem>.ome.zarr`. Returns the
+    * per-shard stats Dataset (already computed; caller may aggregate).
+    */
+  def convert(spark: SparkSession, imsPath: String, outDir: String,
+              settings: Settings = Settings()): Seq[ShardStats] = {
+    val meta = Imaris.readMeta(imsPath)
+    val stem = imsPath.split('/').last.stripSuffix(".ims").stripSuffix(".h5")
+    val store = s"$outDir/$stem.ome.zarr"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val serConf = new SerializableConfiguration(hconf)
+
+    val nLevels =
+      if (settings.translatePyramid) meta.numLevels else settings.computeLevels
+    val factors: Seq[Shape3] =
+      if (settings.translatePyramid) Geometry.stepFactors(meta.storedShapes)
+      else Seq.fill(settings.computeLevels - 1)(settings.scaleFactor)
+    val trueShapes: Seq[Shape3] =
+      if (settings.translatePyramid) meta.trueShapes
+      else factors.scanLeft(meta.trueShape0.shape)(Geometry.downsampledShape)
+
+    // ---- driver-side store init (W7→driver, W9, X9) ----
+    val perLevelSpecs = trueShapes.map { ts =>
+      Geometry.clampSpec(ts, settings.chunk, settings.shard)
+    }
+    trueShapes.zipWithIndex.foreach { case (ts, l) =>
+      val (chunk, shard) = perLevelSpecs(l)
+      val metaJson = ZarrV3.arrayMetadata(
+        Seq(1L, 1L, ts.z, ts.y, ts.x),
+        Seq(1L, 1L, shard.z, shard.y, shard.x),
+        Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
+        settings.zstdLevel)
+      ZarrV3.writeString(hconf, s"$store/$l/zarr.json", metaJson.render)
+    }
+    val repFactor = Geometry.representativeFactor(
+      if (settings.translatePyramid) meta.storedShapes else trueShapes)
+    ZarrV3.writeString(hconf, s"$store/zarr.json",
+      OmeNgff.rootMetadata(
+        stem, nLevels,
+        (repFactor.z, repFactor.y, repFactor.x),
+        settings.voxelSizeOverrideUm.getOrElse(meta.voxelSizeUm),
+        Some(settings.originOverrideUm.getOrElse(meta.originUm))).render)
+
+    // ---- level 0 (+ translated levels): read IMS, write shards ----
+    import spark.implicits._
+    val readLevels = if (settings.translatePyramid) 0 until nLevels else Seq(0)
+    val zstdLevel = settings.zstdLevel
+    val allStats = scala.collection.mutable.ArrayBuffer.empty[ShardStats]
+
+    for (level <- readLevels) {
+      val ts = trueShapes(level)
+      val (chunkL, shardL) = perLevelSpecs(level)
+      val tasks = Geometry.shardTasks(imsPath, level, TrueShape(ts), shardL)
+      val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+      val taskDs: Dataset[ShardTask] =
+        spark.createDataset(tasks).repartition(parallelism)
+      val stats = taskDs.mapPartitions { it =>
+        // one reader per (partition, file): the reference holds one HDF5
+        // handle per worker-file (D5, `imaris_job.py:601-609`)
+        val readers = scala.collection.mutable.Map.empty[String, Hdf5Reader]
+        val out = it.map { t =>
+          val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
+          val ds = r.openDataset(Imaris.dataPath(t.level))
+          val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
+          val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
+          val bytes = ZarrV3.encodeShard(data, dataShape, shardL, chunkL, zstdLevel)
+          val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+          ZarrV3.write(serConf.value, s"$store/${t.level}/$key", bytes)
+          ShardStats(t.file, t.level, key, bytes.length.toLong, dataShape.voxels)
+        }
+        new Iterator[ShardStats] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) readers.values.foreach(_.close()); h }
+          def next(): ShardStats = out.next()
+        }
+      }.collect()
+      allStats ++= stats
+    }
+
+    // ---- computed pyramid levels: block-local downsample from level l-1 ----
+    if (!settings.translatePyramid && settings.computeLevels > 1) {
+      for (level <- 1 until settings.computeLevels) {
+        val src = trueShapes(level - 1)
+        val dst = trueShapes(level)
+        val f = settings.scaleFactor
+        val (chunkL, shardL) = perLevelSpecs(level)
+        val (srcChunk, srcShard) = perLevelSpecs(level - 1)
+        val tasks = Geometry.shardTasks(s"$store/${level - 1}", level, TrueShape(dst), shardL)
+        val mode = settings.downsampleMode
+        val taskDs = spark.createDataset(tasks)
+          .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+        val stats = taskDs.map { t =>
+          // read the ×factor source region from level l-1's shards
+          val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
+          val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
+          val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
+          val srcData = ZarrRegion.read(
+            serConf.value, t.file, src, srcShard, srcChunk,
+            sz0, sz1, sy0, sy1, sx0, sx1)
+          val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
+          val reduced = Downsample.reduce(
+            srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, mode)
+          val bytes = ZarrV3.encodeShard(reduced, dataShape, shardL, chunkL, zstdLevel)
+          val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+          ZarrV3.write(serConf.value, s"$store/$level/$key", bytes)
+          ShardStats(t.file, level, key, bytes.length.toLong, dataShape.voxels)
+        }.collect()
+        allStats ++= stats
+      }
+    }
+    allStats.toSeq
+  }
+}
+
+/** Region reader over our own Zarr v3 sharded level (used by the compute
+  * pyramid path and the round-trip tests).
+  */
+object ZarrRegion {
+  import graft.core.Geometry.Shape3
+
+  def read(conf: org.apache.hadoop.conf.Configuration,
+           levelDir: String, shape: Shape3, shard: Shape3, chunk: Shape3,
+           z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] = {
+    val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
+    val out = new Array[Short](nz * ny * nx)
+    var gz = z0 / shard.z
+    while (gz * shard.z < z1) {
+      var gy = y0 / shard.y
+      while (gy * shard.y < y1) {
+        var gx = x0 / shard.x
+        while (gx * shard.x < x1) {
+          val s0z = gz * shard.z; val s0y = gy * shard.y; val s0x = gx * shard.x
+          val dShape = Shape3(
+            math.min(shard.z, shape.z - s0z),
+            math.min(shard.y, shape.y - s0y),
+            math.min(shard.x, shape.x - s0x))
+          val path = s"$levelDir/${ZarrV3.shardKey(gz, gy, gx)}"
+          val data = ZarrV3.decodeShard(ZarrV3.read(conf, path), dShape, shard, chunk)
+          val izLo = math.max(z0, s0z); val izHi = math.min(z1, s0z + dShape.z)
+          val iyLo = math.max(y0, s0y); val iyHi = math.min(y1, s0y + dShape.y)
+          val ixLo = math.max(x0, s0x); val ixHi = math.min(x1, s0x + dShape.x)
+          var z = izLo
+          while (z < izHi) {
+            var y = iyLo
+            while (y < iyHi) {
+              val srcBase = (((z - s0z) * dShape.y + (y - s0y)) * dShape.x + (ixLo - s0x)).toInt
+              val dstBase = (((z - z0) * ny + (y - y0)) * nx + (ixLo - x0)).toInt
+              var i = 0
+              val run = (ixHi - ixLo).toInt
+              while (i < run) { out(dstBase + i) = data(srcBase + i); i += 1 }
+              y += 1
+            }
+            z += 1
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      gz += 1
+    }
+    out
+  }
+}
+
+/** Windowed spatial reduce kernel (reference A1,
+  * `create_downsample_dataset` `imaris_to_zarr.py:532-674`; modes doc
+  * `:563-570`). Runs block-local inside one task — no shuffle (X6).
+  *
+  * Tie-breaking (documented, deterministic — the reference delegates to
+  * TensorStore): `median` of an even window = lower middle of the sorted
+  * window; `mode` = smallest value among the most frequent.
+  */
+object Downsample {
+  import graft.core.Geometry.Shape3
+
+  def reduce(src: Array[Short], srcShape: Shape3, dstShape: Shape3,
+             f: Shape3, mode: String): Array[Short] = {
+    val out = new Array[Short](dstShape.voxels.toInt)
+    val window = new Array[Int]((f.z * f.y * f.x).toInt)
+    var dz = 0L
+    while (dz < dstShape.z) {
+      var dy = 0L
+      while (dy < dstShape.y) {
+        var dx = 0L
+        while (dx < dstShape.x) {
+          var n = 0
+          var wz = dz * f.z
+          val wzHi = math.min(wz + f.z, srcShape.z)
+          while (wz < wzHi) {
+            var wy = dy * f.y
+            val wyHi = math.min(wy + f.y, srcShape.y)
+            while (wy < wyHi) {
+              var wx = dx * f.x
+              val wxHi = math.min(wx + f.x, srcShape.x)
+              val base = ((wz * srcShape.y + wy) * srcShape.x).toInt
+              while (wx < wxHi) {
+                window(n) = src(base + wx.toInt) & 0xffff
+                n += 1; wx += 1
+              }
+              wy += 1
+            }
+            wz += 1
+          }
+          val v: Int = mode match {
+            case "stride" => window(0)
+            case "mean" =>
+              var s = 0L; var i = 0
+              while (i < n) { s += window(i); i += 1 }
+              (s / n).toInt
+            case "min" =>
+              var m = window(0); var i = 1
+              while (i < n) { if (window(i) < m) m = window(i); i += 1 }
+              m
+            case "max" =>
+              var m = window(0); var i = 1
+              while (i < n) { if (window(i) > m) m = window(i); i += 1 }
+              m
+            case "median" =>
+              val w = java.util.Arrays.copyOf(window, n)
+              java.util.Arrays.sort(w)
+              w((n - 1) / 2)
+            case "mode" =>
+              val w = java.util.Arrays.copyOf(window, n)
+              java.util.Arrays.sort(w)
+              var best = w(0); var bestCnt = 1
+              var cur = w(0); var curCnt = 1
+              var i = 1
+              while (i < n) {
+                if (w(i) == cur) curCnt += 1
+                else { cur = w(i); curCnt = 1 }
+                if (curCnt > bestCnt) { best = cur; bestCnt = curCnt }
+                i += 1
+              }
+              best
+            case other => sys.error(s"unknown downsample mode: $other")
+          }
+          out(((dz * dstShape.y + dy) * dstShape.x + dx).toInt) = v.toShort
+          dx += 1
+        }
+        dy += 1
+      }
+      dz += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,257 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32C
+
+import com.github.luben.zstd.Zstd
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.core.Geometry.Shape3
+import graft.core.Json
+import graft.core.Json._
+
+/** Zarr v3 sharded-store writer (reference W2: `create_scale_spec`,
+  * `compress/imaris_to_zarr.py:141-269`).
+  *
+  * Byte-level format of one shard file (`sharding_indexed`,
+  * index_location=end, index_codecs=[bytes LE, crc32c]):
+  * {{{
+  *   [chunk 0 bytes][chunk 1 bytes]...[index][crc32c(index) LE u32]
+  *   index = per inner chunk, C-order over the shard's chunk grid:
+  *           u64 LE offset, u64 LE nbytes;  missing chunk = (-1, -1)
+  * }}}
+  * Inner chunks are encoded with [transpose C (identity on our C-order
+  * buffers), zstd(level)], always full chunk_shape (fill-padded at edges).
+  *
+  * One shard file is written whole by exactly one task — the reference's
+  * coordination-free invariant (W4/X3, `imaris_to_zarr.py:1280-1283`)
+  * which maps 1:1 onto Spark's one-output-file-per-task model.
+  */
+object ZarrV3 {
+
+  /** uint16 fill value used for padding partial edge chunks. */
+  val Fill: Short = 0
+
+  // ---- shard encoding -----------------------------------------------------
+
+  /** Encode one complete shard.
+    *
+    * @param shardData voxels of the shard region in C order (Z,Y,X),
+    *                  sized exactly `dataShape.voxels`
+    * @param dataShape the ACTUAL (possibly clipped at array edge) extent
+    *                  of the data in this shard
+    * @param shardShape the full logical shard shape (>= dataShape)
+    * @param chunkShape inner chunk shape (divides shardShape)
+    * @param level zstd compression level
+    */
+  def encodeShard(
+      shardData: Array[Short],
+      dataShape: Shape3,
+      shardShape: Shape3,
+      chunkShape: Shape3,
+      level: Int = 3): Array[Byte] = {
+    require(shardData.length == dataShape.voxels,
+      s"shard payload ${shardData.length} != ${dataShape.voxels}")
+    require(shardShape.z % chunkShape.z == 0 && shardShape.y % chunkShape.y == 0
+      && shardShape.x % chunkShape.x == 0, s"shard $shardShape not a multiple of chunk $chunkShape")
+    val grid = Shape3(shardShape.z / chunkShape.z, shardShape.y / chunkShape.y,
+      shardShape.x / chunkShape.x)
+    val nChunks = grid.voxels.toInt
+    val chunkVox = chunkShape.voxels.toInt
+    val encoded = new Array[Array[Byte]](nChunks)
+
+    var ci = 0
+    var cz = 0L
+    while (cz < grid.z) {
+      var cy = 0L
+      while (cy < grid.y) {
+        var cx = 0L
+        while (cx < grid.x) {
+          val z0 = cz * chunkShape.z; val y0 = cy * chunkShape.y; val x0 = cx * chunkShape.x
+          if (z0 < dataShape.z && y0 < dataShape.y && x0 < dataShape.x) {
+            // materialize the full-size chunk, fill-padded at data edge
+            val buf = ByteBuffer.allocate(chunkVox * 2).order(ByteOrder.LITTLE_ENDIAN)
+            val zHi = math.min(chunkShape.z, dataShape.z - z0)
+            val yHi = math.min(chunkShape.y, dataShape.y - y0)
+            val xHi = math.min(chunkShape.x, dataShape.x - x0)
+            var z = 0L
+            while (z < chunkShape.z) {
+              var y = 0L
+              while (y < chunkShape.y) {
+                var x = 0L
+                if (z < zHi && y < yHi) {
+                  val srcBase = (((z0 + z) * dataShape.y + (y0 + y)) * dataShape.x + x0).toInt
+                  while (x < xHi) { buf.putShort(shardData(srcBase + x.toInt)); x += 1 }
+                }
+                while (x < chunkShape.x) { buf.putShort(Fill); x += 1 }
+                y += 1
+              }
+              z += 1
+            }
+            encoded(ci) = Zstd.compress(buf.array(), level)
+          }
+          ci += 1; cx += 1
+        }
+        cy += 1
+      }
+      cz += 1
+    }
+
+    val payloadLen = encoded.iterator.filter(_ != null).map(_.length.toLong).sum
+    val indexLen = nChunks * 16 + 4
+    val out = ByteBuffer.allocate((payloadLen + indexLen).toInt).order(ByteOrder.LITTLE_ENDIAN)
+    val index = ByteBuffer.allocate(nChunks * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    for (e <- encoded) {
+      if (e == null) { index.putLong(-1L); index.putLong(-1L) }
+      else { index.putLong(off); index.putLong(e.length.toLong); out.put(e); off += e.length }
+    }
+    val crc = new CRC32C()
+    crc.update(index.array())
+    out.put(index.array())
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Decode one shard file back to (Z,Y,X) voxels of `dataShape` — the
+    * round-trip reader used by tests and the translate path's cross-check.
+    */
+  def decodeShard(
+      bytes: Array[Byte],
+      dataShape: Shape3,
+      shardShape: Shape3,
+      chunkShape: Shape3): Array[Short] = {
+    val grid = Shape3(shardShape.z / chunkShape.z, shardShape.y / chunkShape.y,
+      shardShape.x / chunkShape.x)
+    val nChunks = grid.voxels.toInt
+    val indexLen = nChunks * 16
+    val idxStart = bytes.length - indexLen - 4
+    // NOTE: ByteBuffer.wrap(a, off, len) still indexes absolute gets from
+    // a[0]; keep one whole-array buffer and offset explicitly.
+    val whole = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def idxLong(i: Int): Long = whole.getLong(idxStart + i * 8)
+    val crcStored = whole.getInt(idxStart + indexLen)
+    val crc = new CRC32C()
+    crc.update(bytes, idxStart, indexLen)
+    require(crc.getValue.toInt == crcStored, "shard index CRC32C mismatch")
+
+    val out = new Array[Short](dataShape.voxels.toInt)
+    val chunkVox = chunkShape.voxels.toInt
+    var ci = 0
+    var cz = 0L
+    while (cz < grid.z) {
+      var cy = 0L
+      while (cy < grid.y) {
+        var cx = 0L
+        while (cx < grid.x) {
+          val off = idxLong(ci * 2)
+          val len = idxLong(ci * 2 + 1)
+          if (off != -1L) {
+            val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+            val raw = Zstd.decompress(comp, chunkVox * 2)
+            val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+            val z0 = cz * chunkShape.z; val y0 = cy * chunkShape.y; val x0 = cx * chunkShape.x
+            val zHi = math.min(chunkShape.z, dataShape.z - z0)
+            val yHi = math.min(chunkShape.y, dataShape.y - y0)
+            val xHi = math.min(chunkShape.x, dataShape.x - x0)
+            var z = 0L
+            while (z < zHi) {
+              var y = 0L
+              while (y < yHi) {
+                val srcBase = ((z * chunkShape.y + y) * chunkShape.x).toInt
+                val dstBase = (((z0 + z) * dataShape.y + (y0 + y)) * dataShape.x + x0).toInt
+                var x = 0
+                while (x < xHi) { out(dstBase + x) = cb.getShort(2 * (srcBase + x)); x += 1 }
+                y += 1
+              }
+              z += 1
+            }
+          }
+          ci += 1; cx += 1
+        }
+        cy += 1
+      }
+      cz += 1
+    }
+    out
+  }
+
+  // ---- metadata -----------------------------------------------------------
+
+  /** Array-level zarr.json for one pyramid level (5-D T,C,Z,Y,X with
+    * T=C=1), mirroring the reference codec chain exactly
+    * (`imaris_to_zarr.py:223-242`).
+    */
+  def arrayMetadata(
+      shape5: Seq[Long],
+      shard5: Seq[Long],
+      chunk5: Seq[Long],
+      zstdLevel: Int = 3): JValue =
+    obj(
+      "zarr_format" -> num(3),
+      "node_type" -> str("array"),
+      "shape" -> arr(shape5.map(num): _*),
+      "data_type" -> str("uint16"),
+      "chunk_grid" -> obj(
+        "name" -> str("regular"),
+        "configuration" -> obj("chunk_shape" -> arr(shard5.map(num): _*))
+      ),
+      "chunk_key_encoding" -> obj(
+        "name" -> str("default"),
+        "configuration" -> obj("separator" -> str("/"))
+      ),
+      "fill_value" -> num(0),
+      "codecs" -> arr(
+        obj(
+          "name" -> str("sharding_indexed"),
+          "configuration" -> obj(
+            "chunk_shape" -> arr(chunk5.map(num): _*),
+            "codecs" -> arr(
+              obj("name" -> str("transpose"),
+                "configuration" -> obj("order" -> arr((0 until 5).map(i => num(i)): _*))),
+              obj("name" -> str("bytes"),
+                "configuration" -> obj("endian" -> str("little"))),
+              obj("name" -> str("zstd"),
+                "configuration" -> obj("level" -> num(zstdLevel), "checksum" -> bool(false)))
+            ),
+            "index_codecs" -> arr(
+              obj("name" -> str("bytes"),
+                "configuration" -> obj("endian" -> str("little"))),
+              obj("name" -> str("crc32c"))
+            ),
+            "index_location" -> str("end")
+          )
+        )
+      )
+    )
+
+  // ---- filesystem ---------------------------------------------------------
+
+  /** Shard key within a level dir: `c/<t>/<c>/<z>/<y>/<x>` (default
+    * chunk_key_encoding, "/" separator).
+    */
+  def shardKey(sz: Long, sy: Long, sx: Long): String = s"c/0/0/$sz/$sy/$sx"
+
+  def write(fsConf: Configuration, pathStr: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(fsConf)
+    val out = fs.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
+  def writeString(fsConf: Configuration, pathStr: String, s: String): Unit =
+    write(fsConf, pathStr, s.getBytes("UTF-8"))
+
+  def read(fsConf: Configuration, pathStr: String): Array[Byte] = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(fsConf)
+    val st = fs.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    buf
+  }
+}

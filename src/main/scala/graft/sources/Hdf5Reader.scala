@@ -1,0 +1,441 @@
+package graft.sources
+
+import java.io.Closeable
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+
+/** Minimal HDF5 reader for the Imaris subset (SURVEY §7.4).
+  *
+  * Scope — exactly what Imaris/.ims files written by libhdf5 1.8 use
+  * (reference access layer: `utils/io_utils.py`, paths at `:43`):
+  * superblock v0, symbol-table groups (local heap + B-tree v1 + SNOD),
+  * v1 object headers (+ continuations), chunked datasets indexed by
+  * B-tree v1, filters deflate(1) / shuffle(2) / lz4(32004), and
+  * byte-string attributes (`io_utils.py:462-466` decodes with
+  * `.tobytes()`). Anything outside the subset fails loudly.
+  *
+  * I/O goes through Hadoop `FileSystem`, so `file://` and `s3a://`
+  * sources both work; positioned reads (`readFully`) are thread-safe per
+  * open stream. One `Hdf5Reader` is opened per executor task
+  * (cf. `ImarisReader` per worker, `io_utils.py:45-47`) — handles are
+  * NOT serialized into the Spark plan.
+  */
+final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable {
+  import Hdf5Reader._
+
+  private val hPath = new Path(path)
+  private val fs: FileSystem = hPath.getFileSystem(conf)
+  private val in: FSDataInputStream = fs.open(hPath)
+
+  def this(path: String) = this(path, new Configuration())
+
+  override def close(): Unit = in.close()
+
+  private def readAt(pos: Long, len: Int): ByteBuffer = {
+    val buf = new Array[Byte](len)
+    in.readFully(pos, buf)
+    ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  // ---- superblock ---------------------------------------------------------
+
+  private val rootObjectHeader: Long = {
+    val sb = readAt(0L, 96)
+    val sig = new Array[Byte](8); sb.get(sig)
+    require(sig.sameElements(Signature), s"$path: not an HDF5 file")
+    val version = sb.get(8) & 0xff
+    require(version == 0, s"$path: unsupported superblock version $version (Imaris subset is v0)")
+    require((sb.get(13) & 0xff) == 8, "sizeof(offsets) must be 8")
+    require((sb.get(14) & 0xff) == 8, "sizeof(lengths) must be 8")
+    // root group symbol-table entry at offset 56; object header addr at +8
+    sb.getLong(56 + 8)
+  }
+
+  // ---- object headers (v1) ------------------------------------------------
+
+  private case class Header(messages: Seq[(Int, Array[Byte])])
+
+  private def readObjectHeader(addr: Long): Header = {
+    val pre = readAt(addr, 16)
+    val version = pre.get(0) & 0xff
+    require(version == 1, s"$path @$addr: unsupported object header version $version")
+    val nmsgs = pre.getShort(2) & 0xffff
+    val size = pre.getInt(8)
+    val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    // blocks: (address, length) of message data; first block starts at +16
+    var blocks = List((addr + 16, size.toLong))
+    while (msgs.size < nmsgs && blocks.nonEmpty) {
+      val (bAddr, bLen) = blocks.head
+      blocks = blocks.tail
+      val bb = readAt(bAddr, bLen.toInt)
+      while (msgs.size < nmsgs && bb.remaining() >= 8) {
+        val mtype = bb.getShort() & 0xffff
+        val msize = bb.getShort() & 0xffff
+        bb.get(); bb.get(); bb.get(); bb.get() // flags + reserved
+        val body = new Array[Byte](msize)
+        if (bb.remaining() < msize) { bb.position(bb.limit()) }
+        else {
+          bb.get(body)
+          if (mtype == MsgContinuation) {
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            blocks = (cb.getLong(), cb.getLong()) :: blocks
+          } else if (mtype != MsgNil) msgs += ((mtype, body))
+        }
+      }
+    }
+    Header(msgs.toSeq)
+  }
+
+  // ---- groups: symbol-table traversal ------------------------------------
+
+  /** Children of a group object header: name -> child object header addr. */
+  private def groupChildren(ohAddr: Long): Map[String, Long] = {
+    val h = readObjectHeader(ohAddr)
+    h.messages.find(_._1 == MsgSymbolTable) match {
+      case None => Map.empty // not a group (or empty old-style group)
+      case Some((_, body)) =>
+        val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val btree = bb.getLong(); val heap = bb.getLong()
+        val heapData = localHeapDataAddr(heap)
+        val out = mutable.Map.empty[String, Long]
+        walkGroupBtree(btree, heapData, out)
+        out.toMap
+    }
+  }
+
+  private def localHeapDataAddr(heapAddr: Long): Long = {
+    // HEAP: sig(4) version(1) reserved(3) dataSegSize(8) freeListHead(8) dataSegAddr(8)
+    val bb = readAt(heapAddr, 32)
+    val sig = new Array[Byte](4); bb.get(sig)
+    require(new String(sig, "ASCII") == "HEAP", s"$path @$heapAddr: bad local heap")
+    bb.getLong(24)
+  }
+
+  private def heapString(heapData: Long, off: Long): String = {
+    // names are short; read in 64-byte probes until NUL
+    val sb = new StringBuilder
+    var pos = heapData + off
+    var done = false
+    while (!done) {
+      val bb = readAt(pos, 64)
+      var i = 0
+      while (i < 64 && !done) {
+        val b = bb.get(i)
+        if (b == 0) done = true else { sb.append(b.toChar); i += 1 }
+      }
+      pos += 64
+    }
+    sb.toString
+  }
+
+  private def walkGroupBtree(addr: Long, heapData: Long, out: mutable.Map[String, Long]): Unit = {
+    val head = readAt(addr, 24)
+    val sig = new Array[Byte](4); head.get(sig)
+    new String(sig, "ASCII") match {
+      case "TREE" =>
+        val level = head.get(5) & 0xff
+        val n = head.getShort(6) & 0xffff
+        // keys/children: (n+1) keys of 8 bytes, n children of 8 bytes
+        val body = readAt(addr + 24, (2 * n + 1) * 8)
+        var i = 0
+        while (i < n) {
+          body.position((2 * i + 1) * 8)
+          val child = body.getLong()
+          if (level > 0) walkGroupBtree(child, heapData, out) else readSnod(child, out)
+          i += 1
+        }
+      case "SNOD" => readSnod(addr, out)
+      case other => sys.error(s"$path @$addr: expected TREE/SNOD, got $other")
+    }
+
+    def readSnod(sAddr: Long, acc: mutable.Map[String, Long]): Unit = {
+      val hb = readAt(sAddr, 8)
+      val s = new Array[Byte](4); hb.get(s)
+      require(new String(s, "ASCII") == "SNOD", s"$path @$sAddr: bad SNOD")
+      val cnt = hb.getShort(6) & 0xffff
+      val eb = readAt(sAddr + 8, cnt * 40)
+      var i = 0
+      while (i < cnt) {
+        eb.position(i * 40)
+        val nameOff = eb.getLong()
+        val oh = eb.getLong()
+        acc(heapString(heapData, nameOff)) = oh
+        i += 1
+      }
+    }
+  }
+
+  /** Resolve an absolute path like
+    * `/DataSet/ResolutionLevel 0/TimePoint 0/Channel 0/Data` to its
+    * object header address, or None if a component is missing (the
+    * reference raises `MissingDatasetError`, `io_utils.py:405-408`).
+    */
+  def resolve(absPath: String): Option[Long] = {
+    val parts = absPath.split("/").filter(_.nonEmpty)
+    var cur = rootObjectHeader
+    for (p <- parts) {
+      groupChildren(cur).get(p) match {
+        case Some(next) => cur = next
+        case None       => return None
+      }
+    }
+    Some(cur)
+  }
+
+  def exists(absPath: String): Boolean = resolve(absPath).isDefined
+
+  // ---- attributes ---------------------------------------------------------
+
+  /** Byte-string attributes of an object, decoded to String (the Imaris
+    * numeric-attrs-as-byte-strings quirk, `io_utils.py:462-466`).
+    */
+  def attributes(absPath: String): Map[String, String] = {
+    val oh = resolve(absPath).getOrElse(
+      throw MissingDatasetError(s"$path: no object at $absPath"))
+    readObjectHeader(oh).messages.collect { case (MsgAttribute, body) =>
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val version = bb.get(0) & 0xff
+      require(version == 1, s"unsupported attribute message version $version")
+      val nameSize = bb.getShort(2) & 0xffff
+      val dtSize = bb.getShort(4) & 0xffff
+      val dsSize = bb.getShort(6) & 0xffff
+      def pad8(n: Int) = (n + 7) / 8 * 8
+      val nameStart = 8
+      val name = new String(body, nameStart, nameSize, "ASCII").takeWhile(_ != 0)
+      val dataStart = nameStart + pad8(nameSize) + pad8(dtSize) + pad8(dsSize)
+      val value = new String(body, dataStart, body.length - dataStart, "ASCII")
+        .takeWhile(_ != 0)
+      name -> value
+    }.toMap
+  }
+
+  // ---- datasets -----------------------------------------------------------
+
+  final case class Dataset(
+      shape: Array[Long],        // stored (padded) dims, ZYX
+      chunk: Array[Int],         // chunk dims, ZYX
+      elemSize: Int,             // bytes per element (2 for uint16)
+      signed: Boolean,
+      filters: Seq[Filter],      // write order; applied in reverse on read
+      chunkIndex: Map[(Long, Long, Long), (Long, Int)] // chunk zyx -> (addr, storedLen)
+  ) {
+    def grid: Array[Long] = Array(
+      (shape(0) + chunk(0) - 1) / chunk(0),
+      (shape(1) + chunk(1) - 1) / chunk(1),
+      (shape(2) + chunk(2) - 1) / chunk(2))
+  }
+
+  def openDataset(absPath: String): Dataset = {
+    val oh = resolve(absPath).getOrElse(
+      throw MissingDatasetError(s"$path: no dataset at $absPath"))
+    val h = readObjectHeader(oh)
+    val dims = h.messages.find(_._1 == MsgDataspace).map { case (_, body) =>
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = bb.get(0) & 0xff
+      val rank = bb.get(1) & 0xff
+      val hdr = if (ver == 1) 8 else 4 // v2: version, rank, flags, type
+      Array.tabulate(rank)(i => bb.getLong(hdr + 8 * i))
+    }.getOrElse(sys.error(s"$absPath: no dataspace"))
+    require(dims.length == 3, s"$absPath: expected rank 3, got ${dims.length}")
+
+    val (elemSize, signed) = h.messages.find(_._1 == MsgDatatype).map { case (_, body) =>
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val clsVer = bb.get(0) & 0xff
+      val cls = clsVer & 0x0f
+      require(cls == 0, s"$absPath: expected fixed-point datatype, class $cls")
+      val bits0 = bb.get(1) & 0xff
+      val size = bb.getInt(4)
+      (size, (bits0 & 0x08) != 0)
+    }.getOrElse(sys.error(s"$absPath: no datatype"))
+
+    val (btreeAddr, chunkDims) = h.messages.find(_._1 == MsgLayout).map { case (_, body) =>
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = bb.get(0) & 0xff
+      require(ver == 3, s"$absPath: unsupported layout version $ver")
+      val cls = bb.get(1) & 0xff
+      require(cls == 2, s"$absPath: expected chunked layout, class $cls")
+      val ndims = bb.get(2) & 0xff
+      val addr = bb.getLong(3)
+      val cd = Array.tabulate(ndims - 1)(i => bb.getInt(11 + 4 * i))
+      (addr, cd)
+    }.getOrElse(sys.error(s"$absPath: no layout"))
+    require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+
+    val filters = h.messages.find(_._1 == MsgFilterPipeline).map { case (_, body) =>
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val ver = bb.get(0) & 0xff
+      val nf = bb.get(1) & 0xff
+      var pos = if (ver == 1) 8 else 2
+      (0 until nf).map { _ =>
+        val id = bb.getShort(pos) & 0xffff
+        // v1 always has name length; v2 omits it for id < 256
+        val hasNameLen = ver == 1 || id >= 256
+        val nameLen = if (hasNameLen) bb.getShort(pos + 2) & 0xffff else 0
+        val base = if (hasNameLen) pos + 4 else pos + 2
+        val flags = bb.getShort(base) & 0xffff
+        val ncd = bb.getShort(base + 2) & 0xffff
+        val namePad = if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
+        val cdStart = base + 4 + namePad
+        val cd = Array.tabulate(ncd)(i => bb.getInt(cdStart + 4 * i))
+        pos = cdStart + 4 * ncd + (if (ver == 1 && ncd % 2 == 1) 4 else 0)
+        Filter(id, flags, cd.toSeq)
+      }
+    }.getOrElse(Seq.empty)
+
+    val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
+    if (btreeAddr != Undef) walkChunkBtree(btreeAddr, 3, index)
+    Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+  }
+
+  private def walkChunkBtree(
+      addr: Long, rank: Int,
+      out: mutable.Map[(Long, Long, Long), (Long, Int)]): Unit = {
+    val head = readAt(addr, 24)
+    val sig = new Array[Byte](4); head.get(sig)
+    require(new String(sig, "ASCII") == "TREE", s"$path @$addr: bad chunk btree")
+    require((head.get(4) & 0xff) == 1, "expected chunk btree (type 1)")
+    val level = head.get(5) & 0xff
+    val n = head.getShort(6) & 0xffff
+    val keySize = 8 + (rank + 1) * 8
+    val body = readAt(addr + 24, n * (keySize + 8) + keySize)
+    var i = 0
+    while (i < n) {
+      body.position(i * (keySize + 8))
+      val storedLen = body.getInt()
+      body.getInt() // filter mask (0 = all applied)
+      val z = body.getLong(); val y = body.getLong(); val x = body.getLong()
+      body.getLong() // element-size dim offset, always 0
+      val child = body.getLong()
+      if (level > 0) walkChunkBtree(child, rank, out)
+      else out((z, y, x)) = (child, storedLen)
+      i += 1
+    }
+  }
+
+  // ---- chunk decode + region read ----------------------------------------
+
+  private def decodeChunk(ds: Dataset, addr: Long, storedLen: Int): Array[Byte] = {
+    var data = { val b = new Array[Byte](storedLen); in.readFully(addr, b); b }
+    val rawLen = ds.chunk.product * ds.elemSize
+    // filters applied in reverse of pipeline order
+    for (f <- ds.filters.reverse) f.id match {
+      case 1 => // deflate
+        val inf = new Inflater()
+        inf.setInput(data)
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        while (!inf.finished() && off < rawLen) off += inf.inflate(out, off, rawLen - off)
+        inf.end()
+        require(off == rawLen, s"$path: deflate chunk expanded to $off, want $rawLen")
+        data = out
+      case 2 => // shuffle: de-interleave byte planes
+        val es = if (f.clientData.nonEmpty) f.clientData.head else ds.elemSize
+        val nElems = data.length / es
+        val out = new Array[Byte](data.length)
+        var j = 0
+        while (j < es) {
+          var e = 0
+          while (e < nElems) { out(e * es + j) = data(j * nElems + e); e += 1 }
+          j += 1
+        }
+        data = out
+      case 32004 => // HDF5-lz4: u64BE total, u32BE blockSize, blocks of u32BE len + payload
+        val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+        val total = bb.getLong()
+        val blockSize = bb.getInt()
+        val out = new Array[Byte](total.toInt)
+        var outOff = 0
+        val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        while (outOff < total) {
+          val compLen = bb.getInt()
+          val thisBlock = math.min(blockSize.toLong, total - outOff).toInt
+          if (compLen == thisBlock) { // stored raw
+            bb.get(out, outOff, thisBlock)
+          } else {
+            val comp = new Array[Byte](compLen)
+            bb.get(comp)
+            val n = lz4.decompress(comp, 0, compLen, out, outOff, thisBlock)
+            require(n == thisBlock, s"$path: lz4 block decoded $n, want $thisBlock")
+          }
+          outOff += thisBlock
+        }
+        data = out
+      case other => sys.error(s"$path: unsupported HDF5 filter id $other")
+    }
+    require(data.length == rawLen, s"$path: chunk decoded to ${data.length}, want $rawLen")
+    data
+  }
+
+  /** Hyperslab read (reference `read_block`, `io_utils.py:122-151`):
+    * returns the region in C order (Z,Y,X) as uint16 values in a short
+    * array. Each intersecting chunk is decompressed exactly once (X1).
+    * Chunks absent from the index are fill (zeros).
+    */
+  def readRegion(ds: Dataset,
+                 z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] = {
+    require(ds.elemSize == 2, s"$path: only uint16/int16 payloads supported, got ${ds.elemSize} bytes")
+    val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
+    val out = new Array[Short](nz * ny * nx)
+    val (cz, cy, cx) = (ds.chunk(0), ds.chunk(1), ds.chunk(2))
+    var gz = z0 / cz
+    while (gz * cz < z1) {
+      var gy = y0 / cy
+      while (gy * cy < y1) {
+        var gx = x0 / cx
+        while (gx * cx < x1) {
+          ds.chunkIndex.get((gz * cz, gy * cy, gx * cx)).foreach { case (addr, len) =>
+            val chunkBytes = decodeChunk(ds, addr, len)
+            val cb = ByteBuffer.wrap(chunkBytes).order(ByteOrder.LITTLE_ENDIAN)
+            val izLo = math.max(z0, gz * cz); val izHi = math.min(z1, gz * cz + cz)
+            val iyLo = math.max(y0, gy * cy); val iyHi = math.min(y1, gy * cy + cy)
+            val ixLo = math.max(x0, gx * cx); val ixHi = math.min(x1, gx * cx + cx)
+            var z = izLo
+            while (z < izHi) {
+              var y = iyLo
+              while (y < iyHi) {
+                val srcBase = (((z - gz * cz) * cy + (y - gy * cy)) * cx + (ixLo - gx * cx)).toInt
+                val dstBase = (((z - z0) * ny + (y - y0)) * nx + (ixLo - x0)).toInt
+                var i = 0
+                val run = (ixHi - ixLo).toInt
+                while (i < run) {
+                  out(dstBase + i) = cb.getShort(2 * (srcBase + i))
+                  i += 1
+                }
+                y += 1
+              }
+              z += 1
+            }
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      gz += 1
+    }
+    out
+  }
+}
+
+object Hdf5Reader {
+  private val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+  private val Undef: Long = -1L // 0xFFFFFFFFFFFFFFFF
+
+  private val MsgNil = 0x0000
+  private val MsgDataspace = 0x0001
+  private val MsgDatatype = 0x0003
+  private val MsgLayout = 0x0008
+  private val MsgFilterPipeline = 0x000B
+  private val MsgAttribute = 0x000C
+  private val MsgContinuation = 0x0010
+  private val MsgSymbolTable = 0x0011
+
+  final case class Filter(id: Int, flags: Int, clientData: Seq[Int])
+
+  /** Reference `MissingDatasetError` (`io_utils.py:13-14`). */
+  final case class MissingDatasetError(msg: String) extends RuntimeException(msg)
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Geometry.Shape3
+import graft.plans.{Downsample, ImarisToZarr, ZarrRegion}
+import graft.sinks.ZarrV3
+
+/** End-to-end slice (SURVEY §7.2): synthetic .ims fixture → Spark job →
+  * Zarr v3 sharded store → re-read our shards → voxel-exact equality +
+  * metadata assertions.
+  */
+class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import Fixtures.v
+
+  private var spark: SparkSession = _
+  private lazy val conf = spark.sparkContext.hadoopConfiguration
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("minimum slice: ims_64 → 1-level Zarr v3, voxel-exact (SURVEY §7.2)") {
+    val out = Files.createTempDirectory("zarr64").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 1))
+    assert(stats.nonEmpty)
+    assert(stats.map(_.voxels).sum == 64L * 64 * 64)
+    // one shard file per task, 2x2x2 grid
+    assert(stats.length == 8)
+    val data = ZarrRegion.read(conf, s"$out/ims_64.ome.zarr/0",
+      Shape3(64, 64, 64), Shape3(32, 32, 32), Shape3(16, 16, 16),
+      0, 64, 0, 64, 0, 64)
+    for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+      assert(data((z * 64 + y) * 64 + x) == v(z, y, x))
+    val meta = new String(ZarrV3.read(conf, s"$out/ims_64.ome.zarr/0/zarr.json"), "UTF-8")
+    assert(meta.contains(""""shape":[1,1,64,64,64]"""))
+    val root = new String(ZarrV3.read(conf, s"$out/ims_64.ome.zarr/zarr.json"), "UTF-8")
+    assert(root.contains(""""version":"0.5""""))
+  }
+
+  test("padded fixture writes only the TRUE shape (X7 regression)") {
+    val out = Files.createTempDirectory("zarrpad").toString
+    ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_padded.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(64, 64, 64), chunk = Shape3(32, 32, 32),
+        translatePyramid = false, computeLevels = 1))
+    val meta = new String(ZarrV3.read(conf, s"$out/ims_padded.ome.zarr/0/zarr.json"), "UTF-8")
+    assert(meta.contains(""""shape":[1,1,100,100,100]"""), "zarr shape must be unpadded")
+    val data = ZarrRegion.read(conf, s"$out/ims_padded.ome.zarr/0",
+      Shape3(100, 100, 100), Shape3(64, 64, 64), Shape3(32, 32, 32),
+      90, 100, 90, 100, 90, 100)
+    for (z <- 90 until 100; y <- 90 until 100; x <- 90 until 100)
+      assert(data(((z - 90) * 10 + (y - 90)) * 10 + (x - 90)) == v(z, y, x))
+  }
+
+  test("translate-pyramid copies precomputed levels voxel-exactly") {
+    val out = Files.createTempDirectory("zarrpyr").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_pyramid.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = true))
+    assert(stats.map(_.level).distinct.sorted == Seq(0, 1, 2))
+    // level 2 true shape (16,32,32); the store's spec is clamped to it
+    val (c2, s2) = graft.core.Geometry.clampSpec(
+      Shape3(16, 32, 32), Shape3(16, 16, 16), Shape3(32, 32, 32))
+    val d2 = ZarrRegion.read(conf, s"$out/ims_pyramid.ome.zarr/2",
+      Shape3(16, 32, 32), s2, c2,
+      0, 16, 0, 32, 0, 32)
+    for (z <- 0 until 16; y <- 0 until 32; x <- 0 until 32)
+      assert(d2((z * 32 + y) * 32 + x) == v(z, y, x, 2))
+  }
+
+  test("computed pyramid: mean-downsample level 1 from level 0, block-local") {
+    val out = Files.createTempDirectory("zarrds").toString
+    ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 2, downsampleMode = "mean"))
+    val d1 = ZarrRegion.read(conf, s"$out/ims_64.ome.zarr/1",
+      Shape3(32, 32, 32), Shape3(32, 32, 32), Shape3(16, 16, 16),
+      0, 32, 0, 32, 0, 32)
+    for (z <- 0 until 32; y <- 0 until 32; x <- 0 until 32) {
+      var s = 0L
+      for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+        s += v(2 * z + dz, 2 * y + dy, 2 * x + dx) & 0xffff
+      assert((d1((z * 32 + y) * 32 + x) & 0xffff) == (s / 8).toInt)
+    }
+  }
+
+  test("downsample kernel modes on a known window") {
+    // src 2x2x2 -> dst 1x1x1
+    val src = Array[Short](5, 1, 7, 7, 3, 7, 2, 9)
+    def run(mode: String) =
+      Downsample.reduce(src, Shape3(2, 2, 2), Shape3(1, 1, 1), Shape3(2, 2, 2), mode)(0)
+    assert(run("stride") == 5)
+    assert(run("mean") == ((5 + 1 + 7 + 7 + 3 + 7 + 2 + 9) / 8).toShort)
+    assert(run("min") == 1)
+    assert(run("max") == 9)
+    assert(run("median") == 5)  // sorted: 1,2,3,5,7,7,7,9 → lower middle = 5
+    assert(run("mode") == 7)    // most frequent
+  }
+
+  test("discover: deterministic order and single-tile mode (S1-S3)") {
+    val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
+    assert(files.map(_.split('/').last) ==
+      Seq("ims_64.ims", "ims_64_lz4.ims", "ims_aniso.ims", "ims_padded.ims",
+        "ims_pyramid.ims", "ims_tiny_edge.ims"))
+    val one = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = true, conf)
+    assert(one.map(_.split('/').last) == Seq("ims_64.ims"))
+  }
+}
