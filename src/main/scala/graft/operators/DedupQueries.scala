@@ -54,9 +54,16 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, t[k+1] || ' ' || t[k+2] || ' ' || t[k+3] AS shingle
       |       FROM ks)""".stripMargin
 
-  /** MinHash permutation params (fixed, public constants). */
+  /** MinHash permutation params h_i(x) = (a_i·x + b_i) mod p. The
+    * multipliers must be large and pairwise-independent-ish: small
+    * correlated constants (2,3,5..) make every band collide and the LSH
+    * degenerates to all-pairs. Fixed arbitrary 9-digit odd constants.
+    */
   private val minhashParams: Seq[(Long, Long)] =
-    Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (11L, 5L), (13L, 6L))
+    Seq(
+      (487198041L, 259200101L), (741932517L, 373587883L),
+      (268435399L, 608135813L), (104395303L, 36028797L),
+      (655360001L, 177777773L), (920419813L, 51218317L))
 
   val defs: Seq[QueryDef] = Seq(
     // ---- Q-B5: exact dedup on content hash -------------------------------
@@ -122,18 +129,20 @@ object DedupQueries {
     },
 
     // ---- MinHash + LSH banded candidate pairs ----------------------------
-    // 6 permutations h_i(x) = (a_i·x + b_i) mod 1e9+7 over rolling-hashed
-    // distinct tokens; 3 bands of 2 rows; candidates = docs sharing ≥1 band.
+    // The full scale path: 3-word shingles → 6 minhash permutations
+    // h_i(x) = (a_i·x + b_i) mod 1e9+7 over rolling-hashed shingles →
+    // 3 bands of 2 rows → candidates = docs sharing ≥1 band key.
+    // Shingles (not unigrams) are essential: the corpus vocabulary is
+    // tiny, so unigram sets are near-identical across docs and unigram
+    // LSH would degenerate to all-pairs.
     QueryDef(
       "q_c1_minhash_lsh",
       Some {
         val mhCols = minhashParams.zipWithIndex
           .map { case ((a, b), i) => s"MIN(($a * th + $b) % 1000000007) AS mh$i" }
           .mkString(", ")
-        s"""WITH toks AS (
-           |  SELECT DISTINCT doc_id, tok
-           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
-           |h AS (SELECT doc_id, ${duckRollingHash("tok")} AS th FROM toks),
+        s"""WITH $duckShingles,
+           |h AS (SELECT doc_id, ${duckRollingHash("shingle")} AS th FROM sh),
            |sig AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
            |bands AS (
            |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
@@ -146,9 +155,7 @@ object DedupQueries {
            |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
       }
     ) { (s, d) =>
-      val toks = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-      val h = toks.select(col("doc_id"), expr(rollingHash("tok")).as("th"))
+      val h = shingles(s, d).select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
       val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
         min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
       }

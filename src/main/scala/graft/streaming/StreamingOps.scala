@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event-surface operators
+  * (SURVEY §2.4-B Q-B1..B3). The reference is batch-only
+  * (`imaris_job.py:719-750` — bounded jobs), so these are north-star
+  * additions: the same logical windows as [[graft.operators.EventQueries]]
+  * but over an unbounded source with watermark-based state eviction.
+  *
+  * Input contract: a streaming DataFrame with columns
+  * `(event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE)` — i.e. `events` after the int64-µs → timestamp lift.
+  *
+  * Scale posture: all three are key-partitioned stateful ops; state is
+  * bounded by the watermark (tumbling/sliding) or the session gap +
+  * timeout (mapGroupsWithState), so 1000-executor deployments shard state
+  * by key hash with no driver involvement.
+  */
+object StreamingOps {
+
+  /** Q-B1 streaming twin: 1h tumbling windows per event_type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Q-B2 streaming twin: 1h windows sliding every 15m. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("cnt"), col("total_value"))
+
+  /** Q-B3 streaming twin using the built-in session_window (30m gap). */
+  def sessionWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: sessionization via mapGroupsWithState ---------------
+
+  final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+  final case class SessionState(sessionStart: Long, lastTs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long, closed: Boolean)
+
+  /** Custom per-key state machine (the `mapGroupsWithState` analog of
+    * Q-B3): carries the current session across triggers and rolls it
+    * over in event time when the 30-minute gap elapses. Demonstrates
+    * arbitrary stateful processing for operators the built-in windows
+    * can't express (e.g. per-session aggregates beyond counts).
+    * `closed=true` marks a session that was superseded by a newer one
+    * this trigger. (Event-time-driven rollover, no processing-time
+    * timeouts — keeps micro-batch draining deterministic.)
+    */
+  def sessionize(events: Dataset[Evt]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val GapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Evt], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse {
+            val t0 = sorted.head.ts.getTime * 1000
+            SessionState(t0, t0, 0)
+          }
+          var rolledOver = false
+          for (e <- sorted) {
+            val tUs = e.ts.getTime * 1000
+            if (tUs - s.lastTs > GapUs) { rolledOver = true; s = SessionState(tUs, tUs, 1) }
+            else s = s.copy(lastTs = tUs, n = s.n + 1)
+          }
+          state.update(s)
+          SessionOut(userId, s.sessionStart, s.lastTs, s.n, closed = rolledOver)
+      }
+  }
+
+  /** Wire any of the above to a memory sink for tests/demos; returns the
+    * query name to poll with `spark.sql(s"select * from $name")`.
+    */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean = true): String = {
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
+      .start()
+    name
+  }
+}
