@@ -31,10 +31,13 @@ object SimilarityQueries {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
       )
 
-  private val dot =
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val normV = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
-  private val normQ = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+  /** Scoring runs through the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (one fused loop for
+    * dot + both norms — no per-element lambda dispatch). Its sequential
+    * IEEE accumulation matches DuckDB's `list_dot_product` fold, so the
+    * 4-dp-rounded decimal scores stay hash-identical.
+    */
+  private def cosExpr: String = "CAST(cosine_similarity(v, qv) AS DECIMAL(18,6))"
 
   val defs: Seq[QueryDef] = Seq(
     // ---- Q-B7: brute-force cosine top-k ----------------------------------
@@ -57,6 +60,7 @@ object SimilarityQueries {
              |FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)
     ) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = embDouble(s, d)
       val q = e
         .filter(col("vec_id") % 100 === 0)
@@ -64,7 +68,7 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("score", round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4))
+        .withColumn("score", round(expr(cosExpr), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
@@ -85,13 +89,14 @@ object SimilarityQueries {
              |FROM pairs WHERE cos_sim >= 0.90
              |ORDER BY vec_a, vec_b""".stripMargin)
     ) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = embDouble(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v"))
       val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("v").as("qv"))
       a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
         .withColumn(
           "cos_sim",
-          round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4)
+          round(expr(cosExpr), 4)
         )
         .filter(col("cos_sim") >= 0.90)
         .select(col("vec_a"), col("vec_b"), col("cos_sim").cast(D38).as("cos_sim"))
@@ -106,6 +111,7 @@ object SimilarityQueries {
     // construction ⇒ rows-only check (no oracle); recall vs brute force is
     // asserted in the ScalaTest spec instead.
     QueryDef("q_c9_ann_ivf", None) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = embDouble(s, d)
       // centroid[label] = elementwise mean — distributed, shuffle on (label, dim)
       val centroids = e
@@ -139,7 +145,7 @@ object SimilarityQueries {
       // search only within the assigned bucket
       val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
       e.join(broadcast(qAssign), col("label") === col("c_label") && col("vec_id") =!= col("query_id"))
-        .withColumn("score", round(expr(s"CAST($dot / ($normV * $normQ) AS DECIMAL(18,6))"), 4))
+        .withColumn("score", round(expr(cosExpr), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
