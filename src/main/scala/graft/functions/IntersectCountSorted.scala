@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression: |a ∩ b| for two SORTED string arrays via a single
   * O(n+m) merge pass — the PPJoin verify-step kernel. `array_intersect`
@@ -24,15 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
 case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => StringType
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(StringType, _) => true
-      case _ => false
+    def elem(t: DataType): Option[DataType] = t match {
+      case ArrayType(et @ (StringType | LongType), _) => Some(et)
+      case _ => None
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"intersect_count_sorted requires two ARRAY<STRING> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    (elem(left.dataType), elem(right.dataType)) match {
+      // compare element types only — containsNull flags may differ
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_sorted requires two ARRAY<STRING> or two ARRAY<BIGINT> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
   }
 
   override def dataType: DataType = LongType
@@ -42,8 +49,11 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0L
+    val longs = elemType == LongType
     while (i < n && j < m) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -56,11 +66,14 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (elemType == LongType) s"java.lang.Long.compare($x.getLong($i), $y.getLong($j))"
+        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
       s"""
          |int $n = $x.numElements(); int $m = $y.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
-         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

@@ -266,34 +266,43 @@ object DedupQueries {
         )
       val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
       val freq = g.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("f"))
-      val ranked = g
-        .join(freq, Seq("source", "gram"))
+      // Dictionary-encode (source, gram) to a dense BIGINT id in rarity
+      // order: intersection COUNTS are invariant under the bijection, so
+      // every later stage runs on 8-byte ids instead of 5-char strings
+      // (the per-doc arrays shrink ~8x and the merge compares longs).
+      // Distinct sources never share a gid, so joining on gid alone
+      // enforces the source blocking. The dictionary is vocabulary-sized
+      // (single-window row_number is fine here; a partitioned rank works
+      // at larger vocabularies).
+      val ids = freq.withColumn(
+        "gid",
+        row_number().over(Window.orderBy(col("f"), col("source"), col("gram"))).cast("long"))
+      val g2 = g.join(ids, Seq("source", "gram")).select(col("doc_id"), col("gid"))
+      val ranked = g2
         .join(cnt, Seq("doc_id"))
         .withColumn(
           "rnk",
-          row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("f"), col("gram"))))
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
       val prefix = ranked
         .filter(col("rnk") <= col("n_g") - expr("(6 * n_g + 9) DIV 10") + 1)
-        .select(col("doc_id"), col("source"), col("gram"))
+        .select(col("doc_id"), col("gid"))
       val cand = prefix.as("a")
         .join(
           prefix.as("b"),
-          col("a.source") === col("b.source") && col("a.gram") === col("b.gram")
-            && col("a.doc_id") < col("b.doc_id"))
+          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val garr = g.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("gram"))).as("grams"), count(lit(1)).as("n_g"))
+      val garr = g2.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("gid"))).as("grams"), count(lit(1)).as("n_g"))
       // NOTE: broadcasting garr here measured 10x SLOWER than the shuffle
-      // joins (copying the 3.5 KB array per probe into the generated-code
+      // joins (copying the array per probe into the generated-code
       // stream); the shuffle join sorts doc-id pairs instead
       cand
         .join(garr.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
           col("n_g").as("n_a")), Seq("doc_a"))
         .join(garr.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
           col("n_g").as("n_b")), Seq("doc_b"))
-        // O(n+m) merge on the sorted gram arrays (native codegen'd
+        // O(n+m) merge on the sorted id arrays (native codegen'd
         // expression) — array_intersect's per-row hash set was the
         // verify-step bottleneck at 0.5M candidate pairs
         .withColumn("shared", expr("intersect_count_sorted(ga, gb)"))

@@ -51,9 +51,23 @@ class IntersectCountSortedSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
-  test("rejects non-string-array arguments") {
+  test("long arrays: merge count agrees with array_intersect") {
+    val rows = spark.sql(
+      """SELECT intersect_count_sorted(a, b) AS fast,
+        |       CAST(size(array_intersect(a, b)) AS BIGINT) AS ref
+        |FROM VALUES
+        |  (array(1L,5L,9L), array(5L,9L,10L)),
+        |  (array(1L), array(2L)),
+        |  (array(3L,4L,5L), array(3L,4L,5L)) AS t(a, b)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("rejects mismatched or unsupported argument types") {
     intercept[Exception] {
       spark.sql("SELECT intersect_count_sorted(array(1,2), array(2,3))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT intersect_count_sorted(array('a'), array(1L))").collect()
     }
   }
 }
