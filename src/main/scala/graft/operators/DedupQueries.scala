@@ -100,23 +100,39 @@ object DedupQueries {
               |FROM j WHERE shared * 10 >= uni * 5
               |ORDER BY doc_a, doc_b""".stripMargin)
     ) { (s, d) =>
+      // Same exact AllPairs prefix-filter shape as q_c3 (see there for the
+      // full rationale), at tau = 0.5: prefix length n - ceil(n/2) + 1,
+      // dictionary-encoded shingle ids, merge-count verify. Output is
+      // bit-identical to the naive self-join the oracle runs.
+      graft.functions.IntersectCountSorted.register(s)
       val sh = shingles(s, d)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh
-        .as("a")
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      val ids = freq.withColumn(
+        "gid",
+        row_number().over(Window.orderBy(col("f"), col("shingle"))).cast("long"))
+      val sh2 = sh.join(ids, Seq("shingle")).select(col("doc_id"), col("gid"))
+      val prefix = sh2
+        .join(cnt, Seq("doc_id"))
+        .withColumn(
+          "rnk",
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
+        .filter(col("rnk") <= col("n_sh") - expr("(n_sh + 1) DIV 2") + 1)
+        .select(col("doc_id"), col("gid"))
+      val cand = prefix.as("a")
         .join(
-          sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-        )
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(cnt.withColumnRenamed("n_sh", "n_a"), col("doc_a") === cnt("doc_id"))
-        .drop("doc_id")
-        .join(
-          cnt.withColumnRenamed("n_sh", "n_b").withColumnRenamed("doc_id", "doc_id_b"),
-          col("doc_b") === col("doc_id_b")
-        )
+          prefix.as("b"),
+          col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val garr = sh2.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("gid"))).as("gids"), count(lit(1)).as("n_sh"))
+      cand
+        .join(garr.select(col("doc_id").as("doc_a"), col("gids").as("ga"),
+          col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(garr.select(col("doc_id").as("doc_b"), col("gids").as("gb"),
+          col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("shared", expr("intersect_count_sorted(ga, gb)"))
         .withColumn("uni", col("n_a") + col("n_b") - col("shared"))
         .filter(col("shared") * 10 >= col("uni") * 5)
         .select(
