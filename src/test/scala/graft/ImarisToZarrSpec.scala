@@ -106,6 +106,30 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("computed pyramid: median and stride modes end-to-end") {
+    for (mode <- Seq("median", "stride")) {
+      val out = Files.createTempDirectory(s"zarr_$mode").toString
+      ImarisToZarr.convert(
+        spark, s"${Fixtures.dir}/ims_64.ims", out,
+        ImarisToZarr.Settings(
+          shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+          translatePyramid = false, computeLevels = 2, downsampleMode = mode))
+      val d1 = ZarrRegion.read(conf, s"$out/ims_64.ome.zarr/1",
+        Shape3(32, 32, 32), Shape3(32, 32, 32), Shape3(16, 16, 16),
+        0, 32, 0, 32, 0, 32)
+      // spot-check a handful of windows against the kernel definition
+      for ((z, y, x) <- Seq((0, 0, 0), (5, 7, 9), (31, 31, 31), (16, 0, 30))) {
+        val window = (for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+          yield (v(2 * z + dz, 2 * y + dy, 2 * x + dx) & 0xffff)).toArray
+        val want = mode match {
+          case "median" => window.sorted.apply((window.length - 1) / 2)
+          case "stride" => window(0)
+        }
+        assert((d1((z * 32 + y) * 32 + x) & 0xffff) == want, s"$mode at ($z,$y,$x)")
+      }
+    }
+  }
+
   test("downsample kernel modes on a known window") {
     // src 2x2x2 -> dst 1x1x1
     val src = Array[Short](5, 1, 7, 7, 3, 7, 2, 9)
