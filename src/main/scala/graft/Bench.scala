@@ -1,18 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full local[32] harness (driver contract); shuffle
     // partitions match so tiny-SF stages don't fan out beyond cores
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.local(cpus.toInt, cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (codegen, shuffle machinery, parquet reader) so the
     // first measured query doesn't absorb one-time session cost

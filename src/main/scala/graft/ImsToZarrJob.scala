@@ -74,6 +74,11 @@ object ImsToZarrJob {
 
     val stacks = ImarisToZarr.discover(a.input, a.singleTile, hconf)
     if (stacks.isEmpty) { println("No stacks to process!"); return }
+    // output stores are keyed by basename; two tiles with the same name in
+    // different subdirectories would silently clobber each other's shards
+    val dupes = stacks.groupBy(_.split('/').last).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      s"duplicate stack basenames would overwrite each other: ${dupes.keys.mkString(", ")}")
 
     // acquisition.json lives one directory above input_source
     // (imaris_job.py:362-367); voxel-size precedence: manifest → Imaris

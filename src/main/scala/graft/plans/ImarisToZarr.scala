@@ -83,10 +83,10 @@ object ImarisToZarr {
     */
   def convert(spark: SparkSession, imsPath: String, outDir: String,
               settings: Settings = Settings()): Seq[ShardStats] = {
-    val meta = Imaris.readMeta(imsPath)
     val stem = imsPath.split('/').last.stripSuffix(".ims").stripSuffix(".h5")
     val store = s"$outDir/$stem.ome.zarr"
     val hconf = spark.sparkContext.hadoopConfiguration
+    val meta = Imaris.readMeta(imsPath, hconf)
     val serConf = new SerializableConfiguration(hconf)
 
     val nLevels =
@@ -135,21 +135,25 @@ object ImarisToZarr {
         spark.createDataset(tasks).repartition(parallelism)
       val stats = taskDs.mapPartitions { it =>
         // one reader per (partition, file): the reference holds one HDF5
-        // handle per worker-file (D5, `imaris_job.py:601-609`)
+        // handle per worker-file (D5, `imaris_job.py:601-609`); the chunk
+        // index is cached per (file, level) — re-walking the B-tree per
+        // task would multiply metadata I/O by the task count
         val readers = scala.collection.mutable.Map.empty[String, Hdf5Reader]
-        val out = it.map { t =>
+        val datasets = scala.collection.mutable.Map.empty[(String, Int), Hdf5Reader.Dataset]
+        // close on task completion, not iterator exhaustion — a failure
+        // mid-partition would otherwise leak the open input streams
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => readers.values.foreach(_.close())))
+        it.map { t =>
           val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
-          val ds = r.openDataset(Imaris.dataPath(t.level))
+          val ds = datasets.getOrElseUpdate((t.file, t.level),
+            r.openDataset(Imaris.dataPath(t.level)))
           val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
           val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
           val bytes = ZarrV3.encodeShard(data, dataShape, shardL, chunkL, zstdLevel)
           val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
           ZarrV3.write(serConf.value, s"$store/${t.level}/$key", bytes)
           ShardStats(t.file, t.level, key, bytes.length.toLong, dataShape.voxels)
-        }
-        new Iterator[ShardStats] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) readers.values.foreach(_.close()); h }
-          def next(): ShardStats = out.next()
         }
       }.collect()
       allStats ++= stats

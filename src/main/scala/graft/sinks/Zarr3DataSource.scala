@@ -78,7 +78,11 @@ final class Zarr3Table(props: Map[String, String]) extends Table with SupportsWr
     for (f <- Zarr3DataSource.schema.fields)
       require(in.fieldNames.contains(f.name),
         s"zarr3 sink input must carry column '${f.name}' (got ${in.fieldNames.mkString(",")})")
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // one shard per task, written idempotently — truncate-based
+      // overwrite needs no pre-delete, so this is a no-op marker that
+      // lets mode("overwrite") plan (capabilities advertise TRUNCATE)
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Zarr3Write(props, in)
     }
   }
@@ -94,13 +98,15 @@ final class Zarr3Write(props: Map[String, String], input: StructType) extends Wr
     val shard = Zarr3DataSource.parseShape(props, "shard")
     val chunk = Zarr3DataSource.parseShape(props, "chunk")
     val level = props.getOrElse("zstdLevel", "3").toInt
+    val hconf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
     val metaJson = ZarrV3.arrayMetadata(
       Seq(1L, 1L, shape.z, shape.y, shape.x),
       Seq(1L, 1L, shard.z, shard.y, shard.x),
       Seq(1L, 1L, chunk.z, chunk.y, chunk.x), level)
-    ZarrV3.writeString(new org.apache.hadoop.conf.Configuration(),
-      s"$path/zarr.json", metaJson.render)
-    new Zarr3WriterFactory(path, shard, chunk, level, input.fieldNames)
+    ZarrV3.writeString(hconf, s"$path/zarr.json", metaJson.render)
+    new Zarr3WriterFactory(path, shard, chunk, level, input.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(hconf))
   }
 
   // one shard per task ⇒ nothing to coordinate at commit (see scaladoc)
@@ -112,11 +118,12 @@ final case class Zarr3Commit(shards: Long, bytes: Long) extends WriterCommitMess
 
 final class Zarr3WriterFactory(
     path: String, shard: Shape3, chunk: Shape3, zstdLevel: Int,
-    cols: Array[String]) extends DataWriterFactory {
+    cols: Array[String],
+    serConf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val conf = serConf.value
       private val idx = cols.zipWithIndex.toMap
       private var shards = 0L
       private var bytes = 0L

@@ -100,6 +100,11 @@ object ZarrV3 {
 
     val payloadLen = encoded.iterator.filter(_ != null).map(_.length.toLong).sum
     val indexLen = nChunks * 16 + 4
+    // single-buffer encode caps a shard file at 2 GiB; fail loudly instead
+    // of wrapping the Int (a 1024-cubed uint16 shard of incompressible data
+    // can exceed this — use a smaller shard or a streaming encoder)
+    require(payloadLen + indexLen <= Int.MaxValue,
+      s"shard encodes to ${payloadLen + indexLen} bytes (> 2 GiB); choose a smaller shard shape")
     val out = ByteBuffer.allocate((payloadLen + indexLen).toInt).order(ByteOrder.LITTLE_ENDIAN)
     val index = ByteBuffer.allocate(nChunks * 16).order(ByteOrder.LITTLE_ENDIAN)
     var off = 0L
@@ -248,6 +253,7 @@ object ZarrV3 {
     val p = new Path(pathStr)
     val fs = p.getFileSystem(fsConf)
     val st = fs.getFileStatus(p)
+    require(st.getLen <= Int.MaxValue, s"$pathStr: ${st.getLen} bytes (> 2 GiB) — not readable into one buffer")
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf)

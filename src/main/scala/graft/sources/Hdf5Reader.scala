@@ -29,6 +29,7 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
 
   private val hPath = new Path(path)
   private val fs: FileSystem = hPath.getFileSystem(conf)
+  private val fileLen: Long = fs.getFileStatus(hPath).getLen
   private val in: FSDataInputStream = fs.open(hPath)
 
   def this(path: String) = this(path, new Configuration())
@@ -116,18 +117,21 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
   }
 
   private def heapString(heapData: Long, off: Long): String = {
-    // names are short; read in 64-byte probes until NUL
+    // names are short; read in 64-byte probes (clamped to EOF — a name
+    // stored near the end of the file must not fail readFully) until NUL
     val sb = new StringBuilder
     var pos = heapData + off
     var done = false
     while (!done) {
-      val bb = readAt(pos, 64)
+      val probe = math.min(64L, fileLen - pos).toInt
+      require(probe > 0, s"$path: unterminated heap string at $pos")
+      val bb = readAt(pos, probe)
       var i = 0
-      while (i < 64 && !done) {
+      while (i < probe && !done) {
         val b = bb.get(i)
         if (b == 0) done = true else { sb.append(b.toChar); i += 1 }
       }
-      pos += 64
+      pos += probe
     }
     sb.toString
   }
@@ -215,19 +219,7 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
 
   // ---- datasets -----------------------------------------------------------
 
-  final case class Dataset(
-      shape: Array[Long],        // stored (padded) dims, ZYX
-      chunk: Array[Int],         // chunk dims, ZYX
-      elemSize: Int,             // bytes per element (2 for uint16)
-      signed: Boolean,
-      filters: Seq[Filter],      // write order; applied in reverse on read
-      chunkIndex: Map[(Long, Long, Long), (Long, Int)] // chunk zyx -> (addr, storedLen)
-  ) {
-    def grid: Array[Long] = Array(
-      (shape(0) + chunk(0) - 1) / chunk(0),
-      (shape(1) + chunk(1) - 1) / chunk(1),
-      (shape(2) + chunk(2) - 1) / chunk(2))
-  }
+  import Hdf5Reader.Dataset
 
   def openDataset(absPath: String): Dataset = {
     val oh = resolve(absPath).getOrElse(
@@ -435,6 +427,21 @@ object Hdf5Reader {
   private val MsgSymbolTable = 0x0011
 
   final case class Filter(id: Int, flags: Int, clientData: Seq[Int])
+
+  /** Parsed dataset descriptor: layout + filters + full chunk index. */
+  final case class Dataset(
+      shape: Array[Long],        // stored (padded) dims, ZYX
+      chunk: Array[Int],         // chunk dims, ZYX
+      elemSize: Int,             // bytes per element (2 for uint16)
+      signed: Boolean,
+      filters: Seq[Filter],      // write order; applied in reverse on read
+      chunkIndex: Map[(Long, Long, Long), (Long, Int)] // chunk zyx -> (addr, storedLen)
+  ) {
+    def grid: Array[Long] = Array(
+      (shape(0) + chunk(0) - 1) / chunk(0),
+      (shape(1) + chunk(1) - 1) / chunk(1),
+      (shape(2) + chunk(2) - 1) / chunk(2))
+  }
 
   /** Reference `MissingDatasetError` (`io_utils.py:13-14`). */
   final case class MissingDatasetError(msg: String) extends RuntimeException(msg)

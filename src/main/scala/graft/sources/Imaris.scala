@@ -30,8 +30,13 @@ object Imaris {
   )
 
   /** Read all planning metadata (driver-side, one open per file). */
-  def readMeta(path: String): Meta = {
-    val r = new Hdf5Reader(path)
+  def readMeta(path: String): Meta =
+    readMeta(path, new org.apache.hadoop.conf.Configuration())
+
+  /** Same, with an explicit Hadoop conf (required for s3a:// credentials
+    * configured via spark.hadoop.* — a bare Configuration drops them). */
+  def readMeta(path: String, conf: org.apache.hadoop.conf.Configuration): Meta = {
+    val r = new Hdf5Reader(path, conf)
     try readMeta(r)
     finally r.close()
   }

@@ -132,18 +132,23 @@ final class ImarisScan(
     case _                          => true
   }
 
+  // the ACTIVE session's Hadoop conf: spark.hadoop.* (s3a credentials,
+  // endpoints) must reach both planning reads and executor-side readers
+  private def sessionConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = props.getOrElse("path", sys.error("imaris source requires option 'path'"))
     val shard = props.get("shard").map { s =>
       val p = s.split(",").map(_.trim.toLong); Shape3(p(0), p(1), p(2))
     }.getOrElse(Shape3(512, 512, 512))
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = sessionConf
     val files =
       if (path.endsWith(".ims") || path.endsWith(".h5")) Seq(path)
       else graft.plans.ImarisToZarr.discover(path, singleTileOnly = false, conf)
     val out = mutable.ArrayBuffer.empty[InputPartition]
     for (f <- files if fileOk(f)) {
-      val meta = Imaris.readMeta(f)
+      val meta = Imaris.readMeta(f, conf)
       for (l <- 0 until meta.numLevels if levelOk(l)) {
         val ts = meta.trueShapes(l)
         val (_, shardL) = Geometry.clampSpec(ts, meta.chunk, shard)
@@ -155,10 +160,13 @@ final class ImarisScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ImarisReaderFactory(required.fieldNames)
+    new ImarisReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(sessionConf))
 }
 
-final class ImarisReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+final class ImarisReaderFactory(
+    cols: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val task = p.asInstanceOf[ImarisInputPartition].task
     new PartitionReader[InternalRow] {
@@ -183,7 +191,7 @@ final class ImarisReaderFactory(cols: Array[String]) extends PartitionReaderFact
           case "x1" => task.x1
           case "data" =>
             // the payload is only read when the column survives pruning
-            if (reader == null) reader = new Hdf5Reader(task.file)
+            if (reader == null) reader = new Hdf5Reader(task.file, conf.value)
             val r = reader // stable path for the inner Dataset type
             val ds = r.openDataset(Imaris.dataPath(task.level))
             val voxels = r.readRegion(ds, task.z0, task.z1, task.y0, task.y1, task.x0, task.x1)

@@ -80,7 +80,9 @@ object StreamingOps {
           for (e <- sorted) {
             val tUs = e.ts.getTime * 1000
             if (tUs - s.lastTs > GapUs) { rolledOver = true; s = SessionState(tUs, tUs, 1) }
-            else s = s.copy(lastTs = tUs, n = s.n + 1)
+            // max() so a late (out-of-order) event can't move the session
+            // end backwards and cause a spurious split on the next event
+            else s = s.copy(lastTs = math.max(s.lastTs, tUs), n = s.n + 1)
           }
           state.update(s)
           SessionOut(userId, s.sessionStart, s.lastTs, s.n, closed = rolledOver)

@@ -53,6 +53,10 @@ class CosineSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = rows.head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
     assert(r.getDouble(3) == 1.0)
+    // dimension mismatch → NULL, never a truncated score
+    val mm = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS m").collect().head
+    assert(mm.isNullAt(0))
     // interpreted (non-codegen) eval agrees
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
