@@ -38,12 +38,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
-/** Decimal canonicalization for DuckDB-oracle hash equality (SURVEY §2.4):
-  * money/double aggregates are computed as SUM(CAST(x AS DECIMAL(18,6)))
-  * and emitted as DECIMAL(38,6); averages as decimal sum / count. Products
-  * of doubles are computed IN DOUBLE (identical IEEE order on both
-  * engines) and cast to decimal exactly once — this avoids divergent
-  * decimal precision-propagation rules between Spark and DuckDB.
+/** Numeric canonicalization for DuckDB-oracle hash equality (SURVEY §2.4).
+  *
+  * Policy (round 2): all INTERNAL arithmetic that is order-sensitive in
+  * float (sums, averages, ratios) runs in exact DECIMAL(18,6)/(38,6), but
+  * every FINAL emitted numeric is cast to DOUBLE. Rationale: the driver
+  * hashes raw value renderings, and a Spark `DECIMAL(38,6)` renders
+  * `10.000000` while DuckDB's result surface renders float64 `10.0` —
+  * numerically equal, canonically different (round-1 verdict: 21/39 hash
+  * fails from this alone). Casting the SAME exact decimal to float64 on
+  * both engines yields identical bits (unscaled values here stay well
+  * under 2^53, so decimal→double is exact-then-correctly-rounded on both).
+  * Columns read straight from parquet are emitted raw — bit-identical by
+  * construction.
   */
 object Decimals {
   val D18: DecimalType = DecimalType(18, 6)
@@ -52,15 +59,20 @@ object Decimals {
   /** Canonical intermediate decimal. */
   def dec(c: Column): Column = c.cast(D18)
 
-  /** Canonical emitted decimal. */
-  def money(c: Column): Column = c.cast(D38)
+  /** Final emission of an exact-decimal column as float64. */
+  def emit(c: Column): Column = c.cast(DoubleType)
 
-  /** SUM(CAST(x AS DECIMAL(18,6))) :: DECIMAL(38,6) */
-  def sumMoney(c: Column): Column = sum(dec(c)).cast(D38)
+  /** Quantize a double through DECIMAL(18,6) (kills engine ulp noise),
+    * then emit as float64. Oracle twin: CAST(CAST(x AS DECIMAL(18,6)) AS DOUBLE).
+    */
+  def emitQ(c: Column): Column = dec(c).cast(DoubleType)
 
-  /** Exact decimal average: sum/count, both exact, emitted DECIMAL(38,6). */
+  /** CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DECIMAL(38,6)) :: DOUBLE */
+  def sumMoney(c: Column): Column = sum(dec(c)).cast(D38).cast(DoubleType)
+
+  /** Exact decimal average: sum/count, both exact, emitted as float64. */
   def avgMoney(c: Column): Column =
-    (sum(dec(c)).cast(D38) / count(lit(1))).cast(D38)
+    (sum(dec(c)).cast(D38) / count(lit(1))).cast(D38).cast(DoubleType)
 }
 
 /** A named query with its DuckDB oracle. `oracle=None` ⇒ the driver records

@@ -96,7 +96,7 @@ object DedupQueries {
               |  JOIN cnt ca ON doc_a = ca.doc_id
               |  JOIN cnt cb ON doc_b = cb.doc_id)
               |SELECT doc_a, doc_b, shared, uni,
-              |  CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS jaccard
+              |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
               |FROM j WHERE shared * 10 >= uni * 5
               |ORDER BY doc_a, doc_b""".stripMargin)
     ) { (s, d) =>
@@ -140,7 +140,7 @@ object DedupQueries {
           col("doc_b"),
           col("shared"),
           col("uni"),
-          (dec(col("shared")) / dec(col("uni"))).cast(D38).as("jaccard")
+          emit((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("jaccard")
         )
         .orderBy(col("doc_a"), col("doc_b"))
     },

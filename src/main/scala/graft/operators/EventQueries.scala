@@ -30,7 +30,7 @@ object EventQueries {
       "q_b1_tumbling_window",
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
              |  COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY window_start_us, event_type""".stripMargin)
@@ -59,7 +59,7 @@ object EventQueries {
       Some("""WITH ks AS (SELECT ts, value, unnest(range(4)) AS k FROM events)
              |SELECT epoch_us(ts) - epoch_us(ts) % 900000000 - k * 900000000 AS window_start_us,
              |  COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
              |FROM ks
              |GROUP BY 1
              |ORDER BY window_start_us""".stripMargin)
@@ -137,7 +137,7 @@ object EventQueries {
              |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
              |         o.o_orderkey AS last_orderkey,
              |         o.o_orderdate AS last_orderdate,
-             |         CAST(o.o_totalprice AS DECIMAL(18,6)) AS last_totalprice,
+             |         o.o_totalprice AS last_totalprice,
              |         ROW_NUMBER() OVER (PARTITION BY e.event_id
              |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
              |  FROM events e
@@ -168,7 +168,7 @@ object EventQueries {
           col("user_id"),
           col("o_orderkey").as("last_orderkey"),
           col("o_orderdate").as("last_orderdate"),
-          dec(col("o_totalprice")).as("last_totalprice")
+          col("o_totalprice").as("last_totalprice")
         )
         .orderBy(col("event_id"))
     }

@@ -125,7 +125,7 @@ object MultimodalOps {
              |            WHEN doc_id % 3 = 1 THEN 'audio'
              |            ELSE 'video' END AS kind,
              |  COUNT(*) AS n_media,
-             |  SUM(octet_length(encode(text))) AS total_bytes,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              |  CAST(SUM(n_chars % 640 + 1) AS BIGINT) AS total_width
              |FROM documents
              |GROUP BY 1 ORDER BY kind""".stripMargin)
@@ -134,7 +134,7 @@ object MultimodalOps {
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("n_media"),
-          sum(length(col("payload"))).as("total_bytes"),
+          sum(length(col("payload"))).cast("long").as("total_bytes"),
           sum(col("width")).cast("long").as("total_width"))
         .orderBy(col("kind"))
     },

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Relational core surface Q-A1..Q-A20 (SURVEY §2.4-A).
   *
-  * Every query: total ORDER BY on a unique key; money emitted as
-  * DECIMAL(38,6) via [[Decimals]]; computed integers emitted as BIGINT.
+  * Every query: total ORDER BY on a unique key; money computed in exact
+  * DECIMAL via [[Decimals]] and emitted as DOUBLE (driver-hash canonical
+  * form); computed integers emitted as BIGINT.
   * Each Spark plan is paired with ANSI SQL the driver runs in DuckDB.
   *
   * Scale posture: filters/projections reach the parquet scan (verified via
@@ -31,8 +32,7 @@ object RelationalQueries {
     // ---- Q-A1: scan + filter + project (parquet pushdown) ----------------
     QueryDef(
       "q_a1_scan_filter",
-      Some("""SELECT l_orderkey, l_linenumber,
-             |       CAST(l_quantity AS DECIMAL(18,6)) AS l_quantity
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
              |  AND l_discount > 0.05
@@ -43,11 +43,7 @@ object RelationalQueries {
           col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp")
             && col("l_discount") > 0.05
         )
-        .select(
-          col("l_orderkey"),
-          col("l_linenumber"),
-          dec(col("l_quantity")).as("l_quantity")
-        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -55,12 +51,12 @@ object RelationalQueries {
     QueryDef(
       "q_a2_agg",
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
-             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
-             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS avg_price,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+             |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
+             |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_price,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -87,8 +83,7 @@ object RelationalQueries {
     // ---- Q-A3: equi inner join -------------------------------------------
     QueryDef(
       "q_a3_join_inner",
-      Some("""SELECT o_orderkey, o_orderdate,
-             |       CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice, c_name
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice, c_name
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE c_mktsegment = 'BUILDING'
              |ORDER BY o_orderkey""".stripMargin)
@@ -99,7 +94,7 @@ object RelationalQueries {
         .select(
           col("o_orderkey"),
           col("o_orderdate"),
-          dec(col("o_totalprice")).as("o_totalprice"),
+          col("o_totalprice"),
           col("c_name")
         )
         .orderBy(col("o_orderkey"))
@@ -109,7 +104,7 @@ object RelationalQueries {
     QueryDef(
       "q_a4_join_broadcast",
       Some("""SELECT n_name,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation ON s_nationkey = n_nationkey
@@ -135,7 +130,7 @@ object RelationalQueries {
     QueryDef(
       "q_a5_join_outer",
       Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count,
-             |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS total_spent
+             |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS total_spent
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_name
              |ORDER BY c_custkey""".stripMargin)
@@ -145,8 +140,7 @@ object RelationalQueries {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
           count(col("o_orderkey")).as("order_count"),
-          coalesce(sum(dec(col("o_totalprice"))), lit(0))
-            .cast(D38)
+          emit(coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast(D38))
             .as("total_spent")
         )
         .orderBy(col("c_custkey"))
@@ -186,9 +180,9 @@ object RelationalQueries {
     QueryDef(
       "q_a7_downsample",
       Some("""SELECT l_orderkey, CAST(l_linenumber // 2 AS BIGINT) AS ln_bucket,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-             |  CAST(MIN(l_quantity) AS DECIMAL(18,6)) AS min_qty,
-             |  CAST(MAX(l_quantity) AS DECIMAL(18,6)) AS max_qty,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+             |  MIN(l_quantity) AS min_qty,
+             |  MAX(l_quantity) AS max_qty,
              |  COUNT(*) AS cnt
              |FROM lineitem
              |GROUP BY l_orderkey, l_linenumber // 2
@@ -201,8 +195,8 @@ object RelationalQueries {
         )
         .agg(
           sumMoney(col("l_quantity")).as("sum_qty"),
-          dec(min(col("l_quantity"))).as("min_qty"),
-          dec(max(col("l_quantity"))).as("max_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("cnt")
         )
         .orderBy(col("l_orderkey"), col("ln_bucket"))
@@ -244,7 +238,7 @@ object RelationalQueries {
       Some("""SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
              |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
              |       n_name, o_orderpriority, COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
@@ -277,8 +271,7 @@ object RelationalQueries {
     QueryDef(
       "q_a10_rank",
       Some("""SELECT * FROM (
-             |  SELECT o_custkey, o_orderkey,
-             |    CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
              |    CAST(RANK() OVER w AS BIGINT) AS rnk,
              |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
@@ -294,7 +287,7 @@ object RelationalQueries {
         .select(
           col("o_custkey"),
           col("o_orderkey"),
-          dec(col("o_totalprice")).as("o_totalprice"),
+          col("o_totalprice"),
           row_number().over(w).cast("long").as("rn"),
           rank().over(w).cast("long").as("rnk"),
           dense_rank().over(w).cast("long").as("drnk")
@@ -307,9 +300,9 @@ object RelationalQueries {
     QueryDef(
       "q_a11_running_sum",
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_total
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_total
              |FROM orders
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ) { (s, d) =>
@@ -322,7 +315,7 @@ object RelationalQueries {
           col("o_custkey"),
           col("o_orderkey"),
           col("o_orderdate"),
-          sum(dec(col("o_totalprice"))).over(w).cast(D38).as("running_total")
+          emit(sum(dec(col("o_totalprice"))).over(w).cast(D38)).as("running_total")
         )
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
@@ -359,7 +352,7 @@ object RelationalQueries {
     QueryDef(
       "q_a13_topk",
       Some("""SELECT l_partkey,
-             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
              |FROM lineitem GROUP BY l_partkey
              |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin)
     ) { (s, d) =>
@@ -402,7 +395,7 @@ object RelationalQueries {
     // division rounding in the filter.
     QueryDef(
       "q_a15_subquery",
-      Some("""SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,6)) AS p_retailprice
+      Some("""SELECT p_partkey, p_name, p_retailprice
              |FROM part
              |WHERE CAST(p_retailprice AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM part)
              |      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,6))) FROM part)
@@ -421,11 +414,7 @@ object RelationalQueries {
           col("p_partkey") === col("l_partkey"),
           "left_semi"
         )
-        .select(
-          col("p_partkey"),
-          col("p_name"),
-          dec(col("p_retailprice")).as("p_retailprice")
-        )
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_partkey"))
     },
 
@@ -436,7 +425,7 @@ object RelationalQueries {
              |            WHEN o_totalprice < 150000 THEN 'mid'
              |            ELSE 'high' END AS band,
              |       COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
              |FROM orders GROUP BY 1 ORDER BY band""".stripMargin)
     ) { (s, d) =>
       ord(s, d)
@@ -504,24 +493,24 @@ object RelationalQueries {
     QueryDef(
       "q_a19_math",
       Some("""SELECT l_orderkey, l_linenumber,
-             |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS DECIMAL(38,6)) AS price_round,
+             |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS DOUBLE) AS price_round,
              |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
              |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-             |  CAST(abs(l_extendedprice - l_quantity) AS DECIMAL(18,6)) AS adiff,
-             |  CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS price_sqrt,
-             |  CAST(pow(l_discount, 2) AS DECIMAL(18,6)) AS disc_sq
+             |  CAST(CAST(abs(l_extendedprice - l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS adiff,
+             |  CAST(CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_sqrt,
+             |  CAST(CAST(pow(l_discount, 2) AS DECIMAL(18,6)) AS DOUBLE) AS disc_sq
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ) { (s, d) =>
       li(s, d)
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
-          round(dec(col("l_extendedprice")), 1).cast(D38).as("price_round"),
+          emit(round(dec(col("l_extendedprice")), 1)).as("price_round"),
           floor(col("l_extendedprice")).cast("long").as("price_floor"),
           ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
-          dec(abs(col("l_extendedprice") - col("l_quantity"))).as("adiff"),
-          dec(sqrt(col("l_extendedprice"))).as("price_sqrt"),
-          dec(pow(col("l_discount"), 2)).as("disc_sq")
+          emitQ(abs(col("l_extendedprice") - col("l_quantity"))).as("adiff"),
+          emitQ(sqrt(col("l_extendedprice"))).as("price_sqrt"),
+          emitQ(pow(col("l_discount"), 2)).as("disc_sq")
         )
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },

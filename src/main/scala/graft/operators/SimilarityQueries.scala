@@ -56,7 +56,7 @@ object SimilarityQueries {
              |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
              |  FROM scored)
-             |SELECT query_id, rank, vec_id, CAST(score AS DECIMAL(38,6)) AS score
+             |SELECT query_id, rank, vec_id, CAST(score AS DOUBLE) AS score
              |FROM ranked WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)
     ) { (s, d) =>
@@ -71,7 +71,7 @@ object SimilarityQueries {
         .withColumn("score", round(expr(cosExpr), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
+        .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -85,7 +85,7 @@ object SimilarityQueries {
              |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
              |      AS DECIMAL(18,6)), 4) AS cos_sim
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-             |SELECT vec_a, vec_b, CAST(cos_sim AS DECIMAL(38,6)) AS cos_sim
+             |SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
              |FROM pairs WHERE cos_sim >= 0.90
              |ORDER BY vec_a, vec_b""".stripMargin)
     ) { (s, d) =>
@@ -99,7 +99,7 @@ object SimilarityQueries {
           round(expr(cosExpr), 4)
         )
         .filter(col("cos_sim") >= 0.90)
-        .select(col("vec_a"), col("vec_b"), col("cos_sim").cast(D38).as("cos_sim"))
+        .select(col("vec_a"), col("vec_b"), emit(col("cos_sim")).as("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
@@ -148,7 +148,7 @@ object SimilarityQueries {
         .withColumn("score", round(expr(cosExpr), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"), col("score").cast(D38).as("score"))
+        .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }
   )

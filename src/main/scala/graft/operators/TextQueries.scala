@@ -29,18 +29,18 @@ object TextQueries {
       "q_b8_percentiles",
       Some("""SELECT lang,
              |  COUNT(*) AS n_docs,
-             |  CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,6)) AS p25,
-             |  CAST(quantile_cont(n_chars, 0.50) AS DECIMAL(18,6)) AS p50,
-             |  CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,6)) AS p75
+             |  CAST(CAST(quantile_cont(n_chars, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+             |  CAST(CAST(quantile_cont(n_chars, 0.50) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+             |  CAST(CAST(quantile_cont(n_chars, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ) { (s, d) =>
       Tables(s, d, "documents")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          expr("CAST(percentile(n_chars, 0.25) AS DECIMAL(18,6))").as("p25"),
-          expr("CAST(percentile(n_chars, 0.50) AS DECIMAL(18,6))").as("p50"),
-          expr("CAST(percentile(n_chars, 0.75) AS DECIMAL(18,6))").as("p75")
+          expr("CAST(CAST(percentile(n_chars, 0.25) AS DECIMAL(18,6)) AS DOUBLE)").as("p25"),
+          expr("CAST(CAST(percentile(n_chars, 0.50) AS DECIMAL(18,6)) AS DOUBLE)").as("p50"),
+          expr("CAST(CAST(percentile(n_chars, 0.75) AS DECIMAL(18,6)) AS DOUBLE)").as("p75")
         )
         .orderBy(col("lang"))
     },
@@ -118,8 +118,8 @@ object TextQueries {
              |    CAST(len(list_intersect(toks, ['the','of','and','to','in','a','is'])) AS BIGINT) AS n_stop
              |  FROM t)
              |SELECT doc_id, n_chars_actual, n_tokens, n_uniq, n_stop,
-             |  CAST(CAST(n_uniq AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS uniq_ratio,
-             |  CAST(CAST(n_chars_actual AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS avg_token_len,
+             |  CAST(CAST(CAST(n_uniq AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS uniq_ratio,
+             |  CAST(CAST(CAST(n_chars_actual AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_token_len,
              |  (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq * 10 >= n_tokens * 3) AS passes_quality
              |FROM f ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
@@ -146,8 +146,8 @@ object TextQueries {
         col("n_tokens"),
         col("n_uniq"),
         col("n_stop"),
-        (dec(col("n_uniq")) / dec(col("n_tokens"))).cast(D38).as("uniq_ratio"),
-        (dec(col("n_chars_actual")) / dec(col("n_tokens"))).cast(D38).as("avg_token_len"),
+        emit((dec(col("n_uniq")) / dec(col("n_tokens"))).cast(D38)).as("uniq_ratio"),
+        emit((dec(col("n_chars_actual")) / dec(col("n_tokens"))).cast(D38)).as("avg_token_len"),
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000
           && col("n_uniq") * 10 >= col("n_tokens") * 3).as("passes_quality")
       ).orderBy(col("doc_id"))

@@ -29,13 +29,10 @@ def canon(df):
             return "NULL"
         if isinstance(v, bool) or isinstance(v, np.bool_):
             return str(bool(v))
-        # numeric-aware: Decimal('1.640000') == float 1.64 == int 1 etc.
-        from decimal import Decimal, InvalidOperation
-        if isinstance(v, (int, float, np.integer, np.floating, Decimal)):
-            try:
-                return f"{Decimal(str(v)).normalize():f}"
-            except (InvalidOperation, ValueError, OverflowError):
-                return repr(v)
+        # STRICT (round 2): raw renderings, no numeric normalization — the
+        # driver hashes raw value strings, so Decimal('10.000000') must NOT
+        # be treated as equal to float64 10.0 here. Queries are expected to
+        # emit the same physical type (float64/int64) on both engines.
         s = str(v)
         if s.endswith(" 00:00:00"):  # DATE rendered as midnight Timestamp
             s = s[:-9]
