@@ -26,7 +26,7 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("IVF ANN recall@5 beats the scanned corpus fraction (quantizer adds signal)") {
+  test("IVF ANN recall@5 >= 0.8 at ~25% scanned fraction") {
     val brute = SimilarityQueries.defs.find(_.name == "q_b7_cosine_topk").get
       .plan(spark, sf)
       .filter("rank <= 5")
@@ -45,13 +45,13 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       brute(q).intersect(hits).size.toDouble / brute(q).size
     }
     val mean = recalls.sum / recalls.length
-    // q_c9 probes nprobe=3 of k=8 cells ⇒ ~37% of the corpus scanned.
-    // The honest ANN claim on weakly-clustered synthetic embeddings:
-    // recall must clearly beat the scanned fraction (the quantizer routes
-    // neighbors into probed cells better than random pruning would).
-    val scannedFraction = 3.0 / 8.0
+    // q_c9 probes nprobe = k/4 of k = 4·√n Lloyd-trained cells ⇒ ~25% of
+    // the corpus scanned. Round-2 gate: the trained quantizer must reach
+    // recall@5 ≥ 0.8 at that pruning ratio (numpy prototype measured 1.0
+    // at sf0.001 / ~0.84 at sf0.1 with the same seeding + 2 iterations).
+    val scannedFraction = 0.25
     info(f"mean recall@5 over ${recalls.length} queries: $mean%.2f (scanned ~$scannedFraction%.2f of corpus)")
-    assert(mean >= 0.5, f"IVF recall collapsed: $mean%.2f")
+    assert(mean >= 0.8, f"IVF recall below gate: $mean%.2f < 0.8")
     assert(mean > scannedFraction,
       f"IVF no better than random pruning: recall $mean%.2f <= scanned $scannedFraction%.2f")
   }
