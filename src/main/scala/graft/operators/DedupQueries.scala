@@ -108,9 +108,21 @@ object DedupQueries {
       val sh = shingles(s, d)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-      val ids = freq.withColumn(
-        "gid",
-        row_number().over(Window.orderBy(col("f"), col("shingle"))).cast("long"))
+      // Distributed rarity rank: range-partitioned RDD sort + zipWithIndex
+      // instead of a global Window.orderBy (which funnels the whole
+      // vocabulary through ONE partition — fine for char-grams, a
+      // scale-killer for unbounded word-shingle vocabularies). Only the
+      // ORDER of gids matters downstream (prefix filter + sorted-merge
+      // intersect), and (f, shingle) is a total order, so the dense ids
+      // are deterministic.
+      val ids = {
+        import s.implicits._
+        freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
+          .sortBy(identity = { case (g, f) => (f, g) }: ((String, Long)) => (Long, String))
+          .zipWithIndex()
+          .map { case ((g, _), i) => (g, i + 1L) }
+          .toDF("shingle", "gid")
+      }
       val sh2 = sh.join(ids, Seq("shingle")).select(col("doc_id"), col("gid"))
       val prefix = sh2
         .join(cnt, Seq("doc_id"))
