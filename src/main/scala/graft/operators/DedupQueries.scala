@@ -118,7 +118,7 @@ object DedupQueries {
       val ids = {
         import s.implicits._
         freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
-          .sortBy(identity = { case (g, f) => (f, g) }: ((String, Long)) => (Long, String))
+          .sortBy { case (g, f) => (f, g) }
           .zipWithIndex()
           .map { case ((g, _), i) => (g, i + 1L) }
           .toDF("shingle", "gid")
