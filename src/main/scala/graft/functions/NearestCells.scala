@@ -89,20 +89,29 @@ object NearestCells {
     new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled).asInstanceOf[Array[Int]])
   }
 
-  private val info = new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells")
-
-  /** (Re-)register `nearest_cells(vec, n)` bound to THIS centroid matrix.
-    * Registration is overwrite-on-conflict; plans analyzed earlier keep
-    * the expression instance (and centroids) they resolved against, so
-    * per-Lloyd-iteration re-registration is safe.
+  /** Register `nearest_cells_<hash>(vec, n)` bound to THIS centroid matrix
+    * and return the generated function name. The name encodes a content
+    * hash of (centroids, dim), so two models registered on the same
+    * SparkSession resolve independently — no last-write-wins aliasing
+    * (the registry is session-global and keyed only by name). Identical
+    * content re-registers the same name with the same semantics, which is
+    * harmless.
     */
-  def register(spark: SparkSession, centroids: Array[Double], dim: Int): Unit =
+  def register(spark: SparkSession, centroids: Array[Double], dim: Int): String = {
+    val h = {
+      var acc = scala.util.hashing.MurmurHash3.arrayHash(centroids)
+      acc = scala.util.hashing.MurmurHash3.mix(acc, dim)
+      java.lang.Integer.toHexString(acc)
+    }
+    val name = s"nearest_cells_$h"
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("nearest_cells"),
-      info,
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[NearestCells].getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "nearest_cells takes (vec, n)")
+        require(children.length == 2, s"$name takes (vec, n)")
         val n = children(1).eval().asInstanceOf[Number].intValue()
         NearestCells(children.head, centroids, dim, n)
       })
+    name
+  }
 }

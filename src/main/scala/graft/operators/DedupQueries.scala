@@ -299,12 +299,19 @@ object DedupQueries {
       // every later stage runs on 8-byte ids instead of 5-char strings
       // (the per-doc arrays shrink ~8x and the merge compares longs).
       // Distinct sources never share a gid, so joining on gid alone
-      // enforces the source blocking. The dictionary is vocabulary-sized
-      // (single-window row_number is fine here; a partitioned rank works
-      // at larger vocabularies).
-      val ids = freq.withColumn(
-        "gid",
-        row_number().over(Window.orderBy(col("f"), col("source"), col("gram"))).cast("long"))
+      // enforces the source blocking. Same distributed rarity rank as
+      // q_b6 (range-partitioned RDD sort + zipWithIndex) — no vocabulary
+      // ever funnels through a single-partition window, so the dictionary
+      // scales with executors even at unbounded gram vocabularies.
+      val ids = {
+        import s.implicits._
+        freq.select(col("source"), col("gram"), col("f"))
+          .as[(String, String, Long)].rdd
+          .sortBy { case (src, gm, f) => (f, src, gm) }
+          .zipWithIndex()
+          .map { case ((src, gm, _), i) => (src, gm, i + 1L) }
+          .toDF("source", "gram", "gid")
+      }
       val g2 = g.join(ids, Seq("source", "gram")).select(col("doc_id"), col("gid"))
       val ranked = g2
         .join(cnt, Seq("doc_id"))

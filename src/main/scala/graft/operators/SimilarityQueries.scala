@@ -39,6 +39,53 @@ object SimilarityQueries {
     */
   private def cosExpr: String = "CAST(cosine_similarity(v, qv) AS DECIMAL(18,6))"
 
+  /** Hyperplane-LSH candidate blocking + exact cosine verify over a
+    * (vec_id, label, v: ARRAY<DOUBLE>) corpus: each vector gets a
+    * (bands·rBits)-bit sign-random-projection signature split into `bands`
+    * bands of `rBits` bits; only pairs sharing (label, band, key) are
+    * scored, and survivors of the exact cosine ≥ tau filter are returned
+    * as (vec_a, vec_b, cos_sim rounded to 4 dp). Candidates track true
+    * similarity, not corpus size; band keys are high-cardinality →
+    * well-spread shuffles; no broadcast of the corpus anywhere.
+    * Shared by q_c4 / q_c4b and LshPlantedPairsSpec (which asserts this
+    * plan ≡ the naive all-pairs join on non-empty planted pairs).
+    */
+  private[graft] def lshCosinePairs(
+      s: SparkSession,
+      e: DataFrame,
+      tau: Double,
+      bands: Int,
+      rBits: Int,
+      seed: Long): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.HyperplaneSignature.register(s)
+    val sig = e.withColumn("sig", expr(s"hyperplane_sig(v, ${bands * rBits}, ${seed}L)"))
+    val bandKeys = sig.select(
+      col("vec_id"),
+      col("label"),
+      explode(
+        expr(
+          s"transform(sequence(0, ${bands - 1})," +
+            s" b -> struct(b AS band, shiftright(sig, b * $rBits) & ${(1 << rBits) - 1} AS key))"
+        )
+      ).as("bk")
+    ).select(col("vec_id"), col("label"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandKeys.as("a")
+      .join(
+        bandKeys.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band")
+          && col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), Seq("vec_b"))
+      .withColumn("cos_sim", round(expr(cosExpr), 4))
+      .filter(col("cos_sim") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- Q-B7: brute-force cosine top-k ----------------------------------
     QueryDef(
@@ -93,44 +140,54 @@ object SimilarityQueries {
       // AllPairs pattern: approximate blocker, exact verifier, oracle kept
       // as the naive quadratic join). Round-1's label-blocked all-pairs
       // join was quadratic within each label — a scale-killer and the
-      // worst bench entry (48 s at sf0.1). Here each vector gets a 64-bit
-      // sign-random-projection signature split into b=16 bands of r=4
-      // bits; only pairs sharing (label, band, key) are verified. At
+      // worst bench entry (48 s at sf0.1). b=16 bands of r=4 bits: at
       // τ=0.90 the per-pair miss probability is (1 − p^4)^16 ≤ 4.3e-6
       // (p = 1 − θ/π = 0.856), i.e. lossless in expectation at any
-      // realistic pair count — and candidates track true similarity, not
-      // corpus size, so the shape survives 100 TB. Band keys are
-      // high-cardinality → well-spread shuffles; verify joins shuffle on
-      // vec_id. No broadcast of the corpus anywhere.
-      graft.functions.CosineSimilarity.register(s)
-      graft.functions.HyperplaneSignature.register(s)
-      val bands = 16
-      val rBits = 4
-      val e = embDouble(s, d)
-      val sig = e.withColumn("sig", expr(s"hyperplane_sig(v, ${bands * rBits}, 42L)"))
-      val bandKeys = sig.select(
-        col("vec_id"),
+      // realistic pair count — and the shape survives 100 TB.
+      // NOTE: this corpus's max same-label cosine is ~0.51, so this query
+      // returns 0 rows at every SF; q_c4b (planted copies) and
+      // LshPlantedPairsSpec exercise the same lshCosinePairs plan on
+      // non-empty output.
+      lshCosinePairs(s, embDouble(s, d), tau = 0.90, bands = 16, rBits = 4, seed = 42L)
+        .select(col("vec_a"), col("vec_b"), emit(col("cos_sim")).as("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- q_c4b: same LSH plan, non-vacuous oracle via planted copies -----
+    // q_c4's τ=0.90 can never emit a row on this corpus (max same-label
+    // cosine ≈ 0.51), so it proves the LSH blocker only vacuously. Here the
+    // corpus is unioned with a deterministically perturbed copy of itself
+    // (vec_id + 1000000, x → x + 0.1·x²; pure double arithmetic, identical
+    // IEEE sequence on both engines) whose cosine to its original is
+    // 0.9996–0.9999 — so exactly one pair per vector passes τ=0.90 and the
+    // DuckDB oracle checks the LSH output hash-exactly on non-empty rows.
+    // Per-pair miss probability at cos ≈ 0.9996 is (1 − p^4)^16 with
+    // p = 1 − θ/π ≈ 0.991 → ~5e-24: structurally zero.
+    QueryDef(
+      "q_c4b_embedding_neardup_planted",
+      Some("""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, label, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS vec_id, label,
+             |    list_transform(v, x -> x + CAST(0.1 AS DOUBLE) * x * x) AS v
+             |  FROM base),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    round(CAST(list_dot_product(a.v, b.v)
+             |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             |      AS DECIMAL(18,6)), 4) AS cos_sim
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
+             |FROM pairs WHERE cos_sim >= 0.90
+             |ORDER BY vec_a, vec_b""".stripMargin)
+    ) { (s, d) =>
+      val base = embDouble(s, d)
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
         col("label"),
-        explode(
-          expr(
-            s"transform(sequence(0, ${bands - 1})," +
-              s" b -> struct(b AS band, shiftright(sig, b * $rBits) & ${(1 << rBits) - 1} AS key))"
-          )
-        ).as("bk")
-      ).select(col("vec_id"), col("label"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bandKeys.as("a")
-        .join(
-          bandKeys.as("b"),
-          col("a.label") === col("b.label") && col("a.band") === col("b.band")
-            && col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id")
-        )
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v")), Seq("vec_a"))
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), Seq("vec_b"))
-        .withColumn("cos_sim", round(expr(cosExpr), 4))
-        .filter(col("cos_sim") >= 0.90)
+        expr("transform(v, x -> x + 0.1D * x * x)").as("v"))
+      lshCosinePairs(s, base.unionAll(planted), tau = 0.90, bands = 16, rBits = 4, seed = 42L)
         .select(col("vec_a"), col("vec_b"), emit(col("cos_sim")).as("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
@@ -159,12 +216,18 @@ object SimilarityQueries {
       // deterministic spread seeds: stride over vec_id (≈ linspace when ids
       // are dense); one tiny collect of k vectors
       val stride = math.max(1L, n / k)
-      val seedRows = e
+      val strided = e
         .filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy(col("vec_id"))
         .limit(k)
         .select(col("v"))
         .collect()
+      // Sparse/offset vec_ids can leave the strided sample empty (no id is
+      // a multiple of stride); degrade to the first k vectors rather than
+      // throwing on .head.
+      val seedRows =
+        if (strided.nonEmpty) strided
+        else e.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
       val dim = seedRows.head.getSeq[Double](0).length
       def normalized(vec: Array[Double]): Array[Double] = {
         val nrm = math.sqrt(vec.map(x => x * x).sum)
@@ -176,9 +239,9 @@ object SimilarityQueries {
       // 2 Lloyd iterations: assign (projection) → per-(cell,dim) partial
       // sums (distributed groupBy) → k·dim rows to the driver → recenter
       for (_ <- 1 to 2) {
-        graft.functions.NearestCells.register(s, cents, dim)
+        val fn = graft.functions.NearestCells.register(s, cents, dim)
         val sums = e
-          .select(expr("element_at(nearest_cells(v, 1), 1)").as("cell"),
+          .select(expr(s"element_at($fn(v, 1), 1)").as("cell"),
             posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cell"), col("pos"))
           .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
@@ -200,13 +263,13 @@ object SimilarityQueries {
         }
         cents = next
       }
-      graft.functions.NearestCells.register(s, cents, dim)
+      val fnFinal = graft.functions.NearestCells.register(s, cents, dim)
       val assigned = e
-        .withColumn("cell", expr("element_at(nearest_cells(v, 1), 1)"))
+        .withColumn("cell", expr(s"element_at($fnFinal(v, 1), 1)"))
       val qProbe = e
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(expr(s"nearest_cells(v, $nprobe)")).as("cell"))
+          explode(expr(s"$fnFinal(v, $nprobe)")).as("cell"))
       // search only the probed cells; queries are tiny and broadcast
       val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
       assigned.join(broadcast(qProbe), Seq("cell"))
