@@ -88,18 +88,19 @@ object Geometry {
 
   /** Clamp a (chunk, shard) spec to the data (reference clamping rules,
     * `imaris_to_zarr.py:205-220`; golden-tested in
-    * `tests/test_downsample_pyramid.py:347-372`):
+    * `tests/test_downsample_pyramid.py:347-372`), in the reference's
+    * exact order so shard grids (and hence store file layouts) match
+    * byte-for-byte:
     *  - chunk ≤ data extent per axis;
-    *  - shard rounded *down* to a multiple of chunk, but at least one
-    *    chunk, and at most the (chunk-aligned ceiling of the) data.
+    *  - shard clamped to the data extent FIRST, then rounded *down* to a
+    *    multiple of chunk, then raised to at least one chunk.
+    * (Clamp-before-align matters: data=95, chunk=10, shard=100 gives 90
+    * here — align-before-clamp would give 100.)
     */
   def clampSpec(data: Shape3, chunk: Shape3, shard: Shape3): (Shape3, Shape3) = {
     def one(n: Long, c0: Long, s0: Long): (Long, Long) = {
       val c = math.max(1L, math.min(c0, n))
-      val sAligned = math.max(c, (s0 / c) * c)
-      // shard need not be clamped to n (a partial edge shard is fine) but
-      // anything beyond one chunk-aligned cover of the data is waste:
-      val s = math.min(sAligned, ceilDiv(n, c) * c)
+      val s = math.max(c, (math.min(s0, n) / c) * c)
       (c, s)
     }
     val (cz, sz) = one(data.z, chunk.z, shard.z)

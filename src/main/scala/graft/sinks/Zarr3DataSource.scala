@@ -79,16 +79,20 @@ final class Zarr3Table(props: Map[String, String]) extends Table with SupportsWr
       require(in.fieldNames.contains(f.name),
         s"zarr3 sink input must carry column '${f.name}' (got ${in.fieldNames.mkString(",")})")
     new WriteBuilder with SupportsTruncate {
-      // one shard per task, written idempotently — truncate-based
-      // overwrite needs no pre-delete, so this is a no-op marker that
-      // lets mode("overwrite") plan (capabilities advertise TRUNCATE)
-      override def truncate(): WriteBuilder = this
-      override def build(): Write = new Zarr3Write(props, in)
+      // mode("overwrite") must leave NO trace of the previous store: a
+      // reshape changes the shard grid, so same-coordinate overwrites
+      // alone would leave stale shard files from the old grid behind.
+      // The driver deletes the level directory before writing zarr.json.
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Zarr3Write(props, in, doTruncate)
     }
   }
 }
 
-final class Zarr3Write(props: Map[String, String], input: StructType) extends Write with BatchWrite {
+final class Zarr3Write(
+    props: Map[String, String], input: StructType,
+    truncateFirst: Boolean = false) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -100,6 +104,11 @@ final class Zarr3Write(props: Map[String, String], input: StructType) extends Wr
     val level = props.getOrElse("zstdLevel", "3").toInt
     val hconf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
+    if (truncateFirst) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val metaJson = ZarrV3.arrayMetadata(
       Seq(1L, 1L, shape.z, shape.y, shape.x),
       Seq(1L, 1L, shard.z, shard.y, shard.x),

@@ -320,7 +320,14 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         inf.setInput(data)
         val out = new Array[Byte](rawLen)
         var off = 0
-        while (!inf.finished() && off < rawLen) off += inf.inflate(out, off, rawLen - off)
+        var progress = -1
+        // a truncated/corrupt stream makes inflate() return 0 while
+        // neither finished nor out of output space — bail to the length
+        // check instead of spinning forever
+        while (!inf.finished() && off < rawLen && progress != 0) {
+          progress = inf.inflate(out, off, rawLen - off)
+          off += progress
+        }
         inf.end()
         require(off == rawLen, s"$path: deflate chunk expanded to $off, want $rawLen")
         data = out

@@ -83,12 +83,20 @@ final class ImarisScanBuilder(props: Map[String, String])
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // consume level/file constraints at planning time; everything else
-    // stays post-scan (returned for Spark to evaluate)
+    // stays post-scan (returned for Spark to evaluate). A claimed filter
+    // MUST be applied — so only claim value types the planner actually
+    // evaluates (numbers for level, strings for file); anything else is
+    // returned as residual rather than silently dropped.
+    def num(v: Any): Boolean = v.isInstanceOf[Number]
     val (usable, rest) = filters.partition {
-      case EqualTo("level" | "file", _) => true
-      case In("level" | "file", _) => true
-      case GreaterThan("level", _) | GreaterThanOrEqual("level", _) => true
-      case LessThan("level", _) | LessThanOrEqual("level", _) => true
+      case EqualTo("level", v) => num(v)
+      case EqualTo("file", v) => v.isInstanceOf[String]
+      case In("level", vs) => vs.forall(num)
+      case In("file", vs) => vs.forall(_.isInstanceOf[String])
+      case GreaterThan("level", v) => num(v)
+      case GreaterThanOrEqual("level", v) => num(v)
+      case LessThan("level", v) => num(v)
+      case LessThanOrEqual("level", v) => num(v)
       case _ => false
     }
     pushed = usable
@@ -116,14 +124,16 @@ final class ImarisScan(
   override def description(): String =
     s"ImarisScan(pushed=[${pushed.mkString(",")}], cols=[${required.fieldNames.mkString(",")}])"
 
+  // pushFilters guarantees every claimed level value is a Number and
+  // every file value a String, so these evaluators are total over `pushed`
   private def levelOk(l: Int): Boolean = pushed.forall {
-    case EqualTo("level", v: Int)             => l == v
-    case In("level", vs)                      => vs.exists(v => v == l)
-    case GreaterThan("level", v: Int)         => l > v
-    case GreaterThanOrEqual("level", v: Int)  => l >= v
-    case LessThan("level", v: Int)            => l < v
-    case LessThanOrEqual("level", v: Int)     => l <= v
-    case _                                    => true
+    case EqualTo("level", v: Number)            => l == v.intValue
+    case In("level", vs)                        => vs.exists(v => v.asInstanceOf[Number].intValue == l)
+    case GreaterThan("level", v: Number)        => l > v.intValue
+    case GreaterThanOrEqual("level", v: Number) => l >= v.intValue
+    case LessThan("level", v: Number)           => l < v.intValue
+    case LessThanOrEqual("level", v: Number)    => l <= v.intValue
+    case _                                      => true
   }
 
   private def fileOk(f: String): Boolean = pushed.forall {

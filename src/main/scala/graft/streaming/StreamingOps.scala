@@ -55,37 +55,51 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_start_us: Long,
                               session_end_us: Long, n_events: Long, closed: Boolean)
 
-  /** Custom per-key state machine (the `mapGroupsWithState` analog of
+  /** True-microsecond epoch time of a Timestamp. `getTime` alone is
+    * millisecond-truncated; the sub-ms residue lives in `getNanos` (which
+    * carries the FULL sub-second fraction, so take it mod 1 ms).
+    */
+  private def epochUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Custom per-key state machine (the `flatMapGroupsWithState` analog of
     * Q-B3): carries the current session across triggers and rolls it
     * over in event time when the 30-minute gap elapses. Demonstrates
     * arbitrary stateful processing for operators the built-in windows
     * can't express (e.g. per-session aggregates beyond counts).
-    * `closed=true` marks a session that was superseded by a newer one
-    * this trigger. (Event-time-driven rollover, no processing-time
-    * timeouts — keeps micro-batch draining deterministic.)
+    * EVERY session closed within the trigger is emitted (`closed=true`),
+    * plus the still-open one (`closed=false`) — a micro-batch spanning
+    * several gaps loses nothing. Timestamps keep full µs fidelity.
+    * (Event-time-driven rollover, no processing-time timeouts — keeps
+    * micro-batch draining deterministic.)
     */
   def sessionize(events: Dataset[Evt]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val GapUs = 30L * 60 * 1000000
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Evt], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
           var s = state.getOption.getOrElse {
-            val t0 = sorted.head.ts.getTime * 1000
+            val t0 = epochUs(sorted.head.ts)
             SessionState(t0, t0, 0)
           }
-          var rolledOver = false
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           for (e <- sorted) {
-            val tUs = e.ts.getTime * 1000
-            if (tUs - s.lastTs > GapUs) { rolledOver = true; s = SessionState(tUs, tUs, 1) }
+            val tUs = epochUs(e.ts)
+            if (tUs - s.lastTs > GapUs) {
+              out += SessionOut(userId, s.sessionStart, s.lastTs, s.n, closed = true)
+              s = SessionState(tUs, tUs, 1)
+            }
             // max() so a late (out-of-order) event can't move the session
             // end backwards and cause a spurious split on the next event
             else s = s.copy(lastTs = math.max(s.lastTs, tUs), n = s.n + 1)
           }
           state.update(s)
-          SessionOut(userId, s.sessionStart, s.lastTs, s.n, closed = rolledOver)
+          out += SessionOut(userId, s.sessionStart, s.lastTs, s.n, closed = false)
+          out.iterator
       }
   }
 

@@ -64,7 +64,18 @@ class GeometrySpec extends AnyFunSuite {
         assert(shard.x % chunk.x == 0 && shard.x >= chunk.x)
         // shard never exceeds the chunk-aligned cover of the data
         assert(shard.z <= Geometry.ceilDiv(z, chunk.z) * chunk.z)
+        // exact reference formula (clamp to data FIRST, then chunk-align
+        // down, then at least one chunk) — layout-identical stores
+        def ref(n: Long, c: Long, s0: Long): Long =
+          math.max(c, (math.min(s0, n) / c) * c)
+        assert(shard.z == ref(z, chunk.z, sz))
+        assert(shard.y == ref(y, chunk.y, sy))
+        assert(shard.x == ref(x, chunk.x, sx))
     }
+    // the divergence case the reference order decides: data=95 chunk=10
+    // shard=100 → 90 (align-before-clamp would say 100)
+    val (_, s) = Geometry.clampSpec(Shape3(95, 95, 95), Shape3(10, 10, 10), Shape3(100, 100, 100))
+    assert(s == Shape3(90, 90, 90))
   }
 
   test("true-shape ratio walk (reference io_utils.py:468-525)") {

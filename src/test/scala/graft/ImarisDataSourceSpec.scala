@@ -53,4 +53,21 @@ class ImarisDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (z <- 0 until 16; y <- 0 until 32; x <- 0 until 32)
       assert(bb.getShort(2 * ((z * 32 + y) * 32 + x)) == Fixtures.v(z, y, x, 2))
   }
+
+  test("pushFilters only claims value types the planner evaluates") {
+    import org.apache.spark.sql.sources._
+    val b = new graft.sources.ImarisScanBuilder(Map("path" -> "unused"))
+    val filters: Array[Filter] = Array(
+      EqualTo("level", 0),                    // claimable
+      EqualTo("level", java.lang.Long.valueOf(1L)), // Number — claimable
+      EqualTo("level", "zero"),               // wrong type → residual
+      In("file", Array[Any]("a.ims", 3)),     // mixed types → residual
+      StringStartsWith("file", "a"))          // unsupported op → residual
+    val rest = b.pushFilters(filters)
+    // same instances partitioned — compare by identity
+    assert(b.pushedFilters().toSeq.map(System.identityHashCode) ==
+      Seq(filters(0), filters(1)).map(System.identityHashCode))
+    assert(rest.toSeq.map(System.identityHashCode) ==
+      Seq(filters(2), filters(3), filters(4)).map(System.identityHashCode))
+  }
 }

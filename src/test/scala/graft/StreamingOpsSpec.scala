@@ -69,7 +69,7 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
-  test("mapGroupsWithState sessionization carries custom per-key state") {
+  test("flatMapGroupsWithState sessionization carries custom per-key state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
     import sp.implicits._
@@ -83,9 +83,53 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     input.addData(Evt(3, ts(50), 10, "click", 1.0)) // gap > 30m → new session
     q.processAllAvailable()
     val rows = spark.sql(
-      "SELECT n_events FROM custom_sessions ORDER BY session_start_us").collect()
-    // first trigger emitted the 2-event session; second trigger the fresh 1-event one
-    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+      "SELECT n_events, closed FROM custom_sessions ORDER BY session_start_us, closed").collect()
+    // trigger 1: open 2-event session; trigger 2: that session re-emitted
+    // closed, plus the fresh open 1-event one
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ==
+      Seq((2L, false), (2L, true), (1L, false)))
+    q.stop()
+  }
+
+  test("sessionize emits EVERY session closed within one micro-batch") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[Evt]
+    val q = StreamingOps.sessionize(input.toDS()).writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt_m").toString).format("memory").queryName("multi_sessions").outputMode("update").start()
+    // three sessions in ONE batch: {0m,10m}, {50m}, {100m,101m} — the old
+    // mapGroupsWithState shape emitted only the last; both intermediates
+    // must now surface as closed rows in the same trigger
+    input.addData(
+      Evt(1, ts(0), 10, "click", 1.0),
+      Evt(2, ts(10), 10, "click", 1.0),
+      Evt(3, ts(50), 10, "click", 1.0),
+      Evt(4, ts(100), 10, "click", 1.0),
+      Evt(5, ts(101), 10, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT n_events, closed FROM multi_sessions ORDER BY session_start_us").collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ==
+      Seq((2L, true), (1L, true), (2L, false)))
+    q.stop()
+  }
+
+  test("epoch-µs lift keeps sub-millisecond precision through sessionize") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[Evt]
+    // 12:00:00.000123456 → µs must carry the 123 (ms-truncated getTime
+    // alone would drop it)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    t.setNanos(123456)
+    val q = StreamingOps.sessionize(input.toDS()).writeStream
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt_u").toString).format("memory").queryName("us_sessions").outputMode("update").start()
+    input.addData(Evt(1, t, 10, "click", 1.0))
+    q.processAllAvailable()
+    val r = spark.sql("SELECT session_start_us FROM us_sessions").collect().head
+    assert(r.getLong(0) % 1000000L == 123L)
     q.stop()
   }
 }
