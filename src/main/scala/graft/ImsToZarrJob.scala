@@ -3,15 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.core.Geometry.Shape3
-import graft.plans.{ImarisToZarr, Manifest}
+import graft.plans.{DirSync, ImarisToZarr, JobSettings, Manifest}
 
 /** CLI entrypoint for the IMS → OME-Zarr batch job (reference O1/O2:
   * `job_entrypoint` + `run_job`, `imaris_job.py:719-770`).
   *
-  * Usage (spark-submit or sbt runMain):
+  * Settings reach the job through the reference's three entry modes
+  * (see [[graft.plans.JobSettings]]) plus explicit flags:
   * {{{
+  * graft.ImsToZarrJob --job-settings '{"input_source":...,"output_directory":...}'
+  * graft.ImsToZarrJob --config-file /path/settings.json
+  * GRAFT_JOB_INPUT_SOURCE=... GRAFT_JOB_OUTPUT_DIRECTORY=... graft.ImsToZarrJob
   * graft.ImsToZarrJob --input DIR --output DIR
   *   [--shard Z,Y,X] [--chunk Z,Y,X] [--levels N] [--mode mean]
+  *   [--partition-mode shard|file] [--s3-location URI]
   *   [--no-translate] [--single-tile] [--zstd-level 3]
   * }}}
   *
@@ -21,46 +26,51 @@ import graft.plans.{ImarisToZarr, Manifest}
   */
 object ImsToZarrJob {
 
-  final case class Args(
-      input: String = "",
-      output: String = "",
-      shard: Shape3 = Shape3(512, 512, 512),
-      chunk: Shape3 = Shape3(128, 256, 256),
-      levels: Int = 1,
-      mode: String = "mean",
-      translate: Boolean = true,
-      singleTile: Boolean = false,
-      zstdLevel: Int = 3)
-
   private def parseShape(s: String): Shape3 = {
     val p = s.split(",").map(_.trim.toLong)
     require(p.length == 3, s"expected Z,Y,X, got: $s")
     Shape3(p(0), p(1), p(2))
   }
 
-  def parseArgs(argv: Array[String]): Args = {
-    var a = Args()
-    var i = 0
-    while (i < argv.length) {
-      argv(i) match {
-        case "--input"       => a = a.copy(input = argv(i + 1)); i += 2
-        case "--output"      => a = a.copy(output = argv(i + 1)); i += 2
-        case "--shard"       => a = a.copy(shard = parseShape(argv(i + 1))); i += 2
-        case "--chunk"       => a = a.copy(chunk = parseShape(argv(i + 1))); i += 2
-        case "--levels"      => a = a.copy(levels = argv(i + 1).toInt); i += 2
-        case "--mode"        => a = a.copy(mode = argv(i + 1)); i += 2
-        case "--zstd-level"  => a = a.copy(zstdLevel = argv(i + 1).toInt); i += 2
-        case "--no-translate" => a = a.copy(translate = false); i += 1
-        case "--single-tile" => a = a.copy(singleTile = true); i += 1
-        case other           => sys.error(s"unknown arg: $other")
-      }
+  /** Resolve settings with the reference's precedence
+    * (`imaris_job.py:758-768`): inline JSON beats config file beats
+    * env/flags. Flags and env compose (flags win field-wise).
+    */
+  def resolveSettings(argv: Array[String],
+                      env: Map[String, String],
+                      hconf: org.apache.hadoop.conf.Configuration): JobSettings = {
+    def valOf(flag: String): Option[String] = {
+      val i = argv.indexOf(flag)
+      if (i >= 0 && i + 1 < argv.length) Some(argv(i + 1)) else None
     }
-    require(a.input.nonEmpty && a.output.nonEmpty, "--input and --output are required")
-    a
+    if (valOf("--job-settings").isDefined) JobSettings.fromJson(valOf("--job-settings").get)
+    else if (valOf("--config-file").isDefined) JobSettings.fromConfigFile(hconf, valOf("--config-file").get)
+    else {
+      var s =
+        if (env.contains("GRAFT_JOB_INPUT_SOURCE")) JobSettings.fromEnv(env)
+        else JobSettings(inputSource = "", outputDirectory = "")
+      var i = 0
+      while (i < argv.length) {
+        argv(i) match {
+          case "--input"          => s = s.copy(inputSource = argv(i + 1)); i += 2
+          case "--output"         => s = s.copy(outputDirectory = argv(i + 1)); i += 2
+          case "--shard"          => s = s.copy(shardSize = parseShape(argv(i + 1))); i += 2
+          case "--chunk"          => s = s.copy(chunkSize = parseShape(argv(i + 1))); i += 2
+          case "--levels"         => s = s.copy(downsampleLevels = argv(i + 1).toInt); i += 2
+          case "--mode"           => s = s.copy(downsampleMode = argv(i + 1)); i += 2
+          case "--zstd-level"     => s = s.copy(zstdLevel = argv(i + 1).toInt); i += 2
+          case "--partition-mode" => s = s.copy(partitionMode = argv(i + 1)); i += 2
+          case "--s3-location"    => s = s.copy(s3Location = Some(argv(i + 1))); i += 2
+          case "--no-translate"   => s = s.copy(translateImarisPyramid = false); i += 1
+          case "--single-tile"    => s = s.copy(singleTileUpload = true); i += 1
+          case other              => sys.error(s"unknown arg: $other")
+        }
+      }
+      s.validated
+    }
   }
 
   def main(argv: Array[String]): Unit = {
-    val a = parseArgs(argv)
     val builder = SparkSession.builder()
       .appName("graft-ims-to-zarr")
       .config("spark.sql.session.timeZone", "UTC")
@@ -69,10 +79,11 @@ object ImsToZarrJob {
                  else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
     val hconf = spark.sparkContext.hadoopConfiguration
+    val a = resolveSettings(argv, sys.env, hconf)
+    val t0 = System.nanoTime()
 
-    val stacks = ImarisToZarr.discover(a.input, a.singleTile, hconf)
+    val stacks = ImarisToZarr.discover(a.inputSource, a.singleTileUpload, hconf)
     if (stacks.isEmpty) { println("No stacks to process!"); return }
     // output stores are keyed by basename; two tiles with the same name in
     // different subdirectories would silently clobber each other's shards
@@ -83,7 +94,7 @@ object ImsToZarrJob {
     // acquisition.json lives one directory above input_source
     // (imaris_job.py:362-367); voxel-size precedence: manifest → Imaris
     val manifest = Manifest.readJson(
-      hconf, s"${a.input.stripSuffix("/").split('/').dropRight(1).mkString("/")}/acquisition.json")
+      hconf, s"${a.inputSource.stripSuffix("/").split('/').dropRight(1).mkString("/")}/acquisition.json")
     val voxelOverride = manifest.flatMap(Manifest.voxelResolution)
 
     var totalBytes = 0L
@@ -91,17 +102,23 @@ object ImsToZarrJob {
       val tileName = stack.split('/').last
       val originOverride = manifest.flatMap(m => Manifest.tileTranslationUm(m, tileName))
       val stats = ImarisToZarr.convert(
-        spark, stack, a.output,
+        spark, stack, a.outputDirectory,
         ImarisToZarr.Settings(
-          shard = a.shard, chunk = a.chunk, zstdLevel = a.zstdLevel,
-          translatePyramid = a.translate, computeLevels = a.levels,
-          downsampleMode = a.mode, scaleFactor = Shape3(2, 2, 2),
+          shard = a.shardSize, chunk = a.chunkSize, zstdLevel = a.zstdLevel,
+          translatePyramid = a.translateImarisPyramid, computeLevels = a.downsampleLevels,
+          downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
+          partitionMode = a.partitionMode,
           voxelSizeOverrideUm = voxelOverride,
           originOverrideUm = originOverride))
       val bytes = stats.map(_.bytesWritten).sum
       totalBytes += bytes
       println(s"[ims-to-zarr] $tileName: ${stats.length} shards, $bytes bytes, " +
         s"levels ${stats.map(_.level).distinct.sorted.mkString(",")}")
+    }
+    // reference W10: optional post-conversion sync of the local store to S3
+    a.s3Location.foreach { dst =>
+      println(s"[ims-to-zarr] syncing ${a.outputDirectory} -> $dst")
+      DirSync.sync(hconf, a.outputDirectory, dst)
     }
     val secs = (System.nanoTime() - t0) / 1e9
     // reference job response: status 200 + wall-time message (O4)

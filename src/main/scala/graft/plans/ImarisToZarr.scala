@@ -44,6 +44,11 @@ object ImarisToZarr {
       downsampleMode: String = "mean",    // stride|median|mode|mean|min|max (models.py:79-85)
       scaleFactor: Shape3 = Shape3(2, 2, 2),
       singleTileOnly: Boolean = false,    // models.py:131-143 (S3)
+      // D6 two-mode partitioning (models.py:121-130): "shard" = one task
+      // per (file, shard index) — sub-file parallelism; "file" = legacy
+      // whole-file granularity, realized as a degenerate one-shard-per-
+      // level grid (shard = chunk-aligned cover of the data)
+      partitionMode: String = "shard",
       // voxel-size precedence chain (imaris_job.py:362-403): manifest
       // value if present, else per-file Imaris metadata
       voxelSizeOverrideUm: Option[(Double, Double, Double)] = None,
@@ -100,7 +105,15 @@ object ImarisToZarr {
 
     // ---- driver-side store init (W7→driver, W9, X9) ----
     val perLevelSpecs = trueShapes.map { ts =>
-      Geometry.clampSpec(ts, settings.chunk, settings.shard)
+      if (settings.partitionMode == "file") {
+        // whole-file mode: a single shard spanning the chunk-aligned
+        // cover of the level ⇒ exactly one write task per (file, level)
+        val (c, _) = Geometry.clampSpec(ts, settings.chunk, settings.shard)
+        (c, Shape3(
+          Geometry.ceilDiv(ts.z, c.z) * c.z,
+          Geometry.ceilDiv(ts.y, c.y) * c.y,
+          Geometry.ceilDiv(ts.x, c.x) * c.x))
+      } else Geometry.clampSpec(ts, settings.chunk, settings.shard)
     }
     trueShapes.zipWithIndex.foreach { case (ts, l) =>
       val (chunk, shard) = perLevelSpecs(l)

@@ -143,6 +143,23 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("mode") == 7)    // most frequent
   }
 
+  test("partition_mode=file: one write task per (file, level), voxel-exact (D6)") {
+    val out = Files.createTempDirectory("zarrfm").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 1,
+        partitionMode = "file"))
+    // shard-mode would plan a 2x2x2 grid; file mode collapses to 1 task
+    assert(stats.length == 1)
+    assert(stats.map(_.voxels).sum == 64L * 64 * 64)
+    val d = ZarrRegion.read(conf, s"$out/ims_64.ome.zarr/0",
+      Shape3(64, 64, 64), Shape3(64, 64, 64), Shape3(16, 16, 16), 0, 64, 0, 64, 0, 64)
+    for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+      assert(d((z * 64 + y) * 64 + x) == v(z, y, x))
+  }
+
   test("discover: deterministic order and single-tile mode (S1-S3)") {
     val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
     assert(files.map(_.split('/').last) ==

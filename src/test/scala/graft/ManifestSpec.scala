@@ -35,12 +35,18 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("CLI arg parsing (O1)") {
-    val a = ImsToZarrJob.parseArgs(Array(
+    val a = ImsToZarrJob.resolveSettings(Array(
       "--input", "/in", "--output", "/out", "--shard", "64,64,64",
-      "--no-translate", "--levels", "3", "--mode", "median", "--single-tile"))
-    assert(a.shard == graft.core.Geometry.Shape3(64, 64, 64))
-    assert(!a.translate && a.levels == 3 && a.mode == "median" && a.singleTile)
-    intercept[RuntimeException] { ImsToZarrJob.parseArgs(Array("--bogus")) }
-    intercept[IllegalArgumentException] { ImsToZarrJob.parseArgs(Array("--input", "/in")) }
+      "--no-translate", "--levels", "3", "--mode", "median", "--single-tile"),
+      Map.empty, conf)
+    assert(a.shardSize == graft.core.Geometry.Shape3(64, 64, 64))
+    assert(!a.translateImarisPyramid && a.downsampleLevels == 3
+      && a.downsampleMode == "median" && a.singleTileUpload)
+    intercept[RuntimeException] {
+      ImsToZarrJob.resolveSettings(Array("--bogus"), Map.empty, conf)
+    }
+    intercept[IllegalArgumentException] {
+      ImsToZarrJob.resolveSettings(Array("--input", "/in"), Map.empty, conf)
+    }
   }
 }
