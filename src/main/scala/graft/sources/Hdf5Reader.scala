@@ -10,13 +10,26 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 
 /** Minimal HDF5 reader for the Imaris subset (SURVEY §7.4).
   *
-  * Scope — exactly what Imaris/.ims files written by libhdf5 1.8 use
-  * (reference access layer: `utils/io_utils.py`, paths at `:43`):
-  * superblock v0, symbol-table groups (local heap + B-tree v1 + SNOD),
-  * v1 object headers (+ continuations), chunked datasets indexed by
-  * B-tree v1, filters deflate(1) / shuffle(2) / lz4(32004), and
-  * byte-string attributes (`io_utils.py:462-466` decodes with
-  * `.tobytes()`). Anything outside the subset fails loudly.
+  * Scope — what Imaris/.ims files written by libhdf5 use (reference
+  * access layer: `utils/io_utils.py`, paths at `:43`). The reference
+  * reads anything h5py reads; this covers the layouts libhdf5 emits
+  * across its `libver` range:
+  *  - superblocks v0/v1 (symbol-table root) and v2/v3 (root object
+  *    header direct, as written under `libver='latest'`/SWMR);
+  *  - v1 object headers (+ continuations) and v2 `OHDR` headers
+  *    (+ `OCHK` continuation blocks, tracked-order variants);
+  *  - old-style symbol-table groups (local heap + B-tree v1 + SNOD)
+  *    and new-style compact groups (Link messages); DENSE groups
+  *    (fractal-heap links) fail loudly — libhdf5 only switches to
+  *    dense above 8 links/group and Imaris trees never do;
+  *  - dataset layouts: chunked (B-tree v1 index; layout msg v3 and
+  *    v4 with Single-Chunk index), contiguous, and compact; v4
+  *    Fixed/Extensible-Array and v2-B-tree chunk indexes fail loudly;
+  *  - filters deflate(1) / shuffle(2) / lz4(32004);
+  *  - byte-string attributes, message versions 1/2/3
+  *    (`io_utils.py:462-466` decodes with `.tobytes()`).
+  * Anything outside the subset fails loudly. v2-header checksums are
+  * not verified (integrity is covered by the filter length checks).
   *
   * I/O goes through Hadoop `FileSystem`, so `file://` and `s3a://`
   * sources both work; positioned reads (`readFully`) are thread-safe per
@@ -49,18 +62,38 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     val sig = new Array[Byte](8); sb.get(sig)
     require(sig.sameElements(Signature), s"$path: not an HDF5 file")
     val version = sb.get(8) & 0xff
-    require(version == 0, s"$path: unsupported superblock version $version (Imaris subset is v0)")
-    require((sb.get(13) & 0xff) == 8, "sizeof(offsets) must be 8")
-    require((sb.get(14) & 0xff) == 8, "sizeof(lengths) must be 8")
-    // root group symbol-table entry at offset 56; object header addr at +8
-    sb.getLong(56 + 8)
+    version match {
+      case 0 | 1 =>
+        require((sb.get(13) & 0xff) == 8, "sizeof(offsets) must be 8")
+        require((sb.get(14) & 0xff) == 8, "sizeof(lengths) must be 8")
+        // v1 inserts 4 bytes (indexed-storage K + reserved) before the
+        // address block; root symbol-table entry follows the 4 addresses,
+        // object header addr at STE+8
+        val ste = if (version == 0) 56 else 60
+        sb.getLong(ste + 8)
+      case 2 | 3 =>
+        // v2/v3: sig(8) ver(1) szoff(1) szlen(1) flags(1) base(8) ext(8)
+        // eof(8) rootOH(8) checksum(4)
+        require((sb.get(9) & 0xff) == 8, "sizeof(offsets) must be 8")
+        require((sb.get(10) & 0xff) == 8, "sizeof(lengths) must be 8")
+        sb.getLong(36)
+      case other =>
+        sys.error(s"$path: unsupported superblock version $other")
+    }
   }
 
-  // ---- object headers (v1) ------------------------------------------------
+  // ---- object headers (v1 + v2) -------------------------------------------
 
   private case class Header(messages: Seq[(Int, Array[Byte])])
 
   private def readObjectHeader(addr: Long): Header = {
+    val first = readAt(addr, 4)
+    val sig4 = new Array[Byte](4); first.get(sig4)
+    if (sig4.sameElements("OHDR".getBytes("ASCII"))) readObjectHeaderV2(addr)
+    else readObjectHeaderV1(addr)
+  }
+
+  private def readObjectHeaderV1(addr: Long): Header = {
     val pre = readAt(addr, 16)
     val version = pre.get(0) & 0xff
     require(version == 1, s"$path @$addr: unsupported object header version $version")
@@ -91,13 +124,68 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     Header(msgs.toSeq)
   }
 
+  /** Version-2 object header (`OHDR` + `OCHK` continuations), as written
+    * by libhdf5 under `libver='latest'`. Checksums are not verified.
+    */
+  private def readObjectHeaderV2(addr: Long): Header = {
+    val pre = readAt(addr, 16)
+    require((pre.get(4) & 0xff) == 2, s"$path @$addr: bad OHDR version")
+    val flags = pre.get(5) & 0xff
+    var pos = addr + 6
+    if ((flags & 0x20) != 0) pos += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) pos += 4  // max-compact / min-dense
+    val szLen = 1 << (flags & 3)
+    val chunk0Size = readAt(pos, szLen) match {
+      case b if szLen == 1 => b.get(0) & 0xffL
+      case b if szLen == 2 => b.getShort(0) & 0xffffL
+      case b if szLen == 4 => b.getInt(0) & 0xffffffffL
+      case b               => b.getLong(0)
+    }
+    pos += szLen
+    val withCOrder = (flags & 0x04) != 0
+    val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    // (block message-bytes start, message-bytes length); checksum follows
+    var blocks = List((pos, chunk0Size))
+    while (blocks.nonEmpty) {
+      val (bAddr, bLen) = blocks.head
+      blocks = blocks.tail
+      val bb = readAt(bAddr, bLen.toInt)
+      val headLen = if (withCOrder) 6 else 4
+      while (bb.remaining() >= headLen) {
+        val mtype = bb.get() & 0xff
+        val msize = bb.getShort() & 0xffff
+        bb.get() // message flags
+        if (withCOrder) bb.getShort() // creation order
+        if (bb.remaining() < msize) { bb.position(bb.limit()) }
+        else {
+          val body = new Array[Byte](msize)
+          bb.get(body)
+          if (mtype == MsgContinuation) {
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            val cAddr = cb.getLong(); val cLen = cb.getLong()
+            // continuation block = "OCHK" sig + messages + checksum(4)
+            val cSig = new Array[Byte](4); readAt(cAddr, 4).get(cSig)
+            require(cSig.sameElements("OCHK".getBytes("ASCII")),
+              s"$path @$cAddr: bad OCHK continuation")
+            blocks = (cAddr + 4, cLen - 8) :: blocks
+          } else if (mtype != MsgNil) msgs += ((mtype, body))
+        }
+      }
+    }
+    Header(msgs.toSeq)
+  }
+
   // ---- groups: symbol-table traversal ------------------------------------
 
-  /** Children of a group object header: name -> child object header addr. */
+  /** Children of a group object header: name -> child object header addr.
+    * Old-style groups carry a symbol-table message; new-style compact
+    * groups carry one Link message per child. Dense groups (links in a
+    * fractal heap, used by libhdf5 only above ~8 links/group) are out of
+    * subset and fail loudly.
+    */
   private def groupChildren(ohAddr: Long): Map[String, Long] = {
     val h = readObjectHeader(ohAddr)
     h.messages.find(_._1 == MsgSymbolTable) match {
-      case None => Map.empty // not a group (or empty old-style group)
       case Some((_, body)) =>
         val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         val btree = bb.getLong(); val heap = bb.getLong()
@@ -105,7 +193,42 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         val out = mutable.Map.empty[String, Long]
         walkGroupBtree(btree, heapData, out)
         out.toMap
+      case None =>
+        h.messages.find(_._1 == MsgLinkInfo).foreach { case (_, body) =>
+          val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          val flags = bb.get(1) & 0xff
+          val fheapPos = 2 + (if ((flags & 1) != 0) 8 else 0)
+          val fheap = bb.getLong(fheapPos)
+          require(fheap == Undef,
+            s"$path @$ohAddr: dense (fractal-heap) group links are outside the Imaris subset")
+        }
+        h.messages.collect { case (MsgLink, body) => parseLink(ohAddr, body) }
+          .collect { case Some(kv) => kv }.toMap
     }
+  }
+
+  /** Hard Link message → (name, object header addr). Soft/external links
+    * never occur in Imaris trees and fail loudly.
+    */
+  private def parseLink(ohAddr: Long, body: Array[Byte]): Option[(String, Long)] = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = bb.get() & 0xff
+    require(ver == 1, s"$path @$ohAddr: unsupported link message version $ver")
+    val flags = bb.get() & 0xff
+    val linkType = if ((flags & 0x08) != 0) bb.get() & 0xff else 0
+    require(linkType == 0,
+      s"$path @$ohAddr: only hard links are in the Imaris subset (type $linkType)")
+    if ((flags & 0x04) != 0) bb.getLong() // creation order
+    if ((flags & 0x10) != 0) bb.get()     // charset
+    val nameLen = (1 << (flags & 3)) match {
+      case 1 => bb.get() & 0xffL
+      case 2 => bb.getShort() & 0xffffL
+      case 4 => bb.getInt() & 0xffffffffL
+      case _ => bb.getLong()
+    }
+    val name = new Array[Byte](nameLen.toInt)
+    bb.get(name)
+    Some((new String(name, "UTF-8"), bb.getLong()))
   }
 
   private def localHeapDataAddr(heapAddr: Long): Long = {
@@ -203,14 +326,20 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     readObjectHeader(oh).messages.collect { case (MsgAttribute, body) =>
       val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val version = bb.get(0) & 0xff
-      require(version == 1, s"unsupported attribute message version $version")
+      require(version >= 1 && version <= 3, s"unsupported attribute message version $version")
       val nameSize = bb.getShort(2) & 0xffff
       val dtSize = bb.getShort(4) & 0xffff
       val dsSize = bb.getShort(6) & 0xffff
-      def pad8(n: Int) = (n + 7) / 8 * 8
-      val nameStart = 8
+      if (version >= 2) {
+        val flags = bb.get(1) & 0xff
+        require((flags & 0x03) == 0, "shared attribute datatype/dataspace unsupported")
+      }
+      // v1 pads name/datatype/dataspace to 8; v2/v3 pack them; v3 adds a
+      // name-encoding byte before the name
+      def pad(n: Int) = if (version == 1) (n + 7) / 8 * 8 else n
+      val nameStart = if (version == 3) 9 else 8
       val name = new String(body, nameStart, nameSize, "ASCII").takeWhile(_ != 0)
-      val dataStart = nameStart + pad8(nameSize) + pad8(dtSize) + pad8(dsSize)
+      val dataStart = nameStart + pad(nameSize) + pad(dtSize) + pad(dsSize)
       val value = new String(body, dataStart, body.length - dataStart, "ASCII")
         .takeWhile(_ != 0)
       name -> value
@@ -244,18 +373,60 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
       (size, (bits0 & 0x08) != 0)
     }.getOrElse(sys.error(s"$absPath: no datatype"))
 
-    val (btreeAddr, chunkDims) = h.messages.find(_._1 == MsgLayout).map { case (_, body) =>
+    // layout: v3 (libver<=1.8) and v4 (libver latest); classes compact(0),
+    // contiguous(1), chunked(2). Compact/contiguous are modeled as a
+    // degenerate single-chunk dataset spanning the whole shape, so
+    // readRegion stays one code path.
+    sealed trait LayoutInfo
+    final case class ChunkedBtree(addr: Long, chunk: Array[Int]) extends LayoutInfo
+    final case class SingleChunk(addr: Long, storedLen: Long, chunk: Array[Int]) extends LayoutInfo
+    final case class Contiguous(addr: Long, size: Long) extends LayoutInfo
+    final case class Compact(data: Array[Byte]) extends LayoutInfo
+
+    val layout: LayoutInfo = h.messages.find(_._1 == MsgLayout).map { case (_, body) =>
       val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val ver = bb.get(0) & 0xff
-      require(ver == 3, s"$absPath: unsupported layout version $ver")
       val cls = bb.get(1) & 0xff
-      require(cls == 2, s"$absPath: expected chunked layout, class $cls")
-      val ndims = bb.get(2) & 0xff
-      val addr = bb.getLong(3)
-      val cd = Array.tabulate(ndims - 1)(i => bb.getInt(11 + 4 * i))
-      (addr, cd)
+      (ver, cls) match {
+        case (3, 0) =>
+          val sz = bb.getShort(2) & 0xffff
+          Compact(java.util.Arrays.copyOfRange(body, 4, 4 + sz))
+        case (3, 1) =>
+          Contiguous(bb.getLong(2), bb.getLong(10))
+        case (3, 2) =>
+          val ndims = bb.get(2) & 0xff
+          val addr = bb.getLong(3)
+          val cd = Array.tabulate(ndims - 1)(i => bb.getInt(11 + 4 * i))
+          ChunkedBtree(addr, cd)
+        case (4, 0) =>
+          val sz = bb.getShort(2) & 0xffff
+          Compact(java.util.Arrays.copyOfRange(body, 4, 4 + sz))
+        case (4, 1) =>
+          Contiguous(bb.getLong(2), bb.getLong(10))
+        case (4, 2) =>
+          val flags = bb.get(2) & 0xff
+          val ndims = bb.get(3) & 0xff
+          val encLen = bb.get(4) & 0xff
+          bb.position(5)
+          val cd = Array.tabulate(ndims) { _ =>
+            encLen match {
+              case 1 => bb.get() & 0xff
+              case 2 => bb.getShort() & 0xffff
+              case 4 => bb.getInt()
+              case _ => bb.getLong().toInt
+            }
+          }
+          val indexType = bb.get() & 0xff
+          require(indexType == 1,
+            s"$absPath: v4 chunk index type $indexType (Fixed/Extensible Array, v2 B-tree) " +
+              "is outside the Imaris subset — only Single Chunk is supported")
+          val storedLen =
+            if ((flags & 0x02) != 0) { val l = bb.getLong(); bb.getInt(); l } // filtered size + mask
+            else cd.map(_.toLong).product * elemSize
+          SingleChunk(bb.getLong(), storedLen, cd)
+        case (v, c) => sys.error(s"$absPath: unsupported layout version $v class $c")
+      }
     }.getOrElse(sys.error(s"$absPath: no layout"))
-    require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
 
     val filters = h.messages.find(_._1 == MsgFilterPipeline).map { case (_, body) =>
       val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
@@ -278,9 +449,30 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
       }
     }.getOrElse(Seq.empty)
 
-    val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
-    if (btreeAddr != Undef) walkChunkBtree(btreeAddr, 3, index)
-    Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+    layout match {
+      case ChunkedBtree(btreeAddr, chunkDims) =>
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
+        if (btreeAddr != Undef) walkChunkBtree(btreeAddr, 3, index)
+        Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+      case SingleChunk(addr, storedLen, chunkDims) =>
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        val index =
+          if (addr == Undef) Map.empty[(Long, Long, Long), (Long, Int)]
+          else Map((0L, 0L, 0L) -> (addr, storedLen.toInt))
+        Dataset(dims, chunkDims, elemSize, signed, filters, index)
+      case Contiguous(addr, size) =>
+        require(filters.isEmpty, s"$absPath: contiguous layout cannot carry filters")
+        val chunkDims = dims.map(_.toInt)
+        val index =
+          if (addr == Undef) Map.empty[(Long, Long, Long), (Long, Int)] // unallocated → fill
+          else Map((0L, 0L, 0L) -> (addr, size.toInt))
+        Dataset(dims, chunkDims, elemSize, signed, Seq.empty, index)
+      case Compact(data) =>
+        require(filters.isEmpty, s"$absPath: compact layout cannot carry filters")
+        Dataset(dims, dims.map(_.toInt), elemSize, signed, Seq.empty,
+          Map((0L, 0L, 0L) -> (InlineAddr, data.length)), inline = Some(data))
+    }
   }
 
   private def walkChunkBtree(
@@ -311,7 +503,9 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
   // ---- chunk decode + region read ----------------------------------------
 
   private def decodeChunk(ds: Dataset, addr: Long, storedLen: Int): Array[Byte] = {
-    var data = { val b = new Array[Byte](storedLen); in.readFully(addr, b); b }
+    var data =
+      if (addr == InlineAddr) ds.inline.get // compact layout: bytes live in the header
+      else { val b = new Array[Byte](storedLen); in.readFully(addr, b); b }
     val rawLen = ds.chunk.product * ds.elemSize
     // filters applied in reverse of pipeline order
     for (f <- ds.filters.reverse) f.id match {
@@ -423,10 +617,13 @@ object Hdf5Reader {
   private val Signature: Array[Byte] =
     Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
   private val Undef: Long = -1L // 0xFFFFFFFFFFFFFFFF
+  private val InlineAddr: Long = -2L // sentinel: compact-layout data in header
 
   private val MsgNil = 0x0000
   private val MsgDataspace = 0x0001
+  private val MsgLinkInfo = 0x0002
   private val MsgDatatype = 0x0003
+  private val MsgLink = 0x0006
   private val MsgLayout = 0x0008
   private val MsgFilterPipeline = 0x000B
   private val MsgAttribute = 0x000C
@@ -442,7 +639,8 @@ object Hdf5Reader {
       elemSize: Int,             // bytes per element (2 for uint16)
       signed: Boolean,
       filters: Seq[Filter],      // write order; applied in reverse on read
-      chunkIndex: Map[(Long, Long, Long), (Long, Int)] // chunk zyx -> (addr, storedLen)
+      chunkIndex: Map[(Long, Long, Long), (Long, Int)], // chunk zyx -> (addr, storedLen)
+      inline: Option[Array[Byte]] = None // compact-layout payload (addr == InlineAddr)
   ) {
     def grid: Array[Long] = Array(
       (shape(0) + chunk(0) - 1) / chunk(0),

@@ -96,4 +96,42 @@ class Hdf5ReaderSpec extends AnyFunSuite {
       }
     } finally r.close()
   }
+
+  // ---- newer-libhdf5 layouts (tools/gen_fixtures_latest.py) --------------
+
+  test("ims_sbv1: superblock v1 reads like v0") {
+    val m = Imaris.readMeta(s"$dir/ims_sbv1.ims")
+    assert(m.trueShape0.shape == Shape3(64, 64, 64))
+    assert(m.chunk == Shape3(16, 32, 32))
+    val r = new Hdf5Reader(s"$dir/ims_sbv1.ims")
+    try checkRegion(r, 0, 0, 64, 0, 64, 0, 64, Shape3(64, 64, 64))
+    finally r.close()
+  }
+
+  test("ims_sbv2: superblock v2, OHDR headers, link groups, contiguous layout") {
+    val m = Imaris.readMeta(s"$dir/ims_sbv2.ims")
+    assert(m.trueShape0.shape == Shape3(64, 64, 64))
+    assert(m.numLevels == 1)
+    val r = new Hdf5Reader(s"$dir/ims_sbv2.ims")
+    try checkRegion(r, 0, 0, 64, 0, 64, 0, 64, Shape3(64, 64, 64))
+    finally r.close()
+  }
+
+  test("ims_latest: superblock v3 pyramid — single-chunk/contiguous/compact levels") {
+    val m = Imaris.readMeta(s"$dir/ims_latest.ims")
+    assert(m.trueShape0.shape == Shape3(64, 64, 64))
+    assert(m.storedShapes == Seq(Shape3(64, 64, 64), Shape3(32, 32, 32), Shape3(16, 16, 16)))
+    assert(m.numLevels == 3)
+    // attrs arrived through an OCHK continuation block
+    assert(m.voxelSizeUm == ((1.0, 1.0, 1.0)))
+    val r = new Hdf5Reader(s"$dir/ims_latest.ims")
+    try {
+      // L0: layout v4 chunked, Single-Chunk index, gzip+shuffle filtered
+      checkRegion(r, 0, 0, 64, 0, 64, 0, 64, Shape3(64, 64, 64))
+      // L1: contiguous; unaligned sub-region exercises the offset math
+      checkRegion(r, 1, 3, 29, 5, 31, 7, 27, Shape3(32, 32, 32))
+      // L2: compact (payload inline in the object header)
+      checkRegion(r, 2, 0, 16, 0, 16, 0, 16, Shape3(16, 16, 16))
+    } finally r.close()
+  }
 }

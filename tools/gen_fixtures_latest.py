@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Fixtures for the newer-libhdf5 layouts (`libver='latest'` and the
+superblock v1/v2 generations between).
+
+Extends gen_fixtures.py (which emits the libhdf5-1.8 subset real Imaris
+files use) with an independent writer for:
+
+- superblock v1 (v0 + the 4-byte indexed-storage-K block) and v2/v3
+  (root object header direct + checksum trailer);
+- version-2 object headers (`OHDR`), including an `OCHK` continuation
+  block on one group;
+- new-style COMPACT groups: Link Info + one hard Link message per child
+  (no symbol tables / local heaps at all);
+- attribute message v3;
+- dataset layout message v4: compact (class 0), contiguous (class 1),
+  and chunked with the Single-Chunk index (class 2, index type 1,
+  filtered);
+- filter pipeline message v2.
+
+Checksums (superblock v2/v3 trailer, OHDR/OCHK) are written as zeros:
+the Scala reader does not verify them, and nothing else in this
+container reads HDF5. Voxel content follows the same v() contract as
+gen_fixtures.py, so specs assert voxel-exact reads.
+
+Fixture inventory (written into src/test/resources/fixtures/):
+- ims_sbv1.ims    — superblock v1, otherwise identical to ims_64
+- ims_sbv2.ims    — superblock v2, v2 headers, contiguous level-0 data
+- ims_latest.ims  — superblock v3, v2 headers, link groups, 3-level
+                    pyramid: L0 chunked(single-chunk idx, gzip+shuffle),
+                    L1 contiguous, L2 compact; attrs v3; one OCHK
+"""
+import os
+import struct
+import sys
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import gen_fixtures as gf  # noqa: E402
+
+UNDEF = gf.UNDEF
+
+
+class WriterV1(gf.Writer):
+    """gen_fixtures.Writer with a version-1 superblock (4 extra bytes of
+    indexed-storage K before the address block; root STE at 60)."""
+
+    def __init__(self):
+        self.f = gf.F()
+        sb = bytearray()
+        sb += b"\x89HDF\r\n\x1a\n"
+        sb += struct.pack("<BBBB", 1, 0, 0, 0)   # sb ver=1, fs ver, root ver, reserved
+        sb += struct.pack("<BBBB", 0, 8, 8, 0)   # shmsg ver, sizeof off/len, reserved
+        sb += struct.pack("<HH", 4, 16)          # group leaf K, group internal K
+        sb += struct.pack("<I", 0)               # consistency flags
+        sb += struct.pack("<HH", 32, 0)          # v1: indexed-storage K + reserved
+        sb += struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)  # base, freespace, EOF, driver
+        sb += struct.pack("<QQII16s", 0, 0, 0, 0, b"\x00" * 16)  # root STE
+        self.f.w(bytes(sb))
+        assert self.f.tell() == 100
+
+    def finish(self, root_children, path):
+        root = self.group(root_children)
+        self.f.patch(68, struct.pack("<Q", root))  # root OH addr (STE@60 + 8)
+        self.f.patch(44, struct.pack("<Q", self.f.tell()))  # EOF
+        with open(path, "wb") as fh:
+            fh.write(self.f.b)
+
+
+def msg2(mtype, body):
+    """One v2 object-header message (no creation-order field)."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def dataspace2(dims):
+    return struct.pack("<BBBB", 2, len(dims), 0, 1) + b"".join(
+        struct.pack("<Q", d) for d in dims)
+
+
+def dtype_u2_body():
+    # class 0 fixed-point v1, little-endian unsigned, 2 bytes, 16 bits
+    return struct.pack("<BBBBIHH", 0x10, 0x00, 0x00, 0x00, 2, 0, 16)
+
+
+def attr3(name, value):
+    nm = name.encode() + b"\x00"
+    dt = struct.pack("<BBBBI", 0x13, 0x00, 0x00, 0x00, len(value))  # S{n} string
+    ds = struct.pack("<BBBB", 2, 0, 0, 0)  # v2 scalar dataspace
+    head = struct.pack("<BBHHHB", 3, 0, len(nm), len(dt), len(ds), 0)
+    return msg2(0x000C, head + nm + dt + ds + value)
+
+
+def link_hard(name, oh_addr):
+    nm = name.encode()
+    body = struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", oh_addr)
+    return msg2(0x0006, body)
+
+
+def link_info():
+    # ver, flags=0, fractal heap UNDEF, name-index btree UNDEF
+    return msg2(0x0002, struct.pack("<BBQQ", 1, 0, UNDEF, UNDEF))
+
+
+def filters2():
+    # filter pipeline v2: shuffle(2) then deflate(1)
+    out = struct.pack("<BB", 2, 2)
+    out += struct.pack("<HHH", 2, 0, 1) + struct.pack("<I", 2)  # shuffle, cd=[2]
+    out += struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)  # deflate, cd=[6]
+    return msg2(0x000B, out)
+
+
+class WriterLatest:
+    """Superblock v2/v3 + OHDR-v2 + compact-link-group writer."""
+
+    def __init__(self, sb_version=3):
+        self.f = gf.F()
+        self.sb_version = sb_version
+        sb = bytearray()
+        sb += b"\x89HDF\r\n\x1a\n"
+        sb += struct.pack("<BBBB", sb_version, 8, 8, 0)  # ver, szoff, szlen, flags
+        sb += struct.pack("<QQQQ", 0, UNDEF, 0, 0)       # base, ext, EOF, root OH
+        sb += struct.pack("<I", 0)                       # checksum (unverified)
+        self.f.w(bytes(sb))
+        assert self.f.tell() == 48
+
+    def ohdr(self, messages, continuation_msgs=None):
+        """Write a v2 object header; optionally spill `continuation_msgs`
+        into an OCHK continuation block referenced from chunk 0."""
+        self.f.pad()
+        cont_placeholder = None
+        blob = b"".join(messages)
+        if continuation_msgs is not None:
+            cont_placeholder = msg2(0x0010, struct.pack("<QQ", 0, 0))
+            blob += cont_placeholder
+        addr = self.f.tell()
+        self.f.w(b"OHDR" + struct.pack("<BB", 2, 0x02)  # flags: 4-byte chunk0 size
+                 + struct.pack("<I", len(blob)) + blob + b"\x00" * 4)
+        if continuation_msgs is not None:
+            cblob = b"".join(continuation_msgs)
+            self.f.pad()
+            cont_addr = self.f.tell()
+            clen = 4 + len(cblob) + 4  # OCHK sig + messages + checksum
+            self.f.w(b"OCHK" + cblob + b"\x00" * 4)
+            # patch the continuation message body (addr, len) inside chunk0
+            cont_off = addr + 10 + len(blob) - len(cont_placeholder) + 4
+            self.f.patch(cont_off, struct.pack("<QQ", cont_addr, clen))
+        return addr
+
+    def group(self, children, attrs=None, attrs_in_continuation=False):
+        msgs = [link_info()] + [link_hard(n, a) for n, a in sorted(children.items())]
+        amsgs = [attr3(k, v.encode()) for k, v in (attrs or {}).items()]
+        if attrs_in_continuation and amsgs:
+            return self.ohdr(msgs, continuation_msgs=amsgs)
+        return self.ohdr(msgs + amsgs)
+
+    def dataset_chunked_single(self, data):
+        """Whole array as ONE gzip+shuffle chunk, layout v4 single-chunk index."""
+        raw = data.tobytes()
+        enc = zlib.compress(gf.shuffle(raw, 2), 6)
+        self.f.pad()
+        daddr = self.f.w(enc)
+        dims = data.shape
+        lay = struct.pack("<BBBBB", 4, 2, 0x02, 3, 4)  # v4, chunked, filtered-single, 3 dims, 4-byte enc
+        lay += b"".join(struct.pack("<I", d) for d in dims)
+        lay += struct.pack("<B", 1)                    # index: Single Chunk
+        lay += struct.pack("<QI", len(enc), 0)         # filtered size + mask
+        lay += struct.pack("<Q", daddr)
+        return self.ohdr([
+            msg2(0x0001, dataspace2(dims)),
+            msg2(0x0003, dtype_u2_body()),
+            filters2(),
+            msg2(0x0008, lay)])
+
+    def dataset_contiguous(self, data):
+        raw = data.tobytes()
+        self.f.pad()
+        daddr = self.f.w(raw)
+        lay = struct.pack("<BB", 4, 1) + struct.pack("<QQ", daddr, len(raw))
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            msg2(0x0008, lay)])
+
+    def dataset_compact(self, data):
+        raw = data.tobytes()
+        lay = struct.pack("<BBH", 4, 0, len(raw)) + raw
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            msg2(0x0008, lay)])
+
+    def finish(self, root_children, path):
+        root = self.group(root_children)
+        self.f.patch(28, struct.pack("<Q", self.f.tell()))  # EOF
+        self.f.patch(36, struct.pack("<Q", root))           # root OH
+        with open(path, "wb") as fh:
+            fh.write(self.f.b)
+
+
+def image_attrs(true_shape):
+    tz, ty, tx = true_shape
+    return {
+        "X": str(tx), "Y": str(ty), "Z": str(tz),
+        "ExtMin0": "0.0", "ExtMin1": "0.0", "ExtMin2": "0.0",
+        "ExtMax0": str(float(tx)), "ExtMax1": str(float(ty)),
+        "ExtMax2": str(float(tz)), "Unit": "um",
+    }
+
+
+def make_sbv1(path):
+    w = WriterV1()
+    ds = w.chunked_dataset(gf.voxels((64, 64, 64), 0), (16, 32, 32), {"gzip", "shuffle"})
+    ch = w.group({"Data": ds})
+    tp = w.group({"Channel 0": ch})
+    rl = w.group({"TimePoint 0": tp})
+    dataset_grp = w.group({"ResolutionLevel 0": rl})
+    image = w.group_with_attrs(image_attrs((64, 64, 64)))
+    info = w.group({"Image": image})
+    w.finish({"DataSet": dataset_grp, "DataSetInfo": info}, path)
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+
+
+def make_latest(path, sb_version):
+    w = WriterLatest(sb_version)
+    levels = {}
+    specs = [((64, 64, 64), "chunked"), ((32, 32, 32), "contiguous"),
+             ((16, 16, 16), "compact")]
+    if sb_version == 2:  # smaller variant: contiguous only
+        specs = [((64, 64, 64), "contiguous")]
+    for lvl, (shape, kind) in enumerate(specs):
+        data = gf.voxels(shape, lvl)
+        ds = (w.dataset_chunked_single(data) if kind == "chunked"
+              else w.dataset_contiguous(data) if kind == "contiguous"
+              else w.dataset_compact(data))
+        ch = w.group({"Data": ds})
+        tp = w.group({"Channel 0": ch})
+        levels[f"ResolutionLevel {lvl}"] = w.group({"TimePoint 0": tp})
+    dataset_grp = w.group(levels)
+    # attrs ride an OCHK continuation on the Image group (v2-header path)
+    image = w.group({}, attrs=image_attrs((64, 64, 64)), attrs_in_continuation=True)
+    info = w.group({"Image": image})
+    w.finish({"DataSet": dataset_grp, "DataSetInfo": info}, path)
+    print(f"wrote {path} (sb v{sb_version}, {os.path.getsize(path)} bytes)")
+
+
+def main(outdir):
+    os.makedirs(outdir, exist_ok=True)
+    make_sbv1(f"{outdir}/ims_sbv1.ims")
+    make_latest(f"{outdir}/ims_sbv2.ims", 2)
+    make_latest(f"{outdir}/ims_latest.ims", 3)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/fixtures")
