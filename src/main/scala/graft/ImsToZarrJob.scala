@@ -107,7 +107,7 @@ object ImsToZarrJob {
           shard = a.shardSize, chunk = a.chunkSize, zstdLevel = a.zstdLevel,
           translatePyramid = a.translateImarisPyramid, computeLevels = a.downsampleLevels,
           downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
-          partitionMode = a.partitionMode,
+          partitionMode = a.partitionMode, codecName = a.codec,
           voxelSizeOverrideUm = voxelOverride,
           originOverrideUm = originOverride))
       val bytes = stats.map(_.bytesWritten).sum

@@ -39,6 +39,7 @@ object ImarisToZarr {
       shard: Shape3 = Shape3(512, 512, 512),
       chunk: Shape3 = Shape3(128, 256, 256),
       zstdLevel: Int = 3,
+      codecName: String = "zstd",       // zstd (reference chain) | gzip
       translatePyramid: Boolean = true,   // models.py:99-108
       computeLevels: Int = 1,             // levels to materialize if not translating
       downsampleMode: String = "mean",    // stride|median|mode|mean|min|max (models.py:79-85)
@@ -121,7 +122,7 @@ object ImarisToZarr {
         Seq(1L, 1L, ts.z, ts.y, ts.x),
         Seq(1L, 1L, shard.z, shard.y, shard.x),
         Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
-        settings.zstdLevel)
+        settings.zstdLevel, settings.codecName)
       ZarrV3.writeString(hconf, s"$store/$l/zarr.json", metaJson.render)
     }
     val repFactor = Geometry.representativeFactor(
@@ -137,6 +138,7 @@ object ImarisToZarr {
     import spark.implicits._
     val readLevels = if (settings.translatePyramid) 0 until nLevels else Seq(0)
     val zstdLevel = settings.zstdLevel
+    val codecName = settings.codecName
     val allStats = scala.collection.mutable.ArrayBuffer.empty[ShardStats]
 
     for (level <- readLevels) {
@@ -163,7 +165,7 @@ object ImarisToZarr {
             r.openDataset(Imaris.dataPath(t.level)))
           val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
           val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-          val bytes = ZarrV3.encodeShard(data, dataShape, shardL, chunkL, zstdLevel)
+          val bytes = ZarrV3.encodeShard(data, dataShape, shardL, chunkL, zstdLevel, codecName)
           val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
           ZarrV3.write(serConf.value, s"$store/${t.level}/$key", bytes)
           ShardStats(t.file, t.level, key, bytes.length.toLong, dataShape.voxels)
@@ -195,7 +197,7 @@ object ImarisToZarr {
           val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
           val reduced = Downsample.reduce(
             srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, mode)
-          val bytes = ZarrV3.encodeShard(reduced, dataShape, shardL, chunkL, zstdLevel)
+          val bytes = ZarrV3.encodeShard(reduced, dataShape, shardL, chunkL, zstdLevel, codecName)
           val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
           ZarrV3.write(serConf.value, s"$store/$level/$key", bytes)
           ShardStats(t.file, level, key, bytes.length.toLong, dataShape.voxels)

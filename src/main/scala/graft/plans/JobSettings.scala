@@ -40,7 +40,8 @@ final case class JobSettings(
     translateImarisPyramid: Boolean = true,
     partitionMode: String = "shard", // models.py:121-130 (closes D6)
     singleTileUpload: Boolean = false,
-    zstdLevel: Int = 3) {
+    zstdLevel: Int = 3,
+    codec: String = "zstd") {
 
   def validated: JobSettings = {
     require(inputSource.nonEmpty, "input_source is required")
@@ -51,6 +52,7 @@ final case class JobSettings(
       s"partition_mode must be file|shard, got: $partitionMode")
     require(downsampleLevels >= 1, s"downsample_levels must be >= 1, got: $downsampleLevels")
     require(zstdLevel >= 1 && zstdLevel <= 22, s"zstd level must be in [1,22], got: $zstdLevel")
+    require(codec == "zstd" || codec == "gzip", s"codec must be zstd|gzip, got: $codec")
     for ((s, k) <- Seq((shardSize, "shard_size"), (chunkSize, "chunk_size"), (scaleFactor, "scale_factor")))
       require(s.z > 0 && s.y > 0 && s.x > 0, s"$k must be three positive integers, got: $s")
     this
@@ -66,7 +68,7 @@ object JobSettings {
     "input_source", "output_directory", "s3_location", "shard_size",
     "chunk_size", "scale_factor", "downsample_levels", "downsample_mode",
     "translate_imaris_pyramid", "partition_mode", "single_tile_upload",
-    "zstd_level")
+    "zstd_level", "codec")
 
   /** Reference keys accepted for config compatibility but meaningless on
     * Spark (see class scaladoc). `compressor_kwargs.clevel` is honored.
@@ -108,7 +110,8 @@ object JobSettings {
       translateImarisPyramid = bool("translate_imaris_pyramid", d = true),
       partitionMode = str("partition_mode").getOrElse("shard"),
       singleTileUpload = bool("single_tile_upload", d = false),
-      zstdLevel = int("zstd_level", kwargsLevel.getOrElse(3))
+      zstdLevel = int("zstd_level", kwargsLevel.getOrElse(3)),
+      codec = str("codec").getOrElse("zstd")
     ).validated
   }
 
@@ -150,7 +153,8 @@ object JobSettings {
       translateImarisPyramid = v("translate_imaris_pyramid").forall(_.toBoolean),
       partitionMode = v("partition_mode").getOrElse("shard"),
       singleTileUpload = v("single_tile_upload").exists(_.toBoolean),
-      zstdLevel = v("zstd_level").map(_.toInt).getOrElse(3)
+      zstdLevel = v("zstd_level").map(_.toInt).getOrElse(3),
+      codec = v("codec").getOrElse("zstd")
     ).validated
   }
 }

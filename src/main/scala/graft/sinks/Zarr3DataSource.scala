@@ -102,6 +102,7 @@ final class Zarr3Write(
     val shard = Zarr3DataSource.parseShape(props, "shard")
     val chunk = Zarr3DataSource.parseShape(props, "chunk")
     val level = props.getOrElse("zstdLevel", "3").toInt
+    val codec = props.getOrElse("codec", "zstd")
     val hconf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     if (truncateFirst) {
@@ -112,9 +113,9 @@ final class Zarr3Write(
     val metaJson = ZarrV3.arrayMetadata(
       Seq(1L, 1L, shape.z, shape.y, shape.x),
       Seq(1L, 1L, shard.z, shard.y, shard.x),
-      Seq(1L, 1L, chunk.z, chunk.y, chunk.x), level)
+      Seq(1L, 1L, chunk.z, chunk.y, chunk.x), level, codec)
     ZarrV3.writeString(hconf, s"$path/zarr.json", metaJson.render)
-    new Zarr3WriterFactory(path, shard, chunk, level, input.fieldNames,
+    new Zarr3WriterFactory(path, shard, chunk, level, codec, input.fieldNames,
       new org.apache.spark.util.SerializableConfiguration(hconf))
   }
 
@@ -126,7 +127,7 @@ final class Zarr3Write(
 final case class Zarr3Commit(shards: Long, bytes: Long) extends WriterCommitMessage
 
 final class Zarr3WriterFactory(
-    path: String, shard: Shape3, chunk: Shape3, zstdLevel: Int,
+    path: String, shard: Shape3, chunk: Shape3, zstdLevel: Int, codec: String,
     cols: Array[String],
     serConf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
 
@@ -145,7 +146,7 @@ final class Zarr3WriterFactory(
         val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var i = 0
         while (i < voxels.length) { voxels(i) = bb.getShort(2 * i); i += 1 }
-        val enc = ZarrV3.encodeShard(voxels, dataShape, shard, chunk, zstdLevel)
+        val enc = ZarrV3.encodeShard(voxels, dataShape, shard, chunk, zstdLevel, codec)
         ZarrV3.write(conf, s"$path/${ZarrV3.shardKey(l("sz"), l("sy"), l("sx"))}", enc)
         shards += 1; bytes += enc.length
       }

@@ -43,14 +43,18 @@ object ZarrV3 {
     *                  of the data in this shard
     * @param shardShape the full logical shard shape (>= dataShape)
     * @param chunkShape inner chunk shape (divides shardShape)
-    * @param level zstd compression level
+    * @param level compression level
+    * @param codec "zstd" (default, reference chain) or "gzip" (the other
+    *              registered Zarr v3 compressor; stdlib-decodable, used
+    *              by the external-interop cross-check)
     */
   def encodeShard(
       shardData: Array[Short],
       dataShape: Shape3,
       shardShape: Shape3,
       chunkShape: Shape3,
-      level: Int = 3): Array[Byte] = {
+      level: Int = 3,
+      codec: String = "zstd"): Array[Byte] = {
     require(shardData.length == dataShape.voxels,
       s"shard payload ${shardData.length} != ${dataShape.voxels}")
     require(shardShape.z % chunkShape.z == 0 && shardShape.y % chunkShape.y == 0
@@ -89,7 +93,7 @@ object ZarrV3 {
               }
               z += 1
             }
-            encoded(ci) = Zstd.compress(buf.array(), level)
+            encoded(ci) = compress(buf.array(), level, codec)
           }
           ci += 1; cx += 1
         }
@@ -154,7 +158,7 @@ object ZarrV3 {
           val len = idxLong(ci * 2 + 1)
           if (off != -1L) {
             val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
-            val raw = Zstd.decompress(comp, chunkVox * 2)
+            val raw = decompress(comp, chunkVox * 2)
             val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
             val z0 = cz * chunkShape.z; val y0 = cy * chunkShape.y; val x0 = cx * chunkShape.x
             val zHi = math.min(chunkShape.z, dataShape.z - z0)
@@ -182,6 +186,34 @@ object ZarrV3 {
     out
   }
 
+  // ---- codecs -------------------------------------------------------------
+
+  private def compress(raw: Array[Byte], level: Int, codec: String): Array[Byte] = codec match {
+    case "zstd" => Zstd.compress(raw, level)
+    case "gzip" =>
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(level) }
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    case other => sys.error(s"unsupported zarr codec: $other (zstd|gzip)")
+  }
+
+  /** Chunk decode, codec-detected by magic (zstd 28 B5 2F FD / gzip 1F 8B)
+    * so read paths need no codec plumbing.
+    */
+  private def decompress(comp: Array[Byte], rawLen: Int): Array[Byte] =
+    if (comp.length >= 2 && (comp(0) & 0xff) == 0x1f && (comp(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
+      try {
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        var n = 0
+        while (off < rawLen && n >= 0) { n = in.read(out, off, rawLen - off); if (n > 0) off += n }
+        require(off == rawLen, s"gzip chunk expanded to $off, want $rawLen")
+        out
+      } finally in.close()
+    } else Zstd.decompress(comp, rawLen)
+
   // ---- metadata -----------------------------------------------------------
 
   /** Array-level zarr.json for one pyramid level (5-D T,C,Z,Y,X with
@@ -192,7 +224,8 @@ object ZarrV3 {
       shape5: Seq[Long],
       shard5: Seq[Long],
       chunk5: Seq[Long],
-      zstdLevel: Int = 3): JValue =
+      zstdLevel: Int = 3,
+      codecName: String = "zstd"): JValue =
     obj(
       "zarr_format" -> num(3),
       "node_type" -> str("array"),
@@ -217,8 +250,12 @@ object ZarrV3 {
                 "configuration" -> obj("order" -> arr((0 until 5).map(i => num(i)): _*))),
               obj("name" -> str("bytes"),
                 "configuration" -> obj("endian" -> str("little"))),
-              obj("name" -> str("zstd"),
-                "configuration" -> obj("level" -> num(zstdLevel), "checksum" -> bool(false)))
+              if (codecName == "gzip")
+                obj("name" -> str("gzip"),
+                  "configuration" -> obj("level" -> num(zstdLevel)))
+              else
+                obj("name" -> str("zstd"),
+                  "configuration" -> obj("level" -> num(zstdLevel), "checksum" -> bool(false)))
             ),
             "index_codecs" -> arr(
               obj("name" -> str("bytes"),

@@ -160,11 +160,30 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d((z * 64 + y) * 64 + x) == v(z, y, x))
   }
 
+  test("gzip codec variant converts and reads back voxel-exactly") {
+    val out = Files.createTempDirectory("zarrgz").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_pyramid.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = true, codecName = "gzip"))
+    assert(stats.map(_.level).distinct.sorted == Seq(0, 1, 2))
+    val metaJson = new String(ZarrV3.read(
+      conf, s"$out/ims_pyramid.ome.zarr/0/zarr.json"), "UTF-8")
+    assert(metaJson.contains("\"gzip\"") && !metaJson.contains("\"zstd\""))
+    val d = ZarrRegion.read(conf, s"$out/ims_pyramid.ome.zarr/0",
+      Shape3(64, 128, 128), Shape3(32, 32, 32), Shape3(16, 16, 16),
+      0, 64, 0, 128, 0, 128)
+    for (z <- 0 until 64; y <- 0 until 128; x <- 0 until 128)
+      assert(d((z * 128 + y) * 128 + x) == v(z, y, x, 0))
+  }
+
   test("discover: deterministic order and single-tile mode (S1-S3)") {
     val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
     assert(files.map(_.split('/').last) ==
-      Seq("ims_64.ims", "ims_64_lz4.ims", "ims_aniso.ims", "ims_padded.ims",
-        "ims_pyramid.ims", "ims_tiny_edge.ims"))
+      Seq("ims_64.ims", "ims_64_lz4.ims", "ims_aniso.ims", "ims_latest.ims",
+        "ims_padded.ims", "ims_pyramid.ims", "ims_sbv1.ims", "ims_sbv2.ims",
+        "ims_tiny_edge.ims"))
     val one = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = true, conf)
     assert(one.map(_.split('/').last) == Seq("ims_64.ims"))
   }

@@ -28,9 +28,9 @@ import gen_fixtures as gf  # noqa: E402
 
 
 def smooth_voxels(shape, level, coarse=2):
-    """Coarse-grid hash (smooth structure) XOR 6 bits of per-voxel noise:
-    measured zlib ratio ~2x with shuffle — the realistic range for
-    microscopy uint16."""
+    """Coarse-grid hash (smooth structure) XOR 8 bits of per-voxel noise
+    (random low byte, structured high byte): measured zlib ratio ~2x with
+    shuffle — the realistic range for microscopy uint16."""
     z_n, y_n, x_n = shape
     cy = (y_n + coarse - 1) // coarse
     cx = (x_n + coarse - 1) // coarse
@@ -48,7 +48,7 @@ def smooth_voxels(shape, level, coarse=2):
             plane = np.repeat(np.repeat(plane, coarse, axis=0), coarse, axis=1)
             plane = plane[:y_n, :x_n]
         noise = (((np.int64(z * 2654435761) ^ (yf_col * 40503) ^ (xf_row * 65537))
-                  >> 7) & 0x3F).astype("<u2")
+                  >> 7) & 0xFF).astype("<u2")
         out[z] = plane ^ noise
     return out
 
