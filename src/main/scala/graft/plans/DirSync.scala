@@ -16,8 +16,10 @@ object DirSync {
   def sync(conf: Configuration, srcDir: String, dstDir: String): Long = {
     val src = new Path(srcDir)
     val dst = new Path(dstDir)
-    val srcFs: FileSystem = src.getFileSystem(conf)
-    val dstFs: FileSystem = dst.getFileSystem(conf)
+    // raw local FS on both ends: no 512-byte checksum chunking, no .crc
+    // sidecars polluting the synced tree (see ZarrV3.rawFs)
+    val srcFs: FileSystem = graft.sinks.ZarrV3.rawFs(src, conf)
+    val dstFs: FileSystem = graft.sinks.ZarrV3.rawFs(dst, conf)
     require(srcFs.exists(src), s"source does not exist: $srcDir")
     dstFs.mkdirs(dst)
     var copied = 0L

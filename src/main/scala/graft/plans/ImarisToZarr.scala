@@ -146,8 +146,11 @@ object ImarisToZarr {
       val (chunkL, shardL) = perLevelSpecs(level)
       val tasks = Geometry.shardTasks(imsPath, level, TrueShape(ts), shardL)
       val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+      // parallelize slices the task list directly — repartition() would
+      // add the conversion path's ONLY shuffle for nothing (and local-mode
+      // shuffle RPC stalls for minutes under gVisor on multi-GB runs)
       val taskDs: Dataset[ShardTask] =
-        spark.createDataset(tasks).repartition(parallelism)
+        spark.createDataset(spark.sparkContext.parallelize(tasks, parallelism))
       val stats = taskDs.mapPartitions { it =>
         // one reader per (partition, file): the reference holds one HDF5
         // handle per worker-file (D5, `imaris_job.py:601-609`); the chunk
@@ -165,10 +168,13 @@ object ImarisToZarr {
             r.openDataset(Imaris.dataPath(t.level)))
           val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
           val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-          val bytes = ZarrV3.encodeShard(data, dataShape, shardL, chunkL, zstdLevel, codecName)
           val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
-          ZarrV3.write(serConf.value, s"$store/${t.level}/$key", bytes)
-          ShardStats(t.file, t.level, key, bytes.length.toLong, dataShape.voxels)
+          // streaming encode+write: peak task state is the voxel region +
+          // one chunk, not an extra fully-assembled shard buffer — wide
+          // executors stay far from the GC wall
+          val written = ZarrV3.writeShard(serConf.value, s"$store/${t.level}/$key",
+            data, dataShape, shardL, chunkL, zstdLevel, codecName)
+          ShardStats(t.file, t.level, key, written, dataShape.voxels)
         }
       }.collect()
       allStats ++= stats
@@ -184,8 +190,8 @@ object ImarisToZarr {
         val (srcChunk, srcShard) = perLevelSpecs(level - 1)
         val tasks = Geometry.shardTasks(s"$store/${level - 1}", level, TrueShape(dst), shardL)
         val mode = settings.downsampleMode
-        val taskDs = spark.createDataset(tasks)
-          .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+        val taskDs = spark.createDataset(spark.sparkContext.parallelize(
+          tasks, math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))))
         val stats = taskDs.map { t =>
           // read the ×factor source region from level l-1's shards
           val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
@@ -197,10 +203,10 @@ object ImarisToZarr {
           val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
           val reduced = Downsample.reduce(
             srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, mode)
-          val bytes = ZarrV3.encodeShard(reduced, dataShape, shardL, chunkL, zstdLevel, codecName)
           val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
-          ZarrV3.write(serConf.value, s"$store/$level/$key", bytes)
-          ShardStats(t.file, level, key, bytes.length.toLong, dataShape.voxels)
+          val written = ZarrV3.writeShard(serConf.value, s"$store/$level/$key",
+            reduced, dataShape, shardL, chunkL, zstdLevel, codecName)
+          ShardStats(t.file, level, key, written, dataShape.voxels)
         }.collect()
         allStats ++= stats
       }

@@ -146,9 +146,10 @@ final class Zarr3WriterFactory(
         val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var i = 0
         while (i < voxels.length) { voxels(i) = bb.getShort(2 * i); i += 1 }
-        val enc = ZarrV3.encodeShard(voxels, dataShape, shard, chunk, zstdLevel, codec)
-        ZarrV3.write(conf, s"$path/${ZarrV3.shardKey(l("sz"), l("sy"), l("sx"))}", enc)
-        shards += 1; bytes += enc.length
+        val written = ZarrV3.writeShard(
+          conf, s"$path/${ZarrV3.shardKey(l("sz"), l("sy"), l("sx"))}",
+          voxels, dataShape, shard, chunk, zstdLevel, codec)
+        shards += 1; bytes += written
       }
 
       override def commit(): WriterCommitMessage = Zarr3Commit(shards, bytes)

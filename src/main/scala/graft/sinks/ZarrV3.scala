@@ -55,6 +55,47 @@ object ZarrV3 {
       chunkShape: Shape3,
       level: Int = 3,
       codec: String = "zstd"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 20)
+    encodeShardTo(bos, shardData, dataShape, shardShape, chunkShape, level, codec)
+    bos.toByteArray
+  }
+
+  /** Stream a shard directly to `path` (raw FS). Peak memory is one chunk
+    * (staging + compressed), not the whole shard — a task encoding a
+    * 512³ shard holds ~35 MB instead of ~500 MB, which keeps wide
+    * executors (8–32 concurrent tasks) off the GC cliff and writes the
+    * file in chunk-sized increments instead of one giant buffer.
+    * Returns bytes written.
+    */
+  def writeShard(
+      fsConf: Configuration,
+      pathStr: String,
+      shardData: Array[Short],
+      dataShape: Shape3,
+      shardShape: Shape3,
+      chunkShape: Shape3,
+      level: Int = 3,
+      codec: String = "zstd"): Long = {
+    val p = new Path(pathStr)
+    val fs = rawFs(p, fsConf)
+    val out = fs.create(p, true)
+    try encodeShardTo(out, shardData, dataShape, shardShape, chunkShape, level, codec)
+    finally out.close()
+  }
+
+  /** Core streaming encoder shared by [[encodeShard]] and [[writeShard]]:
+    * chunks are staged in ONE reused buffer, compressed, and written as
+    * produced; the (offset,nbytes) index + CRC32C trailer follows
+    * (index_location=end). Returns total bytes written.
+    */
+  private def encodeShardTo(
+      out: java.io.OutputStream,
+      shardData: Array[Short],
+      dataShape: Shape3,
+      shardShape: Shape3,
+      chunkShape: Shape3,
+      level: Int,
+      codec: String): Long = {
     require(shardData.length == dataShape.voxels,
       s"shard payload ${shardData.length} != ${dataShape.voxels}")
     require(shardShape.z % chunkShape.z == 0 && shardShape.y % chunkShape.y == 0
@@ -63,9 +104,13 @@ object ZarrV3 {
       shardShape.x / chunkShape.x)
     val nChunks = grid.voxels.toInt
     val chunkVox = chunkShape.voxels.toInt
-    val encoded = new Array[Array[Byte]](nChunks)
+    val index = ByteBuffer.allocate(nChunks * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    // ONE staging buffer reused across chunks; compressed chunks are
+    // written as produced — peak state is O(chunk), never O(shard), and
+    // shard files are no longer capped at a 2 GiB in-memory buffer
+    val buf = ByteBuffer.allocate(chunkVox * 2).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
 
-    var ci = 0
     var cz = 0L
     while (cz < grid.z) {
       var cy = 0L
@@ -75,7 +120,7 @@ object ZarrV3 {
           val z0 = cz * chunkShape.z; val y0 = cy * chunkShape.y; val x0 = cx * chunkShape.x
           if (z0 < dataShape.z && y0 < dataShape.y && x0 < dataShape.x) {
             // materialize the full-size chunk, fill-padded at data edge
-            val buf = ByteBuffer.allocate(chunkVox * 2).order(ByteOrder.LITTLE_ENDIAN)
+            buf.clear()
             val zHi = math.min(chunkShape.z, dataShape.z - z0)
             val yHi = math.min(chunkShape.y, dataShape.y - y0)
             val xHi = math.min(chunkShape.x, dataShape.x - x0)
@@ -93,34 +138,25 @@ object ZarrV3 {
               }
               z += 1
             }
-            encoded(ci) = compress(buf.array(), level, codec)
+            val comp = compress(buf.array(), level, codec)
+            out.write(comp)
+            index.putLong(off); index.putLong(comp.length.toLong)
+            off += comp.length
+          } else {
+            index.putLong(-1L); index.putLong(-1L)
           }
-          ci += 1; cx += 1
+          cx += 1
         }
         cy += 1
       }
       cz += 1
     }
 
-    val payloadLen = encoded.iterator.filter(_ != null).map(_.length.toLong).sum
-    val indexLen = nChunks * 16 + 4
-    // single-buffer encode caps a shard file at 2 GiB; fail loudly instead
-    // of wrapping the Int (a 1024-cubed uint16 shard of incompressible data
-    // can exceed this — use a smaller shard or a streaming encoder)
-    require(payloadLen + indexLen <= Int.MaxValue,
-      s"shard encodes to ${payloadLen + indexLen} bytes (> 2 GiB); choose a smaller shard shape")
-    val out = ByteBuffer.allocate((payloadLen + indexLen).toInt).order(ByteOrder.LITTLE_ENDIAN)
-    val index = ByteBuffer.allocate(nChunks * 16).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 0L
-    for (e <- encoded) {
-      if (e == null) { index.putLong(-1L); index.putLong(-1L) }
-      else { index.putLong(off); index.putLong(e.length.toLong); out.put(e); off += e.length }
-    }
     val crc = new CRC32C()
-    crc.update(index.array())
-    out.put(index.array())
-    out.putInt(crc.getValue.toInt)
-    out.array()
+    crc.update(index.array(), 0, nChunks * 16)
+    index.putInt(crc.getValue.toInt)
+    out.write(index.array())
+    off + nChunks * 16 + 4
   }
 
   /** Decode one shard file back to (Z,Y,X) voxels of `dataShape` — the
@@ -275,9 +311,24 @@ object ZarrV3 {
     */
   def shardKey(sz: Long, sy: Long, sx: Long): String = s"c/0/0/$sz/$sy/$sx"
 
+  /** File system for shard I/O. On local disks Hadoop's default
+    * `LocalFileSystem` is a ChecksumFileSystem: every write is split into
+    * 512-byte CRC chunks (FSOutputSummer), turning one 250 MB shard write
+    * into ~500k tiny write() syscalls — catastrophic under syscall-taxed
+    * sandboxes (measured 100x slowdown) and pure overhead anywhere, since
+    * Zarr v3 shards already carry a CRC32C index. Use the RAW local FS:
+    * one large write() per shard. Non-local filesystems (s3a, hdfs) pass
+    * through unchanged.
+    */
+  def rawFs(p: Path, conf: Configuration): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+
   def write(fsConf: Configuration, pathStr: String, bytes: Array[Byte]): Unit = {
     val p = new Path(pathStr)
-    val fs = p.getFileSystem(fsConf)
+    val fs = rawFs(p, fsConf)
     val out = fs.create(p, true)
     try out.write(bytes)
     finally out.close()
@@ -288,7 +339,7 @@ object ZarrV3 {
 
   def read(fsConf: Configuration, pathStr: String): Array[Byte] = {
     val p = new Path(pathStr)
-    val fs = p.getFileSystem(fsConf)
+    val fs = rawFs(p, fsConf)
     val st = fs.getFileStatus(p)
     require(st.getLen <= Int.MaxValue, s"$pathStr: ${st.getLen} bytes (> 2 GiB) — not readable into one buffer")
     val buf = new Array[Byte](st.getLen.toInt)

@@ -40,8 +40,10 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable {
   import Hdf5Reader._
 
+  // raw local FS: bypass ChecksumFileSystem's 512-byte-chunk read path
+  // (pure syscall overhead — the .ims carries no .crc sidecar anyway)
   private val hPath = new Path(path)
-  private val fs: FileSystem = hPath.getFileSystem(conf)
+  private val fs: FileSystem = graft.sinks.ZarrV3.rawFs(hPath, conf)
   private val fileLen: Long = fs.getFileStatus(hPath).getLen
   private val in: FSDataInputStream = fs.open(hPath)
 
@@ -502,17 +504,41 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
 
   // ---- chunk decode + region read ----------------------------------------
 
+  // per-reader scratch buffers, reused across chunks: decoding churns
+  // ~40 MB of fresh arrays per 16 MB chunk otherwise, and at 8-32
+  // concurrent tasks that allocation rate alone drives the executor heap
+  // to the GC wall. A reader is single-threaded (one per task/file), so
+  // plain fields are safe. decodeChunk's result aliases a scratch — it is
+  // valid only until the next decodeChunk call on this reader.
+  private var compScratch: Array[Byte] = Array.emptyByteArray
+  private var inflateScratch: Array[Byte] = Array.emptyByteArray
+  private var shuffleScratch: Array[Byte] = Array.emptyByteArray
+  private var lz4Scratch: Array[Byte] = Array.emptyByteArray
+  private def grown(buf: Array[Byte], n: Int): Array[Byte] =
+    if (buf.length >= n) buf else new Array[Byte](n)
+
+  /** Decode one stored chunk to exactly rawLen bytes. The returned array
+    * may be a reused scratch whose length EXCEEDS the logical chunk size
+    * and whose content is valid only until the next call — callers must
+    * copy out what they need immediately (readRegion does).
+    */
   private def decodeChunk(ds: Dataset, addr: Long, storedLen: Int): Array[Byte] = {
-    var data =
-      if (addr == InlineAddr) ds.inline.get // compact layout: bytes live in the header
-      else { val b = new Array[Byte](storedLen); in.readFully(addr, b); b }
+    var data: Array[Byte] = null
+    var len = 0
+    if (addr == InlineAddr) { data = ds.inline.get; len = data.length } // compact layout
+    else {
+      compScratch = grown(compScratch, storedLen)
+      in.readFully(addr, compScratch, 0, storedLen)
+      data = compScratch; len = storedLen
+    }
     val rawLen = ds.chunk.product * ds.elemSize
     // filters applied in reverse of pipeline order
     for (f <- ds.filters.reverse) f.id match {
       case 1 => // deflate
         val inf = new Inflater()
-        inf.setInput(data)
-        val out = new Array[Byte](rawLen)
+        inf.setInput(data, 0, len)
+        inflateScratch = grown(inflateScratch, rawLen)
+        val out = inflateScratch
         var off = 0
         var progress = -1
         // a truncated/corrupt stream makes inflate() return 0 while
@@ -524,23 +550,25 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         }
         inf.end()
         require(off == rawLen, s"$path: deflate chunk expanded to $off, want $rawLen")
-        data = out
+        data = out; len = rawLen
       case 2 => // shuffle: de-interleave byte planes
         val es = if (f.clientData.nonEmpty) f.clientData.head else ds.elemSize
-        val nElems = data.length / es
-        val out = new Array[Byte](data.length)
+        val nElems = len / es
+        shuffleScratch = grown(shuffleScratch, len)
+        val out = shuffleScratch
         var j = 0
         while (j < es) {
           var e = 0
           while (e < nElems) { out(e * es + j) = data(j * nElems + e); e += 1 }
           j += 1
         }
-        data = out
+        data = out // len unchanged
       case 32004 => // HDF5-lz4: u64BE total, u32BE blockSize, blocks of u32BE len + payload
-        val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+        val bb = ByteBuffer.wrap(data, 0, len).order(ByteOrder.BIG_ENDIAN)
         val total = bb.getLong()
         val blockSize = bb.getInt()
-        val out = new Array[Byte](total.toInt)
+        lz4Scratch = grown(lz4Scratch, total.toInt)
+        val out = lz4Scratch
         var outOff = 0
         val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
         while (outOff < total) {
@@ -556,10 +584,10 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
           }
           outOff += thisBlock
         }
-        data = out
+        data = out; len = total.toInt
       case other => sys.error(s"$path: unsupported HDF5 filter id $other")
     }
-    require(data.length == rawLen, s"$path: chunk decoded to ${data.length}, want $rawLen")
+    require(len == rawLen, s"$path: chunk decoded to $len, want $rawLen")
     data
   }
 

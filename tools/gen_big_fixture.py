@@ -29,15 +29,15 @@ import gen_fixtures as gf  # noqa: E402
 
 def smooth_voxels(shape, level, coarse=2):
     """Coarse-grid hash (smooth structure) XOR 8 bits of per-voxel noise
-    (random low byte, structured high byte): measured zlib ratio ~2x with
-    shuffle — the realistic range for microscopy uint16."""
+    (random low byte, structured high byte): zlib ratio ~2x with shuffle —
+    the realistic range for microscopy uint16. Noise is seeded-PRNG per
+    z-plane (deterministic; multiplicative-hash noise proved too
+    structured — zlib still found 4x)."""
     z_n, y_n, x_n = shape
     cy = (y_n + coarse - 1) // coarse
     cx = (x_n + coarse - 1) // coarse
     y_col = (np.arange(cy, dtype=np.int64) * 19349663)[:, None]
     x_row = (np.arange(cx, dtype=np.int64) * 83492791)[None, :]
-    yf_col = (np.arange(y_n, dtype=np.int64) * 19349663)[:, None]
-    xf_row = (np.arange(x_n, dtype=np.int64) * 83492791)[None, :]
     out = np.empty(shape, dtype="<u2")
     plane = None
     for z in range(z_n):
@@ -47,8 +47,8 @@ def smooth_voxels(shape, level, coarse=2):
             plane = (v % 65536).astype("<u2")
             plane = np.repeat(np.repeat(plane, coarse, axis=0), coarse, axis=1)
             plane = plane[:y_n, :x_n]
-        noise = (((np.int64(z * 2654435761) ^ (yf_col * 40503) ^ (xf_row * 65537))
-                  >> 7) & 0xFF).astype("<u2")
+        rng = np.random.RandomState((level * 100003 + z) & 0x7FFFFFFF)
+        noise = rng.randint(0, 256, size=(y_n, x_n)).astype("<u2")
         out[z] = plane ^ noise
     return out
 
