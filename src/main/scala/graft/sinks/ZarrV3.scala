@@ -183,6 +183,9 @@ object ZarrV3 {
 
     val out = new Array[Short](dataShape.voxels.toInt)
     val chunkVox = chunkShape.voxels.toInt
+    // one decode buffer reused across chunks (same GC-wall avoidance as
+    // the encode side; a 512³ shard otherwise churns ~500 MB per read)
+    val raw = new Array[Byte](chunkVox * 2)
     var ci = 0
     var cz = 0L
     while (cz < grid.z) {
@@ -193,8 +196,7 @@ object ZarrV3 {
           val off = idxLong(ci * 2)
           val len = idxLong(ci * 2 + 1)
           if (off != -1L) {
-            val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
-            val raw = decompress(comp, chunkVox * 2)
+            decompressInto(bytes, off.toInt, len.toInt, raw)
             val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
             val z0 = cz * chunkShape.z; val y0 = cy * chunkShape.y; val x0 = cx * chunkShape.x
             val zHi = math.min(chunkShape.z, dataShape.z - z0)
@@ -234,21 +236,24 @@ object ZarrV3 {
     case other => sys.error(s"unsupported zarr codec: $other (zstd|gzip)")
   }
 
-  /** Chunk decode, codec-detected by magic (zstd 28 B5 2F FD / gzip 1F 8B)
-    * so read paths need no codec plumbing.
+  /** Chunk decode into a caller-provided buffer (filled exactly), codec
+    * detected by magic (zstd 28 B5 2F FD / gzip 1F 8B) so read paths need
+    * no codec plumbing.
     */
-  private def decompress(comp: Array[Byte], rawLen: Int): Array[Byte] =
-    if (comp.length >= 2 && (comp(0) & 0xff) == 0x1f && (comp(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
+  private def decompressInto(src: Array[Byte], srcOff: Int, srcLen: Int, out: Array[Byte]): Unit =
+    if (srcLen >= 2 && (src(srcOff) & 0xff) == 0x1f && (src(srcOff + 1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(src, srcOff, srcLen))
       try {
-        val out = new Array[Byte](rawLen)
         var off = 0
         var n = 0
-        while (off < rawLen && n >= 0) { n = in.read(out, off, rawLen - off); if (n > 0) off += n }
-        require(off == rawLen, s"gzip chunk expanded to $off, want $rawLen")
-        out
+        while (off < out.length && n >= 0) { n = in.read(out, off, out.length - off); if (n > 0) off += n }
+        require(off == out.length, s"gzip chunk expanded to $off, want ${out.length}")
       } finally in.close()
-    } else Zstd.decompress(comp, rawLen)
+    } else {
+      val n = Zstd.decompressByteArray(out, 0, out.length, src, srcOff, srcLen)
+      require(n == out.length, s"zstd chunk expanded to $n, want ${out.length}")
+    }
 
   // ---- metadata -----------------------------------------------------------
 
