@@ -35,6 +35,12 @@ import graft.core.Geometry.Shape3
   * Together with the `imaris` source, the whole conversion is one
   * declarative pipeline:
   * `spark.read.format("imaris").load().write.format("zarr3").save()`.
+  *
+  * Sizing note: a row carries one whole shard as a BINARY column, so the
+  * DSv2 pipeline is best run with shards ≤ 256³ (≤ 32 MB rows). For the
+  * reference's 512³ shards (268 MB rows — hostile to Spark row handling)
+  * use [[graft.plans.ImarisToZarr]], whose mapPartitions tasks stream
+  * voxels without materializing shard-sized rows.
   */
 class Zarr3DataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {

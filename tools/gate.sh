@@ -18,4 +18,8 @@ if ! sbt -batch compile test >"$log" 2>&1; then
 fi
 grep -E "Tests: succeeded|All tests passed" "$log" | tail -2
 git add -A
-git commit -m "$msg"
+if git diff --cached --quiet; then
+  echo "gate green; nothing to commit"
+else
+  git commit -m "$msg"
+fi
