@@ -117,7 +117,12 @@ object DedupQueries {
       // are deterministic.
       val ids = {
         import s.implicits._
-        freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
+        // cache the (small, vocab-sized) rank input: sortBy's sample pass
+        // + sort pass would otherwise re-run the scan→explode→groupBy
+        // lineage once each (4+ s of pure recompute under the per-job tax)
+        val base = freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base
           .sortBy { case (g, f) => (f, g) }
           .zipWithIndex()
           .map { case ((g, _), i) => (g, i + 1L) }
@@ -305,8 +310,11 @@ object DedupQueries {
       // scales with executors even at unbounded gram vocabularies.
       val ids = {
         import s.implicits._
-        freq.select(col("source"), col("gram"), col("f"))
+        // cached for the same reason as q_b6's rank input (see there)
+        val base = freq.select(col("source"), col("gram"), col("f"))
           .as[(String, String, Long)].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base
           .sortBy { case (src, gm, f) => (f, src, gm) }
           .zipWithIndex()
           .map { case ((src, gm, _), i) => (src, gm, i + 1L) }
