@@ -115,6 +115,41 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("file source: incremental discovery + checkpoint recovery (Q-B1 over files)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_files").toString
+    def at(s: String) = Timestamp.valueOf(s)
+    def run(expect: Seq[(String, Long)]): Unit = {
+      val schema = Seq.empty[Evt].toDS.schema
+      val q = StreamingOps.tumblingCounts(sp.readStream.schema(schema).parquet(dir))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("memory").queryName("file_tumbling").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = sp.sql(
+        "SELECT CAST(window_start AS STRING) w, cnt FROM file_tumbling ORDER BY w, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == expect)
+    }
+    // batch 1: two clicks in hour 0
+    Seq(
+      Evt(1, at("2024-01-01 00:05:00"), 10, "click", 1.0),
+      Evt(2, at("2024-01-01 00:20:00"), 10, "click", 1.0)
+    ).toDF.write.mode("append").parquet(dir)
+    run(Seq(("2024-01-01 00:00:00", 2L)))
+    // batch 2 lands later: one more hour-0 click + a new hour-1 view; the
+    // restarted query resumes from the SAME checkpoint and must pick up
+    // only the new file (source offsets), yielding cumulative counts
+    Seq(
+      Evt(3, at("2024-01-01 00:40:00"), 11, "click", 1.0),
+      Evt(4, at("2024-01-01 01:10:00"), 11, "view", 2.0)
+    ).toDF.write.mode("append").parquet(dir)
+    run(Seq(("2024-01-01 00:00:00", 3L), ("2024-01-01 01:00:00", 1L)))
+  }
+
   test("epoch-µs lift keeps sub-millisecond precision through sessionize") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
