@@ -550,6 +550,58 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k_val")
         )
         .orderBy(col("event_id"))
+    },
+
+    // ---- Q-A21: CUBE (full grouping-set lattice) -------------------------
+    QueryDef(
+      "q_a21_cube",
+      Some("""SELECT CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+             |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+             |       o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+             |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ) { (s, d) =>
+      // cube = all 4 grouping sets in ONE pass (Expand + partial agg —
+      // no re-scan per set); same shuffle shape as a plain groupBy
+      ord(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"),
+          count(lit(1)).as("cnt"),
+          sumMoney(col("o_totalprice")).as("total")
+        )
+        .select(col("g_pri"), col("g_st"), col("o_orderpriority"),
+          col("o_orderstatus"), col("cnt"), col("total"))
+        .orderBy(col("g_pri"), col("g_st"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
+    // ---- Q-A22: PIVOT (event_type -> per-type count columns) -------------
+    QueryDef(
+      "q_a22_pivot",
+      Some("""SELECT user_id % 10 AS user_bucket,
+             |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+             |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+             |FROM events
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ) { (s, d) =>
+      // explicit value list => deterministic output columns AND one-pass
+      // pivot (no extra distinct-values job); compiles to the same
+      // conditional aggregation the oracle spells out
+      Tables(s, d, "events")
+        .withColumn("user_bucket", col("user_id") % 10)
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))
     }
   )
 }
