@@ -171,6 +171,44 @@ object EventQueries {
           col("o_totalprice").as("last_totalprice")
         )
         .orderBy(col("event_id"))
+    },
+
+    // ---- Q-B9: banded interval self-join ---------------------------------
+    // Count per-user event pairs within 60 s of each other. The naive form
+    // is an inequality self-join (quadratic per user — the oracle runs
+    // exactly that). The scale form is BUCKET BLOCKING: band time into
+    // 60 s buckets; a qualifying pair's buckets differ by 0 or 1, so two
+    // equi-joins on (user, bucket) — same-bucket (id-ordered) and
+    // adjacent-bucket (time-ordered, id order implied impossible to
+    // double-count) — cover every pair exactly once. Candidates scale with
+    // events per (user, minute), not events per user; both joins shuffle
+    // on high-cardinality composite keys.
+    QueryDef(
+      "q_b9_interval_join",
+      Some("""SELECT a.user_id, COUNT(*) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ) { (s, d) =>
+      val W = 60000000L // 60 s in µs
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+        .withColumn("bk", expr(s"us DIV $W"))
+      def side(tag: String) = e.select(
+        col("user_id"), col("bk"),
+        col("event_id").as(s"id_$tag"), col("us").as(s"us_$tag"))
+      val a = side("a")
+      val b = side("b")
+      val same = a.join(b, Seq("user_id", "bk"))
+        .filter(col("id_a") < col("id_b")
+          && col("us_b") - col("us_a") <= W && col("us_a") - col("us_b") <= W)
+      val cross = a.join(b.withColumn("bk", col("bk") - 1), Seq("user_id", "bk"))
+        .filter(col("us_b") - col("us_a") <= W) // us_b > us_a by bucket order
+      same.select(col("user_id")).unionAll(cross.select(col("user_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
     }
   )
 }
