@@ -195,6 +195,57 @@ object TextQueries {
           ).as("fingerprint")
         )
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c12: BM25 ranked retrieval ------------------------------------
+    // Okapi BM25 (k1=1.2, b=0.75) of a fixed query against the corpus:
+    // top-20 docs by score. Distributed shape: tf/df/dl are groupBy
+    // aggregates; df and the 2-scalar corpus stats ride broadcasts into
+    // the per-(doc,term) scoring join — no driver collect, no all-pairs.
+    // Cross-engine determinism: every float literal and operation order is
+    // spelled out identically on both sides, each per-term score is
+    // rounded to DECIMAL(18,6) (ln's last-ulp wobble dies here), and the
+    // final per-doc sum is EXACT decimal addition — order-free.
+    QueryDef(
+      "q_c12_bm25",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |       WHERE term IN ('hash','join','filter') GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+             |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
+             |      AS DECIMAL(18,6)) AS tscore
+             |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+             |FROM scored GROUP BY 1
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+    ) { (s, d) =>
+      val query = Seq("hash", "join", "filter")
+      val toks = Tables(s, d, "documents").select(
+        col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("tot"))
+      val tf = toks.filter(col("term").isin(query: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(dl, Seq("doc_id"))
+        .join(broadcast(dfq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", dec(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("tot") / col("n_docs"))))))
+        .groupBy(col("doc_id"))
+        .agg(emit(sum(col("tscore"))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
