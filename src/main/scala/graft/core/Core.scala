@@ -75,6 +75,30 @@ object Decimals {
     (sum(dec(c)).cast(D38) / count(lit(1))).cast(D38).cast(DoubleType)
 }
 
+/** Registry of RDDs persisted while BUILDING a query plan (e.g. the
+  * rarity-rank vocab caches in DedupQueries), so harnesses can unpersist
+  * them once the query's result is materialized. Without this, a 47-query
+  * bench session accumulates MEMORY_AND_DISK vocab RDDs in executor
+  * storage for its whole lifetime. Each plan-build call persists fresh
+  * RDDs, so draining after materialization never starves a later re-run.
+  */
+object CachedRdds {
+  private val live =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  def register[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    synchronized { live += rdd; rdd }
+
+  /** Unpersist every registered RDD and clear the registry. */
+  def drain(): Unit = synchronized {
+    live.foreach { r =>
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    live.clear()
+  }
+}
+
 /** A named query with its DuckDB oracle. `oracle=None` ⇒ the driver records
   * a weaker rows-only check (used for ops whose internals are not
   * SQL-expressible, e.g. ANN with learned centroids).

@@ -119,9 +119,11 @@ object DedupQueries {
         import s.implicits._
         // cache the (small, vocab-sized) rank input: sortBy's sample pass
         // + sort pass would otherwise re-run the scan→explode→groupBy
-        // lineage once each (4+ s of pure recompute under the per-job tax)
-        val base = freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lineage once each (4+ s of pure recompute under the per-job tax).
+        // Registered so the harness unpersists it after materialization.
+        val base = graft.core.CachedRdds.register(
+          freq.select(col("shingle"), col("f")).as[(String, Long)].rdd
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         base
           .sortBy { case (g, f) => (f, g) }
           .zipWithIndex()
@@ -311,9 +313,10 @@ object DedupQueries {
       val ids = {
         import s.implicits._
         // cached for the same reason as q_b6's rank input (see there)
-        val base = freq.select(col("source"), col("gram"), col("f"))
-          .as[(String, String, Long)].rdd
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = graft.core.CachedRdds.register(
+          freq.select(col("source"), col("gram"), col("f"))
+            .as[(String, String, Long)].rdd
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         base
           .sortBy { case (src, gm, f) => (f, src, gm) }
           .zipWithIndex()

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
 import graft.core.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -7,19 +9,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for a training-data pipeline: media as opaque
   * `BINARY` payloads + typed metadata struct, with decode / feature
   * extraction / resize / frame-sampling as batched per-partition
-  * operators (north-star addition; no reference counterpart).
+  * operators (north-star addition; no reference counterpart — the
+  * reference's analogous move is decoding a real binary format end-to-end,
+  * `io_utils.py:122-151`).
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs exist
-  * in this container): `StubDecoder` produces a deterministic fake pixel
-  * buffer from the payload bytes. Everything AROUND the stub — schema,
-  * partitioning, batch shape, the typed Dataset plumbing — is real and
-  * tested, so swapping in a real codec is a one-function change.
+  * The decode step is REAL: payloads are genuine PNG images (encoded and
+  * decoded with `javax.imageio`), genuine RIFF/WAVE PCM16 audio
+  * (`javax.sound.sampled`), and a framed container of PNG frames for
+  * video. Because the pixel/sample GENERATORS are fixed integer
+  * arithmetic and both codecs are lossless, the decoded checksums have a
+  * closed form that the DuckDB oracle reproduces with `range()` joins —
+  * so the whole encode→decode→featurize path is hash-checked end to end.
   *
   * Scale posture: payloads live in the executor partitions only
-  * (never collected); decode+featurize is `mapPartitions` so per-batch
-  * setup (codec init, model load) amortizes across a whole partition —
-  * the JVM analog of `mapInPandas` batch semantics. Feature vectors are
-  * small; the heavy binary column is dropped as early as possible.
+  * (never collected); encode and decode+featurize are `mapPartitions` so
+  * per-batch setup (codec init, model load) amortizes across a whole
+  * partition — the JVM analog of `mapInPandas` batch semantics. Feature
+  * vectors are small; the heavy binary column is dropped as early as
+  * possible.
   */
 object MultimodalOps {
 
@@ -32,15 +39,21 @@ object MultimodalOps {
       sample_rate: Int,        // audio
       n_frames: Int)           // video
 
+  /** Decoded media: unit count (pixels / samples / frames), integer
+    * checksum over the decoded values, and a fixed-dim feature vector
+    * (stripe means of the normalized decoded sequence).
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Long,
+      n_units: Long,
+      value_sum: Long,
       features: Array[Float])
 
-  /** Deterministic media table derived from `documents` (so the stats
-    * query is DuckDB-checkable): payload = UTF-8 text bytes; kind/meta
-    * derived from doc fields by fixed arithmetic.
+  /** Deterministic metadata-only media table derived from `documents` (so
+    * the stats query is DuckDB-checkable): payload = UTF-8 text bytes;
+    * kind/meta derived from doc fields by fixed arithmetic. Used by the
+    * metadata-plane ops (stats, resize, frame sampling) that never decode.
     */
   def media(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -57,41 +70,214 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
-  /** STUB decoder — stands in for a real image/audio codec.
-    * Deterministic: pixel i = payload[i mod len] scaled to [0,1).
-    * ??? in spirit; a real deployment replaces ONLY this object.
+  /** Real JDK media codec. Encoders synthesize genuine format bytes from
+    * the deterministic generators below; decoders parse ONLY the bytes
+    * (no generator knowledge), so a decode bug cannot cancel out an
+    * encode bug — and both PNG (8-bit gray) and WAV (PCM16) are lossless,
+    * so decoded values equal generated values exactly.
+    *
+    * Generators (all integer arithmetic, mirrored in the q_c11 oracle):
+    *   image  w = id%56+8, h = id%40+8,   v(x,y)    = (id·31 + x·7 + y·13) mod 256
+    *   audio  n = id%800+100,             s(i)      = (id·7919 + i·104729) mod 65536 − 32768
+    *   video  f = id%4+2, frames 16×12,   v(x,y,fr) = (id·31 + fr·17 + x·7 + y·13) mod 256
     */
-  object StubDecoder {
-    def decodeToPixels(payload: Array[Byte], n: Int): Array[Float] = {
-      val out = new Array[Float](n)
-      if (payload.nonEmpty) {
-        var i = 0
-        while (i < n) { out(i) = (payload(i % payload.length) & 0xff) / 256.0f; i += 1 }
+  object MediaCodec {
+    // no tmp-file cache for ImageIO streams (gVisor disk writes are slow)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    val VideoFrameW = 16
+    val VideoFrameH = 12
+
+    def imageDims(id: Long): (Int, Int) = ((id % 56 + 8).toInt, (id % 40 + 8).toInt)
+    def imagePixel(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    def audioLen(id: Long): Int = (id % 800 + 100).toInt
+    def audioSample(id: Long, i: Int): Int =
+      ((id * 7919 + i.toLong * 104729) % 65536 - 32768).toInt
+    def videoFrames(id: Long): Int = (id % 4 + 2).toInt
+    def videoPixel(id: Long, fr: Int, x: Int, y: Int): Int =
+      ((id * 31 + fr * 17 + x * 7 + y * 13) % 256).toInt
+
+    private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, v(x, y)); x += 1 }
+        y += 1
       }
-      out
+      val bos = new ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in JDK")
+      bos.toByteArray
+    }
+
+    def encodeImage(id: Long): Array[Byte] = {
+      val (w, h) = imageDims(id)
+      grayPng(w, h, (x, y) => imagePixel(id, x, y))
+    }
+
+    def encodeAudio(id: Long, sampleRate: Int): Array[Byte] = {
+      val n = audioLen(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) { // little-endian signed 16-bit mono
+        val s = audioSample(id, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Framed video container: int32-BE frame count, then per frame an
+      * int32-BE length + a PNG frame. (No JDK video codec exists; the
+      * container is ours, the frames are real PNG.)
+      */
+    def encodeVideo(id: Long): Array[Byte] = {
+      val f = videoFrames(id)
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(f)
+      var fr = 0
+      while (fr < f) {
+        val png = grayPng(VideoFrameW, VideoFrameH, (x, y) => videoPixel(id, fr, x, y))
+        out.writeInt(png.length)
+        out.write(png)
+        fr += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Decode a PNG payload → (nPixels, Σ gray values, normalized pixels). */
+    def decodeImage(payload: Array[Byte]): (Long, Long, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      val px = new Array[Float](w * h)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = r.getSample(x, y, 0)
+          sum += v
+          px(y * w + x) = v / 256.0f
+          x += 1
+        }
+        y += 1
+      }
+      (w.toLong * h, sum, px)
+    }
+
+    /** Decode a WAV payload → (nSamples, Σ signed samples, normalized). */
+    def decodeAudio(payload: Array[Byte]): (Long, Long, Array[Float]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected PCM16 mono, got $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val px = new Array[Float](n)
+      var sum = 0L
+      var i = 0
+      while (i < n) { // little-endian signed 16-bit
+        val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        sum += s
+        px(i) = (s + 32768) / 65536.0f
+        i += 1
+      }
+      (n.toLong, sum, px)
+    }
+
+    /** Decode the framed video container, sampling every `everyK`-th
+      * frame → (total frames, Σ gray values over sampled frames,
+      * normalized sampled pixels).
+      */
+    def decodeVideo(payload: Array[Byte], everyK: Int = 2): (Long, Long, Array[Float]) = {
+      val in = new DataInputStream(new ByteArrayInputStream(payload))
+      val f = in.readInt()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Float]
+      var sum = 0L
+      var fr = 0
+      while (fr < f) {
+        val len = in.readInt()
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        if (fr % everyK == 0) {
+          val (_, s, px) = decodeImage(png)
+          sum += s
+          buf ++= px
+        }
+        fr += 1
+      }
+      (f.toLong, sum, buf.toArray)
     }
   }
 
-  /** Batched decode + feature extraction. The 8-dim feature vector is a
-    * deterministic reduction of the stub pixels (mean per stripe) — the
-    * plumbing (one decoder per partition, binary dropped after use) is
-    * the real contract.
+  /** Media table with REAL encoded payloads (PNG / WAV / framed PNG
+    * video), deterministic per `media_id`. Encoding runs `mapPartitions`
+    * on the executors — at 100 TB this is the ingest-side "render and
+    * store" stage, and nothing ever passes through the driver.
     */
-  def extractFeatures(rows: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+  def encodedMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        (lit(8000) + (col("doc_id") % 3) * 8000).cast("int").as("sample_rate"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, rate) =>
+          (id % 3) match {
+            case 0 =>
+              val (w, h) = MediaCodec.imageDims(id)
+              MediaRow(id, "image", MediaCodec.encodeImage(id), w, h, 0, 0)
+            case 1 =>
+              MediaRow(id, "audio", MediaCodec.encodeAudio(id, rate), 0, 0, rate, 0)
+            case _ =>
+              MediaRow(id, "video", MediaCodec.encodeVideo(id),
+                MediaCodec.VideoFrameW, MediaCodec.VideoFrameH, 0,
+                MediaCodec.videoFrames(id))
+          }
+        }
+      }
+  }
+
+  /** Batched decode + feature extraction over real payloads: one decoder
+    * per partition, binary dropped after use. The 8-dim feature vector is
+    * the per-stripe mean of the normalized decoded sequence.
+    */
+  def decodeFeatures(rows: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // per-partition setup happens HERE (codec/model init in real life)
       it.map { m =>
-        val n = math.max(dim, math.min(4096, m.payload.length))
-        val px = StubDecoder.decodeToPixels(m.payload, n)
-        val stripe = n / dim
-        val feats = Array.tabulate(dim) { d =>
-          var s = 0.0f; var i = d * stripe
-          val hi = if (d == dim - 1) n else (d + 1) * stripe
-          while (i < hi) { s += px(i); i += 1 }
-          s / math.max(1, hi - d * stripe)
+        val (nUnits, sum, px) = m.kind match {
+          case "image" => MediaCodec.decodeImage(m.payload)
+          case "audio" => MediaCodec.decodeAudio(m.payload)
+          case _       => MediaCodec.decodeVideo(m.payload)
         }
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, feats)
+        val n = px.length
+        val stripe = math.max(1, n / dim)
+        val feats = Array.tabulate(dim) { d =>
+          var s = 0.0f
+          var i = d * stripe
+          val hi = if (d == dim - 1) n else math.min(n, (d + 1) * stripe)
+          while (i < hi) { s += px(i); i += 1 }
+          if (hi > d * stripe) s / (hi - d * stripe) else 0.0f
+        }
+        MediaFeatures(m.media_id, m.kind, nUnits, sum, feats)
       }
     }
   }
@@ -117,8 +303,8 @@ object MultimodalOps {
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(everyK)).as("frame_indices"))
 
-  /** DuckDB-checkable stats entry over the derived media table. */
   val defs: Seq[QueryDef] = Seq(
+    // ---- metadata-plane stats over the derived media table ---------------
     QueryDef(
       "q_c10_multimodal_stats",
       Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -139,14 +325,53 @@ object MultimodalOps {
         .orderBy(col("kind"))
     },
 
-    // feature extraction is stub-backed ⇒ rows-only check; the spec
-    // asserts determinism and batch shape instead
-    QueryDef("q_c11_media_features", None) { (s, d) =>
-      import s.implicits._
-      extractFeatures(media(s, d))
+    // ---- real encode → decode → featurize, hash-checked ------------------
+    // The oracle replicates the deterministic generators in closed form
+    // (range() joins); Spark's numbers come ONLY from javax.imageio /
+    // javax.sound.sampled decode of the real PNG/WAV bytes, so a match
+    // proves the whole codec round-trip, not the arithmetic.
+    QueryDef(
+      "q_c11_media_features",
+      Some("""WITH img_d AS (
+             |  SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |img_x AS (SELECT doc_id, h, unnest(range(w)) AS x FROM img_d),
+             |img_xy AS (SELECT doc_id, x, unnest(range(h)) AS y FROM img_x),
+             |img AS (
+             |  SELECT doc_id AS media_id, 'image' AS kind,
+             |         COUNT(*) AS n_units,
+             |         CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+             |  FROM img_xy GROUP BY doc_id),
+             |aud_d AS (
+             |  SELECT doc_id, doc_id % 800 + 100 AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |aud_i AS (SELECT doc_id, unnest(range(n)) AS i FROM aud_d),
+             |aud AS (
+             |  SELECT doc_id AS media_id, 'audio' AS kind,
+             |         COUNT(*) AS n_units,
+             |         CAST(SUM((doc_id * 7919 + i * 104729) % 65536 - 32768) AS BIGINT) AS value_sum
+             |  FROM aud_i GROUP BY doc_id),
+             |vid_d AS (
+             |  SELECT doc_id, doc_id % 4 + 2 AS f
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |vid_f AS (SELECT doc_id, f, unnest(range(f)) AS fr FROM vid_d),
+             |vid_fx AS (SELECT doc_id, f, fr, unnest(range(16)) AS x
+             |           FROM vid_f WHERE fr % 2 = 0),
+             |vid_fxy AS (SELECT doc_id, f, fr, x, unnest(range(12)) AS y FROM vid_fx),
+             |vid AS (
+             |  SELECT doc_id AS media_id, 'video' AS kind,
+             |         CAST(MAX(f) AS BIGINT) AS n_units,
+             |         CAST(SUM((doc_id * 31 + fr * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+             |  FROM vid_fxy GROUP BY doc_id)
+             |SELECT media_id, kind, n_units, value_sum FROM
+             |  (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+             |ORDER BY media_id""".stripMargin)
+    ) { (s, d) =>
+      decodeFeatures(encodedMedia(s, d))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
+        .select(col("media_id"), col("kind"),
+          col("n_units").cast("long").as("n_units"),
+          col("value_sum").cast("long").as("value_sum"))
         .orderBy(col("media_id"))
     }
   )

@@ -6,6 +6,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaCodec
 
 class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -33,15 +34,75 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(r => r.kind == Seq("image", "audio", "video")((r.media_id % 3).toInt)))
   }
 
-  test("feature extraction: batched, deterministic, fixed dim, binary dropped") {
-    val f1 = MultimodalOps.extractFeatures(MultimodalOps.media(spark, sf)).collect()
-    val f2 = MultimodalOps.extractFeatures(MultimodalOps.media(spark, sf)).collect()
+  test("encoded media: payloads are genuine PNG / RIFF-WAVE / framed PNG bytes") {
+    val m = MultimodalOps.encodedMedia(spark, sf).collect()
+    assert(m.nonEmpty)
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    m.foreach { r =>
+      r.kind match {
+        case "image" =>
+          assert(r.payload.take(4).sameElements(pngMagic), s"image ${r.media_id} not PNG")
+        case "audio" =>
+          assert(new String(r.payload.take(4), "ASCII") == "RIFF" &&
+            new String(r.payload.slice(8, 12), "ASCII") == "WAVE",
+            s"audio ${r.media_id} not RIFF/WAVE")
+        case "video" =>
+          // int32-BE frame count, then first frame is PNG
+          val f = java.nio.ByteBuffer.wrap(r.payload, 0, 4).getInt
+          assert(f == MediaCodec.videoFrames(r.media_id))
+          assert(r.payload.slice(8, 12).sameElements(pngMagic),
+            s"video ${r.media_id} frame 0 not PNG")
+      }
+    }
+  }
+
+  test("codec round-trip: decoded checksums equal generator closed form (golden)") {
+    // decode sees ONLY bytes; expected values come from the generator
+    // arithmetic — losslessness of PNG/WAV is what makes them equal
+    for (id <- Seq(0L, 3L, 57L, 120L)) { // image ids
+      val (n, sum, px) = MediaCodec.decodeImage(MediaCodec.encodeImage(id))
+      val (w, h) = MediaCodec.imageDims(id)
+      val expected = (for (x <- 0 until w; y <- 0 until h)
+        yield MediaCodec.imagePixel(id, x, y).toLong).sum
+      assert(n == w.toLong * h && sum == expected && px.length == n.toInt)
+    }
+    for (id <- Seq(1L, 4L, 100L)) { // audio ids
+      val (n, sum, _) = MediaCodec.decodeAudio(MediaCodec.encodeAudio(id, 16000))
+      val len = MediaCodec.audioLen(id)
+      val expected = (0 until len).map(i => MediaCodec.audioSample(id, i).toLong).sum
+      assert(n == len.toLong && sum == expected)
+    }
+    for (id <- Seq(2L, 5L, 101L)) { // video ids: every 2nd frame sampled
+      val (n, sum, _) = MediaCodec.decodeVideo(MediaCodec.encodeVideo(id))
+      val f = MediaCodec.videoFrames(id)
+      val expected = (for {
+        fr <- 0 until f if fr % 2 == 0
+        x <- 0 until MediaCodec.VideoFrameW
+        y <- 0 until MediaCodec.VideoFrameH
+      } yield MediaCodec.videoPixel(id, fr, x, y).toLong).sum
+      assert(n == f.toLong && sum == expected)
+    }
+  }
+
+  test("feature extraction: batched, deterministic, fixed dim, real decode") {
+    val f1 = MultimodalOps.decodeFeatures(MultimodalOps.encodedMedia(spark, sf)).collect()
+    val f2 = MultimodalOps.decodeFeatures(MultimodalOps.encodedMedia(spark, sf)).collect()
     assert(f1.map(_.media_id).sorted.sameElements(f2.map(_.media_id).sorted))
     assert(f1.forall(_.features.length == 8))
     val m1 = f1.map(r => r.media_id -> r.features.toSeq).toMap
     val m2 = f2.map(r => r.media_id -> r.features.toSeq).toMap
-    assert(m1 == m2, "stub decode must be deterministic")
+    assert(m1 == m2, "decode must be deterministic")
     assert(f1.forall(r => r.features.forall(v => v >= 0.0f && v < 1.0f)))
+    // every decoded row matches the generator closed form, distributed
+    f1.foreach { r =>
+      (r.media_id % 3) match {
+        case 0 =>
+          val (w, h) = MediaCodec.imageDims(r.media_id)
+          assert(r.n_units == w.toLong * h)
+        case 1 => assert(r.n_units == MediaCodec.audioLen(r.media_id).toLong)
+        case _ => assert(r.n_units == MediaCodec.videoFrames(r.media_id).toLong)
+      }
+    }
   }
 
   test("resize plan: aspect preserved, bounded by max edge, no decode") {

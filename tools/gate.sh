@@ -16,7 +16,9 @@ if ! sbt -batch compile test >"$log" 2>&1; then
   tail -40 "$log" >&2
   exit 1
 fi
-grep -E "Tests: succeeded|All tests passed" "$log" | tail -2
+# informational only — the sbt exit code already gates; without `|| true`
+# a wording change in sbt's summary would abort the gate under pipefail
+grep -E "Tests: succeeded|All tests passed" "$log" | tail -2 || true
 git add -A
 if git diff --cached --quiet; then
   echo "gate green; nothing to commit"
