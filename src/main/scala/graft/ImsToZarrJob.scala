@@ -92,9 +92,11 @@ object ImsToZarrJob {
       s"duplicate stack basenames would overwrite each other: ${dupes.keys.mkString(", ")}")
 
     // acquisition.json lives one directory above input_source
-    // (imaris_job.py:362-367); voxel-size precedence: manifest → Imaris
-    val manifest = Manifest.readJson(
-      hconf, s"${a.inputSource.stripSuffix("/").split('/').dropRight(1).mkString("/")}/acquisition.json")
+    // (imaris_job.py:362-367); voxel-size precedence: manifest → Imaris.
+    // Hadoop Path handles schemes (s3a://bucket/dir) and roots: a root
+    // input has no parent directory, hence no manifest to look for.
+    val manifest = Manifest.parentManifestPath(a.inputSource)
+      .flatMap(p => Manifest.readJson(hconf, p))
     val voxelOverride = manifest.flatMap(Manifest.voxelResolution)
 
     var totalBytes = 0L

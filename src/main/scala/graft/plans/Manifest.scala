@@ -30,6 +30,15 @@ object Manifest {
       }
     }.toOption.flatten
 
+  /** Path of the acquisition.json expected one directory above
+    * `inputSource` (`imaris_job.py:362-367`). None when the input has no
+    * parent (filesystem or bucket root) — naive string surgery on such
+    * inputs used to yield `/acquisition.json`.
+    */
+  def parentManifestPath(inputSource: String): Option[String] =
+    Try(Option(new Path(inputSource).getParent)).toOption.flatten
+      .map(p => new Path(p, "acquisition.json").toString)
+
   /** Numeric triple version compare ("2.0.0" dispatch, `imaris_job.py:131-139`). */
   def versionAtLeast(v: String, major: Int): Boolean =
     Try(v.split("[.]")(0).toInt >= major).getOrElse(false)

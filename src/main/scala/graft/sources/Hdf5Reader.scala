@@ -410,7 +410,7 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
           val ndims = bb.get(3) & 0xff
           val encLen = bb.get(4) & 0xff
           bb.position(5)
-          val cd = Array.tabulate(ndims) { _ =>
+          val cdAll = Array.tabulate(ndims) { _ =>
             encLen match {
               case 1 => bb.get() & 0xff
               case 2 => bb.getShort() & 0xffff
@@ -418,6 +418,14 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
               case _ => bb.getLong().toInt
             }
           }
+          // libhdf5 encodes v4 chunk dimensionality as rank+1 with a
+          // trailing element-size pseudo-dimension, exactly like v3 (whose
+          // branch above drops it via ndims-1): a 3-D uint16 dataset
+          // carries ndims=4, dims [cz,cy,cx,2]. Verify and drop it.
+          require(cdAll.length >= 2 && cdAll.last == elemSize,
+            s"$absPath: v4 chunk dims ${cdAll.mkString("[", ",", "]")} must end " +
+              s"with the element size $elemSize (libhdf5 rank+1 encoding)")
+          val cd = cdAll.init
           val indexType = bb.get() & 0xff
           require(indexType == 1,
             s"$absPath: v4 chunk index type $indexType (Fixed/Extensible Array, v2 B-tree) " +
@@ -459,12 +467,18 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
       case SingleChunk(addr, storedLen, chunkDims) =>
         require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        require(storedLen <= Int.MaxValue,
+          s"$absPath: single-chunk dataset of $storedLen bytes is too large " +
+            "for a single-buffer read (2 GiB limit)")
         val index =
           if (addr == Undef) Map.empty[(Long, Long, Long), (Long, Int)]
           else Map((0L, 0L, 0L) -> (addr, storedLen.toInt))
         Dataset(dims, chunkDims, elemSize, signed, filters, index)
       case Contiguous(addr, size) =>
         require(filters.isEmpty, s"$absPath: contiguous layout cannot carry filters")
+        require(size <= Int.MaxValue,
+          s"$absPath: contiguous dataset of $size bytes is too large " +
+            "for a single-buffer read (2 GiB limit)")
         val chunkDims = dims.map(_.toInt)
         val index =
           if (addr == Undef) Map.empty[(Long, Long, Long), (Long, Int)] // unallocated → fill
@@ -562,6 +576,10 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
           while (e < nElems) { out(e * es + j) = data(j * nElems + e); e += 1 }
           j += 1
         }
+        // libhdf5 copies a non-multiple-of-es tail verbatim; without this
+        // the reused scratch would expose stale bytes from a prior chunk
+        if (nElems * es < len)
+          System.arraycopy(data, nElems * es, out, nElems * es, len - nElems * es)
         data = out // len unchanged
       case 32004 => // HDF5-lz4: u64BE total, u32BE blockSize, blocks of u32BE len + payload
         val bb = ByteBuffer.wrap(data, 0, len).order(ByteOrder.BIG_ENDIAN)

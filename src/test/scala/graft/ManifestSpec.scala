@@ -26,6 +26,18 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.tileTranslationUm(m, "no_such.ims").isEmpty)
   }
 
+  test("manifest path derivation: parent dir, scheme-aware, None at roots") {
+    assert(Manifest.parentManifestPath("/data/tiles")
+      .contains("/data/acquisition.json"))
+    assert(Manifest.parentManifestPath("/data").contains("/acquisition.json"))
+    assert(Manifest.parentManifestPath("s3a://bucket/dir")
+      .contains("s3a://bucket/acquisition.json"))
+    // a root input has no parent directory — no manifest lookup (the old
+    // string surgery turned these into a bogus "/acquisition.json")
+    assert(Manifest.parentManifestPath("/").isEmpty)
+    assert(Manifest.parentManifestPath("s3a://bucket/").isEmpty)
+  }
+
   test("corrupt and missing manifests degrade to None (S12 tolerant read)") {
     assert(Manifest.readJson(conf, s"$dir/acquisition_corrupt.json").isEmpty)
     assert(Manifest.readJson(conf, s"$dir/nope.json").isEmpty)

@@ -161,8 +161,12 @@ class WriterLatest:
         self.f.pad()
         daddr = self.f.w(enc)
         dims = data.shape
-        lay = struct.pack("<BBBBB", 4, 2, 0x02, 3, 4)  # v4, chunked, filtered-single, 3 dims, 4-byte enc
-        lay += b"".join(struct.pack("<I", d) for d in dims)
+        # libhdf5 encodes chunk dimensionality as rank+1 with a trailing
+        # element-size pseudo-dimension (H5D__chunk_construct), so a 3-D
+        # uint16 dataset writes ndims=4, chunk dims [cz,cy,cx,2]
+        chunk_dims = dims + (data.dtype.itemsize,)
+        lay = struct.pack("<BBBBB", 4, 2, 0x02, len(chunk_dims), 4)  # v4, chunked, filtered-single, rank+1 dims, 4-byte enc
+        lay += b"".join(struct.pack("<I", d) for d in chunk_dims)
         lay += struct.pack("<B", 1)                    # index: Single Chunk
         lay += struct.pack("<QI", len(enc), 0)         # filtered size + mask
         lay += struct.pack("<Q", daddr)
