@@ -99,24 +99,26 @@ object ImsToZarrJob {
       .flatMap(p => Manifest.readJson(hconf, p))
     val voxelOverride = manifest.flatMap(Manifest.voxelResolution)
 
-    var totalBytes = 0L
-    for (stack <- stacks) {
-      val tileName = stack.split('/').last
-      val originOverride = manifest.flatMap(m => Manifest.tileTranslationUm(m, tileName))
-      val stats = ImarisToZarr.convert(
-        spark, stack, a.outputDirectory,
-        ImarisToZarr.Settings(
-          shard = a.shardSize, chunk = a.chunkSize, zstdLevel = a.zstdLevel,
-          translatePyramid = a.translateImarisPyramid, computeLevels = a.downsampleLevels,
-          downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
-          partitionMode = a.partitionMode, codecName = a.codec,
-          voxelSizeOverrideUm = voxelOverride,
-          originOverrideUm = originOverride))
-      val bytes = stats.map(_.bytesWritten).sum
-      totalBytes += bytes
-      println(s"[ims-to-zarr] $tileName: ${stats.length} shards, $bytes bytes, " +
-        s"levels ${stats.map(_.level).distinct.sorted.mkString(",")}")
+    // ONE global pooled task list over all files (reference
+    // `_build_global_shard_task_list`) — per-file settings differ only in
+    // the manifest origin override
+    val settingsFor = (stack: String) => ImarisToZarr.Settings(
+      shard = a.shardSize, chunk = a.chunkSize, zstdLevel = a.zstdLevel,
+      translatePyramid = a.translateImarisPyramid, computeLevels = a.downsampleLevels,
+      downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
+      partitionMode = a.partitionMode, codecName = a.codec,
+      voxelSizeOverrideUm = voxelOverride,
+      originOverrideUm = manifest.flatMap(m =>
+        Manifest.tileTranslationUm(m, stack.split('/').last)))
+    val progress = ImarisToZarr.Progress.init(spark)
+    val stats = ImarisToZarr.convertAll(
+      spark, stacks, a.outputDirectory, settingsFor, Some(progress))
+    stats.groupBy(_.file).toSeq.sortBy(_._1).foreach { case (file, st) =>
+      println(s"[ims-to-zarr] ${file.split('/').last}: ${st.length} shards, " +
+        s"${st.map(_.bytesWritten).sum} bytes, " +
+        s"levels ${st.map(_.level).distinct.sorted.mkString(",")}")
     }
+    val totalBytes = stats.map(_.bytesWritten).sum
     // reference W10: optional post-conversion sync of the local store to S3
     a.s3Location.foreach { dst =>
       println(s"[ims-to-zarr] syncing ${a.outputDirectory} -> $dst")

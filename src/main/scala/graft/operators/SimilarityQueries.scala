@@ -271,10 +271,20 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           explode(expr(s"$fnFinal(v, $nprobe)")).as("cell"))
       // search only the probed cells; queries are tiny and broadcast
+      val wCell = Window.partitionBy(col("query_id"), col("cell"))
+        .orderBy(col("score").desc, col("vec_id"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
       assigned.join(broadcast(qProbe), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score", round(expr(cosExpr), 4))
+        // exact per-cell top-k pushdown: each corpus vector lives in ONE
+        // cell, so a query's global top-5 is contained in its per-cell
+        // top-5s; the per-query window then sees ≤ 5·nprobe rows instead
+        // of the whole probed ~25% of the corpus. Same (score, vec_id)
+        // total order in both windows keeps the result bit-identical.
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= 5)
+        .drop("cell_rank")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))

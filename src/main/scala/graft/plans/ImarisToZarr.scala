@@ -61,6 +61,33 @@ object ImarisToZarr {
   final case class ShardStats(
       file: String, level: Int, key: String, bytesWritten: Long, voxels: Long)
 
+  /** Live progress accounting (reference A5 live path,
+    * `imaris_to_zarr.py:1872-1882`): executor tasks add to these
+    * accumulators as each shard lands; the driver logs a progress line
+    * as completions stream in (see [[convertAll]]). Totals equal the
+    * post-action stats by construction — the spec asserts it.
+    */
+  final case class Progress(
+      shards: org.apache.spark.util.LongAccumulator,
+      bytes: org.apache.spark.util.LongAccumulator)
+  object Progress {
+    def init(spark: SparkSession): Progress = Progress(
+      spark.sparkContext.longAccumulator("graft.shards.written"),
+      spark.sparkContext.longAccumulator("graft.bytes.written"))
+  }
+
+  /** Per-(source, level) write parameters an executor task resolves from
+    * its ShardTask key — the pooled-wave analog of the per-level closure
+    * captures in the old per-file loop.
+    */
+  private final case class TaskIo(
+      origFile: String, store: String, chunk: Shape3, shard: Shape3,
+      zstdLevel: Int, codec: String,
+      // compute-wave extras (downsample source geometry)
+      srcShape: Shape3 = Shape3(0, 0, 0), srcChunk: Shape3 = Shape3(0, 0, 0),
+      srcShard: Shape3 = Shape3(0, 0, 0), factor: Shape3 = Shape3(1, 1, 1),
+      mode: String = "mean")
+
   /** Deterministic discovery: recursive *.ims listing, *.h5 fallback,
     * lexicographic order, optional first-only (reference S1–S3,
     * `imaris_job.py:48-112`).
@@ -85,133 +112,223 @@ object ImarisToZarr {
   }
 
   /** Convert one Imaris file to `<outDir>/<stem>.ome.zarr`. Returns the
-    * per-shard stats Dataset (already computed; caller may aggregate).
+    * per-shard stats (already computed; caller may aggregate).
     */
   def convert(spark: SparkSession, imsPath: String, outDir: String,
-              settings: Settings = Settings()): Seq[ShardStats] = {
-    val stem = imsPath.split('/').last.stripSuffix(".ims").stripSuffix(".h5")
-    val store = s"$outDir/$stem.ome.zarr"
+              settings: Settings = Settings()): Seq[ShardStats] =
+    convertAll(spark, Seq(imsPath), outDir, _ => settings)
+
+  /** Convert MANY Imaris files with a GLOBAL pooled task list (reference
+    * `_build_global_shard_task_list`, `imaris_job.py:535-556`): all
+    * (file, level) read-from-IMS tasks across every input run as ONE
+    * Spark job, so the cluster never idles in a small file's per-level
+    * tail while other files still have work. Computed pyramid levels run
+    * as one pooled job per LEVEL (the l−1 → l barrier is inherent), again
+    * across all files at once.
+    *
+    * At 100 TB / 1000 executors this is the difference between ~n_files ×
+    * n_levels tiny jobs (each with its own straggler tail) and
+    * 1 + (levels−1) jobs whose ~400k pooled tasks bin-pack the cluster.
+    */
+  def convertAll(spark: SparkSession, imsPaths: Seq[String], outDir: String,
+                 settingsFor: String => Settings,
+                 progress: Option[Progress] = None): Seq[ShardStats] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val meta = Imaris.readMeta(imsPath, hconf)
     val serConf = new SerializableConfiguration(hconf)
 
-    val nLevels =
-      if (settings.translatePyramid) meta.numLevels else settings.computeLevels
-    val factors: Seq[Shape3] =
-      if (settings.translatePyramid) Geometry.stepFactors(meta.storedShapes)
-      else Seq.fill(settings.computeLevels - 1)(settings.scaleFactor)
-    val trueShapes: Seq[Shape3] =
-      if (settings.translatePyramid) meta.trueShapes
-      else factors.scanLeft(meta.trueShape0.shape)(Geometry.downsampledShape)
-
-    // ---- driver-side store init (W7→driver, W9, X9) ----
-    val perLevelSpecs = trueShapes.map { ts =>
-      if (settings.partitionMode == "file") {
-        // whole-file mode: a single shard spanning the chunk-aligned
-        // cover of the level ⇒ exactly one write task per (file, level)
-        val (c, _) = Geometry.clampSpec(ts, settings.chunk, settings.shard)
-        (c, Shape3(
-          Geometry.ceilDiv(ts.z, c.z) * c.z,
-          Geometry.ceilDiv(ts.y, c.y) * c.y,
-          Geometry.ceilDiv(ts.x, c.x) * c.x))
-      } else Geometry.clampSpec(ts, settings.chunk, settings.shard)
-    }
-    trueShapes.zipWithIndex.foreach { case (ts, l) =>
-      val (chunk, shard) = perLevelSpecs(l)
-      val metaJson = ZarrV3.arrayMetadata(
-        Seq(1L, 1L, ts.z, ts.y, ts.x),
-        Seq(1L, 1L, shard.z, shard.y, shard.x),
-        Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
-        settings.zstdLevel, settings.codecName)
-      ZarrV3.writeString(hconf, s"$store/$l/zarr.json", metaJson.render)
-    }
-    val repFactor = Geometry.representativeFactor(
-      if (settings.translatePyramid) meta.storedShapes else trueShapes)
-    ZarrV3.writeString(hconf, s"$store/zarr.json",
-      OmeNgff.rootMetadata(
-        stem, nLevels,
-        (repFactor.z, repFactor.y, repFactor.x),
-        settings.voxelSizeOverrideUm.getOrElse(meta.voxelSizeUm),
-        Some(settings.originOverrideUm.getOrElse(meta.originUm))).render)
-
-    // ---- level 0 (+ translated levels): read IMS, write shards ----
-    import spark.implicits._
-    val readLevels = if (settings.translatePyramid) 0 until nLevels else Seq(0)
-    val zstdLevel = settings.zstdLevel
-    val codecName = settings.codecName
-    val allStats = scala.collection.mutable.ArrayBuffer.empty[ShardStats]
-
-    for (level <- readLevels) {
-      val ts = trueShapes(level)
-      val (chunkL, shardL) = perLevelSpecs(level)
-      val tasks = Geometry.shardTasks(imsPath, level, TrueShape(ts), shardL)
-      val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
-      // parallelize slices the task list directly — repartition() would
-      // add the conversion path's ONLY shuffle for nothing (and local-mode
-      // shuffle RPC stalls for minutes under gVisor on multi-GB runs)
-      val taskDs: Dataset[ShardTask] =
-        spark.createDataset(spark.sparkContext.parallelize(tasks, parallelism))
-      val stats = taskDs.mapPartitions { it =>
-        // one reader per (partition, file): the reference holds one HDF5
-        // handle per worker-file (D5, `imaris_job.py:601-609`); the chunk
-        // index is cached per (file, level) — re-walking the B-tree per
-        // task would multiply metadata I/O by the task count
-        val readers = scala.collection.mutable.Map.empty[String, Hdf5Reader]
-        val datasets = scala.collection.mutable.Map.empty[(String, Int), Hdf5Reader.Dataset]
-        // close on task completion, not iterator exhaustion — a failure
-        // mid-partition would otherwise leak the open input streams
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => readers.values.foreach(_.close())))
-        it.map { t =>
-          val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
-          val ds = datasets.getOrElseUpdate((t.file, t.level),
-            r.openDataset(Imaris.dataPath(t.level)))
-          val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
-          val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-          val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
-          // streaming encode+write: peak task state is the voxel region +
-          // one chunk, not an extra fully-assembled shard buffer — wide
-          // executors stay far from the GC wall
-          val written = ZarrV3.writeShard(serConf.value, s"$store/${t.level}/$key",
-            data, dataShape, shardL, chunkL, zstdLevel, codecName)
-          ShardStats(t.file, t.level, key, written, dataShape.voxels)
-        }
-      }.collect()
-      allStats ++= stats
-    }
-
-    // ---- computed pyramid levels: block-local downsample from level l-1 ----
-    if (!settings.translatePyramid && settings.computeLevels > 1) {
-      for (level <- 1 until settings.computeLevels) {
-        val src = trueShapes(level - 1)
-        val dst = trueShapes(level)
-        val f = settings.scaleFactor
-        val (chunkL, shardL) = perLevelSpecs(level)
-        val (srcChunk, srcShard) = perLevelSpecs(level - 1)
-        val tasks = Geometry.shardTasks(s"$store/${level - 1}", level, TrueShape(dst), shardL)
-        val mode = settings.downsampleMode
-        val taskDs = spark.createDataset(spark.sparkContext.parallelize(
-          tasks, math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))))
-        val stats = taskDs.map { t =>
-          // read the ×factor source region from level l-1's shards
-          val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
-          val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
-          val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
-          val srcData = ZarrRegion.read(
-            serConf.value, t.file, src, srcShard, srcChunk,
-            sz0, sz1, sy0, sy1, sx0, sx1)
-          val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-          val reduced = Downsample.reduce(
-            srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, mode)
-          val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
-          val written = ZarrV3.writeShard(serConf.value, s"$store/$level/$key",
-            reduced, dataShape, shardL, chunkL, zstdLevel, codecName)
-          ShardStats(t.file, level, key, written, dataShape.voxels)
-        }.collect()
-        allStats ++= stats
+    // ---- driver-side planning + store init, metadata-only (W7→driver, W9, X9) ----
+    final case class FilePlan(file: String, settings: Settings, store: String,
+                              trueShapes: Seq[Shape3], specs: Seq[(Shape3, Shape3)])
+    val plans = imsPaths.map { imsPath =>
+      val settings = settingsFor(imsPath)
+      val stem = imsPath.split('/').last.stripSuffix(".ims").stripSuffix(".h5")
+      val store = s"$outDir/$stem.ome.zarr"
+      val meta = Imaris.readMeta(imsPath, hconf)
+      val nLevels =
+        if (settings.translatePyramid) meta.numLevels else settings.computeLevels
+      val factors: Seq[Shape3] =
+        if (settings.translatePyramid) Geometry.stepFactors(meta.storedShapes)
+        else Seq.fill(settings.computeLevels - 1)(settings.scaleFactor)
+      val trueShapes: Seq[Shape3] =
+        if (settings.translatePyramid) meta.trueShapes
+        else factors.scanLeft(meta.trueShape0.shape)(Geometry.downsampledShape)
+      val perLevelSpecs = trueShapes.map { ts =>
+        if (settings.partitionMode == "file") {
+          // whole-file mode: a single shard spanning the chunk-aligned
+          // cover of the level ⇒ exactly one write task per (file, level)
+          val (c, _) = Geometry.clampSpec(ts, settings.chunk, settings.shard)
+          (c, Shape3(
+            Geometry.ceilDiv(ts.z, c.z) * c.z,
+            Geometry.ceilDiv(ts.y, c.y) * c.y,
+            Geometry.ceilDiv(ts.x, c.x) * c.x))
+        } else Geometry.clampSpec(ts, settings.chunk, settings.shard)
       }
+      trueShapes.zipWithIndex.foreach { case (ts, l) =>
+        val (chunk, shard) = perLevelSpecs(l)
+        val metaJson = ZarrV3.arrayMetadata(
+          Seq(1L, 1L, ts.z, ts.y, ts.x),
+          Seq(1L, 1L, shard.z, shard.y, shard.x),
+          Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
+          settings.zstdLevel, settings.codecName)
+        ZarrV3.writeString(hconf, s"$store/$l/zarr.json", metaJson.render)
+      }
+      val repFactor = Geometry.representativeFactor(
+        if (settings.translatePyramid) meta.storedShapes else trueShapes)
+      ZarrV3.writeString(hconf, s"$store/zarr.json",
+        OmeNgff.rootMetadata(
+          stem, nLevels,
+          (repFactor.z, repFactor.y, repFactor.x),
+          settings.voxelSizeOverrideUm.getOrElse(meta.voxelSizeUm),
+          Some(settings.originOverrideUm.getOrElse(meta.originUm))).render)
+      FilePlan(imsPath, settings, store, trueShapes, perLevelSpecs)
     }
-    allStats.toSeq
+
+    // ---- global task lists, planned up front (pure geometry) ----
+    // wave A: every (file, level) that reads from IMS, pooled
+    val readIo: Map[(String, Int), TaskIo] = plans.flatMap { p =>
+      val readLevels =
+        if (p.settings.translatePyramid) p.trueShapes.indices else Seq(0)
+      readLevels.map { l =>
+        val (chunkL, shardL) = p.specs(l)
+        (p.file, l) -> TaskIo(p.file, p.store, chunkL, shardL,
+          p.settings.zstdLevel, p.settings.codecName)
+      }
+    }.toMap
+    val readTasks: Seq[ShardTask] = plans.flatMap { p =>
+      val readLevels =
+        if (p.settings.translatePyramid) p.trueShapes.indices else Seq(0)
+      readLevels.flatMap(l =>
+        Geometry.shardTasks(p.file, l, TrueShape(p.trueShapes(l)), p.specs(l)._2))
+    }
+    // waves B..: one per computed pyramid level, pooled across files;
+    // tasks are keyed by their SOURCE level directory (unique per store)
+    val maxCompute = (1 +: plans.map(p =>
+      if (p.settings.translatePyramid) 1 else p.settings.computeLevels)).max
+    val computeWaves: Seq[(Seq[ShardTask], Map[(String, Int), TaskIo])] =
+      (1 until maxCompute).map { level =>
+        val wave = plans.filter(p =>
+          !p.settings.translatePyramid && level < p.settings.computeLevels)
+        val io = wave.map { p =>
+          val (chunkL, shardL) = p.specs(level)
+          val (srcChunk, srcShard) = p.specs(level - 1)
+          (s"${p.store}/${level - 1}", level) -> TaskIo(
+            p.file, p.store, chunkL, shardL,
+            p.settings.zstdLevel, p.settings.codecName,
+            srcShape = p.trueShapes(level - 1), srcChunk = srcChunk,
+            srcShard = srcShard, factor = p.settings.scaleFactor,
+            mode = p.settings.downsampleMode)
+        }.toMap
+        val tasks = wave.flatMap(p => Geometry.shardTasks(
+          s"${p.store}/${level - 1}", level,
+          TrueShape(p.trueShapes(level)), p.specs(level)._2))
+        (tasks, io)
+      }
+
+    // ---- live progress: log as shard completions stream in (A5) ----
+    val totalTasks = readTasks.size + computeWaves.map(_._1.size).sum
+    val listener = progress.map { p =>
+      val logEvery = math.max(1L, totalTasks / 10L)
+      val lastLogged = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val done = p.shards.value
+          if (done / logEvery > lastLogged.getAndSet(done) / logEvery)
+            println(s"[ims-to-zarr] progress: $done/$totalTasks shards, " +
+              s"${p.bytes.value} bytes")
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
+
+    try {
+      val allStats = scala.collection.mutable.ArrayBuffer.empty[ShardStats]
+      allStats ++= runReadWave(spark, readTasks, readIo, serConf, progress)
+      for ((tasks, io) <- computeWaves)
+        allStats ++= runComputeWave(spark, tasks, io, serConf, progress)
+      allStats.toSeq
+    } finally listener.foreach(spark.sparkContext.removeSparkListener)
+  }
+
+  /** One pooled Spark job over every read-from-IMS task (all files, all
+    * translated levels).
+    */
+  private def runReadWave(
+      spark: SparkSession, tasks: Seq[ShardTask], io: Map[(String, Int), TaskIo],
+      serConf: SerializableConfiguration,
+      progress: Option[Progress]): Seq[ShardStats] = {
+    if (tasks.isEmpty) return Seq.empty
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    // parallelize slices the task list directly — repartition() would
+    // add the conversion path's ONLY shuffle for nothing (and local-mode
+    // shuffle RPC stalls for minutes under gVisor on multi-GB runs).
+    // flatMap order groups a file's tasks contiguously, so most
+    // partitions touch few files and the per-partition reader cache hits.
+    val taskDs: Dataset[ShardTask] =
+      spark.createDataset(spark.sparkContext.parallelize(tasks, parallelism))
+    taskDs.mapPartitions { it =>
+      // one reader per (partition, file): the reference holds one HDF5
+      // handle per worker-file (D5, `imaris_job.py:601-609`); the chunk
+      // index is cached per (file, level) — re-walking the B-tree per
+      // task would multiply metadata I/O by the task count
+      val readers = scala.collection.mutable.Map.empty[String, Hdf5Reader]
+      val datasets = scala.collection.mutable.Map.empty[(String, Int), Hdf5Reader.Dataset]
+      // close on task completion, not iterator exhaustion — a failure
+      // mid-partition would otherwise leak the open input streams
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => readers.values.foreach(_.close())))
+      it.map { t =>
+        val spec = io((t.file, t.level))
+        val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
+        val ds = datasets.getOrElseUpdate((t.file, t.level),
+          r.openDataset(Imaris.dataPath(t.level)))
+        val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
+        val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
+        val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+        // streaming encode+write: peak task state is the voxel region +
+        // one chunk, not an extra fully-assembled shard buffer — wide
+        // executors stay far from the GC wall
+        val written = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$key",
+          data, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+        progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
+        ShardStats(t.file, t.level, key, written, dataShape.voxels)
+      }
+    }.collect().toSeq
+  }
+
+  /** One pooled Spark job downsampling level l−1 → l across all files. */
+  private def runComputeWave(
+      spark: SparkSession, tasks: Seq[ShardTask], io: Map[(String, Int), TaskIo],
+      serConf: SerializableConfiguration,
+      progress: Option[Progress]): Seq[ShardStats] = {
+    if (tasks.isEmpty) return Seq.empty
+    import spark.implicits._
+    val taskDs = spark.createDataset(spark.sparkContext.parallelize(
+      tasks, math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))))
+    taskDs.map { t =>
+      val spec = io((t.file, t.level))
+      val f = spec.factor
+      val src = spec.srcShape
+      // read the ×factor source region from level l-1's shards
+      val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
+      val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
+      val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
+      val srcData = ZarrRegion.read(
+        serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
+        sz0, sz1, sy0, sy1, sx0, sx1)
+      val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
+      val reduced = Downsample.reduce(
+        srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode)
+      val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+      val written = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$key",
+        reduced, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+      progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
+      // stats are keyed by the ORIGINAL ims path (not the source level
+      // dir) so callers can aggregate per input file across waves
+      ShardStats(spec.origFile, t.level, key, written, dataShape.voxels)
+    }.collect().toSeq
   }
 }
 

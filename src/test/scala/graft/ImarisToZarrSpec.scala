@@ -178,6 +178,68 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d((z * 128 + y) * 128 + x) == v(z, y, x, 0))
   }
 
+  test("convertAll pools files into one job per level-wave; progress totals match") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val out = Files.createTempDirectory("zarrpool").toString
+    val files = Seq("ims_64.ims", "ims_sbv1.ims", "ims_pyramid.ims")
+      .map(f => s"${Fixtures.dir}/$f")
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val progress = ImarisToZarr.Progress.init(spark)
+      // translate mode: ALL (file, level) tasks — 3 files, 1/1/3 levels —
+      // must run as ONE pooled Spark job
+      val stats = ImarisToZarr.convertAll(
+        spark, files, out,
+        _ => ImarisToZarr.Settings(
+          shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+          translatePyramid = true),
+        Some(progress))
+      // sentinel job flushes the listener bus deterministically
+      spark.sparkContext.parallelize(1 to 1, 1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() == 2, "expected exactly 1 pooled job + 1 sentinel")
+
+      // per-file stats identical to three single-file runs
+      val byFile = stats.groupBy(_.file.split('/').last)
+      assert(byFile("ims_64.ims").length == 8)
+      assert(byFile("ims_sbv1.ims").length == 8)
+      assert(byFile("ims_pyramid.ims").map(_.level).distinct.sorted == Seq(0, 1, 2))
+      assert(byFile("ims_64.ims").map(_.voxels).sum == 64L * 64 * 64)
+      // voxel-exact spot check on one pooled output
+      val d = ZarrRegion.read(conf, s"$out/ims_sbv1.ome.zarr/0",
+        Shape3(64, 64, 64), Shape3(32, 32, 32), Shape3(16, 16, 16),
+        0, 64, 0, 64, 0, 64)
+      for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+        assert(d((z * 64 + y) * 64 + x) == v(z, y, x))
+      // A5 live accounting: accumulator totals == stats totals
+      assert(progress.shards.value == stats.length.toLong)
+      assert(progress.bytes.value == stats.map(_.bytesWritten).sum)
+
+      // computed-pyramid waves: 2 files × 2 levels ⇒ exactly 2 more jobs
+      // (one read wave + one downsample wave), pooled across both files
+      val out2 = Files.createTempDirectory("zarrpool2").toString
+      val before = jobs.get()
+      val stats2 = ImarisToZarr.convertAll(
+        spark, Seq(s"${Fixtures.dir}/ims_64.ims", s"${Fixtures.dir}/ims_sbv1.ims"), out2,
+        _ => ImarisToZarr.Settings(
+          shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+          translatePyramid = false, computeLevels = 2),
+        None)
+      spark.sparkContext.parallelize(1 to 1, 1).count()
+      val deadline2 = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < before + 3 && System.nanoTime() < deadline2) Thread.sleep(50)
+      assert(jobs.get() == before + 3, "expected 2 pooled level-waves + 1 sentinel")
+      assert(stats2.groupBy(_.file).forall(_._2.map(_.level).distinct.sorted == Seq(0, 1)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("discover: deterministic order and single-tile mode (S1-S3)") {
     val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
     assert(files.map(_.split('/').last) ==
