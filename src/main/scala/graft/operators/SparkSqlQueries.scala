@@ -1,0 +1,604 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The full query surface as Spark-dialect SQL TEXT (SURVEY §7.1 M1:
+  * "DataFrame programs and SQL strings").
+  *
+  * Every registered query except `q_c9_ann_ivf` has a SQL twin here that
+  * produces exactly the same rows as its DataFrame program —
+  * `SqlParitySpec` asserts `spark.sql(text)` ≡ plan output for all of
+  * them. q_c9 is excluded by construction: its coarse quantizer is
+  * trained by Lloyd iterations whose centroids are driver-side learned
+  * state; a SQL string has no construct that reproduces the same
+  * floating-point training sequence.
+  *
+  * The similarity queries use the library's REGISTERED Catalyst
+  * expressions (`cosine_similarity`, `hyperplane_sig`) — registered
+  * functions are part of the engine's SQL dialect, exactly like a
+  * built-in (call [[registerAll]] first).
+  *
+  * Dialect notes vs the DuckDB oracles in the QueryDefs: `string_split`
+  * → `split`, `list_*` → `array_*`, 1-based `[i]` → 0-based,
+  * `unnest(range(n))` → `explode(sequence(0, n-1))`, `epoch_us(ts)` →
+  * `ts DIV 1000` (events.ts is read as BIGINT nanos), `//` → `DIV`,
+  * bare float literals carry a `D` suffix where the DataFrame side uses
+  * doubles (Spark parses `1.0` as DECIMAL).
+  */
+object SparkSqlQueries {
+
+  /** Register the parquet tables as temp views + the library's SQL
+    * functions, making every string in [[sql]] runnable via `spark.sql`.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.HyperplaneSignature.register(spark)
+    graft.functions.IntersectCountSorted.register(spark)
+  }
+
+  /** Run one named query from [[sql]]. */
+  def run(spark: SparkSession, dir: String, name: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(sql(name))
+  }
+
+  // ---- shared fragments --------------------------------------------------
+
+  /** Spark twin of DedupQueries.rollingHash. */
+  private def rh(c: String): String =
+    s"aggregate(split($c, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"
+
+  private val shingleCtes =
+    """t AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  explode(array_distinct(transform(sequence(0, size(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+      |  FROM t WHERE size(toks) >= 3)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // ---- relational core -------------------------------------------------
+    "q_a1_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_a2_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_a3_join_inner" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_a4_join_broadcast" ->
+      """SELECT /*+ BROADCAST(supplier), BROADCAST(nation), BROADCAST(region) */ n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_a5_join_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count,
+        |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_a6_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_a6_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_a7_downsample" ->
+      """SELECT l_orderkey, CAST(l_linenumber DIV 2 AS BIGINT) AS ln_bucket,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_orderkey, CAST(l_linenumber DIV 2 AS BIGINT)
+        |ORDER BY l_orderkey, ln_bucket""".stripMargin,
+
+    "q_a8_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a8_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  approx_count_distinct(l_partkey) AS approx_parts,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a9_rollup" ->
+      """SELECT CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |       n_name, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY g_n, g_p, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_a10_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_a11_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_a12_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  LAG(o_orderdate) OVER w AS prev_date,
+        |  CAST(DATEDIFF(o_orderdate, LAG(o_orderdate) OVER w) AS BIGINT) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_a13_topk" ->
+      """SELECT l_partkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "q_a14_setops" ->
+      """WITH a AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nkey FROM supplier),
+        |     b AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nkey FROM customer)
+        |SELECT op, nkey FROM (
+        |  SELECT 'union' AS op, nkey FROM (SELECT nkey FROM a UNION SELECT nkey FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, nkey FROM (SELECT nkey FROM a INTERSECT SELECT nkey FROM b)
+        |  UNION ALL
+        |  SELECT 'except' AS op, nkey FROM (SELECT nkey FROM a EXCEPT SELECT nkey FROM b)
+        |)
+        |ORDER BY op, nkey""".stripMargin,
+
+    "q_a15_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE CAST(p_retailprice AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM part)
+        |      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,6))) FROM part)
+        |  AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_a16_case" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |       COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q_a17_string" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 5)) AS name_prefix,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  p_name LIKE '%wid%' AS is_widget,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  CAST(length(trim(p_name)) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_a18_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(DATEDIFF(o_orderdate, DATE '1995-01-01') AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_a19_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 1) AS DOUBLE) AS price_round,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(CAST(abs(l_extendedprice - l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS adiff,
+        |  CAST(CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_sqrt,
+        |  CAST(CAST(pow(l_discount, 2) AS DECIMAL(18,6)) AS DOUBLE) AS disc_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_a20_array" ->
+      """SELECT p_partkey,
+        |  element_at(split(p_name, ' '), 1) AS first_word,
+        |  CAST(size(split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  array_contains(split(p_name, ' '), 'widget') AS has_widget,
+        |  concat_ws('_', sort_array(split(p_name, ' '))) AS sorted_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_a20_json" ->
+      """SELECT event_id,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_a21_cube" ->
+      """SELECT CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |       o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_a22_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- event streams ---------------------------------------------------
+    "q_b1_tumbling_window" ->
+      """SELECT unix_micros(date_trunc('hour', timestamp_micros(ts DIV 1000))) AS window_start_us,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_b2_sliding_window" ->
+      """SELECT unix_micros(window.start) AS window_start_us,
+        |  COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        |FROM (SELECT timestamp_micros(ts DIV 1000) AS ets, value FROM events)
+        |GROUP BY window(ets, '1 hour', '15 minutes')
+        |ORDER BY window_start_us""".stripMargin,
+
+    "q_b3_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts DIV 1000 AS tsu,
+        |         lag(ts DIV 1000) OVER (PARTITION BY user_id ORDER BY ts DIV 1000, event_id) AS prev_tsu
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_tsu IS NULL
+        |                   OR tsu - prev_tsu > 1800000000 THEN 1L ELSE 0L END AS new_sess
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, tsu, event_id,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_b4_asof_join" ->
+      """SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.ts DIV 1000 AS ts_us, e.user_id,
+        |         o.o_orderkey AS last_orderkey,
+        |         o.o_orderdate AS last_orderdate,
+        |         o.o_totalprice AS last_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey
+        |    AND unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) <= e.ts DIV 1000
+        |)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_b9_interval_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(a.ts DIV 1000 - b.ts DIV 1000) <= 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- dedup -----------------------------------------------------------
+    "q_b5_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+
+    "q_b6_jaccard_neardup" ->
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id)
+         |SELECT doc_a, doc_b, shared, uni,
+         |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+         |FROM j WHERE shared * 10 >= uni * 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_c1_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |h AS (SELECT doc_id, ${rh("shingle")} AS th FROM sh),
+         |sig AS (SELECT doc_id,
+         |  MIN((487198041 * th + 259200101) % 1000000007) AS mh0,
+         |  MIN((741932517 * th + 373587883) % 1000000007) AS mh1,
+         |  MIN((268435399 * th + 608135813) % 1000000007) AS mh2,
+         |  MIN((104395303 * th + 36028797) % 1000000007) AS mh3,
+         |  MIN((655360001 * th + 177777773) % 1000000007) AS mh4,
+         |  MIN((920419813 * th + 51218317) % 1000000007) AS mh5
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_c2_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${rh("tok")} AS th FROM toks),
+         |hb AS (SELECT doc_id, th, explode(sequence(0, 15)) AS k FROM h),
+         |bits AS (
+         |  SELECT doc_id, k,
+         |         SUM(CASE WHEN (th >> CAST(k AS INT)) & 1 = 1 THEN 1L ELSE -1L END) AS s
+         |  FROM hb GROUP BY doc_id, k)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0L END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_c3_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    explode(array_distinct(transform(sequence(1, length(text) - 4),
+        |      i -> substr(text, i, 5)))) AS gram
+        |  FROM documents WHERE length(text) >= 5),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM g a JOIN g b
+        |    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b, shared, ca.n_g + cb.n_g - shared AS uni
+        |  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |SELECT doc_a, doc_b, shared, uni
+        |FROM j WHERE shared * 10 >= uni * 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ---- similarity (registered Catalyst expressions in SQL) -------------
+    "q_b7_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(q) */ query_id, vec_id,
+        |    round(CAST(cosine_similarity(v, qv) AS DECIMAL(18,6)), 4) AS score
+        |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, CAST(score AS DOUBLE) AS score
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_c4_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, label, hyperplane_sig(v, 64, 42L) AS sig FROM e),
+        |bands AS (
+        |  SELECT vec_id, label, bk.band AS band, bk.key AS key FROM (
+        |    SELECT vec_id, label,
+        |      explode(transform(sequence(0, 15),
+        |        b -> struct(b AS band, shiftright(sig, b * 4) & 15 AS key))) AS bk
+        |    FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.label = b.label AND a.band = b.band AND a.key = b.key
+        |    AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    round(CAST(cosine_similarity(av.v, bv.qv) AS DECIMAL(18,6)), 4) AS cos_sim
+        |  FROM cand
+        |  JOIN (SELECT vec_id AS vec_a, v FROM e) av USING (vec_a)
+        |  JOIN (SELECT vec_id AS vec_b, v AS qv FROM e) bv USING (vec_b))
+        |SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
+        |FROM scored WHERE cos_sim >= 0.90
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_c4b_embedding_neardup_planted" ->
+      """WITH base AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000L AS vec_id, label,
+        |    transform(v, x -> x + 0.1D * x * x) AS v
+        |  FROM base),
+        |sig AS (SELECT vec_id, label, hyperplane_sig(v, 64, 42L) AS sig FROM e),
+        |bands AS (
+        |  SELECT vec_id, label, bk.band AS band, bk.key AS key FROM (
+        |    SELECT vec_id, label,
+        |      explode(transform(sequence(0, 15),
+        |        b -> struct(b AS band, shiftright(sig, b * 4) & 15 AS key))) AS bk
+        |    FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.label = b.label AND a.band = b.band AND a.key = b.key
+        |    AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    round(CAST(cosine_similarity(av.v, bv.qv) AS DECIMAL(18,6)), 4) AS cos_sim
+        |  FROM cand
+        |  JOIN (SELECT vec_id AS vec_a, v FROM e) av USING (vec_a)
+        |  JOIN (SELECT vec_id AS vec_b, v AS qv FROM e) bv USING (vec_b))
+        |SELECT vec_a, vec_b, CAST(cos_sim AS DOUBLE) AS cos_sim
+        |FROM scored WHERE cos_sim >= 0.90
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // ---- text ------------------------------------------------------------
+    "q_b8_percentiles" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(CAST(percentile(n_chars, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+        |  CAST(CAST(percentile(n_chars, 0.50) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+        |  CAST(CAST(percentile(n_chars, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_c5_langid" ->
+      """WITH t AS (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(size(array_intersect(toks, array('der', 'die', 'und', 'das', 'von'))) AS BIGINT) AS score_de,
+        |  CAST(size(array_intersect(toks, array('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS score_en,
+        |  CAST(size(array_intersect(toks, array('el', 'de', 'la', 'que', 'en'))) AS BIGINT) AS score_es,
+        |  CAST(size(array_intersect(toks, array('le', 'de', 'la', 'et', 'les'))) AS BIGINT) AS score_fr,
+        |  CAST(size(array_intersect(toks, array('的', '是', '了', '在', '我'))) AS BIGINT) AS score_zh
+        |  FROM t),
+        |b AS (SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        |  reverse(array_sort(array(
+        |    struct(score_de AS s, 'de' AS l), struct(score_en AS s, 'en' AS l),
+        |    struct(score_es AS s, 'es' AS l), struct(score_fr AS s, 'fr' AS l),
+        |    struct(score_zh AS s, 'zh' AS l))))[0] AS top
+        |  FROM sc)
+        |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        |  CASE WHEN score_de + score_en + score_es + score_fr + score_zh = 0
+        |       THEN 'und' ELSE top.l END AS pred_lang
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_c6_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |    split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_chars_actual,
+        |    CAST(size(toks) AS BIGINT) AS n_tokens,
+        |    CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
+        |    CAST(size(array_intersect(toks, array('the', 'of', 'and', 'to', 'in', 'a', 'is'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars_actual, n_tokens, n_uniq, n_stop,
+        |  CAST(CAST(CAST(n_uniq AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS uniq_ratio,
+        |  CAST(CAST(CAST(n_chars_actual AS DECIMAL(18,6)) / CAST(n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_token_len,
+        |  (n_tokens >= 10 AND n_tokens <= 1000 AND n_uniq * 10 >= n_tokens * 3) AS passes_quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_c7_token_count" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS re_tokens,
+        |  CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_c8_fingerprint" ->
+      s"""SELECT doc_id, ${rh("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_c12_bm25" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(dfq), BROADCAST(stats) */ t.doc_id,
+        |    CAST(ln(1.0D + (s.n_docs - q.df + 0.5D) / (q.df + 0.5D))
+        |      * (t.tf * 2.2D) / (t.tf + 1.2D * (0.25D + 0.75D * d.dl / (s.tot / s.n_docs)))
+        |      AS DECIMAL(18,6)) AS tscore
+        |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+        |FROM scored GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // ---- multimodal ------------------------------------------------------
+    "q_c10_multimodal_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  COUNT(*) AS n_media,
+        |  CAST(SUM(length(encode(text, 'UTF-8'))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CAST(n_chars % 640 + 1 AS INT)) AS BIGINT) AS total_width
+        |FROM documents
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
+
+    // closed form of the media generators — parity vs the DataFrame plan's
+    // REAL javax.imageio / javax.sound.sampled decode is a second golden
+    // proof of the lossless codec round-trip
+    "q_c11_media_features" ->
+      """WITH img_d AS (
+        |  SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |img_x AS (SELECT doc_id, h, explode(sequence(0, w - 1)) AS x FROM img_d),
+        |img_xy AS (SELECT doc_id, x, explode(sequence(0, h - 1)) AS y FROM img_x),
+        |img AS (
+        |  SELECT doc_id AS media_id, 'image' AS kind,
+        |         COUNT(*) AS n_units,
+        |         CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+        |  FROM img_xy GROUP BY doc_id),
+        |aud_d AS (
+        |  SELECT doc_id, doc_id % 800 + 100 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |aud_i AS (SELECT doc_id, explode(sequence(0, n - 1)) AS i FROM aud_d),
+        |aud AS (
+        |  SELECT doc_id AS media_id, 'audio' AS kind,
+        |         COUNT(*) AS n_units,
+        |         CAST(SUM((doc_id * 7919 + i * 104729) % 65536 - 32768) AS BIGINT) AS value_sum
+        |  FROM aud_i GROUP BY doc_id),
+        |vid_d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS f
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vid_f AS (SELECT doc_id, f, explode(sequence(0, f - 1)) AS fr FROM vid_d),
+        |vid_fx AS (SELECT doc_id, f, fr, explode(sequence(0, 15)) AS x
+        |           FROM vid_f WHERE fr % 2 = 0),
+        |vid_fxy AS (SELECT doc_id, f, fr, x, explode(sequence(0, 11)) AS y FROM vid_fx),
+        |vid AS (
+        |  SELECT doc_id AS media_id, 'video' AS kind,
+        |         CAST(MAX(f) AS BIGINT) AS n_units,
+        |         CAST(SUM((doc_id * 31 + fr * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+        |  FROM vid_fxy GROUP BY doc_id)
+        |SELECT media_id, kind, n_units, value_sum FROM
+        |  (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+        |ORDER BY media_id""".stripMargin
+  )
+}
