@@ -18,13 +18,18 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
   *    header direct, as written under `libver='latest'`/SWMR);
   *  - v1 object headers (+ continuations) and v2 `OHDR` headers
   *    (+ `OCHK` continuation blocks, tracked-order variants);
-  *  - old-style symbol-table groups (local heap + B-tree v1 + SNOD)
-  *    and new-style compact groups (Link messages); DENSE groups
-  *    (fractal-heap links) fail loudly — libhdf5 only switches to
-  *    dense above 8 links/group and Imaris trees never do;
+  *  - old-style symbol-table groups (local heap + B-tree v1 + SNOD),
+  *    new-style compact groups (Link messages), and DENSE groups —
+  *    links in a fractal heap indexed by a type-5 v2 B-tree, which
+  *    libhdf5 uses above 8 links/group;
+  *  - DENSE attributes (fractal heap + type-8 v2 B-tree) — reachable
+  *    for real `libver='latest'` Imaris files, whose Image group
+  *    carries 10 attributes;
   *  - dataset layouts: chunked (B-tree v1 index; layout msg v3 and
-  *    v4 with Single-Chunk index), contiguous, and compact; v4
-  *    Fixed/Extensible-Array and v2-B-tree chunk indexes fail loudly;
+  *    v4 with Single-Chunk, Implicit, and Fixed-Array indexes),
+  *    contiguous, and compact; v4 Extensible-Array and v2-B-tree
+  *    chunk indexes fail loudly (libhdf5 only picks them for
+  *    unlimited-maxshape datasets, which Imaris never writes);
   *  - filters deflate(1) / shuffle(2) / lz4(32004);
   *  - byte-string attributes, message versions 1/2/3
   *    (`io_utils.py:462-466` decodes with `.tobytes()`).
@@ -196,16 +201,141 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         walkGroupBtree(btree, heapData, out)
         out.toMap
       case None =>
-        h.messages.find(_._1 == MsgLinkInfo).foreach { case (_, body) =>
+        // dense storage: >8 links move into a fractal heap indexed by a
+        // name v2 B-tree (libhdf5 H5G__dense_*); walk every B-tree record
+        // and fetch each link message from the heap
+        val dense = h.messages.find(_._1 == MsgLinkInfo).toSeq.flatMap { case (_, body) =>
           val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
           val flags = bb.get(1) & 0xff
           val fheapPos = 2 + (if ((flags & 1) != 0) 8 else 0)
           val fheap = bb.getLong(fheapPos)
-          require(fheap == Undef,
-            s"$path @$ohAddr: dense (fractal-heap) group links are outside the Imaris subset")
+          val nameBt = bb.getLong(fheapPos + 8)
+          if (fheap == Undef) Seq.empty
+          else {
+            val heap = fractalHeap(fheap)
+            // type-5 record: name hash (4) + 7-byte managed heap ID
+            denseBtreeRecords(nameBt, expectedType = 5)
+              .map(rec => heap(java.util.Arrays.copyOfRange(rec, 4, rec.length)))
+              .flatMap(linkBody => parseLink(ohAddr, linkBody))
+          }
         }
-        h.messages.collect { case (MsgLink, body) => parseLink(ohAddr, body) }
-          .collect { case Some(kv) => kv }.toMap
+        val compact = h.messages.collect { case (MsgLink, body) => parseLink(ohAddr, body) }
+          .collect { case Some(kv) => kv }
+        (compact ++ dense).toMap
+    }
+  }
+
+  // ---- fractal heap + v2 B-tree (dense links / dense attributes) ----------
+
+  /** Managed-object accessor over a fractal heap (spec III.G): returns
+    * heapId bytes → object bytes. Subset: managed objects only, direct
+    * root block or ONE level of indirect block (direct children only),
+    * no I/O filters on blocks — libhdf5's dense link/attribute heaps for
+    * any realistic group stay well inside this; anything else fails
+    * loudly.
+    */
+  private def fractalHeap(frhpAddr: Long): Array[Byte] => Array[Byte] = {
+    val hb = readAt(frhpAddr, 142)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, "ASCII") == "FRHP", s"$path @$frhpAddr: bad fractal heap")
+    val heapIdLen = hb.getShort(5) & 0xffff
+    val ioFilterLen = hb.getShort(7) & 0xffff
+    require(ioFilterLen == 0,
+      s"$path @$frhpAddr: filtered fractal-heap blocks are outside the subset")
+    val flags = hb.get(9) & 0xff
+    val tableWidth = hb.getShort(110) & 0xffff
+    val startBlockSize = hb.getLong(112)
+    val maxDirectSize = hb.getLong(120)
+    val maxHeapBits = hb.getShort(128) & 0xffff
+    val rootAddr = hb.getLong(132)
+    val curRows = hb.getShort(140) & 0xffff
+    val offsetSize = (maxHeapBits + 7) / 8
+    val lengthSize = heapIdLen - 1 - offsetSize
+    require(offsetSize >= 1 && offsetSize <= 8 && lengthSize >= 1 && lengthSize <= 8,
+      s"$path @$frhpAddr: implausible heap id layout (idLen=$heapIdLen, offBits=$maxHeapBits)")
+    // header flags: bit 1 = checksum direct blocks (checksum sits at the
+    // END of each block, so object offsets are unaffected); bit 0 =
+    // huge-ID wrap — both irrelevant for managed-object reads
+    val _ = flags
+
+    def leNum(bb: ByteBuffer, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v |= (bb.get() & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** heap-space offset of a direct block, from its own FHDB header. */
+    def directBlockOffset(addr: Long): Long = {
+      val db = readAt(addr, 13 + offsetSize)
+      val s = new Array[Byte](4); db.get(s)
+      require(new String(s, "ASCII") == "FHDB", s"$path @$addr: bad heap direct block")
+      db.position(13) // sig(4) ver(1) heapHdr(8)
+      leNum(db, offsetSize)
+    }
+
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+    val directBlocks: Seq[(Long, Long)] = // (heapOffset, fileAddr)
+      if (rootAddr == Undef) Seq.empty
+      else if (curRows == 0) Seq((directBlockOffset(rootAddr), rootAddr))
+      else {
+        require(curRows <= maxDirectRows,
+          s"$path @$frhpAddr: nested indirect heap blocks are outside the subset " +
+            s"($curRows rows > $maxDirectRows direct rows)")
+        val ib = readAt(rootAddr, 13 + offsetSize + curRows * tableWidth * 8)
+        val s = new Array[Byte](4); ib.get(s)
+        require(new String(s, "ASCII") == "FHIB", s"$path @$rootAddr: bad heap indirect block")
+        ib.position(13 + offsetSize)
+        (0 until curRows * tableWidth).map(_ => ib.getLong())
+          .filter(_ != Undef)
+          .map(a => (directBlockOffset(a), a))
+      }
+    val sorted = directBlocks.sortBy(_._1)
+
+    (heapId: Array[Byte]) => {
+      require(heapId.length == heapIdLen,
+        s"$path: heap id length ${heapId.length}, expected $heapIdLen")
+      val idType = (heapId(0) >> 4) & 0x3
+      require(idType == 0, s"$path: only MANAGED fractal-heap objects in subset (type $idType)")
+      val idb = ByteBuffer.wrap(heapId, 1, heapId.length - 1).order(ByteOrder.LITTLE_ENDIAN)
+      val off = leNum(idb, offsetSize)
+      val len = leNum(idb, lengthSize)
+      val block = sorted.takeWhile(_._1 <= off).lastOption.getOrElse(
+        sys.error(s"$path: heap offset $off outside any direct block"))
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(block._2 + (off - block._1), buf)
+      buf
+    }
+  }
+
+  /** All records of a version-2 B-tree (spec III.A.2). Subset: depth 0
+    * (root is the single leaf) — a dense link/attr index for even
+    * hundreds of entries fits one leaf node; deeper trees fail loudly.
+    */
+  private def denseBtreeRecords(btAddr: Long, expectedType: Int): Seq[Array[Byte]] = {
+    val hb = readAt(btAddr, 38)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, "ASCII") == "BTHD", s"$path @$btAddr: bad v2 btree header")
+    val btype = hb.get(5) & 0xff
+    require(btype == expectedType,
+      s"$path @$btAddr: v2 btree type $btype, expected $expectedType")
+    val recSize = hb.getShort(10) & 0xffff
+    val depth = hb.getShort(12) & 0xffff
+    require(depth == 0,
+      s"$path @$btAddr: multi-level v2 btrees are outside the subset (depth $depth)")
+    val rootAddr = hb.getLong(16)
+    val nRec = hb.getShort(24) & 0xffff
+    if (rootAddr == Undef || nRec == 0) return Seq.empty
+    val lb = readAt(rootAddr, 6 + nRec * recSize)
+    val ls = new Array[Byte](4); lb.get(ls)
+    require(new String(ls, "ASCII") == "BTLF", s"$path @$rootAddr: bad v2 btree leaf")
+    (0 until nRec).map { i =>
+      val rec = new Array[Byte](recSize)
+      lb.position(6 + i * recSize)
+      lb.get(rec)
+      rec
     }
   }
 
@@ -319,33 +449,57 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
 
   // ---- attributes ---------------------------------------------------------
 
+  private def parseAttrBody(body: Array[Byte]): (String, String) = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val version = bb.get(0) & 0xff
+    require(version >= 1 && version <= 3, s"unsupported attribute message version $version")
+    val nameSize = bb.getShort(2) & 0xffff
+    val dtSize = bb.getShort(4) & 0xffff
+    val dsSize = bb.getShort(6) & 0xffff
+    if (version >= 2) {
+      val flags = bb.get(1) & 0xff
+      require((flags & 0x03) == 0, "shared attribute datatype/dataspace unsupported")
+    }
+    // v1 pads name/datatype/dataspace to 8; v2/v3 pack them; v3 adds a
+    // name-encoding byte before the name
+    def pad(n: Int) = if (version == 1) (n + 7) / 8 * 8 else n
+    val nameStart = if (version == 3) 9 else 8
+    val name = new String(body, nameStart, nameSize, "ASCII").takeWhile(_ != 0)
+    val dataStart = nameStart + pad(nameSize) + pad(dtSize) + pad(dsSize)
+    val value = new String(body, dataStart, body.length - dataStart, "ASCII")
+      .takeWhile(_ != 0)
+    name -> value
+  }
+
   /** Byte-string attributes of an object, decoded to String (the Imaris
     * numeric-attrs-as-byte-strings quirk, `io_utils.py:462-466`).
+    * Dense storage (>8 attrs — REACHABLE for real Imaris `libver=latest`
+    * files, whose Image group carries 10 attrs) reads the attribute
+    * messages from the object's attribute fractal heap via the type-8
+    * name-index B-tree.
     */
   def attributes(absPath: String): Map[String, String] = {
     val oh = resolve(absPath).getOrElse(
       throw MissingDatasetError(s"$path: no object at $absPath"))
-    readObjectHeader(oh).messages.collect { case (MsgAttribute, body) =>
+    val h = readObjectHeader(oh)
+    val compact = h.messages.collect { case (MsgAttribute, body) => parseAttrBody(body) }
+    val dense = h.messages.find(_._1 == MsgAttrInfo).toSeq.flatMap { case (_, body) =>
       val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-      val version = bb.get(0) & 0xff
-      require(version >= 1 && version <= 3, s"unsupported attribute message version $version")
-      val nameSize = bb.getShort(2) & 0xffff
-      val dtSize = bb.getShort(4) & 0xffff
-      val dsSize = bb.getShort(6) & 0xffff
-      if (version >= 2) {
-        val flags = bb.get(1) & 0xff
-        require((flags & 0x03) == 0, "shared attribute datatype/dataspace unsupported")
+      val flags = bb.get(1) & 0xff
+      val fheapPos = 2 + (if ((flags & 1) != 0) 2 else 0)
+      val fheap = bb.getLong(fheapPos)
+      val nameBt = bb.getLong(fheapPos + 8)
+      if (fheap == Undef) Seq.empty
+      else {
+        val heap = fractalHeap(fheap)
+        // type-8 record: 8-byte managed heap ID + msg flags (1) +
+        // creation order (4) + name hash (4)
+        denseBtreeRecords(nameBt, expectedType = 8)
+          .map(rec => heap(java.util.Arrays.copyOfRange(rec, 0, 8)))
+          .map(parseAttrBody)
       }
-      // v1 pads name/datatype/dataspace to 8; v2/v3 pack them; v3 adds a
-      // name-encoding byte before the name
-      def pad(n: Int) = if (version == 1) (n + 7) / 8 * 8 else n
-      val nameStart = if (version == 3) 9 else 8
-      val name = new String(body, nameStart, nameSize, "ASCII").takeWhile(_ != 0)
-      val dataStart = nameStart + pad(nameSize) + pad(dtSize) + pad(dsSize)
-      val value = new String(body, dataStart, body.length - dataStart, "ASCII")
-        .takeWhile(_ != 0)
-      name -> value
-    }.toMap
+    }
+    (compact ++ dense).toMap
   }
 
   // ---- datasets -----------------------------------------------------------
@@ -382,6 +536,8 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     sealed trait LayoutInfo
     final case class ChunkedBtree(addr: Long, chunk: Array[Int]) extends LayoutInfo
     final case class SingleChunk(addr: Long, storedLen: Long, chunk: Array[Int]) extends LayoutInfo
+    final case class ChunkedImplicit(addr: Long, chunk: Array[Int]) extends LayoutInfo
+    final case class ChunkedFixedArray(addr: Long, chunk: Array[Int], pageBits: Int) extends LayoutInfo
     final case class Contiguous(addr: Long, size: Long) extends LayoutInfo
     final case class Compact(data: Array[Byte]) extends LayoutInfo
 
@@ -426,14 +582,21 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
             s"$absPath: v4 chunk dims ${cdAll.mkString("[", ",", "]")} must end " +
               s"with the element size $elemSize (libhdf5 rank+1 encoding)")
           val cd = cdAll.init
-          val indexType = bb.get() & 0xff
-          require(indexType == 1,
-            s"$absPath: v4 chunk index type $indexType (Fixed/Extensible Array, v2 B-tree) " +
-              "is outside the Imaris subset — only Single Chunk is supported")
-          val storedLen =
-            if ((flags & 0x02) != 0) { val l = bb.getLong(); bb.getInt(); l } // filtered size + mask
-            else cd.map(_.toLong).product * elemSize
-          SingleChunk(bb.getLong(), storedLen, cd)
+          bb.get() match {
+            case b if (b & 0xff) == 1 => // Single Chunk
+              val storedLen =
+                if ((flags & 0x02) != 0) { val l = bb.getLong(); bb.getInt(); l } // filtered size + mask
+                else cd.map(_.toLong).product * elemSize
+              SingleChunk(bb.getLong(), storedLen, cd)
+            case b if (b & 0xff) == 2 => // Implicit: dense unfiltered chunk array
+              ChunkedImplicit(bb.getLong(), cd)
+            case b if (b & 0xff) == 3 => // Fixed Array
+              val pageBits = bb.get() & 0xff
+              ChunkedFixedArray(bb.getLong(), cd, pageBits)
+            case b =>
+              sys.error(s"$absPath: v4 chunk index type ${b & 0xff} (Extensible Array, " +
+                "v2 B-tree) is outside the subset")
+          }
         case (v, c) => sys.error(s"$absPath: unsupported layout version $v class $c")
       }
     }.getOrElse(sys.error(s"$absPath: no layout"))
@@ -459,11 +622,48 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
       }
     }.getOrElse(Seq.empty)
 
+    // linear chunk index (row-major over the chunk grid) → (z, y, x)
+    def gridIndex(chunkDims: Array[Int]): Int => (Long, Long, Long) = {
+      val gy = (dims(1) + chunkDims(1) - 1) / chunkDims(1)
+      val gx = (dims(2) + chunkDims(2) - 1) / chunkDims(2)
+      i => {
+        val iz = i / (gy * gx)
+        val iy = (i - iz * gy * gx) / gx
+        val ix = i % gx
+        (iz * chunkDims(0), iy * chunkDims(1), ix * chunkDims(2))
+      }
+    }
+
     layout match {
       case ChunkedBtree(btreeAddr, chunkDims) =>
         require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
         val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
         if (btreeAddr != Undef) walkChunkBtree(btreeAddr, 3, index)
+        Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+      case ChunkedImplicit(base, chunkDims) =>
+        // dense unfiltered chunk array: chunk i at base + i·chunkBytes
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        require(filters.isEmpty, s"$absPath: implicit chunk index cannot carry filters")
+        val chunkBytes = chunkDims.map(_.toLong).product * elemSize
+        require(chunkBytes <= Int.MaxValue, s"$absPath: chunk too large")
+        val toZyx = gridIndex(chunkDims)
+        val n = (0 until 3).map(i => (dims(i) + chunkDims(i) - 1) / chunkDims(i)).product
+        val index =
+          if (base == Undef) Map.empty[(Long, Long, Long), (Long, Int)]
+          else (0 until n.toInt).map(i =>
+            toZyx(i) -> (base + i * chunkBytes, chunkBytes.toInt)).toMap
+        Dataset(dims, chunkDims, elemSize, signed, Seq.empty, index)
+      case ChunkedFixedArray(faAddr, chunkDims, _) =>
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        val chunkBytes = chunkDims.map(_.toLong).product * elemSize
+        require(chunkBytes <= Int.MaxValue, s"$absPath: chunk too large")
+        val toZyx = gridIndex(chunkDims)
+        val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
+        if (faAddr != Undef)
+          readFixedArray(faAddr).zipWithIndex.foreach { case ((addr, stored), i) =>
+            if (addr != Undef)
+              index(toZyx(i)) = (addr, if (stored > 0) stored else chunkBytes.toInt)
+          }
         Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
       case SingleChunk(addr, storedLen, chunkDims) =>
         require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
@@ -488,6 +688,47 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         require(filters.isEmpty, s"$absPath: compact layout cannot carry filters")
         Dataset(dims, dims.map(_.toInt), elemSize, signed, Seq.empty,
           Map((0L, 0L, 0L) -> (InlineAddr, data.length)), inline = Some(data))
+    }
+  }
+
+  /** Fixed Array chunk index (spec III.F: FAHD header + FADB data block).
+    * Returns (chunk file address, stored length) per linear chunk index;
+    * stored length is 0 for unfiltered entries (client 0 — the caller
+    * substitutes the raw chunk size). Subset: non-paged data block
+    * (every realistic chunk count fits; paged blocks fail loudly).
+    */
+  private def readFixedArray(faAddr: Long): Seq[(Long, Int)] = {
+    val hb = readAt(faAddr, 28)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, "ASCII") == "FAHD", s"$path @$faAddr: bad fixed array header")
+    val clientId = hb.get(5) & 0xff
+    require(clientId == 0 || clientId == 1,
+      s"$path @$faAddr: fixed array client $clientId not a chunk index")
+    val entrySize = hb.get(6) & 0xff
+    val pageBits = hb.get(7) & 0xff
+    val maxNelmts = hb.getLong(8)
+    val dataAddr = hb.getLong(16)
+    require(maxNelmts <= (1L << pageBits),
+      s"$path @$faAddr: paged fixed-array data blocks are outside the subset " +
+        s"($maxNelmts elements > 2^$pageBits page)")
+    if (dataAddr == Undef) return Seq.empty
+    val db = readAt(dataAddr, 14 + (maxNelmts * entrySize).toInt)
+    val ds = new Array[Byte](4); db.get(ds)
+    require(new String(ds, "ASCII") == "FADB", s"$path @$dataAddr: bad fixed array data block")
+    db.position(14) // sig(4) ver(1) client(1) headerAddr(8)
+    (0 until maxNelmts.toInt).map { _ =>
+      val addr = db.getLong()
+      if (clientId == 0) (addr, 0)
+      else {
+        // filtered element: address + stored size (entrySize-12 bytes) + mask
+        var stored = 0L
+        val szBytes = entrySize - 12
+        var i = 0
+        while (i < szBytes) { stored |= (db.get() & 0xffL) << (8 * i); i += 1 }
+        db.getInt() // filter mask (0 = all applied)
+        require(stored <= Int.MaxValue, s"$path: stored chunk too large")
+        (addr, stored.toInt)
+      }
     }
   }
 
@@ -675,6 +916,7 @@ object Hdf5Reader {
   private val MsgAttribute = 0x000C
   private val MsgContinuation = 0x0010
   private val MsgSymbolTable = 0x0011
+  private val MsgAttrInfo = 0x0015
 
   final case class Filter(id: Int, flags: Int, clientData: Seq[Int])
 

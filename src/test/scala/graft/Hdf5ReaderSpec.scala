@@ -134,4 +134,33 @@ class Hdf5ReaderSpec extends AnyFunSuite {
       checkRegion(r, 2, 0, 16, 0, 16, 0, 16, Shape3(16, 16, 16))
     } finally r.close()
   }
+
+  test("ims_dense: fractal-heap links/attrs, Fixed-Array + Implicit chunk indexes") {
+    // DataSetInfo carries 10 links (> the 8-link compact limit) in a
+    // fractal heap + type-5 v2 B-tree; Image carries its 10 attrs in a
+    // dense (type-8) index — the layout libhdf5 writes for real
+    // libver='latest' Imaris trees
+    val m = Imaris.readMeta(s"$dir/ims_dense.ims")
+    assert(m.trueShape0.shape == Shape3(64, 64, 64))
+    assert(m.numLevels == 2)
+    assert(m.voxelSizeUm == ((1.0, 1.0, 1.0)), "dense attributes must decode")
+    val r = new Hdf5Reader(s"$dir/ims_dense.ims")
+    try {
+      // all 10 dense links resolve
+      assert(r.exists("/DataSetInfo/Image"))
+      for (i <- 0 until 9) assert(r.exists(s"/DataSetInfo/Channel $i Info"))
+      assert(!r.exists("/DataSetInfo/Channel 9 Info"))
+      // all 10 dense attributes decode
+      val attrs = r.attributes("/DataSetInfo/Image")
+      assert(attrs.size == 10 && attrs("X") == "64" && attrs("Unit") == "um"
+        && attrs("ExtMax2") == "64.0")
+      // L0: Fixed Array index over 8 gzip+shuffle 32^3 chunks — full read
+      // plus an unaligned region crossing chunk borders
+      checkRegion(r, 0, 0, 64, 0, 64, 0, 64, Shape3(64, 64, 64))
+      checkRegion(r, 0, 17, 49, 3, 61, 30, 35, Shape3(64, 64, 64))
+      // L1: Implicit index over 8 unfiltered 16^3 chunks
+      checkRegion(r, 1, 0, 32, 0, 32, 0, 32, Shape3(32, 32, 32))
+      checkRegion(r, 1, 7, 25, 0, 16, 9, 23, Shape3(32, 32, 32))
+    } finally r.close()
+  }
 }

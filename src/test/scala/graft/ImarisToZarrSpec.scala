@@ -243,9 +243,9 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("discover: deterministic order and single-tile mode (S1-S3)") {
     val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
     assert(files.map(_.split('/').last) ==
-      Seq("ims_64.ims", "ims_64_lz4.ims", "ims_aniso.ims", "ims_latest.ims",
-        "ims_padded.ims", "ims_pyramid.ims", "ims_sbv1.ims", "ims_sbv2.ims",
-        "ims_tiny_edge.ims"))
+      Seq("ims_64.ims", "ims_64_lz4.ims", "ims_aniso.ims", "ims_dense.ims",
+        "ims_latest.ims", "ims_padded.ims", "ims_pyramid.ims", "ims_sbv1.ims",
+        "ims_sbv2.ims", "ims_tiny_edge.ims"))
     val one = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = true, conf)
     assert(one.map(_.split('/').last) == Seq("ims_64.ims"))
   }

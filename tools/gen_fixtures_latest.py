@@ -28,6 +28,11 @@ Fixture inventory (written into src/test/resources/fixtures/):
 - ims_latest.ims  — superblock v3, v2 headers, link groups, 3-level
                     pyramid: L0 chunked(single-chunk idx, gzip+shuffle),
                     L1 contiguous, L2 compact; attrs v3; one OCHK
+- ims_dense.ims   — dense storage: DataSetInfo links in a fractal heap +
+                    type-5 v2 B-tree (10 links > the 8-link compact
+                    limit), Image attrs dense (type-8 B-tree), L0
+                    Fixed-Array chunk index (gzip+shuffle), L1 Implicit
+                    chunk index (unfiltered)
 """
 import os
 import struct
@@ -194,12 +199,209 @@ class WriterLatest:
             msg2(0x0003, dtype_u2_body()),
             msg2(0x0008, lay)])
 
+    # ---- dense storage: fractal heap + v2 B-tree ------------------------
+
+    def fractal_heap(self, objects, offset_size, length_size):
+        """Write a fractal heap with ONE direct root block holding all
+        `objects` (spec III.G). Returns (frhp_addr, [heap_id bytes])."""
+        hdr_size = 4 + 1 + 8 + offset_size  # FHDB: sig, ver, heap hdr, block offset
+        offs, pos = [], hdr_size
+        for o in objects:
+            offs.append(pos)
+            pos += len(o)
+        block_size = 512
+        while block_size < pos:
+            block_size *= 2
+        self.f.pad()
+        fhdb = self.f.tell()
+        body = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", 0)  # hdr addr patched
+        body += (0).to_bytes(offset_size, "little")  # block offset 0
+        body += b"".join(objects)
+        body += b"\x00" * (block_size - len(body))   # free space
+        self.f.w(body)
+        heap_id_len = 1 + offset_size + length_size
+        self.f.pad()
+        frhp = self.f.tell()
+        h = bytearray()
+        h += b"FRHP" + struct.pack("<B", 0)
+        h += struct.pack("<HHB", heap_id_len, 0, 0)       # id len, filter len, flags
+        h += struct.pack("<I", 1 << (8 * length_size - 1))  # max managed obj size
+        h += struct.pack("<QQ", 0, UNDEF)                 # next huge id, huge btree
+        h += struct.pack("<QQ", 0, UNDEF)                 # free space, fs manager
+        h += struct.pack("<QQ", block_size, block_size)   # managed space, allocated
+        h += struct.pack("<QQ", pos, len(objects))        # iterator offset, n managed
+        h += struct.pack("<QQQQ", 0, 0, 0, 0)             # huge/tiny sizes+counts
+        h += struct.pack("<HQQ", 4, block_size, 65536)    # width, start size, max direct
+        h += struct.pack("<HH", 8 * offset_size, 0)       # max heap bits, start rows
+        h += struct.pack("<Q", fhdb)                      # root block
+        h += struct.pack("<HI", 0, 0)                     # cur rows (direct root), checksum
+        self.f.w(bytes(h))
+        self.f.patch(fhdb + 5, struct.pack("<Q", frhp))
+        ids = [b"\x00" + o.to_bytes(offset_size, "little")
+               + len(obj).to_bytes(length_size, "little")
+               for o, obj in zip(offs, objects)]
+        return frhp, ids
+
+    def btree_v2(self, btype, records, record_size):
+        """Depth-0 v2 B-tree: one BTLF leaf + BTHD header (spec III.A.2)."""
+        assert all(len(r) == record_size for r in records)
+        self.f.pad()
+        leaf = self.f.tell()
+        self.f.w(b"BTLF" + struct.pack("<BB", 0, btype)
+                 + b"".join(records) + b"\x00" * 4)
+        self.f.pad()
+        hdr = self.f.tell()
+        self.f.w(b"BTHD" + struct.pack("<BB", 0, btype)
+                 + struct.pack("<IHH", 2048, record_size, 0)  # node size, rec size, depth
+                 + struct.pack("<BB", 100, 40)                # split / merge percent
+                 + struct.pack("<QHQ", leaf, len(records), len(records))
+                 + b"\x00" * 4)
+        return hdr
+
+    def dense_group(self, children, attrs=None):
+        """Group whose links live in a fractal heap + type-5 name B-tree
+        (what libhdf5 writes above 8 links/group)."""
+        objs = [link_body(n, a) for n, a in sorted(children.items())]
+        frhp, ids = self.fractal_heap(objs, offset_size=4, length_size=2)
+        recs = [struct.pack("<I", h) + hid for h, hid in sorted(
+            (lookup3(n.encode()), hid) for n, hid in zip(sorted(children), ids))]
+        bt = self.btree_v2(5, recs, 11)
+        li = msg2(0x0002, struct.pack("<BBQQ", 1, 0, frhp, bt))
+        amsgs = [attr3(k, v.encode()) for k, v in (attrs or {}).items()]
+        return self.ohdr([li] + amsgs)
+
+    def group_dense_attrs(self, children, attrs):
+        """Group whose ATTRIBUTES live in a fractal heap + type-8 B-tree
+        (libhdf5 goes dense above 8 attrs — real Imaris `libver=latest`
+        Image groups carry 10)."""
+        objs = [attr3_body(k, v.encode()) for k, v in sorted(attrs.items())]
+        frhp, ids = self.fractal_heap(objs, offset_size=4, length_size=3)
+        recs = [hid + struct.pack("<BII", 0, i, h) for h, i, hid in sorted(
+            (lookup3(n.encode()), i, hid)
+            for i, (n, hid) in enumerate(zip(sorted(attrs), ids)))]
+        bt = self.btree_v2(8, recs, 17)
+        ai = msg2(0x0015, struct.pack("<BBQQ", 0, 0, frhp, bt))
+        msgs = [link_info()] + [link_hard(n, a) for n, a in sorted(children.items())]
+        return self.ohdr(msgs + [ai])
+
+    # ---- v4 chunk indexes: Fixed Array + Implicit -----------------------
+
+    def _chunks(self, data, cz, cy, cx):
+        """Full-size chunks in row-major grid order (HDF5 pads partials)."""
+        z, y, x = data.shape
+        for iz in range(0, z, cz):
+            for iy in range(0, y, cy):
+                for ix in range(0, x, cx):
+                    blk = np.zeros((cz, cy, cx), dtype=data.dtype)
+                    part = data[iz:iz + cz, iy:iy + cy, ix:ix + cx]
+                    blk[:part.shape[0], :part.shape[1], :part.shape[2]] = part
+                    yield blk
+
+    def _layout_v4(self, chunk, index_tail):
+        chunk_dims = tuple(chunk) + (2,)  # rank+1 with element size
+        lay = struct.pack("<BBBBB", 4, 2, 0, len(chunk_dims), 4)
+        lay += b"".join(struct.pack("<I", d) for d in chunk_dims)
+        return lay + index_tail
+
+    def dataset_chunked_fixed_array(self, data, chunk):
+        """gzip+shuffle chunks indexed by a Fixed Array (client 1)."""
+        cz, cy, cx = chunk
+        entries = []
+        for blk in self._chunks(data, cz, cy, cx):
+            enc = zlib.compress(gf.shuffle(blk.tobytes(), 2), 6)
+            self.f.pad()
+            entries.append((self.f.w(enc), len(enc)))
+        self.f.pad()
+        fadb = self.f.tell()
+        self.f.w(b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", 0)
+                 + b"".join(struct.pack("<QII", a, sz, 0) for a, sz in entries)
+                 + b"\x00" * 4)
+        self.f.pad()
+        fahd = self.f.tell()
+        self.f.w(b"FAHD" + struct.pack("<BBBB", 0, 1, 16, 10)  # client 1, entry 16, page bits 10
+                 + struct.pack("<QQ", len(entries), fadb) + b"\x00" * 4)
+        self.f.patch(fadb + 6, struct.pack("<Q", fahd))
+        lay = self._layout_v4(chunk,
+                              struct.pack("<BB", 3, 10) + struct.pack("<Q", fahd))
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            filters2(),
+            msg2(0x0008, lay)])
+
+    def dataset_chunked_implicit(self, data, chunk):
+        """Unfiltered chunks in a dense array (Implicit index, type 2)."""
+        cz, cy, cx = chunk
+        self.f.pad()
+        base = self.f.tell()
+        for blk in self._chunks(data, cz, cy, cx):
+            self.f.w(blk.tobytes())
+        lay = self._layout_v4(chunk,
+                              struct.pack("<B", 2) + struct.pack("<Q", base))
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            msg2(0x0008, lay)])
+
     def finish(self, root_children, path):
         root = self.group(root_children)
         self.f.patch(28, struct.pack("<Q", self.f.tell()))  # EOF
         self.f.patch(36, struct.pack("<Q", root))           # root OH
         with open(path, "wb") as fh:
             fh.write(self.f.b)
+
+
+def _rot(x, k):
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def lookup3(data, initval=0):
+    """Jenkins lookup3 hashlittle (public domain; libhdf5 H5_checksum_lookup3)
+    — the name hash stored in v2 B-tree link/attr records. The Scala reader
+    walks every record rather than hashing, so this is for format fidelity.
+    """
+    a = b = c = (0xDEADBEEF + len(data) + initval) & 0xFFFFFFFF
+    i, length = 0, len(data)
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        length -= 12
+    if length > 0:
+        tail = data[i:] + b"\x00" * (12 - length)
+        a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def attr3_body(name, value):
+    """v3 attribute message BODY (what dense attr heaps store)."""
+    nm = name.encode() + b"\x00"
+    dt = struct.pack("<BBBBI", 0x13, 0x00, 0x00, 0x00, len(value))
+    ds = struct.pack("<BBBB", 2, 0, 0, 0)
+    head = struct.pack("<BBHHHB", 3, 0, len(nm), len(dt), len(ds), 0)
+    return head + nm + dt + ds + value
+
+
+def link_body(name, oh_addr):
+    """v1 hard-link message BODY (what dense link heaps store)."""
+    nm = name.encode()
+    return struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", oh_addr)
 
 
 def image_attrs(true_shape):
@@ -248,11 +450,40 @@ def make_latest(path, sb_version):
     print(f"wrote {path} (sb v{sb_version}, {os.path.getsize(path)} bytes)")
 
 
+def make_dense(path):
+    """Dense-storage fixture: DataSetInfo holds 10 child links (fractal
+    heap + type-5 B-tree), Image carries its 10 attrs densely (type-8
+    B-tree), L0 is Fixed-Array-indexed gzip+shuffle chunks, L1 is
+    Implicit-indexed unfiltered chunks."""
+    w = WriterLatest(3)
+    levels = {}
+    for lvl, (shape, chunk, kind) in enumerate([
+            ((64, 64, 64), (32, 32, 32), "fixed_array"),
+            ((32, 32, 32), (16, 16, 16), "implicit")]):
+        data = gf.voxels(shape, lvl)
+        ds = (w.dataset_chunked_fixed_array(data, chunk) if kind == "fixed_array"
+              else w.dataset_chunked_implicit(data, chunk))
+        ch = w.group({"Data": ds})
+        tp = w.group({"Channel 0": ch})
+        levels[f"ResolutionLevel {lvl}"] = w.group({"TimePoint 0": tp})
+    dataset_grp = w.group(levels)
+    image = w.group_dense_attrs({}, image_attrs((64, 64, 64)))
+    # 10 children (> 8) → libhdf5 would store these links densely
+    info_children = {"Image": image}
+    for i in range(9):
+        info_children[f"Channel {i} Info"] = w.group({})
+    info = w.dense_group(info_children)
+    w.finish({"DataSet": dataset_grp, "DataSetInfo": info}, path)
+    print(f"wrote {path} (dense links/attrs + FA/implicit chunks, "
+          f"{os.path.getsize(path)} bytes)")
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     make_sbv1(f"{outdir}/ims_sbv1.ims")
     make_latest(f"{outdir}/ims_sbv2.ims", 2)
     make_latest(f"{outdir}/ims_latest.ims", 3)
+    make_dense(f"{outdir}/ims_dense.ims")
 
 
 if __name__ == "__main__":
