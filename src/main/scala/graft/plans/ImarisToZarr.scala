@@ -251,6 +251,29 @@ object ImarisToZarr {
     } finally listener.foreach(spark.sparkContext.removeSparkListener)
   }
 
+  /** Memory-aware wave parallelism: a shard task holds its whole voxel
+    * region (plus decode/encode scratch, ~3× the region) live on the
+    * heap, so the number of CONCURRENT tasks per executor must be sized
+    * to the executor heap, not just its core count — the spill-aware
+    * sizing rule applied to this operator. Measured on this harness
+    * (512³ uint16 shards = 268 MB regions, 8 GB heap): 6 concurrent
+    * tasks convert 2.45 GB in ~100 s; 8–10 concurrent take 200–350 s —
+    * concurrent humongous allocations fall off a page-fault cliff long
+    * before the heap OOMs. Tasks beyond the cap queue inside the wave's
+    * partitions and run back-to-back, so throughput stays smooth.
+    * `maxTaskBytes` is the largest task's live-region estimate; the cap
+    * uses half the heap. On a real cluster the same arithmetic applies
+    * per executor (heap from spark.executor.memory); here local-mode
+    * driver heap IS the executor heap.
+    */
+  private def memoryCappedParallelism(
+      spark: SparkSession, nTasks: Int, maxTaskBytes: Long): Int = {
+    val slots = spark.sparkContext.defaultParallelism
+    val heap = Runtime.getRuntime.maxMemory
+    val cap = math.max(1L, heap * 3 / 5 / math.max(1L, maxTaskBytes)).toInt
+    math.max(1, math.min(nTasks, math.min(slots, cap)))
+  }
+
   /** One pooled Spark job over every read-from-IMS task (all files, all
     * translated levels).
     */
@@ -260,7 +283,10 @@ object ImarisToZarr {
       progress: Option[Progress]): Seq[ShardStats] = {
     if (tasks.isEmpty) return Seq.empty
     import spark.implicits._
-    val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    // region bytes (uint16) + ~2× decode/encode scratch
+    val maxTaskBytes = tasks.map(t =>
+      (t.z1 - t.z0) * (t.y1 - t.y0) * (t.x1 - t.x0) * 2L).max * 3
+    val parallelism = memoryCappedParallelism(spark, tasks.size, maxTaskBytes)
     // parallelize slices the task list directly — repartition() would
     // add the conversion path's ONLY shuffle for nothing (and local-mode
     // shuffle RPC stalls for minutes under gVisor on multi-GB runs).
@@ -279,12 +305,19 @@ object ImarisToZarr {
       // mid-partition would otherwise leak the open input streams
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => readers.values.foreach(_.close())))
+      // ONE region buffer per partition, reused across its tasks: a fresh
+      // 268 MB humongous array per 512³ task was the pipeline's dominant
+      // allocation (and concurrent humongous allocation is pathologically
+      // slow under syscall-intercepting sandboxes)
+      var regionBuf: Array[Short] = Array.emptyShortArray
       it.map { t =>
         val spec = io((t.file, t.level))
         val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
         val ds = datasets.getOrElseUpdate((t.file, t.level),
           r.openDataset(Imaris.dataPath(t.level)))
-        val data = r.readRegion(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
+        val nVox = ((t.z1 - t.z0) * (t.y1 - t.y0) * (t.x1 - t.x0)).toInt
+        if (regionBuf.length < nVox) regionBuf = new Array[Short](nVox)
+        val data = r.readRegionInto(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1, regionBuf)
         val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
         val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
         // streaming encode+write: peak task state is the voxel region +
@@ -305,8 +338,14 @@ object ImarisToZarr {
       progress: Option[Progress]): Seq[ShardStats] = {
     if (tasks.isEmpty) return Seq.empty
     import spark.implicits._
+    // the downsample task holds the ×factor SOURCE region + the output
+    val maxTaskBytes = tasks.map { t =>
+      val spec = io((t.file, t.level))
+      val f = spec.factor
+      (t.z1 - t.z0) * f.z * (t.y1 - t.y0) * f.y * (t.x1 - t.x0) * f.x * 2L
+    }.max * 3
     val taskDs = spark.createDataset(spark.sparkContext.parallelize(
-      tasks, math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))))
+      tasks, memoryCappedParallelism(spark, tasks.size, maxTaskBytes)))
     taskDs.map { t =>
       val spec = io((t.file, t.level))
       val f = spec.factor

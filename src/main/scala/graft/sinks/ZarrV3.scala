@@ -96,8 +96,12 @@ object ZarrV3 {
       chunkShape: Shape3,
       level: Int,
       codec: String): Long = {
-    require(shardData.length == dataShape.voxels,
-      s"shard payload ${shardData.length} != ${dataShape.voxels}")
+    // >= not ==: callers may pass a REUSED oversized region buffer (the
+    // per-partition scratch in ImarisToZarr waves); indexing below is
+    // purely coordinate-based over dataShape, so extra tail bytes are
+    // never touched
+    require(shardData.length >= dataShape.voxels,
+      s"shard payload ${shardData.length} < ${dataShape.voxels}")
     require(shardShape.z % chunkShape.z == 0 && shardShape.y % chunkShape.y == 0
       && shardShape.x % chunkShape.x == 0, s"shard $shardShape not a multiple of chunk $chunkShape")
     val grid = Shape3(shardShape.z / chunkShape.z, shardShape.y / chunkShape.y,

@@ -857,9 +857,25 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     */
   def readRegion(ds: Dataset,
                  z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] = {
+    val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
+    readRegionInto(ds, z0, z1, y0, y1, x0, x1, new Array[Short](nz * ny * nx))
+  }
+
+  /** [[readRegion]] into a CALLER-OWNED buffer of length ≥ the region
+    * voxel count (extra tail is untouched). Lets conversion tasks reuse
+    * one region scratch across every task in a partition — allocating a
+    * fresh 268 MB humongous array per 512³ shard task was the dominant
+    * allocation of the whole pipeline.
+    */
+  def readRegionInto(ds: Dataset,
+                     z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
+                     out: Array[Short]): Array[Short] = {
     require(ds.elemSize == 2, s"$path: only uint16/int16 payloads supported, got ${ds.elemSize} bytes")
     val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
-    val out = new Array[Short](nz * ny * nx)
+    require(out.length >= nz * ny * nx, s"$path: region buffer too small")
+    // missing chunks mean fill-value voxels — zero the used prefix (a
+    // fresh array arrives pre-zeroed; a reused scratch does not)
+    java.util.Arrays.fill(out, 0, nz * ny * nx, 0.toShort)
     val (cz, cy, cx) = (ds.chunk(0), ds.chunk(1), ds.chunk(2))
     var gz = z0 / cz
     while (gz * cz < z1) {
