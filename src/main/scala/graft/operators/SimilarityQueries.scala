@@ -210,6 +210,25 @@ object SimilarityQueries {
     QueryDef("q_c9_ann_ivf", None) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
       val e = embDouble(s, d)
+      val (fnFinal, nprobe) = trainIvf(s, e)
+      ivfSearch(e, fnFinal, nprobe)
+    }
+  )
+
+  /** The corpus frame q_c9 trains and searches over. */
+  private[graft] def ivfCorpus(s: SparkSession, d: String): DataFrame =
+    embDouble(s, d)
+
+  /** q_c9's TRAINING phase: strided deterministic seeds + 2 spherical
+    * k-means (Lloyd) iterations, each ONE distributed aggregation whose
+    * k·dim partial sums are the only rows to reach the driver; registers
+    * the trained coarse quantizer as the codegen'd
+    * [[graft.functions.NearestCells]] SQL function and returns its name
+    * plus the search fan-out nprobe. The learned centroids are
+    * driver-side model state — this phase has no SQL-text twin; the
+    * SEARCH phase does (see [[SparkSqlQueries.qC9SearchSql]]).
+    */
+  private[graft] def trainIvf(s: SparkSession, e: DataFrame): (String, Int) = {
       val n = e.count()
       val k = math.max(8, 4 * math.sqrt(n.toDouble).toInt)
       val nprobe = math.max(2, k / 4)
@@ -263,13 +282,23 @@ object SimilarityQueries {
         }
         cents = next
       }
-      val fnFinal = graft.functions.NearestCells.register(s, cents, dim)
+      (graft.functions.NearestCells.register(s, cents, dim), nprobe)
+  }
+
+  /** q_c9's SEARCH phase over a trained quantizer `fn`: assign each corpus
+    * vector to its cell (codegen'd projection), probe each query's nprobe
+    * nearest cells, score only the probed buckets, exact per-cell top-k
+    * before the per-query global top-k. SQL-text twin:
+    * [[SparkSqlQueries.qC9SearchSql]] (asserted row-identical in
+    * SqlParitySpec).
+    */
+  private[graft] def ivfSearch(e: DataFrame, fn: String, nprobe: Int): DataFrame = {
       val assigned = e
-        .withColumn("cell", expr(s"element_at($fnFinal(v, 1), 1)"))
+        .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
       val qProbe = e
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(expr(s"$fnFinal(v, $nprobe)")).as("cell"))
+          explode(expr(s"$fn(v, $nprobe)")).as("cell"))
       // search only the probed cells; queries are tiny and broadcast
       val wCell = Window.partitionBy(col("query_id"), col("cell"))
         .orderBy(col("score").desc, col("vec_id"))
@@ -289,6 +318,5 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
         .orderBy(col("query_id"), col("rank"))
-    }
-  )
+  }
 }

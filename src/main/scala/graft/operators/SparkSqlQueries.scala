@@ -8,10 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every registered query except `q_c9_ann_ivf` has a SQL twin here that
   * produces exactly the same rows as its DataFrame program —
   * `SqlParitySpec` asserts `spark.sql(text)` ≡ plan output for all of
-  * them. q_c9 is excluded by construction: its coarse quantizer is
-  * trained by Lloyd iterations whose centroids are driver-side learned
-  * state; a SQL string has no construct that reproduces the same
-  * floating-point training sequence.
+  * them. q_c9's TRAINING phase is excluded by construction: its coarse
+  * quantizer is trained by Lloyd iterations whose centroids are
+  * driver-side learned state; a SQL string has no construct that
+  * reproduces the same floating-point training sequence. Its SEARCH
+  * phase over the trained (registered) quantizer IS SQL —
+  * [[qC9SearchSql]] — and parity-checked like the rest.
   *
   * The similarity queries use the library's REGISTERED Catalyst
   * expressions (`cosine_similarity`, `hyperplane_sig`) — registered
@@ -44,6 +46,40 @@ object SparkSqlQueries {
     registerAll(spark, dir)
     spark.sql(sql(name))
   }
+
+  /** q_c9's SEARCH phase as SQL text, parameterized by the trained coarse
+    * quantizer's registered function name (`SimilarityQueries.trainIvf`
+    * returns it) and the probe fan-out. The TRAINING phase stays
+    * DataFrame-only — its Lloyd centroids are driver-side learned state —
+    * but once the quantizer is registered, the whole search plan (assign,
+    * probe, bucket join, per-cell top-k, global top-k) is plain SQL over
+    * the engine's dialect. SqlParitySpec asserts this text ≡
+    * `SimilarityQueries.ivfSearch` row-for-row.
+    */
+  def qC9SearchSql(fn: String, nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, v, element_at($fn(v, 1), 1) AS cell FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, explode($fn(v, $nprobe)) AS cell
+       |  FROM e WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT /*+ BROADCAST(q) */ q.query_id, a.vec_id, a.cell,
+       |    round(CAST(cosine_similarity(a.v, q.qv) AS DECIMAL(18,6)), 4) AS score
+       |  FROM a JOIN q ON a.cell = q.cell
+       |  WHERE a.vec_id <> q.query_id),
+       |cellk AS (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id, cell ORDER BY score DESC, vec_id) AS cell_rank
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cellk WHERE cell_rank <= 5)
+       |SELECT query_id, rank, vec_id, CAST(score AS DOUBLE) AS score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---- shared fragments --------------------------------------------------
 

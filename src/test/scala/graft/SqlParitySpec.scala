@@ -10,10 +10,13 @@ import graft.operators.SparkSqlQueries
   * Spark SQL text (`SparkSqlQueries.sql`) and every statement's rows equal
   * the DataFrame program's rows exactly.
   *
-  * The one exclusion is q_c9_ann_ivf, whose coarse quantizer is trained by
-  * driver-side Lloyd iterations — there is no SQL construct that
-  * reproduces that learned floating-point state; the coverage test pins
-  * the exclusion so a new query can't silently skip parity.
+  * The one exclusion from the static map is q_c9_ann_ivf, whose coarse
+  * quantizer is trained by driver-side Lloyd iterations — there is no SQL
+  * construct that reproduces that learned floating-point state; the
+  * coverage test pins the exclusion so a new query can't silently skip
+  * parity. Its SEARCH phase over the trained quantizer IS SQL text
+  * (`qC9SearchSql`) and gets its own parity test below, so every query's
+  * data path is exercised through the parser/analyzer.
   */
 class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -47,4 +50,16 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sqlRows == dfRows)
       graft.core.CachedRdds.drain()
     }
+
+  test("q_c9_ann_ivf search phase: spark.sql(qC9SearchSql) == DataFrame plan") {
+    import graft.operators.SimilarityQueries
+    graft.functions.CosineSimilarity.register(spark)
+    val e = SimilarityQueries.ivfCorpus(spark, sf)
+    val (fn, nprobe) = SimilarityQueries.trainIvf(spark, e)
+    val sqlRows = spark.sql(SparkSqlQueries.qC9SearchSql(fn, nprobe))
+      .collect().map(_.toString).toSeq
+    val dfRows = SimilarityQueries.ivfSearch(e, fn, nprobe)
+      .collect().map(_.toString).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == dfRows)
+  }
 }
