@@ -26,10 +26,9 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
   *    for real `libver='latest'` Imaris files, whose Image group
   *    carries 10 attributes;
   *  - dataset layouts: chunked (B-tree v1 index; layout msg v3 and
-  *    v4 with Single-Chunk, Implicit, and Fixed-Array indexes),
-  *    contiguous, and compact; v4 Extensible-Array and v2-B-tree
-  *    chunk indexes fail loudly (libhdf5 only picks them for
-  *    unlimited-maxshape datasets, which Imaris never writes);
+  *    v4 with Single-Chunk, Implicit, Fixed-Array, Extensible-Array,
+  *    and v2-B-tree indexes — the full v4 index set libhdf5 picks
+  *    across maxshape choices), contiguous, and compact;
   *  - filters deflate(1) / shuffle(2) / lz4(32004);
   *  - byte-string attributes, message versions 1/2/3
   *    (`io_utils.py:462-466` decodes with `.tobytes()`).
@@ -538,6 +537,8 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
     final case class SingleChunk(addr: Long, storedLen: Long, chunk: Array[Int]) extends LayoutInfo
     final case class ChunkedImplicit(addr: Long, chunk: Array[Int]) extends LayoutInfo
     final case class ChunkedFixedArray(addr: Long, chunk: Array[Int], pageBits: Int) extends LayoutInfo
+    final case class ChunkedExtArray(addr: Long, chunk: Array[Int]) extends LayoutInfo
+    final case class ChunkedBtreeV2(addr: Long, chunk: Array[Int]) extends LayoutInfo
     final case class Contiguous(addr: Long, size: Long) extends LayoutInfo
     final case class Compact(data: Array[Byte]) extends LayoutInfo
 
@@ -593,9 +594,19 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
             case b if (b & 0xff) == 3 => // Fixed Array
               val pageBits = bb.get() & 0xff
               ChunkedFixedArray(bb.getLong(), cd, pageBits)
+            case b if (b & 0xff) == 4 => // Extensible Array
+              // creation parameters (H5O layout v4 encodes each as 1 byte):
+              // max-nelmts bits, index-block elements, super-block min data
+              // pointers, data-block min elements, max dblk-page bits — all
+              // re-read from the EAHD header itself, so skip the copy here
+              bb.position(bb.position() + 5)
+              ChunkedExtArray(bb.getLong(), cd)
+            case b if (b & 0xff) == 5 => // Version-2 B-tree
+              bb.getInt() // node size
+              bb.get(); bb.get() // split / merge percent
+              ChunkedBtreeV2(bb.getLong(), cd)
             case b =>
-              sys.error(s"$absPath: v4 chunk index type ${b & 0xff} (Extensible Array, " +
-                "v2 B-tree) is outside the subset")
+              sys.error(s"$absPath: v4 chunk index type ${b & 0xff} is outside the subset")
           }
         case (v, c) => sys.error(s"$absPath: unsupported layout version $v class $c")
       }
@@ -665,6 +676,55 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
               index(toZyx(i)) = (addr, if (stored > 0) stored else chunkBytes.toInt)
           }
         Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+      case ChunkedExtArray(eaAddr, chunkDims) =>
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        val chunkBytes = chunkDims.map(_.toLong).product * elemSize
+        require(chunkBytes <= Int.MaxValue, s"$absPath: chunk too large")
+        val toZyx = gridIndex(chunkDims)
+        val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
+        if (eaAddr != Undef)
+          readExtensibleArray(eaAddr).zipWithIndex.foreach { case ((addr, stored), i) =>
+            if (addr != Undef)
+              index(toZyx(i)) = (addr, if (stored > 0) stored else chunkBytes.toInt)
+          }
+        Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
+      case ChunkedBtreeV2(btAddr, chunkDims) =>
+        require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
+        val chunkBytes = chunkDims.map(_.toLong).product * elemSize
+        require(chunkBytes <= Int.MaxValue, s"$absPath: chunk too large")
+        // record type 10 = non-filtered chunks, 11 = filtered chunks
+        // (spec III.A.2); both carry 8-byte SCALED offsets per dataspace
+        // dimension (chunk-grid coordinates, no element-size pseudo-dim)
+        val filtered = filters.nonEmpty
+        val recType = if (filtered) 11 else 10
+        val index = mutable.Map.empty[(Long, Long, Long), (Long, Int)]
+        if (btAddr != Undef)
+          denseBtreeRecords(btAddr, recType).foreach { rec =>
+            val rb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+            val addr = rb.getLong()
+            val stored =
+              if (filtered) {
+                // chunk size is a variable-width field: whatever the record
+                // leaves after address + filter mask + rank scaled offsets
+                val szBytes = rec.length - 8 - 4 - 3 * 8
+                require(szBytes >= 1 && szBytes <= 8,
+                  s"$absPath @$btAddr: implausible v2-btree chunk record size ${rec.length}")
+                var v = 0L
+                var i = 0
+                while (i < szBytes) { v |= (rb.get() & 0xffL) << (8 * i); i += 1 }
+                rb.getInt() // filter mask (0 = all applied)
+                require(v <= Int.MaxValue, s"$absPath: stored chunk too large")
+                v.toInt
+              } else {
+                require(rec.length == 8 + 3 * 8,
+                  s"$absPath @$btAddr: v2-btree chunk record size ${rec.length}, expected 32")
+                chunkBytes.toInt
+              }
+            val sz = rb.getLong(); val sy = rb.getLong(); val sx = rb.getLong()
+            index((sz * chunkDims(0), sy * chunkDims(1), sx * chunkDims(2))) =
+              (addr, stored)
+          }
+        Dataset(dims, chunkDims, elemSize, signed, filters, index.toMap)
       case SingleChunk(addr, storedLen, chunkDims) =>
         require(chunkDims.length == 3, s"$absPath: expected 3-D chunks")
         require(storedLen <= Int.MaxValue,
@@ -730,6 +790,92 @@ final class Hdf5Reader(val path: String, conf: Configuration) extends Closeable 
         (addr, stored.toInt)
       }
     }
+  }
+
+  /** Extensible Array chunk index (spec III.G: EAHD header → EAIB index
+    * block). The first `idx_blk_elmts` elements live inline in the index
+    * block; the next ones live in the directly-addressed EADB data blocks
+    * the index block points at (2·(sup_blk_min_data_ptrs−1) of them,
+    * covering super-block rows 0..2·log2(min_ptrs)−1 with the standard
+    * 2^(u/2) blocks × min_elmts·2^((u+1)/2) elements growth). Returns
+    * (chunk file address, stored length) per linear chunk index; stored
+    * length is 0 for unfiltered entries (client 0). Subset: no super
+    * blocks and no data-block pages — libhdf5 only reaches those after
+    * the element count outgrows the index block's direct data blocks,
+    * thousands of appends into an unlimited-maxshape dataset.
+    */
+  private def readExtensibleArray(eaAddr: Long): Seq[(Long, Int)] = {
+    val hb = readAt(eaAddr, 72)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, "ASCII") == "EAHD", s"$path @$eaAddr: bad extensible array header")
+    val clientId = hb.get(5) & 0xff
+    require(clientId == 0 || clientId == 1,
+      s"$path @$eaAddr: extensible array client $clientId not a chunk index")
+    val elemSize = hb.get(6) & 0xff
+    val maxBits = hb.get(7) & 0xff
+    val idxElmts = hb.get(8) & 0xff
+    val dblkMin = hb.get(9) & 0xff
+    val supMin = hb.get(10) & 0xff
+    // stats block: nsuper_blks, super_blk_size, ndata_blks, data_blk_size,
+    // max_idx_set, nelmts (6 lengths), then the index block address
+    val maxIdxSet = hb.getLong(44)
+    val idxBlkAddr = hb.getLong(60)
+    if (idxBlkAddr == Undef || maxIdxSet == 0) return Seq.empty
+    def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+    // data blocks addressed straight from the index block: super-block
+    // rows 0 .. 2·log2(supMin)−1, row u holding 2^(u/2) blocks of
+    // dblkMin·2^((u+1)/2) elements each
+    val directDblkElmts: Seq[Long] = (0 until 2 * log2(supMin)).flatMap { u =>
+      Seq.fill(1 << (u / 2))(dblkMin.toLong << ((u + 1) / 2))
+    }
+    val capacity = idxElmts + directDblkElmts.sum
+    require(maxIdxSet <= capacity,
+      s"$path @$eaAddr: extensible-array super blocks are outside the subset " +
+        s"($maxIdxSet elements > $capacity direct capacity)")
+    def element(bb: ByteBuffer): (Long, Int) = {
+      val addr = bb.getLong()
+      if (clientId == 0) (addr, 0)
+      else {
+        // filtered element: address + stored size (elemSize-12 bytes) + mask
+        var stored = 0L
+        val szBytes = elemSize - 12
+        var i = 0
+        while (i < szBytes) { stored |= (bb.get() & 0xffL) << (8 * i); i += 1 }
+        bb.getInt() // filter mask (0 = all applied)
+        require(stored <= Int.MaxValue, s"$path: stored chunk too large")
+        (addr, stored.toInt)
+      }
+    }
+    val nDirect = directDblkElmts.length
+    val ib = readAt(idxBlkAddr, 14 + idxElmts * elemSize + nDirect * 8)
+    val is = new Array[Byte](4); ib.get(is)
+    require(new String(is, "ASCII") == "EAIB",
+      s"$path @$idxBlkAddr: bad extensible array index block")
+    ib.position(14) // sig(4) ver(1) client(1) headerAddr(8)
+    val out = mutable.ArrayBuffer.empty[(Long, Int)]
+    out ++= (0 until math.min(idxElmts.toLong, maxIdxSet).toInt).map(_ => element(ib))
+    if (maxIdxSet > idxElmts) {
+      ib.position(14 + idxElmts * elemSize)
+      val dblkAddrs = Array.fill(nDirect)(ib.getLong())
+      val offSize = (maxBits + 7) / 8
+      var remaining = maxIdxSet - idxElmts
+      var d = 0
+      while (remaining > 0 && d < nDirect) {
+        val take = math.min(directDblkElmts(d), remaining).toInt
+        if (dblkAddrs(d) == Undef) out ++= Seq.fill(take)((Undef, 0))
+        else {
+          val db = readAt(dblkAddrs(d), 14 + offSize + take * elemSize)
+          val ds = new Array[Byte](4); db.get(ds)
+          require(new String(ds, "ASCII") == "EADB",
+            s"$path @${dblkAddrs(d)}: bad extensible array data block")
+          db.position(14 + offSize) // sig ver client headerAddr + block offset
+          out ++= (0 until take).map(_ => element(db))
+        }
+        remaining -= take
+        d += 1
+      }
+    }
+    out.toSeq
   }
 
   private def walkChunkBtree(

@@ -32,7 +32,9 @@ Fixture inventory (written into src/test/resources/fixtures/):
                     type-5 v2 B-tree (10 links > the 8-link compact
                     limit), Image attrs dense (type-8 B-tree), L0
                     Fixed-Array chunk index (gzip+shuffle), L1 Implicit
-                    chunk index (unfiltered)
+                    chunk index (unfiltered), L2 Extensible-Array index
+                    (unfiltered; 4 inline elements + EADB data blocks),
+                    L3 v2-B-tree index (gzip+shuffle, type-11 records)
 """
 import os
 import struct
@@ -343,6 +345,95 @@ class WriterLatest:
             msg2(0x0003, dtype_u2_body()),
             msg2(0x0008, lay)])
 
+    def dataset_chunked_ext_array(self, data, chunk):
+        """Unfiltered chunks indexed by an Extensible Array (index type 4,
+        client 0 — what libhdf5 picks for ONE unlimited dimension):
+        idx_blk_elmts elements inline in the EAIB index block, the rest in
+        directly-addressed EADB data blocks following the H5EA growth rule
+        (row u: 2^(u//2) blocks of dblk_min*2^((u+1)//2) elements); super
+        blocks never materialize at fixture scale, matching libhdf5."""
+        cz, cy, cx = chunk
+        addrs = []
+        for blk in self._chunks(data, cz, cy, cx):
+            self.f.pad()
+            addrs.append(self.f.w(blk.tobytes()))
+        n = len(addrs)
+        max_bits, idx_elmts, dblk_min, sup_min, page_bits = 32, 4, 2, 4, 10
+        off_size = (max_bits + 7) // 8
+        direct = []  # capacity of each directly-addressed data block
+        for u in range(2 * (sup_min.bit_length() - 1)):
+            direct += [dblk_min << ((u + 1) // 2)] * (1 << (u // 2))
+        dblk_addrs, dblk_sizes = [], []
+        idx = idx_elmts
+        for per in direct:
+            if idx >= n:
+                dblk_addrs.append(UNDEF)
+                continue
+            take = min(per, n - idx)
+            self.f.pad()
+            a = self.f.tell()
+            body = b"EADB" + struct.pack("<BB", 0, 0) + struct.pack("<Q", 0)
+            body += idx.to_bytes(off_size, "little")  # block offset
+            body += b"".join(struct.pack("<Q", x) for x in addrs[idx:idx + take])
+            body += struct.pack("<Q", UNDEF) * (per - take)  # unset slots
+            body += b"\x00" * 4                              # checksum
+            self.f.w(body)
+            dblk_addrs.append(a)
+            dblk_sizes.append(len(body))
+            idx += take
+        assert idx >= n, "fixture outgrew the direct data blocks"
+        nsblks_total = 1 + (max_bits - (dblk_min.bit_length() - 1))
+        self.f.pad()
+        eaib = self.f.tell()
+        body = b"EAIB" + struct.pack("<BB", 0, 0) + struct.pack("<Q", 0)
+        inline = addrs[:idx_elmts] + [UNDEF] * max(0, idx_elmts - n)
+        body += b"".join(struct.pack("<Q", a) for a in inline)
+        body += b"".join(struct.pack("<Q", a) for a in dblk_addrs)
+        body += struct.pack("<Q", UNDEF) * (nsblks_total - len(direct))  # sblk addrs
+        body += b"\x00" * 4
+        self.f.w(body)
+        self.f.pad()
+        eahd = self.f.tell()
+        h = b"EAHD" + struct.pack("<BBBBBBBB", 0, 0, 8, max_bits,
+                                  idx_elmts, dblk_min, sup_min, page_bits)
+        h += struct.pack("<QQQQQQ", 0, 0, len(dblk_sizes), sum(dblk_sizes), n, n)
+        h += struct.pack("<Q", eaib) + b"\x00" * 4
+        self.f.w(h)
+        self.f.patch(eaib + 6, struct.pack("<Q", eahd))
+        for a in dblk_addrs:
+            if a != UNDEF:
+                self.f.patch(a + 6, struct.pack("<Q", eahd))
+        lay = self._layout_v4(chunk, struct.pack(
+            "<BBBBBB", 4, max_bits, idx_elmts, sup_min, dblk_min, page_bits)
+            + struct.pack("<Q", eahd))
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            msg2(0x0008, lay)])
+
+    def dataset_chunked_btree_v2(self, data, chunk):
+        """gzip+shuffle chunks indexed by a type-11 v2 B-tree (index type
+        5 — what libhdf5 picks for >1 unlimited dimension). Records carry
+        (address, 4-byte chunk size, filter mask, 3 scaled offsets)."""
+        cz, cy, cx = chunk
+        gy = -(-data.shape[1] // cy)
+        gx = -(-data.shape[2] // cx)
+        recs = []
+        for i, blk in enumerate(self._chunks(data, cz, cy, cx)):
+            enc = zlib.compress(gf.shuffle(blk.tobytes(), 2), 6)
+            self.f.pad()
+            a = self.f.w(enc)
+            iz, iy, ix = i // (gy * gx), (i // gx) % gy, i % gx
+            recs.append(struct.pack("<QIIQQQ", a, len(enc), 0, iz, iy, ix))
+        bt = self.btree_v2(11, recs, 40)
+        lay = self._layout_v4(chunk, struct.pack("<BIBB", 5, 2048, 100, 40)
+                              + struct.pack("<Q", bt))
+        return self.ohdr([
+            msg2(0x0001, dataspace2(data.shape)),
+            msg2(0x0003, dtype_u2_body()),
+            filters2(),
+            msg2(0x0008, lay)])
+
     def finish(self, root_children, path):
         root = self.group(root_children)
         self.f.patch(28, struct.pack("<Q", self.f.tell()))  # EOF
@@ -453,16 +544,25 @@ def make_latest(path, sb_version):
 def make_dense(path):
     """Dense-storage fixture: DataSetInfo holds 10 child links (fractal
     heap + type-5 B-tree), Image carries its 10 attrs densely (type-8
-    B-tree), L0 is Fixed-Array-indexed gzip+shuffle chunks, L1 is
-    Implicit-indexed unfiltered chunks."""
+    B-tree), and the pyramid exercises every remaining v4 chunk index:
+    L0 Fixed-Array (gzip+shuffle), L1 Implicit (unfiltered), L2
+    Extensible-Array (unfiltered, inline + EADB data blocks), L3 v2
+    B-tree (gzip+shuffle, type-11 records)."""
     w = WriterLatest(3)
+    writers = {
+        "fixed_array": WriterLatest.dataset_chunked_fixed_array,
+        "implicit": WriterLatest.dataset_chunked_implicit,
+        "ext_array": WriterLatest.dataset_chunked_ext_array,
+        "btree_v2": WriterLatest.dataset_chunked_btree_v2,
+    }
     levels = {}
     for lvl, (shape, chunk, kind) in enumerate([
             ((64, 64, 64), (32, 32, 32), "fixed_array"),
-            ((32, 32, 32), (16, 16, 16), "implicit")]):
+            ((32, 32, 32), (16, 16, 16), "implicit"),
+            ((16, 16, 16), (8, 8, 8), "ext_array"),
+            ((8, 8, 8), (4, 4, 4), "btree_v2")]):
         data = gf.voxels(shape, lvl)
-        ds = (w.dataset_chunked_fixed_array(data, chunk) if kind == "fixed_array"
-              else w.dataset_chunked_implicit(data, chunk))
+        ds = writers[kind](w, data, chunk)
         ch = w.group({"Data": ds})
         tp = w.group({"Channel 0": ch})
         levels[f"ResolutionLevel {lvl}"] = w.group({"TimePoint 0": tp})
