@@ -27,7 +27,12 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // A crashing query must be loudly distinguishable from a fast one:
     // record per-query success, list failures, and exit nonzero on any.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-substring filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Option[Throwable]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {

@@ -85,17 +85,28 @@ object Decimals {
 object CachedRdds {
   private val live =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+  private val liveDfs =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
 
   def register[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
     synchronized { live += rdd; rdd }
 
-  /** Unpersist every registered RDD and clear the registry. */
+  /** Register an already-persisted Dataset/DataFrame for later unpersist. */
+  def registerDf[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    synchronized { liveDfs += ds; ds }
+
+  /** Unpersist every registered RDD/Dataset and clear the registry. */
   def drain(): Unit = synchronized {
     live.foreach { r =>
       try r.unpersist(blocking = false)
       catch { case _: Throwable => () }
     }
     live.clear()
+    liveDfs.foreach { d =>
+      try d.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    liveDfs.clear()
   }
 }
 
