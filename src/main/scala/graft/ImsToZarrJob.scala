@@ -59,6 +59,9 @@ object ImsToZarrJob {
           case "--levels"         => s = s.copy(downsampleLevels = argv(i + 1).toInt); i += 2
           case "--mode"           => s = s.copy(downsampleMode = argv(i + 1)); i += 2
           case "--zstd-level"     => s = s.copy(zstdLevel = argv(i + 1).toInt); i += 2
+          case "--zarr-format"    => s = s.copy(zarrFormat = argv(i + 1).toInt); i += 2
+          case "--blosc-cname"    => s = s.copy(bloscCname = argv(i + 1)); i += 2
+          case "--blosc-shuffle"  => s = s.copy(bloscShuffle = argv(i + 1)); i += 2
           case "--partition-mode" => s = s.copy(partitionMode = argv(i + 1)); i += 2
           case "--s3-location"    => s = s.copy(s3Location = Some(argv(i + 1))); i += 2
           case "--no-translate"   => s = s.copy(translateImarisPyramid = false); i += 1
@@ -107,6 +110,8 @@ object ImsToZarrJob {
       translatePyramid = a.translateImarisPyramid, computeLevels = a.downsampleLevels,
       downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
       partitionMode = a.partitionMode, codecName = a.codec,
+      zarrFormat = a.zarrFormat, bloscCname = a.bloscCname,
+      bloscShuffle = graft.sinks.Blosc.ShuffleNames(a.bloscShuffle),
       voxelSizeOverrideUm = voxelOverride,
       originOverrideUm = manifest.flatMap(m =>
         Manifest.tileTranslationUm(m, stack.split('/').last)))

@@ -105,6 +105,23 @@ object OmeNgff {
       nLevels: Int,
       factor: (Long, Long, Long),
       voxelSizeUm: (Double, Double, Double),
+      originUm: Option[(Double, Double, Double)]): JValue =
+    obj(
+      "zarr_format" -> num(3),
+      "node_type" -> str("group"),
+      "attributes" -> omeAttributes(imageName, nLevels, factor, voxelSizeUm, originUm)
+    )
+
+  /** The OME attributes payload alone — the v3 root wraps it in a group
+    * zarr.json; the v2 writer stores the same content as `.zattrs`
+    * (reference v2 path: `root.attrs.update(metadata_dict)`,
+    * `imaris_to_zarr.py:985`).
+    */
+  def omeAttributes(
+      imageName: String,
+      nLevels: Int,
+      factor: (Long, Long, Long),
+      voxelSizeUm: (Double, Double, Double),
       originUm: Option[(Double, Double, Double)]): JValue = {
 
     val scales = computeScales(
@@ -130,29 +147,25 @@ object OmeNgff {
     }
 
     obj(
-      "zarr_format" -> num(3),
-      "node_type" -> str("group"),
-      "attributes" -> obj(
-        "ome" -> obj(
-          "version" -> str("0.5"),
-          "multiscales" -> arr(
-            obj(
-              "name" -> str(imageName),
-              "axes" -> axes5d(),
-              "datasets" -> arr(datasets: _*),
-              "type" -> str("mode"),
-              // provenance stamp (reference M7 names its engine; ours
-              // names the Spark method)
-              "metadata" -> obj(
-                "description" -> str("Downscaling via Spark block-local window reduce"),
-                "method" -> str("graft.spark.downsample"),
-                "args" -> str("[false]"),
-                "kwargs" -> obj()
-              )
+      "ome" -> obj(
+        "version" -> str("0.5"),
+        "multiscales" -> arr(
+          obj(
+            "name" -> str(imageName),
+            "axes" -> axes5d(),
+            "datasets" -> arr(datasets: _*),
+            "type" -> str("mode"),
+            // provenance stamp (reference M7 names its engine; ours
+            // names the Spark method)
+            "metadata" -> obj(
+              "description" -> str("Downscaling via Spark block-local window reduce"),
+              "method" -> str("graft.spark.downsample"),
+              "args" -> str("[false]"),
+              "kwargs" -> obj()
             )
-          ),
-          "omero" -> omero(imageName, 1)
-        )
+          )
+        ),
+        "omero" -> omero(imageName, 1)
       )
     )
   }

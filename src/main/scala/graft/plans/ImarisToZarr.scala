@@ -40,6 +40,12 @@ object ImarisToZarr {
       chunk: Shape3 = Shape3(128, 256, 256),
       zstdLevel: Int = 3,
       codecName: String = "zstd",       // zstd (reference chain) | gzip
+      // W1: zarr v2 legacy store (blosc chunks, one file per chunk) —
+      // the reference's DEFAULT path (use_tensorstore=False,
+      // models.py:91-98); 3 = sharded v3 (its tensorstore path)
+      zarrFormat: Int = 3,
+      bloscCname: String = "zstd",      // v2 chunk codec inside blosc
+      bloscShuffle: Int = graft.sinks.Blosc.SHUFFLE,
       translatePyramid: Boolean = true,   // models.py:99-108
       computeLevels: Int = 1,             // levels to materialize if not translating
       downsampleMode: String = "mean",    // stride|median|mode|mean|min|max (models.py:79-85)
@@ -83,6 +89,7 @@ object ImarisToZarr {
   private final case class TaskIo(
       origFile: String, store: String, chunk: Shape3, shard: Shape3,
       zstdLevel: Int, codec: String,
+      zarrFormat: Int = 3, cname: String = "zstd", shuffle: Int = 1,
       // compute-wave extras (downsample source geometry)
       srcShape: Shape3 = Shape3(0, 0, 0), srcChunk: Shape3 = Shape3(0, 0, 0),
       srcShard: Shape3 = Shape3(0, 0, 0), factor: Shape3 = Shape3(1, 1, 1),
@@ -163,23 +170,43 @@ object ImarisToZarr {
             Geometry.ceilDiv(ts.x, c.x) * c.x))
         } else Geometry.clampSpec(ts, settings.chunk, settings.shard)
       }
+      require(settings.zarrFormat == 2 || settings.zarrFormat == 3,
+        s"zarr format must be 2|3, got: ${settings.zarrFormat}")
+      if (settings.zarrFormat == 2)
+        require(settings.zstdLevel <= 9,
+          s"blosc clevel must be in [0,9] for zarr v2, got: ${settings.zstdLevel}")
       trueShapes.zipWithIndex.foreach { case (ts, l) =>
         val (chunk, shard) = perLevelSpecs(l)
-        val metaJson = ZarrV3.arrayMetadata(
-          Seq(1L, 1L, ts.z, ts.y, ts.x),
-          Seq(1L, 1L, shard.z, shard.y, shard.x),
-          Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
-          settings.zstdLevel, settings.codecName)
-        ZarrV3.writeString(hconf, s"$store/$l/zarr.json", metaJson.render)
+        if (settings.zarrFormat == 2)
+          // v2 levels are 3-D (Z,Y,X) blosc-chunked arrays (reference
+          // `create_dataset`, `imaris_to_zarr.py:948-967`); the shard is
+          // only the TASK granularity, not part of the format
+          ZarrV3.writeString(hconf, s"$store/$l/.zarray",
+            graft.sinks.ZarrV2.arrayMetadata(
+              Seq(ts.z, ts.y, ts.x), Seq(chunk.z, chunk.y, chunk.x),
+              settings.bloscCname, settings.zstdLevel, settings.bloscShuffle).render)
+        else
+          ZarrV3.writeString(hconf, s"$store/$l/zarr.json",
+            ZarrV3.arrayMetadata(
+              Seq(1L, 1L, ts.z, ts.y, ts.x),
+              Seq(1L, 1L, shard.z, shard.y, shard.x),
+              Seq(1L, 1L, chunk.z, chunk.y, chunk.x),
+              settings.zstdLevel, settings.codecName).render)
       }
       val repFactor = Geometry.representativeFactor(
         if (settings.translatePyramid) meta.storedShapes else trueShapes)
-      ZarrV3.writeString(hconf, s"$store/zarr.json",
-        OmeNgff.rootMetadata(
-          stem, nLevels,
-          (repFactor.z, repFactor.y, repFactor.x),
-          settings.voxelSizeOverrideUm.getOrElse(meta.voxelSizeUm),
-          Some(settings.originOverrideUm.getOrElse(meta.originUm))).render)
+      val voxel = settings.voxelSizeOverrideUm.getOrElse(meta.voxelSizeUm)
+      val origin = Some(settings.originOverrideUm.getOrElse(meta.originUm))
+      if (settings.zarrFormat == 2) {
+        ZarrV3.writeString(hconf, s"$store/.zgroup",
+          graft.sinks.ZarrV2.groupMetadata.render)
+        ZarrV3.writeString(hconf, s"$store/.zattrs",
+          OmeNgff.omeAttributes(stem, nLevels,
+            (repFactor.z, repFactor.y, repFactor.x), voxel, origin).render)
+      } else
+        ZarrV3.writeString(hconf, s"$store/zarr.json",
+          OmeNgff.rootMetadata(stem, nLevels,
+            (repFactor.z, repFactor.y, repFactor.x), voxel, origin).render)
       FilePlan(imsPath, settings, store, trueShapes, perLevelSpecs)
     }
 
@@ -191,7 +218,8 @@ object ImarisToZarr {
       readLevels.map { l =>
         val (chunkL, shardL) = p.specs(l)
         (p.file, l) -> TaskIo(p.file, p.store, chunkL, shardL,
-          p.settings.zstdLevel, p.settings.codecName)
+          p.settings.zstdLevel, p.settings.codecName,
+          p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle)
       }
     }.toMap
     val readTasks: Seq[ShardTask] = plans.flatMap { p =>
@@ -214,6 +242,7 @@ object ImarisToZarr {
           (s"${p.store}/${level - 1}", level) -> TaskIo(
             p.file, p.store, chunkL, shardL,
             p.settings.zstdLevel, p.settings.codecName,
+            p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle,
             srcShape = p.trueShapes(level - 1), srcChunk = srcChunk,
             srcShard = srcShard, factor = p.settings.scaleFactor,
             mode = p.settings.downsampleMode)
@@ -319,12 +348,22 @@ object ImarisToZarr {
         if (regionBuf.length < nVox) regionBuf = new Array[Short](nVox)
         val data = r.readRegionInto(ds, t.z0, t.z1, t.y0, t.y1, t.x0, t.x1, regionBuf)
         val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-        val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
         // streaming encode+write: peak task state is the voxel region +
         // one chunk, not an extra fully-assembled shard buffer — wide
         // executors stay far from the GC wall
-        val written = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$key",
-          data, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+        val (key, written) =
+          if (spec.zarrFormat == 2) {
+            val w = graft.sinks.ZarrV2.writeRegionChunks(
+              serConf.value, s"${spec.store}/${t.level}", data, dataShape,
+              Shape3(t.z0, t.y0, t.x0), spec.chunk,
+              spec.cname, spec.zstdLevel, spec.shuffle)
+            (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
+          } else {
+            val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+            val w = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$k",
+              data, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+            (k, w)
+          }
         progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
         ShardStats(t.file, t.level, key, written, dataShape.voxels)
       }
@@ -354,15 +393,30 @@ object ImarisToZarr {
       val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
       val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
       val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
-      val srcData = ZarrRegion.read(
-        serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
-        sz0, sz1, sy0, sy1, sx0, sx1)
+      val srcData =
+        if (spec.zarrFormat == 2)
+          graft.sinks.ZarrV2.readRegion(
+            serConf.value, t.file, src, spec.srcChunk,
+            sz0, sz1, sy0, sy1, sx0, sx1)
+        else ZarrRegion.read(
+          serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
+          sz0, sz1, sy0, sy1, sx0, sx1)
       val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
       val reduced = Downsample.reduce(
         srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode)
-      val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
-      val written = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$key",
-        reduced, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+      val (key, written) =
+        if (spec.zarrFormat == 2) {
+          val w = graft.sinks.ZarrV2.writeRegionChunks(
+            serConf.value, s"${spec.store}/${t.level}", reduced, dataShape,
+            Shape3(t.z0, t.y0, t.x0), spec.chunk,
+            spec.cname, spec.zstdLevel, spec.shuffle)
+          (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
+        } else {
+          val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)
+          val w = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$k",
+            reduced, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
+          (k, w)
+        }
       progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
       // stats are keyed by the ORIGINAL ims path (not the source level
       // dir) so callers can aggregate per input file across waves

@@ -41,7 +41,14 @@ final case class JobSettings(
     partitionMode: String = "shard", // models.py:121-130 (closes D6)
     singleTileUpload: Boolean = false,
     zstdLevel: Int = 3,
-    codec: String = "zstd") {
+    codec: String = "zstd",
+    // W1/P8: output format. 3 = sharded Zarr v3 (reference tensorstore
+    // path; OUR default — the scale path); 2 = legacy Zarr v2 with
+    // blosc chunks (the reference's `use_tensorstore=False` default,
+    // models.py:91-98). `use_tensorstore` in a config is honored.
+    zarrFormat: Int = 3,
+    bloscCname: String = "zstd",
+    bloscShuffle: String = "shuffle") {
 
   def validated: JobSettings = {
     require(inputSource.nonEmpty, "input_source is required")
@@ -53,6 +60,14 @@ final case class JobSettings(
     require(downsampleLevels >= 1, s"downsample_levels must be >= 1, got: $downsampleLevels")
     require(zstdLevel >= 1 && zstdLevel <= 22, s"zstd level must be in [1,22], got: $zstdLevel")
     require(codec == "zstd" || codec == "gzip", s"codec must be zstd|gzip, got: $codec")
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2|3, got: $zarrFormat")
+    if (zarrFormat == 2) {
+      require(zstdLevel <= 9, s"blosc clevel must be in [1,9] for zarr v2, got: $zstdLevel")
+      require(Set("zstd", "lz4", "lz4hc", "zlib", "snappy").contains(bloscCname),
+        s"blosc cname must be zstd|lz4|lz4hc|zlib|snappy, got: $bloscCname")
+      require(graft.sinks.Blosc.ShuffleNames.contains(bloscShuffle),
+        s"shuffle must be one of ${graft.sinks.Blosc.ShuffleNames.keys.toSeq.sorted.mkString("|")}, got: $bloscShuffle")
+    }
     for ((s, k) <- Seq((shardSize, "shard_size"), (chunkSize, "chunk_size"), (scaleFactor, "scale_factor")))
       require(s.z > 0 && s.y > 0 && s.x > 0, s"$k must be three positive integers, got: $s")
     this
@@ -63,20 +78,24 @@ object JobSettings {
 
   val DownsampleModes: Set[String] = Set("stride", "median", "mode", "mean", "min", "max")
 
-  /** Keys we parse. */
+  /** Keys we parse. `use_tensorstore` (the reference's v2-vs-v3 writer
+    * switch, models.py:91-98) and `compressor_kwargs` (cname/clevel/
+    * shuffle, with P8's shuffle-name map) are honored since round 6.
+    */
   private val Known = Set(
     "input_source", "output_directory", "s3_location", "shard_size",
     "chunk_size", "scale_factor", "downsample_levels", "downsample_mode",
     "translate_imaris_pyramid", "partition_mode", "single_tile_upload",
-    "zstd_level", "codec")
+    "zstd_level", "codec", "zarr_format", "use_tensorstore",
+    "compressor_kwargs")
 
   /** Reference keys accepted for config compatibility but meaningless on
-    * Spark (see class scaladoc). `compressor_kwargs.clevel` is honored.
+    * Spark (see class scaladoc).
     */
   private val Ignored = Set(
     "num_of_partitions", "partition_to_process", "dask_workers",
-    "use_tensorstore", "tensorstore_batch_size", "compress_job_save_kwargs",
-    "compressor_name", "compressor_kwargs")
+    "tensorstore_batch_size", "compress_job_save_kwargs",
+    "compressor_name")
 
   private val mapper = new ObjectMapper()
 
@@ -96,8 +115,23 @@ object JobSettings {
     def int(k: String, d: Int): Int = Option(root.get(k)).map(_.asInt).getOrElse(d)
     def shp(k: String, d: Shape3): Shape3 = Option(root.get(k)).map(shape(_, k)).getOrElse(d)
     // compressor_kwargs.clevel wins over default, zstd_level wins over both
-    val kwargsLevel = Option(root.get("compressor_kwargs"))
-      .flatMap(n => Option(n.get("clevel"))).map(_.asInt)
+    val kwargs = Option(root.get("compressor_kwargs"))
+    val kwargsLevel = kwargs.flatMap(n => Option(n.get("clevel"))).map(_.asInt)
+    val kwargsCname = kwargs.flatMap(n => Option(n.get("cname"))).map(_.asText)
+    // P8 shuffle-name resolution: accept the reference's string names or
+    // the raw numcodecs int constants (-1..2)
+    val intShuffleNames =
+      graft.sinks.Blosc.ShuffleNames.map { case (k, v) => v.toString -> k }
+    val kwargsShuffle = kwargs.flatMap(n => Option(n.get("shuffle"))).map { n =>
+      val raw = n.asText
+      if (graft.sinks.Blosc.ShuffleNames.contains(raw)) raw
+      else intShuffleNames.getOrElse(raw,
+        sys.error(s"unknown blosc shuffle: $raw"))
+    }
+    // explicit zarr_format wins; else use_tensorstore=false selects the
+    // reference's legacy v2 writer path
+    val fmt = Option(root.get("zarr_format")).map(_.asInt).getOrElse(
+      if (Option(root.get("use_tensorstore")).exists(!_.asBoolean)) 2 else 3)
     JobSettings(
       inputSource = str("input_source").getOrElse(""),
       outputDirectory = str("output_directory").getOrElse(""),
@@ -111,7 +145,10 @@ object JobSettings {
       partitionMode = str("partition_mode").getOrElse("shard"),
       singleTileUpload = bool("single_tile_upload", d = false),
       zstdLevel = int("zstd_level", kwargsLevel.getOrElse(3)),
-      codec = str("codec").getOrElse("zstd")
+      codec = str("codec").getOrElse("zstd"),
+      zarrFormat = fmt,
+      bloscCname = kwargsCname.getOrElse("zstd"),
+      bloscShuffle = kwargsShuffle.getOrElse("shuffle")
     ).validated
   }
 
@@ -154,7 +191,10 @@ object JobSettings {
       partitionMode = v("partition_mode").getOrElse("shard"),
       singleTileUpload = v("single_tile_upload").exists(_.toBoolean),
       zstdLevel = v("zstd_level").map(_.toInt).getOrElse(3),
-      codec = v("codec").getOrElse("zstd")
+      codec = v("codec").getOrElse("zstd"),
+      zarrFormat = v("zarr_format").map(_.toInt).getOrElse(3),
+      bloscCname = v("blosc_cname").getOrElse("zstd"),
+      bloscShuffle = v("blosc_shuffle").getOrElse("shuffle")
     ).validated
   }
 }

@@ -69,6 +69,35 @@ class JobSettingsSpec extends AnyFunSuite {
         |"compressor_name":"blosc",
         |"compressor_kwargs":{"cname":"zstd","clevel":7,"shuffle":"shuffle"}}""".stripMargin)
     assert(s.zstdLevel == 7) // compressor_kwargs.clevel flows through
+    assert(s.zarrFormat == 3) // use_tensorstore=true → sharded v3
+    assert(s.bloscCname == "zstd" && s.bloscShuffle == "shuffle")
+  }
+
+  test("use_tensorstore=false selects the legacy Zarr v2 writer (W1)") {
+    val s = JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out",
+        |"use_tensorstore":false,
+        |"compressor_kwargs":{"cname":"lz4","clevel":5,"shuffle":"bitshuffle"}}""".stripMargin)
+    assert(s.zarrFormat == 2)
+    assert(s.bloscCname == "lz4" && s.bloscShuffle == "bitshuffle" && s.zstdLevel == 5)
+    // explicit zarr_format wins over use_tensorstore
+    val s2 = JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out",
+        |"use_tensorstore":false,"zarr_format":3}""".stripMargin)
+    assert(s2.zarrFormat == 3)
+    // numcodecs int shuffle constants are accepted (P8 name map, both ways)
+    val s3 = JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":2,
+        |"compressor_kwargs":{"shuffle":2}}""".stripMargin)
+    assert(s3.bloscShuffle == "bitshuffle")
+    // v2 path validates blosc bounds: clevel <= 9, known cname/shuffle
+    intercept[Exception](JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":2,"zstd_level":15}"""))
+    intercept[Exception](JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":2,
+        |"compressor_kwargs":{"cname":"blosclz"}}""".stripMargin))
+    intercept[Exception](JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":4}"""))
   }
 
   test("config-file entry reads the same schema from a path") {

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Geometry.Shape3
+import graft.plans.ImarisToZarr
+import graft.sinks.{Blosc, ZarrV2, ZarrV3}
+
+/** Zarr v2 legacy store (W1): chunk-grid round-trips with edge clipping,
+  * `.zarray`/`.zgroup` metadata goldens, and the e2e conversion path
+  * (`zarrFormat = 2`) — the reference's `use_tensorstore=False` default
+  * writer (`imaris_to_zarr_writer`, `imaris_to_zarr.py:807-990`).
+  */
+class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
+  import Fixtures.v
+
+  private var spark: SparkSession = _
+  private lazy val conf = spark.sparkContext.hadoopConfiguration
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test(".zarray metadata golden (numcodecs blosc config)") {
+    val json = ZarrV2.arrayMetadata(Seq(40L, 30L, 20L), Seq(16L, 16L, 16L)).render
+    assert(json ==
+      """{"zarr_format":2,"shape":[40,30,20],"chunks":[16,16,16],"dtype":"<u2",""" +
+      """"compressor":{"id":"blosc","cname":"zstd","clevel":3,"shuffle":1,"blocksize":0},""" +
+      """"fill_value":0,"order":"C","filters":null,"dimension_separator":"."}""")
+    assert(ZarrV2.groupMetadata.render == """{"zarr_format":2}""")
+  }
+
+  test("region write + read round-trip with edge-clipped chunks") {
+    val shape = Shape3(40, 30, 20)
+    val chunk = Shape3(16, 16, 16)
+    val data = Array.tabulate(shape.voxels.toInt)(i => (i % 60000).toShort)
+    val dir = Files.createTempDirectory("zarrv2").toString
+    val written = ZarrV2.writeRegionChunks(
+      conf, dir, data, shape, Shape3(0, 0, 0), chunk)
+    assert(written > 0)
+    // 3x2x2 chunk grid, every file present
+    for (gz <- 0 until 3; gy <- 0 until 2; gx <- 0 until 2)
+      assert(new java.io.File(s"$dir/$gz.$gy.$gx").exists, s"chunk $gz.$gy.$gx")
+    val back = ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 30, 0, 20)
+    assert(back.sameElements(data))
+    // interior sub-region crossing chunk boundaries
+    val sub = ZarrV2.readRegion(conf, dir, shape, chunk, 10, 35, 5, 25, 3, 18)
+    for (z <- 10 until 35; y <- 5 until 25; x <- 3 until 18)
+      assert(sub(((z - 10) * 20 + (y - 5)) * 15 + (x - 3)) ==
+        data((z * 30 + y) * 20 + x))
+  }
+
+  test("edge chunks are full-size and fill-padded (v2 semantics)") {
+    val shape = Shape3(20, 20, 20)
+    val chunk = Shape3(16, 16, 16)
+    val data = Array.fill(shape.voxels.toInt)(7.toShort)
+    val dir = Files.createTempDirectory("zarrv2pad").toString
+    ZarrV2.writeRegionChunks(conf, dir, data, shape, Shape3(0, 0, 0), chunk)
+    val raw = Blosc.decompress(ZarrV3.read(conf, s"$dir/1.1.1"))
+    assert(raw.length == chunk.voxels * 2, "edge chunk must be full chunk shape")
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // (0,0,0) of the edge chunk = voxel (16,16,16) -> 7; (4,0,0)-onward is fill
+    assert(bb.getShort(0) == 7)
+    assert(bb.getShort(2 * ((4 * 16 + 0) * 16 + 0)) == ZarrV2.Fill)
+  }
+
+  test("regions written shard-by-shard compose one consistent array") {
+    val shape = Shape3(40, 32, 32)
+    val chunk = Shape3(16, 16, 16)
+    val shard = Shape3(32, 32, 32)
+    val data = Array.tabulate(shape.voxels.toInt)(i => ((i * 31) % 60000).toShort)
+    val dir = Files.createTempDirectory("zarrv2sh").toString
+    // two shard-aligned regions along Z: [0,32) and [32,40)
+    for (z0 <- Seq(0L, 32L)) {
+      val z1 = math.min(z0 + shard.z, shape.z)
+      val dz = (z1 - z0).toInt
+      val region = new Array[Short](dz * 32 * 32)
+      System.arraycopy(data, (z0 * 32 * 32).toInt, region, 0, region.length)
+      ZarrV2.writeRegionChunks(conf, dir, region, Shape3(z1 - z0, 32, 32),
+        Shape3(z0, 0, 0), chunk)
+    }
+    val back = ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 32, 0, 32)
+    assert(back.sameElements(data))
+  }
+
+  test("e2e: ims_64 → Zarr v2 store with computed pyramid, voxel-exact") {
+    val out = Files.createTempDirectory("zarrv2e2e").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 2,
+        zarrFormat = 2))
+    val store = s"$out/ims_64.ome.zarr"
+    assert(stats.map(_.voxels).sum == 64L * 64 * 64 + 32L * 32 * 32)
+    // v2 store layout: .zgroup, .zattrs, per-level .zarray, dotted chunk keys
+    val zgroup = new String(ZarrV3.read(conf, s"$store/.zgroup"), "UTF-8")
+    assert(zgroup == """{"zarr_format":2}""")
+    val zattrs = new String(ZarrV3.read(conf, s"$store/.zattrs"), "UTF-8")
+    assert(zattrs.contains(""""version":"0.5"""") && zattrs.contains("multiscales"))
+    val zarray = new String(ZarrV3.read(conf, s"$store/0/.zarray"), "UTF-8")
+    assert(zarray.contains(""""shape":[64,64,64]"""))
+    assert(zarray.contains(""""id":"blosc""""))
+    assert(new java.io.File(s"$store/0/0.0.0").exists)
+    assert(!new java.io.File(s"$store/0/zarr.json").exists, "no v3 metadata in a v2 store")
+    // level 0 voxel-exact vs the fixture's generator
+    val l0 = ZarrV2.readRegion(conf, s"$store/0",
+      Shape3(64, 64, 64), Shape3(16, 16, 16), 0, 64, 0, 64, 0, 64)
+    for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+      assert(l0((z * 64 + y) * 64 + x) == v(z, y, x))
+    // level 1 = mean-downsample of level 0 (2x2x2 windows)
+    val l1 = ZarrV2.readRegion(conf, s"$store/1",
+      Shape3(32, 32, 32), Shape3(16, 16, 16), 0, 32, 0, 32, 0, 32)
+    for (z <- 0 until 32; y <- 0 until 32; x <- 0 until 32) {
+      var s = 0L
+      for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+        s += (v(2 * z + dz, 2 * y + dy, 2 * x + dx) & 0xffff)
+      assert(l1((z * 32 + y) * 32 + x) == (s / 8).toShort, s"l1($z,$y,$x)")
+    }
+  }
+}
