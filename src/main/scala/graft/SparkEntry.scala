@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered query definitions, in declaration order. */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalOps.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalOps.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference's own surface
+  * (builder mandate: the ops a 100 TB corpus pipeline needs as
+  * first-class components): duplicate-cluster resolution over near-dup
+  * candidate pairs, Gopher-style repetition quality metrics, and
+  * deterministic stratified sampling.
+  */
+object PipelineQueries {
+  import graft.core.Decimals._
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- q_c13: duplicate clusters = connected components over the ------
+    // banded-MinHash candidate graph. After near-dup detection the
+    // pipeline must RESOLVE transitive duplicate groups (a~b, b~c => one
+    // cluster) to keep exactly one representative; pairs alone can't do
+    // that. cluster_id = min doc_id in the component.
+    //
+    // Spark side: iterative distributed min-label propagation — labels
+    // start as each node's own id and every round take the min over the
+    // (symmetrized) neighborhood, a sequence of key-partitioned
+    // join+groupBy rounds that converges in graph-diameter iterations
+    // (near-dup components are shallow; at planetary scale swap in the
+    // large-star/small-star alternation [Kiveris et al. 2014] which
+    // bounds rounds at O(log n) with identical output). No driver-side
+    // graph state: the driver only compares a per-round checksum
+    // (sum of labels, monotonically non-increasing) to detect the
+    // fixpoint. The DuckDB oracle computes the same fixpoint with a
+    // recursive CTE.
+    QueryDef(
+      "q_c13_dup_clusters",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |nodes AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM cand
+              |    UNION ALL SELECT doc_b FROM cand)),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM cand
+              |  UNION ALL SELECT doc_b, doc_a FROM cand),
+              |reach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+              |SELECT doc_id, MIN(lbl) AS cluster_id
+              |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val cand = graft.core.CachedRdds.registerDf(
+        DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var labels = graft.core.CachedRdds.registerDf(
+        nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, col("src") === col("doc_id"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val next = graft.core.CachedRdds.registerDf(
+          labels.unionByName(prop)
+            .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+        converged = nextSum == checksum
+        checksum = nextSum
+        labels = next
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy(col("doc_id"))
+    },
+
+    // ---- q_c14: repetition quality metrics (Gopher-style) ----------------
+    // Per doc: token count, duplicate-token ratio (1 - distinct/total),
+    // the most frequent token's share, and the most frequent word
+    // 2-gram's share — the standard "remove boilerplate / degenerate
+    // repetition" signals. Pure columnar aggregates: explode → two
+    // doc-keyed shuffles — no driver state, trivially partitionable.
+    QueryDef(
+      "q_c14_repetition",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+             |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             |             COUNT(*) AS n_distinct, MAX(c) AS top_tok
+             |      FROM tc GROUP BY doc_id),
+             |lists AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |bg AS (
+             |  SELECT doc_id, ts[k+1] || ' ' || ts[k+2] AS bigram
+             |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS k FROM lists
+             |        WHERE len(ts) >= 2)),
+             |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+             |b AS (SELECT doc_id, SUM(c) AS n_big, MAX(c) AS top_big FROM bc GROUP BY doc_id)
+             |SELECT t.doc_id, n_tok,
+             |  CAST(CAST(1 - CAST(n_distinct AS DECIMAL(18,6)) / CAST(n_tok AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_tok_ratio,
+             |  CAST(CAST(CAST(top_tok AS DECIMAL(18,6)) / CAST(n_tok AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS top_tok_share,
+             |  CAST(CAST(COALESCE(CAST(top_big AS DECIMAL(18,6)) / CAST(n_big AS DECIMAL(18,6)), 0) AS DECIMAL(38,6)) AS DOUBLE) AS top_bigram_share
+             |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+             |ORDER BY t.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val tc = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val t = tc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+      val bc = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(ts) - 2), k -> concat(ts[k], ' ', ts[k+1]))"))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      val b = bc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_big"), max(col("c")).as("top_big"))
+      t.join(b, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          emit((lit(1) - dec(col("n_distinct")) / dec(col("n_tok"))).cast(D38))
+            .as("dup_tok_ratio"),
+          emit((dec(col("top_tok")) / dec(col("n_tok"))).cast(D38)).as("top_tok_share"),
+          emit(coalesce(dec(col("top_big")) / dec(col("n_big")), lit(0)).cast(D38))
+            .as("top_bigram_share"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c15: deterministic stratified sampling ------------------------
+    // Keep at most CAP docs per source, chosen by a deterministic
+    // integer hash of doc_id (reproducible across engines and runs — no
+    // RNG state). The rank window partitions by the stratum, so at
+    // 100 TB each source's ranking is an independent key-partitioned
+    // sort; no global ordering anywhere.
+    QueryDef(
+      "q_c15_stratified_sample",
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |         (doc_id * 1103515245 + 12345) % 1000000007 AS hv
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, hv,
+             |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+             |      FROM h)
+             |SELECT source, doc_id, hv, rnk FROM r WHERE rnk <= 10
+             |ORDER BY source, rnk""".stripMargin)
+    ) { (s, d) =>
+      val h = Tables(s, d, "documents").select(
+        col("doc_id"),
+        col("source"),
+        (col("doc_id") * 1103515245L + 12345L) % 1000000007L as "hv")
+      h.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("doc_id"), col("hv"), col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    }
+  )
+}

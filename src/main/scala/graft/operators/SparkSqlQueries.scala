@@ -94,6 +94,29 @@ object SparkSqlQueries {
       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
       |  FROM t WHERE size(toks) >= 3)""".stripMargin
 
+  /** Banded-MinHash candidate CTE chain ending in `cand(doc_a, doc_b)` —
+    * shared by q_c1 and q_c13 (twin of `DedupQueries.minhashCandidates`).
+    */
+  private val minhashCandCtes =
+    s"""$shingleCtes,
+       |h AS (SELECT doc_id, ${rh("shingle")} AS th FROM sh),
+       |sig AS (SELECT doc_id,
+       |  MIN((487198041 * th + 259200101) % 1000000007) AS mh0,
+       |  MIN((741932517 * th + 373587883) % 1000000007) AS mh1,
+       |  MIN((268435399 * th + 608135813) % 1000000007) AS mh2,
+       |  MIN((104395303 * th + 36028797) % 1000000007) AS mh3,
+       |  MIN((655360001 * th + 177777773) % 1000000007) AS mh4,
+       |  MIN((920419813 * th + 51218317) % 1000000007) AS mh5
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ---- relational core -------------------------------------------------
     "q_a1_scan_filter" ->
@@ -389,24 +412,7 @@ object SparkSqlQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_c1_minhash_lsh" ->
-      s"""WITH $shingleCtes,
-         |h AS (SELECT doc_id, ${rh("shingle")} AS th FROM sh),
-         |sig AS (SELECT doc_id,
-         |  MIN((487198041 * th + 259200101) % 1000000007) AS mh0,
-         |  MIN((741932517 * th + 373587883) % 1000000007) AS mh1,
-         |  MIN((268435399 * th + 608135813) % 1000000007) AS mh2,
-         |  MIN((104395303 * th + 36028797) % 1000000007) AS mh3,
-         |  MIN((655360001 * th + 177777773) % 1000000007) AS mh4,
-         |  MIN((920419813 * th + 51218317) % 1000000007) AS mh5
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
-         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      s"""WITH $minhashCandCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_c2_simhash" ->
@@ -635,6 +641,48 @@ object SparkSqlQueries {
         |  FROM vid_fxy GROUP BY doc_id)
         |SELECT media_id, kind, n_units, value_sum FROM
         |  (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // ---- training-pipeline extras (PipelineQueries) ------------------------
+    // q_c13_dup_clusters is EXCLUDED like q_c9's training phase: its
+    // connected-components fixpoint needs UNION-distinct recursion, and
+    // Spark 4.1's recursive CTE supports only UNION ALL
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — a UNION ALL recursion over
+    // a cyclic (symmetrized) edge list never reaches the empty working
+    // set. The candidate phase IS this dialect's q_c1 text; the fixpoint
+    // runs as the iterative DataFrame loop. The DuckDB oracle uses
+    // UNION-distinct recursion.
+
+    "q_c14_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+        |t AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_tok
+        |      FROM tc GROUP BY doc_id),
+        |lists AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         explode(transform(sequence(0, size(ts) - 2),
+        |           k -> concat(ts[k], ' ', ts[k+1]))) AS bigram
+        |  FROM lists WHERE size(ts) >= 2),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+        |b AS (SELECT doc_id, SUM(c) AS n_big, MAX(c) AS top_big FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, n_tok,
+        |  CAST(CAST(1 - CAST(n_distinct AS DECIMAL(18,6)) / CAST(n_tok AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_tok_ratio,
+        |  CAST(CAST(CAST(top_tok AS DECIMAL(18,6)) / CAST(n_tok AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS top_tok_share,
+        |  CAST(CAST(COALESCE(CAST(top_big AS DECIMAL(18,6)) / CAST(n_big AS DECIMAL(18,6)), 0) AS DECIMAL(38,6)) AS DOUBLE) AS top_bigram_share
+        |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_c15_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 1103515245L + 12345L) % 1000000007L AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, hv,
+        |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+        |      FROM h)
+        |SELECT source, doc_id, hv, rnk FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin
   )
 }
