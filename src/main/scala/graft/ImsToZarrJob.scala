@@ -60,6 +60,7 @@ object ImsToZarrJob {
           case "--mode"           => s = s.copy(downsampleMode = argv(i + 1)); i += 2
           case "--zstd-level"     => s = s.copy(zstdLevel = argv(i + 1).toInt); i += 2
           case "--zarr-format"    => s = s.copy(zarrFormat = argv(i + 1).toInt); i += 2
+          case "--codec"          => s = s.copy(codec = argv(i + 1)); i += 2
           case "--blosc-cname"    => s = s.copy(bloscCname = argv(i + 1)); i += 2
           case "--blosc-shuffle"  => s = s.copy(bloscShuffle = argv(i + 1)); i += 2
           case "--partition-mode" => s = s.copy(partitionMode = argv(i + 1)); i += 2

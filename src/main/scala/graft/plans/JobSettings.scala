@@ -59,7 +59,8 @@ final case class JobSettings(
       s"partition_mode must be file|shard, got: $partitionMode")
     require(downsampleLevels >= 1, s"downsample_levels must be >= 1, got: $downsampleLevels")
     require(zstdLevel >= 1 && zstdLevel <= 22, s"zstd level must be in [1,22], got: $zstdLevel")
-    require(codec == "zstd" || codec == "gzip", s"codec must be zstd|gzip, got: $codec")
+    require(codec == "zstd" || codec == "blosc" || codec == "gzip",
+      s"codec must be zstd|blosc|gzip, got: $codec")
     require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2|3, got: $zarrFormat")
     if (zarrFormat == 2) {
       require(zstdLevel <= 9, s"blosc clevel must be in [1,9] for zarr v2, got: $zstdLevel")

@@ -178,6 +178,25 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d((z * 128 + y) * 128 + x) == v(z, y, x, 0))
   }
 
+  test("blosc codec variant converts and reads back voxel-exactly") {
+    val out = Files.createTempDirectory("zarrblosc").toString
+    val stats = ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_pyramid.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = true, codecName = "blosc"))
+    assert(stats.map(_.level).distinct.sorted == Seq(0, 1, 2))
+    val metaJson = new String(ZarrV3.read(
+      conf, s"$out/ims_pyramid.ome.zarr/0/zarr.json"), "UTF-8")
+    assert(metaJson.contains(""""name":"blosc"""")
+      && metaJson.contains(""""shuffle":"shuffle""""))
+    val d = ZarrRegion.read(conf, s"$out/ims_pyramid.ome.zarr/0",
+      Shape3(64, 128, 128), Shape3(32, 32, 32), Shape3(16, 16, 16),
+      0, 64, 0, 128, 0, 128)
+    for (z <- 0 until 64; y <- 0 until 128; x <- 0 until 128)
+      assert(d((z * 128 + y) * 128 + x) == v(z, y, x, 0))
+  }
+
   test("convertAll pools files into one job per level-wave; progress totals match") {
     import java.util.concurrent.atomic.AtomicInteger
     val out = Files.createTempDirectory("zarrpool").toString
