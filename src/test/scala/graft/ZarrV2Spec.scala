@@ -95,6 +95,32 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.sameElements(data))
   }
 
+  test("v2 → v3 migration: pooled shard job, voxel-exact, attrs preserved") {
+    val out = Files.createTempDirectory("zarrv2mig").toString
+    ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 2, zarrFormat = 2))
+    val src = s"$out/ims_64.ome.zarr"
+    val dst = Files.createTempDirectory("zarrv3mig").toString + "/ims_64.ome.zarr"
+    val stats = graft.plans.ZarrMigrate.v2ToV3(
+      spark, src, dst, shard = Shape3(32, 32, 32))
+    assert(stats.map(_.voxels).sum == 64L * 64 * 64 + 32L * 32 * 32)
+    // v3 root carries the v2 store's OME attributes verbatim
+    val root = new String(ZarrV3.read(conf, s"$dst/zarr.json"), "UTF-8")
+    assert(root.contains(""""zarr_format":3""") && root.contains("multiscales"))
+    // both levels voxel-exact vs the v2 source
+    for ((l, n) <- Seq((0, 64), (1, 32))) {
+      val sh = Shape3(n, n, n)
+      val got = graft.plans.ZarrRegion.read(conf, s"$dst/$l",
+        sh, Shape3(32, 32, 32), Shape3(16, 16, 16), 0, n, 0, n, 0, n)
+      val want = ZarrV2.readRegion(conf, s"$src/$l",
+        sh, Shape3(16, 16, 16), 0, n, 0, n, 0, n)
+      assert(got.sameElements(want), s"level $l")
+    }
+  }
+
   test("e2e: ims_64 → Zarr v2 store with computed pyramid, voxel-exact") {
     val out = Files.createTempDirectory("zarrv2e2e").toString
     val stats = ImarisToZarr.convert(
