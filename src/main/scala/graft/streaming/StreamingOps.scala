@@ -47,6 +47,22 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup — the ingest-side twin of q_b5 and the
+    * canonical first stage of a streaming training-data pipeline: keep
+    * the first arrival per key, drop re-deliveries. State is keyed by
+    * the dedup key and BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within the
+    * horizon is dropped even when its event time differs from the first
+    * copy (at-least-once sources re-stamp redeliveries); anything later
+    * falls through to the batch dedup — the standard lambda split.
+    * Key-hash-partitioned state, no driver involvement at scale.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+                  keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---- custom state: sessionization via mapGroupsWithState ---------------
 
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

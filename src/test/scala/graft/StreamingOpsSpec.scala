@@ -51,6 +51,32 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[Evt]
+    val q = StreamingOps.dedupStream(input.toDF()).writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_d").toString)
+      .format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(
+      Evt(1, ts(5), 10, "click", 1.0),
+      Evt(2, ts(6), 10, "click", 2.0),
+      Evt(1, ts(5), 10, "click", 1.0)) // same-batch duplicate
+    q.processAllAvailable()
+    // cross-batch re-delivery, re-stamped LATER by the at-least-once
+    // source (the dropDuplicatesWithinWatermark case), plus a new event
+    input.addData(
+      Evt(1, ts(9), 10, "click", 1.0),
+      Evt(3, ts(10), 11, "view", 3.0))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("session_window groups by 30-minute gaps (Q-B3 streaming twin)") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
