@@ -26,8 +26,11 @@ object ZarrMigrate {
 
   private val mapper = new ObjectMapper()
 
-  /** One v2 level's geometry, read from its `.zarray`. */
-  final case class LevelMeta(shape: Shape3, chunk: Shape3)
+  /** One v2 level's geometry, read from its `.zarray`. `separator`
+    * honors foreign stores' `dimension_separator` ("." default, "/" for
+    * zarr-python nested stores).
+    */
+  final case class LevelMeta(shape: Shape3, chunk: Shape3, separator: String)
 
   def readLevelMeta(conf: org.apache.hadoop.conf.Configuration,
                     levelDir: String): LevelMeta = {
@@ -41,7 +44,9 @@ object ZarrMigrate {
       require(n != null && n.isArray && n.size == 3, s"$levelDir: $k must be 3-D")
       Shape3(n.get(0).asLong, n.get(1).asLong, n.get(2).asLong)
     }
-    LevelMeta(shp("shape"), shp("chunks"))
+    val sep = Option(root.get("dimension_separator")).map(_.asText).getOrElse(".")
+    require(sep == "." || sep == "/", s"$levelDir: unsupported dimension_separator: $sep")
+    LevelMeta(shp("shape"), shp("chunks"), sep)
   }
 
   /** Migrate `srcStore` (v2) to `dstStore` (v3 sharded). Returns per-shard
@@ -100,7 +105,7 @@ object ZarrMigrate {
     spark.createDataset(spark.sparkContext.parallelize(tasks, par)).map { t =>
       val (m, (chunkL, shardL)) = io(t.level)
       val data = ZarrV2.readRegion(serConf.value, t.file, m.shape, m.chunk,
-        t.z0, t.z1, t.y0, t.y1, t.x0, t.x1)
+        t.z0, t.z1, t.y0, t.y1, t.x0, t.x1, m.separator)
       val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
       val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
       val written = ZarrV3.writeShard(serConf.value, s"$dstStore/${t.level}/$key",

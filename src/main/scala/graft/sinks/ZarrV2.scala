@@ -119,14 +119,17 @@ object ZarrV2 {
   }
 
   /** Read an arbitrary voxel region back from a v2 level directory (the
-    * compute-pyramid source path and the round-trip tests).
+    * compute-pyramid source path, the v2→v3 migration, and the
+    * round-trip tests). `separator` supports foreign stores written with
+    * `dimension_separator: "/"` (zarr-python's nested store layout).
     */
   def readRegion(
       conf: Configuration,
       levelDir: String,
       shape: Shape3,
       chunk: Shape3,
-      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] = {
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
+      separator: String = "."): Array[Short] = {
     val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
     val out = new Array[Short](nz * ny * nx)
     var gz = z0 / chunk.z
@@ -136,10 +139,10 @@ object ZarrV2 {
         var gx = x0 / chunk.x
         while (gx * chunk.x < x1) {
           val c0z = gz * chunk.z; val c0y = gy * chunk.y; val c0x = gx * chunk.x
-          val raw = Blosc.decompress(
-            ZarrV3.read(conf, s"$levelDir/${chunkKey(gz, gy, gx)}"))
+          val key = Seq(gz, gy, gx).mkString(separator)
+          val raw = Blosc.decompress(ZarrV3.read(conf, s"$levelDir/$key"))
           require(raw.length == chunk.voxels * 2,
-            s"chunk ${chunkKey(gz, gy, gx)}: ${raw.length} bytes, want ${chunk.voxels * 2}")
+            s"chunk $key: ${raw.length} bytes, want ${chunk.voxels * 2}")
           val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
           val izLo = math.max(z0, c0z); val izHi = math.min(z1, math.min(c0z + chunk.z, shape.z))
           val iyLo = math.max(y0, c0y); val iyHi = math.min(y1, math.min(c0y + chunk.y, shape.y))

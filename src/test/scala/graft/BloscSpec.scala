@@ -165,6 +165,30 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.ShuffleNames("autoshuffle") == -1)
   }
 
+  test("property: arbitrary bytes round-trip across codec/shuffle/typesize/blocksize") {
+    // seeded manual sampling (scalatestplus isn't on the offline
+    // classpath — same approach as GeometrySpec)
+    val r = new java.util.Random(20260812L)
+    val typesizes = Array(1, 2, 3, 4, 8, 16)
+    val shuffles = Array(Blosc.NOSHUFFLE, Blosc.SHUFFLE, Blosc.BITSHUFFLE)
+    val codecs = Array("zstd", "lz4", "zlib", "snappy")
+    val blocksizes = Array(0, 777, 4096)
+    for (_ <- 0 until 120) {
+      val n = r.nextInt(20001)
+      val ts = typesizes(r.nextInt(typesizes.length))
+      val sh = shuffles(r.nextInt(shuffles.length))
+      val cname = codecs(r.nextInt(codecs.length))
+      val bs = blocksizes(r.nextInt(blocksizes.length))
+      val data = r.nextInt(3) match {
+        case 0 => pseudoRandom(n, r.nextLong())
+        case 1 => gradient(n)
+        case _ => Array.fill(n)(42.toByte)
+      }
+      val back = Blosc.decompress(Blosc.compress(data, ts, cname, 3, sh, bs))
+      assert(back.sameElements(data), s"n=$n ts=$ts sh=$sh cname=$cname bs=$bs")
+    }
+  }
+
   test("bitshuffle bit-transpose: known 2-element example") {
     // ts=1, 16 elements: element i = 1 << (i % 8) — plane k must have
     // exactly the bits of the elements whose value has bit k set
