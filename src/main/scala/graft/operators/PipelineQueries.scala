@@ -161,6 +161,50 @@ object PipelineQueries {
         .filter(col("rnk") <= 10)
         .select(col("source"), col("doc_id"), col("hv"), col("rnk"))
         .orderBy(col("source"), col("rnk"))
+    },
+
+    // ---- q_c16: the composed end-to-end corpus pipeline ------------------
+    // quality gate (q_c6's predicate) → exact-dedup keep-one (q_b5's
+    // min-doc_id-per-hash) → per-source cap (q_c15's deterministic
+    // sample) — one declarative plan, so Catalyst fuses the stages: the
+    // scan is read once, the gate is a pushed filter, and the dedup +
+    // cap are two key-partitioned shuffles. This is the shape of a real
+    // 100 TB corpus-preparation job.
+    QueryDef(
+      "q_c16_retained_corpus",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source, text FROM t
+             |  WHERE len(toks) BETWEEN 10 AND 1000
+             |    AND len(list_distinct(toks)) * 10 >= len(toks) * 3),
+             |k AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |kept AS (SELECT q.doc_id, q.source FROM q JOIN k ON q.doc_id = k.doc_id),
+             |r AS (
+             |  SELECT doc_id, source,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007, doc_id) AS rnk
+             |  FROM kept)
+             |SELECT source, doc_id FROM r WHERE rnk <= 5
+             |ORDER BY source, doc_id""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(lower(col("text")), " ").as("toks"))
+      val q = t.filter(
+        size(col("toks")).between(10, 1000) &&
+          size(array_distinct(col("toks"))) * 10 >= size(col("toks")) * 3)
+        .select(col("doc_id"), col("source"), col("text"))
+      val k = q.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      val kept = q.join(k.select(col("doc_id")), Seq("doc_id"))
+      kept
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy((col("doc_id") * 1103515245L + 12345L) % 1000000007L, col("doc_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
     }
   )
 }

@@ -674,6 +674,24 @@ object SparkSqlQueries {
         |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    "q_c16_retained_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text FROM t
+        |  WHERE size(toks) BETWEEN 10 AND 1000
+        |    AND size(array_distinct(toks)) * 10 >= size(toks) * 3),
+        |k AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |kept AS (SELECT q.doc_id, q.source FROM q JOIN k ON q.doc_id = k.doc_id),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY (doc_id * 1103515245L + 12345L) % 1000000007L, doc_id) AS rnk
+        |  FROM kept)
+        |SELECT source, doc_id FROM r WHERE rnk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
     "q_c15_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,
