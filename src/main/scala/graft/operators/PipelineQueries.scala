@@ -163,6 +163,63 @@ object PipelineQueries {
         .orderBy(col("source"), col("rnk"))
     },
 
+    // ---- q_c17: int8 embedding quantization -------------------------------
+    // Max-abs symmetric quantization (q_i = round(127·x_i / max|x|)) —
+    // the standard storage/bandwidth compression before ANN serving.
+    // Every element is widened float32 → float64 EXPLICITLY on both
+    // engines (mixed float/int promotion differs between Spark and
+    // DuckDB), so the per-vector scale and the integer checksums are
+    // bit-deterministic. Position-weighted qdot pins element ORDER, not
+    // just the multiset. Pure per-row projection + one groupBy — scales
+    // as a single pass.
+    QueryDef(
+      "q_c17_embedding_quantize",
+      Some("""WITH m AS (
+             |  SELECT vec_id,
+             |         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS mx,
+             |         len(embedding) AS dim
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT m.vec_id, m.mx, m.dim,
+             |         unnest(emb.embedding) AS x,
+             |         unnest(range(len(emb.embedding))) AS i
+             |  FROM m JOIN embeddings emb ON m.vec_id = emb.vec_id),
+             |q AS (
+             |  SELECT vec_id, mx, dim,
+             |         CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) AS qi,
+             |         CAST(i AS BIGINT) AS i
+             |  FROM e WHERE mx > 0)
+             |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+             |  CAST(CAST(mx / 127 AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+             |  CAST(SUM(qi) AS BIGINT) AS qsum,
+             |  CAST(SUM(qi * (i + 1)) AS BIGINT) AS qdot
+             |FROM q GROUP BY vec_id, dim, mx
+             |ORDER BY vec_id""".stripMargin)
+    ) { (s, d) =>
+      val m = Tables(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)")
+            .as("mx"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("embedding"))
+        .filter(col("mx") > 0)
+      m.select(col("vec_id"), col("mx"), col("dim"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("mx"), col("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)").as("qi"),
+          col("i").cast("long").as("i"))
+        .groupBy(col("vec_id"), col("dim"), col("mx"))
+        .agg(
+          sum(col("qi")).as("qsum"),
+          sum(col("qi") * (col("i") + 1)).as("qdot"))
+        .select(
+          col("vec_id"), col("dim"),
+          emitQ(col("mx") / 127).as("scale"),
+          col("qsum"), col("qdot"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- q_c16: the composed end-to-end corpus pipeline ------------------
     // quality gate (q_c6's predicate) → exact-dedup keep-one (q_b5's
     // min-doc_id-per-hash) → per-source cap (q_c15's deterministic

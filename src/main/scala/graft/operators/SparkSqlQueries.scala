@@ -674,6 +674,28 @@ object SparkSqlQueries {
         |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    "q_c17_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS mx,
+        |         CAST(size(embedding) AS BIGINT) AS dim,
+        |         embedding
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, mx, dim, posexplode(embedding) AS (i, x)
+        |  FROM m WHERE mx > 0D),
+        |q AS (
+        |  SELECT vec_id, mx, dim,
+        |         CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) AS qi,
+        |         CAST(i AS BIGINT) AS i
+        |  FROM e)
+        |SELECT vec_id, dim,
+        |  CAST(CAST(mx / 127 AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+        |  SUM(qi) AS qsum,
+        |  SUM(qi * (i + 1)) AS qdot
+        |FROM q GROUP BY vec_id, dim, mx
+        |ORDER BY vec_id""".stripMargin,
+
     "q_c16_retained_corpus" ->
       """WITH t AS (
         |  SELECT doc_id, source, text, split(lower(text), ' ') AS toks
