@@ -135,14 +135,16 @@ class Hdf5ReaderSpec extends AnyFunSuite {
     } finally r.close()
   }
 
-  test("ims_dense: fractal-heap links/attrs, Fixed-Array + Implicit chunk indexes") {
+  test("ims_dense: fractal-heap links/attrs, FA/Implicit/EA/BTv2 chunk indexes") {
     // DataSetInfo carries 10 links (> the 8-link compact limit) in a
     // fractal heap + type-5 v2 B-tree; Image carries its 10 attrs in a
     // dense (type-8) index — the layout libhdf5 writes for real
-    // libver='latest' Imaris trees
+    // libver='latest' Imaris trees. The 4 pyramid levels exercise the
+    // FULL v4 chunk-index set: Fixed Array, Implicit, Extensible Array,
+    // and version-2 B-tree.
     val m = Imaris.readMeta(s"$dir/ims_dense.ims")
     assert(m.trueShape0.shape == Shape3(64, 64, 64))
-    assert(m.numLevels == 2)
+    assert(m.numLevels == 4)
     assert(m.voxelSizeUm == ((1.0, 1.0, 1.0)), "dense attributes must decode")
     val r = new Hdf5Reader(s"$dir/ims_dense.ims")
     try {
@@ -161,6 +163,12 @@ class Hdf5ReaderSpec extends AnyFunSuite {
       // L1: Implicit index over 8 unfiltered 16^3 chunks
       checkRegion(r, 1, 0, 32, 0, 32, 0, 32, Shape3(32, 32, 32))
       checkRegion(r, 1, 7, 25, 0, 16, 9, 23, Shape3(32, 32, 32))
+      // L2: Extensible Array index over 8 8^3 chunks
+      checkRegion(r, 2, 0, 16, 0, 16, 0, 16, Shape3(16, 16, 16))
+      checkRegion(r, 2, 3, 13, 1, 9, 5, 11, Shape3(16, 16, 16))
+      // L3: version-2 B-tree (type 10/11) index over 8 4^3 chunks
+      checkRegion(r, 3, 0, 8, 0, 8, 0, 8, Shape3(8, 8, 8))
+      checkRegion(r, 3, 1, 7, 2, 6, 0, 5, Shape3(8, 8, 8))
     } finally r.close()
   }
 }
