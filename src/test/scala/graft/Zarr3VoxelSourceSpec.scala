@@ -67,6 +67,28 @@ class Zarr3VoxelSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("declarative downsample over the voxel table matches the native kernel") {
+    // the A1 windowed spatial reduce, written as plain SQL over the DSv2
+    // voxel table — GROUP BY (z DIV 2, y DIV 2, x DIV 2) IS the 2x2x2
+    // mean pyramid step, and must agree with Downsample.reduce("mean")
+    spark.read.format("zarr3voxels").load(level0).createOrReplaceTempView("vox0")
+    val sqlDown = spark.sql(
+      """SELECT z DIV 2 AS dz, y DIV 2 AS dy, x DIV 2 AS dx,
+        |       CAST(SUM(v) / COUNT(*) AS INT) AS dv
+        |FROM vox0 GROUP BY 1, 2, 3""".stripMargin)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getInt(3)))
+      .toMap
+    val src = new Array[Short](64 * 64 * 64)
+    for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+      src((z * 64 + y) * 64 + x) = v(z, y, x)
+    val want = graft.plans.Downsample.reduce(
+      src, Shape3(64, 64, 64), Shape3(32, 32, 32), Shape3(2, 2, 2), "mean")
+    for (z <- 0L until 32; y <- 0L until 32; x <- 0L until 32)
+      assert(sqlDown((z, y, x)) == (want(((z * 32 + y) * 32 + x).toInt) & 0xffff),
+        s"($z,$y,$x)")
+  }
+
   test("SQL over a registered voxel view") {
     spark.read.format("zarr3voxels").load(level0).createOrReplaceTempView("vox")
     val rows = spark.sql(
