@@ -54,9 +54,13 @@ object PipelineQueries {
         DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      // initialize with the FIRST propagation round folded in: label(u) =
+      // min over u's closed neighborhood (self edges included) — one
+      // groupBy instead of a full join round
       var labels = graft.core.CachedRdds.registerDf(
-        nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+        edges.unionByName(
+            edges.select(col("src").as("src"), col("src").as("dst")).distinct())
+          .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("lbl"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
       var converged = false
