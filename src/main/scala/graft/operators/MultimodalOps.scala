@@ -179,6 +179,28 @@ object MultimodalOps {
       (w.toLong * h, sum, px)
     }
 
+    /** Decode a PNG payload and nearest-neighbor resample to (outW, outH):
+      * returns the checksum over the RESIZED raster. Pixel (x', y') of
+      * the output samples source (x'·w DIV outW, y'·h DIV outH) — the
+      * standard NN resize, integer arithmetic so the oracle reproduces
+      * it in closed form.
+      */
+    def resizeImageSum(payload: Array[Byte], outW: Int, outH: Int): Long = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) { sum += r.getSample(x * w / outW, sy, 0); x += 1 }
+        y += 1
+      }
+      sum
+    }
+
     /** Decode a WAV payload → (nSamples, Σ signed samples, normalized). */
     def decodeAudio(payload: Array[Byte]): (Long, Long, Array[Float]) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -372,6 +394,41 @@ object MultimodalOps {
         .select(col("media_id"), col("kind"),
           col("n_units").cast("long").as("n_units"),
           col("value_sum").cast("long").as("value_sum"))
+        .orderBy(col("media_id"))
+    },
+
+    // ---- decoded-pixel nearest-neighbor resize, hash-checked --------------
+    // Real decode (javax.imageio) + NN resample to 16x12. Source pixel of
+    // output (x', y') is (x'·w DIV 16, y'·h DIV 12) — integer arithmetic,
+    // so the oracle reproduces the RESIZED checksum in closed form from
+    // the pixel generator. Complements the metadata-plane resizePlan
+    // (which never decodes): this is the decode-side half of the resize
+    // pipeline stage, one mapPartitions pass, no shuffle before the
+    // final ORDER BY.
+    QueryDef(
+      "q_c18_media_resize",
+      Some("""WITH img_d AS (
+             |  SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |ox AS (SELECT doc_id, w, h, unnest(range(16)) AS x FROM img_d),
+             |oxy AS (SELECT doc_id, w, h, x, unnest(range(12)) AS y FROM ox),
+             |px AS (
+             |  SELECT doc_id,
+             |         (doc_id * 31 + (x * w // 16) * 7 + (y * h // 12) * 13) % 256 AS v
+             |  FROM oxy)
+             |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS out_w,
+             |       CAST(12 AS BIGINT) AS out_h,
+             |       CAST(SUM(v) AS BIGINT) AS resized_sum
+             |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin)
+    ) { (s, d) =>
+      import s.implicits._
+      encodedMedia(s, d)
+        .filter(_.kind == "image")
+        .mapPartitions { it =>
+          it.map(m => (m.media_id, 16L, 12L,
+            MediaCodec.resizeImageSum(m.payload, 16, 12)))
+        }
+        .toDF("media_id", "out_w", "out_h", "resized_sum")
         .orderBy(col("media_id"))
     }
   )

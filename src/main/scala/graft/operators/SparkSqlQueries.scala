@@ -674,6 +674,23 @@ object SparkSqlQueries {
         |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // closed form of the NN resize over the pixel generator — parity vs
+    // the DataFrame plan's REAL javax.imageio decode + resample
+    "q_c18_media_resize" ->
+      """WITH img_d AS (
+        |  SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ox AS (SELECT doc_id, w, h, explode(sequence(0, 15)) AS x FROM img_d),
+        |oxy AS (SELECT doc_id, w, h, x, explode(sequence(0, 11)) AS y FROM ox),
+        |px AS (
+        |  SELECT doc_id,
+        |         (doc_id * 31 + ((x * w) DIV 16) * 7 + ((y * h) DIV 12) * 13) % 256 AS v
+        |  FROM oxy)
+        |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS out_w,
+        |       CAST(12 AS BIGINT) AS out_h,
+        |       CAST(SUM(v) AS BIGINT) AS resized_sum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     "q_c17_embedding_quantize" ->
       """WITH m AS (
         |  SELECT vec_id,
