@@ -187,7 +187,9 @@ object Blosc {
     val dontSplit = (flags & FlagDontSplit) != 0
     require(blocksize > 0, s"bad blocksize: $blocksize")
     val nblocks = (nbytes + blocksize - 1) / blocksize
-    val block = new Array[Byte](blocksize)
+    // a foreign header may declare blocksize > nbytes (one partial
+    // block); allocate only what a block can actually hold
+    val block = new Array[Byte](math.max(1, math.min(blocksize, nbytes)))
     var b = 0
     while (b < nblocks) {
       val bstart = hb.getInt(HeaderLen + 4 * b)
