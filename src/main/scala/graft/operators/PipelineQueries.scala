@@ -14,6 +14,105 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import graft.core.Decimals._
 
+  /** Distributed connected components by alternating large-star /
+    * small-star edge transformations (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * key-partitioned groupBy+join passes that rewire edges toward each
+    * component's minimum node, converging to a star forest in O(log n)
+    * rounds INDEPENDENT of graph diameter — the at-scale upgrade over
+    * min-label propagation's diameter-bound rounds (a 100 TB near-dup
+    * graph with chain-shaped components would stall propagation; stars
+    * do not). Convergence is detected exactly: a round that leaves the
+    * canonical edge set unchanged is the fixed point (set equality via
+    * two anti-joins — same key partitioning as the round itself).
+    *
+    * Input: undirected candidate edges (doc_a < doc_b), no self loops.
+    * Output: (doc_id, cluster_id = component minimum) for EVERY node,
+    * roots included — identical to min-label propagation's output
+    * (PipelineCcSpec asserts equality on randomized graphs).
+    */
+  def connectedComponentsStar(s: SparkSession, edges0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def changed(x: DataFrame, y: DataFrame): Boolean =
+      !x.join(y, Seq("a", "b"), "left_anti").isEmpty ||
+        !y.join(x, Seq("a", "b"), "left_anti").isEmpty
+    // iterative DataFrame algorithms MUST truncate lineage per round:
+    // each round references the previous result several times, so the
+    // logical plan grows EXPONENTIALLY without it (localCheckpoint keeps
+    // the data in the block manager and replaces the plan with a leaf)
+    var e = graft.core.CachedRdds.registerDf(
+      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .localCheckpoint(true))
+    var converged = false
+    while (!converged) {
+      // large-star: every node's strictly-larger neighbors connect to the
+      // minimum of its closed neighborhood
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
+      val ls = canon(
+        sym.join(mins, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("a"), least(col("mnv"), col("u")).as("b")))
+      // small-star: every node's smaller-or-equal neighbors (and itself)
+      // connect to the minimum of that set — grouped by the LARGER
+      // endpoint (canonical edges have a < b, so u = b)
+      val byMax = ls.select(col("b").as("u"), col("a").as("v")) // u = max, v = min
+      val mins2 = byMax.groupBy(col("u")).agg(min(col("v")).as("mnv"))
+      val withM = byMax.join(mins2, Seq("u"))
+      val ss = graft.core.CachedRdds.registerDf(
+        canon(
+          withM.select(col("v").as("a"), col("mnv").as("b"))
+            .unionByName(withM.select(col("u").as("a"), col("mnv").as("b"))))
+          .localCheckpoint(true))
+      converged = !changed(e, ss)
+      e = ss
+    }
+    // fixed point is a star forest rooted at component minima
+    e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .unionByName(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation CC (diameter-bound rounds) — kept as the
+    * independent cross-check for [[connectedComponentsStar]] and for
+    * shallow graphs where its simpler rounds win.
+    */
+  def connectedComponentsPropagation(s: SparkSession, cand: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // first propagation round folded into init: label(u) = min over u's
+    // closed neighborhood (self edges included) — one groupBy
+    // lineage truncation per round (see connectedComponentsStar): the
+    // loop references `labels` twice per round, so the plan compounds
+    // exponentially without localCheckpoint
+    var labels = graft.core.CachedRdds.registerDf(
+      edges.unionByName(
+          edges.select(col("src").as("src"), col("src").as("dst")).distinct())
+        .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("lbl"))
+        .localCheckpoint(true))
+    var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = graft.core.CachedRdds.registerDf(
+        labels.unionByName(prop)
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true))
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q_c13: duplicate clusters = connected components over the ------
     // banded-MinHash candidate graph. After near-dup detection the
@@ -21,17 +120,13 @@ object PipelineQueries {
     // cluster) to keep exactly one representative; pairs alone can't do
     // that. cluster_id = min doc_id in the component.
     //
-    // Spark side: iterative distributed min-label propagation — labels
-    // start as each node's own id and every round take the min over the
-    // (symmetrized) neighborhood, a sequence of key-partitioned
-    // join+groupBy rounds that converges in graph-diameter iterations
-    // (near-dup components are shallow; at planetary scale swap in the
-    // large-star/small-star alternation [Kiveris et al. 2014] which
-    // bounds rounds at O(log n) with identical output). No driver-side
-    // graph state: the driver only compares a per-round checksum
-    // (sum of labels, monotonically non-increasing) to detect the
-    // fixpoint. The DuckDB oracle computes the same fixpoint with a
-    // recursive CTE.
+    // Spark side: alternating large-star/small-star edge rewiring
+    // ([[connectedComponentsStar]]) — O(log n) rounds independent of
+    // graph diameter, no driver-side graph state. The simpler min-label
+    // propagation ([[connectedComponentsPropagation]]) is kept as an
+    // independent cross-check (PipelineCcSpec asserts both agree on
+    // randomized graphs). The DuckDB oracle computes the same fixpoint
+    // with a recursive CTE.
     QueryDef(
       "q_c13_dup_clusters",
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
@@ -52,31 +147,7 @@ object PipelineQueries {
       import org.apache.spark.storage.StorageLevel
       val cand = graft.core.CachedRdds.registerDf(
         DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // initialize with the FIRST propagation round folded in: label(u) =
-      // min over u's closed neighborhood (self edges included) — one
-      // groupBy instead of a full join round
-      var labels = graft.core.CachedRdds.registerDf(
-        edges.unionByName(
-            edges.select(col("src").as("src"), col("src").as("dst")).distinct())
-          .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
-      var converged = false
-      while (!converged) {
-        val prop = edges.join(labels, col("src") === col("doc_id"))
-          .select(col("dst").as("doc_id"), col("lbl"))
-        val next = graft.core.CachedRdds.registerDf(
-          labels.unionByName(prop)
-            .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
-        converged = nextSum == checksum
-        checksum = nextSum
-        labels = next
-      }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy(col("doc_id"))
+      connectedComponentsStar(s, cand).orderBy(col("doc_id"))
     },
 
     // ---- q_c14: repetition quality metrics (Gopher-style) ----------------

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PipelineQueries
+
+/** Connected components: the large-star/small-star production path and
+  * the min-label propagation cross-check must agree with each other AND
+  * with a single-machine union-find oracle on randomized graphs —
+  * including diameter-heavy chains where propagation needs many rounds
+  * and the star alternation must still converge to identical output.
+  */
+class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-cc-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Single-machine union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val df = edges.toDF("doc_a", "doc_b")
+    val want = unionFind(edges)
+    val star = PipelineQueries.connectedComponentsStar(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = PipelineQueries.connectedComponentsPropagation(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CachedRdds.drain()
+    assert(star == want, s"$clue: star vs union-find")
+    assert(prop == want, s"$clue: propagation vs union-find")
+  }
+
+  test("chain graph (worst case for propagation's diameter bound)") {
+    check((0L until 60L).map(i => (i, i + 1)), "chain-61")
+  }
+
+  test("two cliques bridged by one edge, ids descending") {
+    val c1 = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val c2 = for (i <- 20L to 24L; j <- (i + 1) to 24L) yield (i, j)
+    check(c1 ++ c2 :+ (14L -> 20L), "bridged-cliques")
+  }
+
+  test("randomized graphs agree with union-find (seeded)") {
+    val r = new java.util.Random(20260813L)
+    for (trial <- 0 until 6) {
+      val n = 30 + r.nextInt(40)
+      val m = n + r.nextInt(2 * n)
+      val edges = Seq.fill(m) {
+        val a = r.nextInt(n).toLong; val b = r.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) check(edges, s"random-$trial (n=$n m=${edges.size})")
+    }
+  }
+
+  test("single edge and star-shaped input are already fixed points") {
+    check(Seq((5L, 9L)), "single-edge")
+    check((1L to 6L).map(i => (0L, i)), "star")
+  }
+}
