@@ -238,6 +238,45 @@ object PipelineQueries {
         .orderBy(col("source"), col("rnk"))
     },
 
+    // ---- q_c19: near-dup cluster dedup ACTION ------------------------------
+    // The retention step after q_c13's cluster resolution: every
+    // non-representative member of a near-dup cluster is dropped, every
+    // other document survives. One anti-join against the (tiny) set of
+    // non-root cluster members — at corpus scale that set is broadcast
+    // and the retained corpus never shuffles.
+    QueryDef(
+      "q_c19_neardup_retained",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |nodes AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM cand
+              |    UNION ALL SELECT doc_b FROM cand)),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM cand
+              |  UNION ALL SELECT doc_b, doc_a FROM cand),
+              |reach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+              |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+              |drop_ids AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+              |SELECT d.doc_id, d.source
+              |FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+              |ORDER BY d.doc_id""".stripMargin)
+    ) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val cand = graft.core.CachedRdds.registerDf(
+        DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+      val dropIds = connectedComponentsStar(s, cand)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      Tables(s, d, "documents")
+        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q_c17: int8 embedding quantization -------------------------------
     // Max-abs symmetric quantization (q_i = round(127·x_i / max|x|)) —
     // the standard storage/bandwidth compression before ANN serving.

@@ -38,15 +38,16 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("SQL surface covers every registered query except the two pinned exclusions") {
+  test("SQL surface covers every registered query except the pinned exclusions") {
     // q_c9: driver-trained Lloyd centroids are not SQL-expressible state
-    // (its search phase has its own parity test below). q_c13: the
+    // (its search phase has its own parity test below). q_c13/q_c19: the
     // connected-components fixpoint needs UNION-distinct recursion, which
-    // Spark 4.1's recursive CTE does not support (only UNION ALL) — its
-    // candidate phase is q_c1's text and its fixpoint is the iterative
-    // DataFrame loop.
+    // Spark 4.1's recursive CTE does not support (only UNION ALL) — the
+    // candidate phase is q_c1's text and the fixpoint is the iterative
+    // star rewiring.
     assert(SparkSqlQueries.sql.keySet ==
-      SparkEntry.queries.keySet - "q_c9_ann_ivf" - "q_c13_dup_clusters")
+      SparkEntry.queries.keySet
+        - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained")
   }
 
   for (name <- SparkSqlQueries.sql.keys.toSeq.sorted)
