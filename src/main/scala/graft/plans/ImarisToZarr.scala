@@ -409,7 +409,14 @@ object ImarisToZarr {
     }.max * 3
     val taskDs = spark.createDataset(spark.sparkContext.parallelize(
       tasks, memoryCappedParallelism(spark, tasks.size, maxTaskBytes)))
-    taskDs.map { t =>
+    taskDs.mapPartitions { it =>
+      // per-partition source/output buffers reused across the partition's
+      // tasks — the same humongous-allocation avoidance as the read wave
+      // (round 5), applied to the downsample wave: a 512³ compute task
+      // otherwise allocates a fresh ×8 source region per task
+      var srcBuf: Array[Short] = Array.emptyShortArray
+      var dstBuf: Array[Short] = Array.emptyShortArray
+      it.map { t =>
       val spec = io((t.file, t.level))
       val f = spec.factor
       val src = spec.srcShape
@@ -417,17 +424,20 @@ object ImarisToZarr {
       val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
       val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
       val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
+      val nSrc = ((sz1 - sz0) * (sy1 - sy0) * (sx1 - sx0)).toInt
+      if (srcBuf.length < nSrc) srcBuf = new Array[Short](nSrc)
       val srcData =
         if (spec.zarrFormat == 2)
-          graft.sinks.ZarrV2.readRegion(
+          graft.sinks.ZarrV2.readRegionInto(
             serConf.value, t.file, src, spec.srcChunk,
-            sz0, sz1, sy0, sy1, sx0, sx1)
-        else ZarrRegion.read(
+            sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
+        else ZarrRegion.readInto(
           serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
-          sz0, sz1, sy0, sy1, sx0, sx1)
+          sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
       val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
-      val reduced = Downsample.reduce(
-        srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode)
+      if (dstBuf.length < dataShape.voxels) dstBuf = new Array[Short](dataShape.voxels.toInt)
+      val reduced = Downsample.reduceInto(
+        srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode, dstBuf)
       val (key, written) =
         if (spec.zarrFormat == 2) {
           val w = graft.sinks.ZarrV2.writeRegionChunks(
@@ -445,6 +455,7 @@ object ImarisToZarr {
       // stats are keyed by the ORIGINAL ims path (not the source level
       // dir) so callers can aggregate per input file across waves
       ShardStats(spec.origFile, t.level, key, written, dataShape.voxels)
+      }
     }.collect().toSeq
   }
 }
@@ -457,9 +468,22 @@ object ZarrRegion {
 
   def read(conf: org.apache.hadoop.conf.Configuration,
            levelDir: String, shape: Shape3, shard: Shape3, chunk: Shape3,
-           z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] = {
+           z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long): Array[Short] =
+    readInto(conf, levelDir, shape, shard, chunk, z0, z1, y0, y1, x0, x1,
+      new Array[Short](((z1 - z0) * (y1 - y0) * (x1 - x0)).toInt))
+
+  /** [[read]] into a caller-owned (possibly oversized, REUSED) region
+    * buffer; one shard-decode scratch is also reused across the region's
+    * shards. Returns `out`.
+    */
+  def readInto(conf: org.apache.hadoop.conf.Configuration,
+               levelDir: String, shape: Shape3, shard: Shape3, chunk: Shape3,
+               z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
+               out: Array[Short]): Array[Short] = {
     val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
-    val out = new Array[Short](nz * ny * nx)
+    require(out.length >= nz.toLong * ny * nx,
+      s"region buffer ${out.length} < ${nz.toLong * ny * nx}")
+    var shardBuf: Array[Short] = Array.emptyShortArray
     var gz = z0 / shard.z
     while (gz * shard.z < z1) {
       var gy = y0 / shard.y
@@ -472,7 +496,8 @@ object ZarrRegion {
             math.min(shard.y, shape.y - s0y),
             math.min(shard.x, shape.x - s0x))
           val path = s"$levelDir/${ZarrV3.shardKey(gz, gy, gx)}"
-          val data = ZarrV3.decodeShard(ZarrV3.read(conf, path), dShape, shard, chunk)
+          if (shardBuf.length < dShape.voxels) shardBuf = new Array[Short](dShape.voxels.toInt)
+          val data = ZarrV3.decodeShardInto(ZarrV3.read(conf, path), dShape, shard, chunk, shardBuf)
           val izLo = math.max(z0, s0z); val izHi = math.min(z1, s0z + dShape.z)
           val iyLo = math.max(y0, s0y); val iyHi = math.min(y1, s0y + dShape.y)
           val ixLo = math.max(x0, s0x); val ixHi = math.min(x1, s0x + dShape.x)
@@ -511,8 +536,18 @@ object Downsample {
   import graft.core.Geometry.Shape3
 
   def reduce(src: Array[Short], srcShape: Shape3, dstShape: Shape3,
-             f: Shape3, mode: String): Array[Short] = {
-    val out = new Array[Short](dstShape.voxels.toInt)
+             f: Shape3, mode: String): Array[Short] =
+    reduceInto(src, srcShape, dstShape, f, mode,
+      new Array[Short](dstShape.voxels.toInt))
+
+  /** [[reduce]] into a caller-owned (possibly oversized, REUSED) output
+    * buffer; every dstShape cell is written, so stale tail bytes beyond
+    * the extent are never read downstream. Returns `out`.
+    */
+  def reduceInto(src: Array[Short], srcShape: Shape3, dstShape: Shape3,
+                 f: Shape3, mode: String, out: Array[Short]): Array[Short] = {
+    require(out.length >= dstShape.voxels,
+      s"reduce buffer ${out.length} < ${dstShape.voxels}")
     val window = new Array[Int]((f.z * f.y * f.x).toInt)
     var dz = 0L
     while (dz < dstShape.z) {

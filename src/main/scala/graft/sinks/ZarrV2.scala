@@ -129,9 +129,24 @@ object ZarrV2 {
       shape: Shape3,
       chunk: Shape3,
       z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
+      separator: String = "."): Array[Short] =
+    readRegionInto(conf, levelDir, shape, chunk, z0, z1, y0, y1, x0, x1,
+      new Array[Short](((z1 - z0) * (y1 - y0) * (x1 - x0)).toInt), separator)
+
+  /** [[readRegion]] into a caller-owned (possibly oversized, REUSED)
+    * buffer. Returns `out`.
+    */
+  def readRegionInto(
+      conf: Configuration,
+      levelDir: String,
+      shape: Shape3,
+      chunk: Shape3,
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
+      out: Array[Short],
       separator: String = "."): Array[Short] = {
     val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
-    val out = new Array[Short](nz * ny * nx)
+    require(out.length >= nz.toLong * ny * nx,
+      s"region buffer ${out.length} < ${nz.toLong * ny * nx}")
     var gz = z0 / chunk.z
     while (gz * chunk.z < z1) {
       var gy = y0 / chunk.y

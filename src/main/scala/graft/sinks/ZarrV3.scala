@@ -170,7 +170,24 @@ object ZarrV3 {
       bytes: Array[Byte],
       dataShape: Shape3,
       shardShape: Shape3,
-      chunkShape: Shape3): Array[Short] = {
+      chunkShape: Shape3): Array[Short] =
+    decodeShardInto(bytes, dataShape, shardShape, chunkShape,
+      new Array[Short](dataShape.voxels.toInt))
+
+  /** [[decodeShard]] into a caller-owned (possibly oversized, REUSED)
+    * buffer: the dataShape extent is explicitly reset to Fill first, so
+    * elided all-fill chunks decode correctly even over stale bytes from
+    * a previous shard. Returns `out`.
+    */
+  def decodeShardInto(
+      bytes: Array[Byte],
+      dataShape: Shape3,
+      shardShape: Shape3,
+      chunkShape: Shape3,
+      out: Array[Short]): Array[Short] = {
+    require(out.length >= dataShape.voxels,
+      s"decode buffer ${out.length} < ${dataShape.voxels}")
+    java.util.Arrays.fill(out, 0, dataShape.voxels.toInt, Fill)
     val grid = Shape3(shardShape.z / chunkShape.z, shardShape.y / chunkShape.y,
       shardShape.x / chunkShape.x)
     val nChunks = grid.voxels.toInt
@@ -185,7 +202,6 @@ object ZarrV3 {
     crc.update(bytes, idxStart, indexLen)
     require(crc.getValue.toInt == crcStored, "shard index CRC32C mismatch")
 
-    val out = new Array[Short](dataShape.voxels.toInt)
     val chunkVox = chunkShape.voxels.toInt
     // one decode buffer reused across chunks (same GC-wall avoidance as
     // the encode side; a 512³ shard otherwise churns ~500 MB per read)
