@@ -112,7 +112,7 @@ object ImsToZarrJob {
       downsampleMode = a.downsampleMode, scaleFactor = a.scaleFactor,
       partitionMode = a.partitionMode, codecName = a.codec,
       zarrFormat = a.zarrFormat, bloscCname = a.bloscCname,
-      bloscShuffle = graft.sinks.Blosc.ShuffleNames(a.bloscShuffle),
+      bloscShuffle = JobSettings.resolveShuffle(a.bloscShuffle),
       voxelSizeOverrideUm = voxelOverride,
       originOverrideUm = manifest.flatMap(m =>
         Manifest.tileTranslationUm(m, stack.split('/').last)))

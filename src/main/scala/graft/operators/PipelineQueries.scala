@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import graft.core.Decimals._
 
+  /** Materialize a round's result with TRUNCATED lineage and return it
+    * as a plan-leaf DataFrame. Iterative loops reference each round's
+    * output several times, so without truncation (a) the logical plan
+    * grows exponentially in rounds (a chain-graph run OOM'd the driver
+    * building a plan string) and (b) even with a plan leaf, task
+    * closures serialize the nested RDD dependency chain until
+    * deserialization StackOverflows (~60 rounds). RDD.localCheckpoint
+    * cuts both: the row RDD is persisted and its dependencies dropped
+    * after the count. The RDD is registered with CachedRdds so harness
+    * drain() releases the blocks once the query result is materialized
+    * (Dataset.unpersist cannot release localCheckpoint blocks — the RDD
+    * handle can).
+    */
+  private def materializedLeaf(s: SparkSession, df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint() // must be marked before first materialization
+    rdd.count()
+    graft.core.CachedRdds.register(rdd)
+    s.createDataFrame(rdd, df.schema)
+  }
+
   /** Distributed connected components by alternating large-star /
     * small-star edge transformations (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round is two
@@ -32,7 +53,6 @@ object PipelineQueries {
     * (PipelineCcSpec asserts equality on randomized graphs).
     */
   def connectedComponentsStar(s: SparkSession, edges0: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -40,13 +60,8 @@ object PipelineQueries {
     def changed(x: DataFrame, y: DataFrame): Boolean =
       !x.join(y, Seq("a", "b"), "left_anti").isEmpty ||
         !y.join(x, Seq("a", "b"), "left_anti").isEmpty
-    // iterative DataFrame algorithms MUST truncate lineage per round:
-    // each round references the previous result several times, so the
-    // logical plan grows EXPONENTIALLY without it (localCheckpoint keeps
-    // the data in the block manager and replaces the plan with a leaf)
-    var e = graft.core.CachedRdds.registerDf(
-      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b")))
-        .localCheckpoint(true))
+    var e = materializedLeaf(s,
+      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))))
     var converged = false
     while (!converged) {
       // large-star: every node's strictly-larger neighbors connect to the
@@ -64,11 +79,10 @@ object PipelineQueries {
       val byMax = ls.select(col("b").as("u"), col("a").as("v")) // u = max, v = min
       val mins2 = byMax.groupBy(col("u")).agg(min(col("v")).as("mnv"))
       val withM = byMax.join(mins2, Seq("u"))
-      val ss = graft.core.CachedRdds.registerDf(
+      val ss = materializedLeaf(s,
         canon(
           withM.select(col("v").as("a"), col("mnv").as("b"))
-            .unionByName(withM.select(col("u").as("a"), col("mnv").as("b"))))
-          .localCheckpoint(true))
+            .unionByName(withM.select(col("u").as("a"), col("mnv").as("b")))))
       converged = !changed(e, ss)
       e = ss
     }
@@ -87,25 +101,25 @@ object PipelineQueries {
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // first propagation round folded into init: label(u) = min over u's
-    // closed neighborhood (self edges included) — one groupBy
-    // lineage truncation per round (see connectedComponentsStar): the
-    // loop references `labels` twice per round, so the plan compounds
-    // exponentially without localCheckpoint
-    var labels = graft.core.CachedRdds.registerDf(
+    // closed neighborhood (self edges included) — one groupBy; lineage
+    // truncated per round (see materializedLeaf)
+    var labels = materializedLeaf(s,
       edges.unionByName(
           edges.select(col("src").as("src"), col("src").as("dst")).distinct())
-        .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("lbl"))
-        .localCheckpoint(true))
-    var checksum = labels.agg(sum(col("lbl"))).head.getLong(0)
+        .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("lbl")))
+    // coalesce: SUM over an EMPTY label set is NULL (no candidate pairs
+    // at all) — the fixpoint is immediate, not an NPE
+    def checksumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var checksum = checksumOf(labels)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("lbl"))
-      val next = graft.core.CachedRdds.registerDf(
+      val next = materializedLeaf(s,
         labels.unionByName(prop)
-          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true))
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl")))
+      val nextSum = checksumOf(next)
       converged = nextSum == checksum
       checksum = nextSum
       labels = next

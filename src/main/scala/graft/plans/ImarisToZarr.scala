@@ -175,8 +175,10 @@ object ImarisToZarr {
       }
       require(settings.zarrFormat == 2 || settings.zarrFormat == 3,
         s"zarr format must be 2|3, got: ${settings.zarrFormat}")
+      require(settings.taskOrder == "contiguous" || settings.taskOrder == "interleave",
+        s"task_order must be contiguous|interleave, got: ${settings.taskOrder}")
       if (settings.zarrFormat == 2)
-        require(settings.zstdLevel <= 9,
+        require(settings.zstdLevel >= 0 && settings.zstdLevel <= 9,
           s"blosc clevel must be in [0,9] for zarr v2, got: ${settings.zstdLevel}")
       trueShapes.zipWithIndex.foreach { case (ts, l) =>
         val (chunk, shard) = perLevelSpecs(l)
@@ -232,7 +234,8 @@ object ImarisToZarr {
         Geometry.shardTasks(p.file, l, TrueShape(p.trueShapes(l)), p.specs(l)._2))
     }
     // Task order across files (reference D1 round-robins; we default to
-    // contiguous). Contiguous keeps a file's tasks in few partitions —
+    // contiguous). A wave has ONE order: interleave wins when ANY plan
+    // requests it (per-file mixing is not meaningful for a pooled list). Contiguous keeps a file's tasks in few partitions —
     // per-partition reader/chunk-index caches hit and each file's open
     // stream count stays low. Interleave spreads every file across all
     // partitions. Measured on 3x 1.28 GB files at local[32] (4 runs
@@ -319,7 +322,7 @@ object ImarisToZarr {
     * per executor (heap from spark.executor.memory); here local-mode
     * driver heap IS the executor heap.
     */
-  private def memoryCappedParallelism(
+  private[plans] def memoryCappedParallelism(
       spark: SparkSession, nTasks: Int, maxTaskBytes: Long): Int = {
     val slots = spark.sparkContext.defaultParallelism
     val heap = Runtime.getRuntime.maxMemory

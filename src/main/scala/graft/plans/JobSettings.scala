@@ -100,6 +100,23 @@ object JobSettings {
 
   private val mapper = new ObjectMapper()
 
+  /** P8 shuffle resolution shared by the JSON/env/CLI entry paths:
+    * accepts the reference's string names AND the raw numcodecs int
+    * constants ("-1".."2"); returns the blosc int constant with a clear
+    * error for anything else.
+    */
+  def resolveShuffle(raw: String): Int =
+    graft.sinks.Blosc.ShuffleNames.getOrElse(raw,
+      graft.sinks.Blosc.ShuffleNames.values.find(_.toString == raw).getOrElse(
+        sys.error(s"unknown blosc shuffle: $raw " +
+          s"(${graft.sinks.Blosc.ShuffleNames.keys.toSeq.sorted.mkString("|")} or -1..2)")))
+
+  /** Canonical NAME for a raw shuffle spelling (names or numcodecs ints). */
+  def shuffleName(raw: String): String = {
+    val v = resolveShuffle(raw)
+    graft.sinks.Blosc.ShuffleNames.collectFirst { case (k, `v`) => k }.get
+  }
+
   private def shape(n: JsonNode, key: String): Shape3 = {
     require(n.isArray && n.size == 3, s"$key must be a 3-element array, got: $n")
     Shape3(n.get(0).asLong, n.get(1).asLong, n.get(2).asLong)
@@ -121,14 +138,8 @@ object JobSettings {
     val kwargsCname = kwargs.flatMap(n => Option(n.get("cname"))).map(_.asText)
     // P8 shuffle-name resolution: accept the reference's string names or
     // the raw numcodecs int constants (-1..2)
-    val intShuffleNames =
-      graft.sinks.Blosc.ShuffleNames.map { case (k, v) => v.toString -> k }
-    val kwargsShuffle = kwargs.flatMap(n => Option(n.get("shuffle"))).map { n =>
-      val raw = n.asText
-      if (graft.sinks.Blosc.ShuffleNames.contains(raw)) raw
-      else intShuffleNames.getOrElse(raw,
-        sys.error(s"unknown blosc shuffle: $raw"))
-    }
+    val kwargsShuffle =
+      kwargs.flatMap(n => Option(n.get("shuffle"))).map(n => shuffleName(n.asText))
     // explicit zarr_format wins; else use_tensorstore=false selects the
     // reference's legacy v2 writer path
     val fmt = Option(root.get("zarr_format")).map(_.asInt).getOrElse(

@@ -98,9 +98,7 @@ object ZarrMigrate {
     import spark.implicits._
     val maxTaskBytes = tasks.map(t =>
       (t.z1 - t.z0) * (t.y1 - t.y0) * (t.x1 - t.x0) * 2L).max * 3
-    val par = math.max(1, math.min(tasks.size, math.min(
-      spark.sparkContext.defaultParallelism,
-      (Runtime.getRuntime.maxMemory * 3 / 5 / math.max(1L, maxTaskBytes)).toInt)))
+    val par = ImarisToZarr.memoryCappedParallelism(spark, tasks.size, maxTaskBytes)
     val io = levels.map(l => l -> (metas(l), specs(l))).toMap
     spark.createDataset(spark.sparkContext.parallelize(tasks, par)).map { t =>
       val (m, (chunkL, shardL)) = io(t.level)

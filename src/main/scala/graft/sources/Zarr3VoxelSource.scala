@@ -171,7 +171,10 @@ final class Zarr3VoxelScan(path: String, box: Zarr3VoxelSource.Box, required: St
         // c/<t>/<c>/<z>/<y>/<x>
         val rel = st.getPath.toString.stripPrefix(base.toString).stripPrefix("/")
         val parts = rel.split('/')
-        if (parts.length == 6 && parts(0) == "c")
+        // tolerate stray files (partial writes, editor temps): only
+        // all-numeric c/<t>/<c>/<z>/<y>/<x> keys are shard files
+        if (parts.length == 6 && parts(0) == "c" &&
+            parts.drop(1).forall(p => p.nonEmpty && p.forall(_.isDigit)))
           existing += ((parts(3).toLong, parts(4).toLong, parts(5).toLong))
       }
     }
@@ -220,6 +223,14 @@ final case class Zarr3VoxelPartition(
 final class Zarr3VoxelReader(p: Zarr3VoxelPartition) extends PartitionReader[InternalRow] {
   private val data = ZarrV3.decodeShard(
     ZarrV3.read(p.serConf.value, p.shardPath), p.dataShape, p.shard, p.chunk)
+  // column dispatch precomputed ONCE (codes) and one reused row — the
+  // inner loop runs per voxel (134M times on a 512^3 shard); per-voxel
+  // string matching and row allocation would dominate the scan
+  private val colCodes: Array[Int] = p.cols.map {
+    case "z" => 0; case "y" => 1; case "x" => 2; case "v" => 3
+    case other => sys.error(s"unknown voxel column: $other")
+  }
+  private val row = new GenericInternalRow(p.cols.length)
   private val zLo = math.max(0L, p.box.z0 - p.s0z)
   private val zHi = math.min(p.dataShape.z - 1, p.box.z1 - p.s0z)
   private val yLo = math.max(0L, p.box.y0 - p.s0y)
@@ -236,14 +247,13 @@ final class Zarr3VoxelReader(p: Zarr3VoxelPartition) extends PartitionReader[Int
   }
 
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(p.cols.length)
     var i = 0
-    while (i < p.cols.length) {
-      p.cols(i) match {
-        case "z" => row.setLong(i, p.s0z + z)
-        case "y" => row.setLong(i, p.s0y + y)
-        case "x" => row.setLong(i, p.s0x + x)
-        case "v" => row.setInt(i,
+    while (i < colCodes.length) {
+      colCodes(i) match {
+        case 0 => row.setLong(i, p.s0z + z)
+        case 1 => row.setLong(i, p.s0y + y)
+        case 2 => row.setLong(i, p.s0x + x)
+        case _ => row.setInt(i,
           data(((z * p.dataShape.y + y) * p.dataShape.x + x).toInt) & 0xffff)
       }
       i += 1

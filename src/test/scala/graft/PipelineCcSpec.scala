@@ -83,4 +83,13 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(Seq((5L, 9L)), "single-edge")
     check((1L to 6L).map(i => (0L, i)), "star")
   }
+
+  test("empty candidate set yields empty clusters from BOTH implementations") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(PipelineQueries.connectedComponentsStar(spark, empty).isEmpty)
+    assert(PipelineQueries.connectedComponentsPropagation(spark, empty).isEmpty)
+    graft.core.CachedRdds.drain()
+  }
 }
