@@ -97,6 +97,91 @@ object MultimodalOps {
     def videoPixel(id: Long, fr: Int, x: Int, y: Int): Int =
       ((id * 31 + fr * 17 + x * 7 + y * 13) % 256).toInt
 
+    // One-shot convenience wrappers (specs, single calls). The hot
+    // mapPartitions paths instantiate ONE MediaCoder per partition instead:
+    // ImageIO.read/write and AudioSystem.getAudioInputStream/write each do a
+    // synchronized global service-registry lookup PER CALL, which serializes
+    // 32 decode threads (measured: q_c11 5.7→37 s regressions at local[32]).
+    def encodeImage(id: Long): Array[Byte] = new MediaCoder().encodeImage(id)
+    def encodeAudio(id: Long, sampleRate: Int): Array[Byte] =
+      new MediaCoder().encodeAudio(id, sampleRate)
+    def encodeVideo(id: Long): Array[Byte] = new MediaCoder().encodeVideo(id)
+    def decodeImage(payload: Array[Byte]): (Long, Long, Array[Float]) =
+      new MediaCoder().decodeImage(payload)
+    def resizeImageSum(payload: Array[Byte], outW: Int, outH: Int): Long =
+      new MediaCoder().resizeImageSum(payload, outW, outH)
+    def decodeAudio(payload: Array[Byte]): (Long, Long, Array[Float]) =
+      new MediaCoder().decodeAudio(payload)
+    def decodeVideo(payload: Array[Byte], everyK: Int = 2): (Long, Long, Array[Float]) =
+      new MediaCoder().decodeVideo(payload, everyK)
+  }
+
+  /** Per-partition codec instance: resolves the PNG reader/writer and the
+    * WAV `AudioFileReader`/`AudioFileWriter` service providers ONCE at
+    * construction and reuses them for every row. The static `ImageIO` /
+    * `AudioSystem` entry points take a global registry lock on each call —
+    * the reference's analog is one reader handle per worker
+    * (`io_utils.py:45-47`); this is the JVM equivalent.
+    *
+    * NOT thread-safe (the readers/writers hold per-decode state); one
+    * instance per partition iterator, which Spark runs single-threaded.
+    */
+  final class MediaCoder {
+    import MediaCodec._
+
+    private val pngWriter: javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "no PNG writer in JDK")
+      it.next()
+    }
+    private val pngReader: javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      require(it.hasNext, "no PNG reader in JDK")
+      it.next()
+    }
+    // java.desktop publishes its WAVE codec through the standard SPI; load
+    // the provider list once instead of per-call inside AudioSystem.
+    private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .forEach(r => b += r)
+      b.result()
+    }
+    private val audioWriters: Array[javax.sound.sampled.spi.AudioFileWriter] = {
+      val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .forEach(w => b += w)
+      b.result()
+    }
+
+    private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        pngWriter.setOutput(ios)
+        pngWriter.write(img)
+        ios.flush()
+      } finally {
+        pngWriter.setOutput(null)
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    private def readPng(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        pngReader.setInput(iis, true, true)
+        pngReader.read(0)
+      } finally {
+        pngReader.setInput(null)
+        iis.close()
+      }
+    }
+
     private def grayPng(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -107,9 +192,7 @@ object MultimodalOps {
         while (x < w) { r.setSample(x, y, 0, v(x, y)); x += 1 }
         y += 1
       }
-      val bos = new ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in JDK")
-      bos.toByteArray
+      writePng(img)
     }
 
     def encodeImage(id: Long): Array[Byte] = {
@@ -132,8 +215,10 @@ object MultimodalOps {
       val ais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(pcm), fmt, n.toLong)
       val bos = new ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val w = audioWriters.find(_.isFileTypeSupported(wave, ais))
+        .getOrElse(sys.error("no WAVE writer in JDK"))
+      w.write(ais, wave, bos)
       bos.toByteArray
     }
 
@@ -159,7 +244,7 @@ object MultimodalOps {
 
     /** Decode a PNG payload → (nPixels, Σ gray values, normalized pixels). */
     def decodeImage(payload: Array[Byte]): (Long, Long, Array[Float]) = {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readPng(payload)
       require(img != null, "payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val r = img.getRaster
@@ -186,7 +271,7 @@ object MultimodalOps {
       * it in closed form.
       */
     def resizeImageSum(payload: Array[Byte], outW: Int, outH: Int): Long = {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      val img = readPng(payload)
       require(img != null, "payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val r = img.getRaster
@@ -203,8 +288,15 @@ object MultimodalOps {
 
     /** Decode a WAV payload → (nSamples, Σ signed samples, normalized). */
     def decodeAudio(payload: Array[Byte]): (Long, Long, Array[Float]) = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val bis = new ByteArrayInputStream(payload)
+      val ais = audioReaders.iterator
+        .flatMap { r =>
+          bis.reset()
+          try Some(r.getAudioInputStream(bis))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }
+        .nextOption()
+        .getOrElse(sys.error("payload is not a decodable audio stream"))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
         s"expected PCM16 mono, got $fmt")
@@ -260,15 +352,16 @@ object MultimodalOps {
         (lit(8000) + (col("doc_id") % 3) * 8000).cast("int").as("sample_rate"))
       .as[(Long, Int)]
       .mapPartitions { it =>
+        val coder = new MediaCoder() // one provider lookup per partition
         it.map { case (id, rate) =>
           (id % 3) match {
             case 0 =>
               val (w, h) = MediaCodec.imageDims(id)
-              MediaRow(id, "image", MediaCodec.encodeImage(id), w, h, 0, 0)
+              MediaRow(id, "image", coder.encodeImage(id), w, h, 0, 0)
             case 1 =>
-              MediaRow(id, "audio", MediaCodec.encodeAudio(id, rate), 0, 0, rate, 0)
+              MediaRow(id, "audio", coder.encodeAudio(id, rate), 0, 0, rate, 0)
             case _ =>
-              MediaRow(id, "video", MediaCodec.encodeVideo(id),
+              MediaRow(id, "video", coder.encodeVideo(id),
                 MediaCodec.VideoFrameW, MediaCodec.VideoFrameH, 0,
                 MediaCodec.videoFrames(id))
           }
@@ -283,12 +376,13 @@ object MultimodalOps {
   def decodeFeatures(rows: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // per-partition setup happens HERE (codec/model init in real life)
+      // per-partition setup: provider resolution happens once, not per row
+      val coder = new MediaCoder()
       it.map { m =>
         val (nUnits, sum, px) = m.kind match {
-          case "image" => MediaCodec.decodeImage(m.payload)
-          case "audio" => MediaCodec.decodeAudio(m.payload)
-          case _       => MediaCodec.decodeVideo(m.payload)
+          case "image" => coder.decodeImage(m.payload)
+          case "audio" => coder.decodeAudio(m.payload)
+          case _       => coder.decodeVideo(m.payload)
         }
         val n = px.length
         val stripe = math.max(1, n / dim)
@@ -425,8 +519,9 @@ object MultimodalOps {
       encodedMedia(s, d)
         .filter(_.kind == "image")
         .mapPartitions { it =>
+          val coder = new MediaCoder()
           it.map(m => (m.media_id, 16L, 12L,
-            MediaCodec.resizeImageSum(m.payload, 16, 12)))
+            coder.resizeImageSum(m.payload, 16, 12)))
         }
         .toDF("media_id", "out_w", "out_h", "resized_sum")
         .orderBy(col("media_id"))
