@@ -155,10 +155,19 @@ object ZarrV2 {
         while (gx * chunk.x < x1) {
           val c0z = gz * chunk.z; val c0y = gy * chunk.y; val c0x = gx * chunk.x
           val key = Seq(gz, gy, gx).mkString(separator)
-          val raw = Blosc.decompress(ZarrV3.read(conf, s"$levelDir/$key"))
-          require(raw.length == chunk.voxels * 2,
-            s"chunk $key: ${raw.length} bytes, want ${chunk.voxels * 2}")
-          val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          // zarr v2: an absent chunk object means the chunk is all
+          // fill_value — zarr-python (write_empty_chunks=False, the 2.13+
+          // default the reference inherits) omits all-fill chunks, so
+          // reference-produced stores legitimately have holes.
+          val raw =
+            try Blosc.decompress(ZarrV3.read(conf, s"$levelDir/$key"))
+            catch { case _: java.io.FileNotFoundException => null }
+          if (raw != null)
+            require(raw.length == chunk.voxels * 2,
+              s"chunk $key: ${raw.length} bytes, want ${chunk.voxels * 2}")
+          val cb =
+            if (raw == null) null
+            else ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
           val izLo = math.max(z0, c0z); val izHi = math.min(z1, math.min(c0z + chunk.z, shape.z))
           val iyLo = math.max(y0, c0y); val iyHi = math.min(y1, math.min(c0y + chunk.y, shape.y))
           val ixLo = math.max(x0, c0x); val ixHi = math.min(x1, math.min(c0x + chunk.x, shape.x))
@@ -170,7 +179,12 @@ object ZarrV2 {
               val dstBase = (((z - z0) * ny + (y - y0)) * nx + (ixLo - x0)).toInt
               var i = 0
               val run = (ixHi - ixLo).toInt
-              while (i < run) { out(dstBase + i) = cb.getShort(2 * (srcBase + i)); i += 1 }
+              if (cb == null) {
+                // `out` is a reused buffer: the hole must be written, not skipped
+                while (i < run) { out(dstBase + i) = Fill; i += 1 }
+              } else {
+                while (i < run) { out(dstBase + i) = cb.getShort(2 * (srcBase + i)); i += 1 }
+              }
               y += 1
             }
             z += 1

@@ -76,6 +76,31 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bb.getShort(2 * ((4 * 16 + 0) * 16 + 0)) == ZarrV2.Fill)
   }
 
+  test("missing chunk files read as fill_value (write_empty_chunks=False interop)") {
+    val shape = Shape3(40, 30, 20)
+    val chunk = Shape3(16, 16, 16)
+    val data = Array.tabulate(shape.voxels.toInt)(i => (i % 60000 + 1).toShort)
+    val dir = Files.createTempDirectory("zarrv2hole").toString
+    ZarrV2.writeRegionChunks(conf, dir, data, shape, Shape3(0, 0, 0), chunk)
+    // zarr-python (write_empty_chunks=False default) omits all-fill chunks;
+    // simulate a store with holes by deleting two chunk objects
+    assert(new java.io.File(s"$dir/1.0.1").delete())
+    assert(new java.io.File(s"$dir/2.1.0").delete())
+    val back = ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 30, 0, 20)
+    for (z <- 0 until 40; y <- 0 until 30; x <- 0 until 20) {
+      val inHole = (z / 16 == 1 && y / 16 == 0 && x / 16 == 1) ||
+        (z / 16 == 2 && y / 16 == 1 && x / 16 == 0)
+      val want = if (inHole) ZarrV2.Fill else data((z * 30 + y) * 20 + x)
+      assert(back((z * 30 + y) * 20 + x) == want, s"($z,$y,$x)")
+    }
+    // the reused-buffer path must overwrite stale contents in the hole
+    val stale = Array.fill(shape.voxels.toInt)(12345.toShort)
+    val back2 = ZarrV2.readRegionInto(
+      conf, dir, shape, chunk, 16, 32, 0, 16, 16, 20, stale)
+    for (z <- 16 until 32; y <- 0 until 16; x <- 16 until 20)
+      assert(back2(((z - 16) * 16 + y) * 4 + (x - 16)) == ZarrV2.Fill, s"($z,$y,$x)")
+  }
+
   test("regions written shard-by-shard compose one consistent array") {
     val shape = Shape3(40, 32, 32)
     val chunk = Shape3(16, 16, 16)
