@@ -25,20 +25,25 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Backend codecs come from jars Spark already ships: zstd (zstd-jni),
   * lz4/lz4hc (lz4-java, raw block format), zlib (java.util.zip), snappy
-  * (snappy-java, raw block format). blosclz has no JVM implementation —
-  * compressing with it is rejected and decoding a blosclz chunk fails
-  * loudly (the reference's writer always uses zstd-in-blosc, so blosclz
-  * never appears on its outputs).
+  * (snappy-java, raw block format). blosclz (c-blosc's default cname, a
+  * FastLZ-derived LZ77) is DECODE-ONLY: [[decompressBloscLz]] implements
+  * the public stream format so foreign v2 stores written with the c-blosc
+  * default decode; compressing with it is still rejected (the reference's
+  * writer always uses zstd-in-blosc, `imaris_to_zarr.py:884-895`).
   *
   * Write-side choices (all format-legal, chosen for unambiguous decode):
   * the dont-split flag (bit 4, c-blosc >= 1.14) is always set, so every
   * block is exactly one stream; blocksize defaults to 256 KiB rounded to
   * a multiple of typesize. Read-side handles both split and non-split
-  * chunks, so real c-blosc output (including pre-1.14 split lz4/blosclz
-  * layouts, minus the blosclz inner codec) decodes too. Byte-shuffle
+  * chunks: a chunk without the dont-split bit uses the pre-1.14 universal
+  * split rule (typesize <= 16, non-leftover block, >= 128 elements per
+  * stream — independent of shuffle, matching real c-blosc). Byte-shuffle
   * matches c-blosc exactly; bit-shuffle is the bitshuffle bit-transpose
-  * (elements x bits matrix transposed, planes packed LSB-first) — self-
-  * inverse-verified in the spec (no in-container c-blosc to cross-check).
+  * (plane k = bit k of each element, k ordered byte-major LSB-first,
+  * planes packed LSB-first) — verified in the spec against hand-computed
+  * goldens AND an independent reimplementation of the published scalar
+  * algorithm (byte-transpose / TRANS_BIT_8X8 / bit-row regroup); a live
+  * c-blosc binary cross-check remains impossible in this container.
   */
 object Blosc {
 
@@ -181,7 +186,6 @@ object Blosc {
       return out
     }
     val ccode = (flags >> 5) & 0x7
-    require(ccode != 0, "blosclz-compressed chunk: no JVM blosclz decoder")
     val doByteShuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
     val doBitShuffle = (flags & FlagBitShuffle) != 0
     val dontSplit = (flags & FlagDontSplit) != 0
@@ -196,10 +200,12 @@ object Blosc {
       val off = b * blocksize
       val len = math.min(blocksize, nbytes - off)
       val leftover = len < blocksize
-      // pre-1.14 split rule: shuffled full blocks split into `typesize`
-      // streams when typesize and the per-stream size are in bounds
+      // pre-1.14 split rule: full blocks split into `typesize` streams when
+      // typesize and the per-stream size are in bounds — REGARDLESS of
+      // shuffle (real c-blosc splits unshuffled blocks too; chunks that
+      // don't split carry the dont-split bit from 1.14 on)
       val nstreams =
-        if (dontSplit || !doByteShuffle || leftover || typesize > MaxSplits ||
+        if (dontSplit || leftover || typesize > MaxSplits ||
           len % typesize != 0 || len / typesize < MinBufferSize) 1
         else typesize
       val streamLen = len / nstreams
@@ -260,6 +266,8 @@ object Blosc {
   private def decompressStream(
       src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int, ccode: Int): Unit = ccode match {
+    case 0 =>
+      decompressBloscLz(src, srcOff, srcLen, dst, dstOff, dstLen)
     case 1 =>
       val d = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
       val n = d.decompress(src, srcOff, srcLen, dst, dstOff, dstLen)
@@ -284,6 +292,72 @@ object Blosc {
         dst, dstOff, dstLen, src, srcOff, srcLen)
       require(n == dstLen, s"zstd stream expanded to $n, want $dstLen")
     case other => sys.error(s"unsupported blosc compressor code: $other")
+  }
+
+  /** blosclz stream decoder (c-blosc `blosclz.c`, a FastLZ-derived LZ77 —
+    * public format). Instruction stream:
+    *   - first control byte is masked to its low 5 bits (always starts
+    *     with a literal run);
+    *   - ctrl < 32: literal run of ctrl+1 bytes copied from the input;
+    *   - ctrl >= 32: match of (ctrl>>5)-1 + 3 bytes; while the length
+    *     field is saturated (ctrl>>5 == 7) extension bytes add to the
+    *     length until one is != 255. Distance = ((ctrl&31)<<8) + code + 1
+    *     where code is the next byte; code == 255 with ctrl&31 == 31
+    *     switches to a far match: 16-bit big-endian offset + 8192.
+    *   - matches may self-overlap (distance 1 == RLE of the prior byte),
+    *     so the copy is byte-by-byte.
+    * Decode-only: our write path never emits blosclz.
+    */
+  private[graft] def decompressBloscLz(
+      src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Unit = {
+    require(srcLen > 0 && srcOff.toLong + srcLen <= src.length,
+      s"bad blosclz stream bounds: off=$srcOff len=$srcLen of ${src.length}")
+    var ip = srcOff
+    val ipEnd = srcOff + srcLen
+    var op = dstOff
+    val opEnd = dstOff + dstLen
+    var ctrl = src(ip) & 31
+    ip += 1
+    var more = true
+    while (more) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        if (len == 6) { // saturated: accumulate extension bytes
+          var ext = 0
+          do {
+            require(ip < ipEnd, "truncated blosclz length extension")
+            ext = src(ip) & 0xff; ip += 1; len += ext
+          } while (ext == 255)
+        }
+        require(ip < ipEnd, "truncated blosclz match offset")
+        val code = src(ip) & 0xff
+        ip += 1
+        var dist = ofs + code + 1
+        if (code == 255 && ofs == (31 << 8)) { // far match, 16-bit offset
+          require(ip + 1 < ipEnd, "truncated blosclz far offset")
+          dist = ((src(ip) & 0xff) << 8) + (src(ip + 1) & 0xff) + 8192
+          ip += 2
+        }
+        val n = len + 3
+        val ref = op - dist
+        require(ref >= dstOff, s"blosclz match before buffer: dist=$dist at ${op - dstOff}")
+        require(op + n <= opEnd, s"blosclz match overruns output: $n at ${op - dstOff}")
+        var i = 0
+        while (i < n) { dst(op + i) = dst(ref + i); i += 1 } // overlap-safe
+        op += n
+      } else {
+        val run = ctrl + 1
+        require(ip + run <= ipEnd, "truncated blosclz literal run")
+        require(op + run <= opEnd, s"blosclz literals overrun output at ${op - dstOff}")
+        System.arraycopy(src, ip, dst, op, run)
+        ip += run
+        op += run
+      }
+      if (ip < ipEnd) { ctrl = src(ip) & 0xff; ip += 1 } else more = false
+    }
+    require(op == opEnd, s"blosclz stream expanded to ${op - dstOff}, want $dstLen")
   }
 
   /** blosc clevel (0-9) → zstd level 1-22 (c-blosc's zstd mapping is

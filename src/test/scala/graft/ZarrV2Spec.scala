@@ -146,6 +146,65 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("foreign blosclz v2 store lifts to v3 end-to-end (decode-only blosclz)") {
+    // hand-built store in the shape real pre-1.14 c-blosc + zarr-python
+    // write with the DEFAULT cname: split byte-shuffled blosclz chunks
+    def rleStream(b: Byte, n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x00); out.write(b & 0xff) // literal run of 1
+      val len = n - 4 // match of len+3 = n-1 bytes at distance 1
+      if (len < 6) out.write(((len + 1) << 5))
+      else {
+        out.write(0xE0)
+        var rem = len - 6
+        while (rem >= 255) { out.write(255); rem -= 255 }
+        out.write(rem)
+      }
+      out.write(0x00) // offset code: distance 1
+      out.toByteArray
+    }
+    val src = Files.createTempDirectory("zarrv2lz").toString
+    ZarrV3.writeString(conf, s"$src/.zgroup", """{"zarr_format":2}""")
+    ZarrV3.writeString(conf, s"$src/.zattrs", """{"ome":{"version":"0.5"}}""")
+    ZarrV3.writeString(conf, s"$src/0/.zarray",
+      ZarrV2.arrayMetadata(Seq(16L, 16L, 16L), Seq(8L, 8L, 8L), cname = "blosclz").render)
+    val chunkVox = 512 // 8^3
+    for (gz <- 0 until 2; gy <- 0 until 2; gx <- 0 until 2) {
+      val idx = gz * 4 + gy * 2 + gx
+      val lo = (idx + 1).toByte
+      val hi = (idx + 0x11).toByte
+      val streams = Seq(rleStream(lo, chunkVox), rleStream(hi, chunkVox))
+      val bodyLen = streams.map(4 + _.length).sum
+      val chunk = new Array[Byte](16 + 4 + bodyLen)
+      val hb = java.nio.ByteBuffer.wrap(chunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hb.put(2.toByte); hb.put(1.toByte)
+      hb.put(0x01.toByte) // byte-shuffle, NO dont-split, compressor 0 = blosclz
+      hb.put(2.toByte)    // typesize
+      hb.putInt(chunkVox * 2); hb.putInt(chunkVox * 2); hb.putInt(chunk.length)
+      hb.putInt(20)
+      for (s <- streams) { hb.putInt(s.length); hb.put(s) }
+      ZarrV3.write(conf, s"$src/0/$gz.$gy.$gx", chunk)
+    }
+    def want(z: Int, y: Int, x: Int): Short = {
+      val idx = (z / 8) * 4 + (y / 8) * 2 + (x / 8)
+      (((idx + 0x11) << 8) | (idx + 1)).toShort
+    }
+    // direct v2 read decodes the blosclz chunks
+    val direct = ZarrV2.readRegion(conf, s"$src/0",
+      Shape3(16, 16, 16), Shape3(8, 8, 8), 0, 16, 0, 16, 0, 16)
+    for (z <- 0 until 16; y <- 0 until 16; x <- 0 until 16)
+      assert(direct((z * 16 + y) * 16 + x) == want(z, y, x), s"direct($z,$y,$x)")
+    // full migration job lifts the store
+    val dst = Files.createTempDirectory("zarrv3lz").toString + "/store.zarr"
+    val stats = graft.plans.ZarrMigrate.v2ToV3(
+      spark, src, dst, shard = Shape3(16, 16, 16))
+    assert(stats.map(_.voxels).sum == 16L * 16 * 16)
+    val got = graft.plans.ZarrRegion.read(conf, s"$dst/0",
+      Shape3(16, 16, 16), Shape3(16, 16, 16), Shape3(8, 8, 8), 0, 16, 0, 16, 0, 16)
+    for (z <- 0 until 16; y <- 0 until 16; x <- 0 until 16)
+      assert(got((z * 16 + y) * 16 + x) == want(z, y, x), s"migrated($z,$y,$x)")
+  }
+
   test("e2e: ims_64 → Zarr v2 store with computed pyramid, voxel-exact") {
     val out = Files.createTempDirectory("zarrv2e2e").toString
     val stats = ImarisToZarr.convert(
