@@ -230,7 +230,13 @@ object SimilarityQueries {
     */
   private[graft] def trainIvf(s: SparkSession, e: DataFrame): (String, Int) = {
       val n = e.count()
-      val k = math.max(8, 4 * math.sqrt(n.toDouble).toInt)
+      // k grows as 4·√n (the usual IVF sizing) but is CAPPED so the
+      // driver-side model state stays bounded: every Lloyd iteration
+      // collects k·dim partial sums, and uncapped k ≈ 126k at n = 10⁹
+      // (~48M doubles/iteration at dim 384). At the cap the collect is
+      // ≤ 16384·dim ≈ 50 MB — model parameters, independent of corpus
+      // size; beyond that, recall is bought with nprobe, not more cells.
+      val k = math.min(16384, math.max(8, 4 * math.sqrt(n.toDouble).toInt))
       val nprobe = math.max(2, k / 4)
       // deterministic spread seeds: stride over vec_id (≈ linspace when ids
       // are dense); one tiny collect of k vectors
