@@ -25,6 +25,7 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-streaming-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,6 +93,51 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     val rows = spark.sql("SELECT user_id, n_events FROM sessions ORDER BY session_start").collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 2L), (10L, 1L)))
+    q.stop()
+  }
+
+  test("session_window stream equals the batch lag+flag q_b3 plan on real events") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // expected sessions from the REGISTERED batch plan (lag + cumulative
+    // new-session flag) — the oracle-exact q_b3
+    val batch = graft.operators.EventQueries.defs
+      .find(_.name == "q_b3_sessionize").get.plan(sp, dir)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the same events as an unbounded stream in three chunks; chunk order
+    // follows file order, so later chunks contain EARLIER timestamps —
+    // session_window state must merge them (complete mode, lax watermark)
+    val evts = graft.core.Tables(sp, dir, "events")
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect()
+    assert(evts.length >= 1000, "fixture sanity")
+    val input = MemoryStream[Evt]
+    val q = StreamingOps.sessionWindows(input.toDF(), watermark = "365 days")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_p").toString)
+      .format("memory").queryName("sw_parity").outputMode("complete").start()
+    for (chunk <- evts.grouped(evts.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // session_window's end = last event + gap; subtract the gap to compare
+    // against the batch plan's last-event-timestamp session_end_us
+    val got = sp.sql(
+      """SELECT user_id, unix_micros(session_start),
+        |       unix_micros(session_end) - 1800000000, n_events
+        |FROM sw_parity""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch)
     q.stop()
   }
 
