@@ -205,6 +205,14 @@ object ImarisToZarr {
       if (settings.zarrFormat == 2) {
         ZarrV3.writeString(hconf, s"$store/.zgroup",
           graft.sinks.ZarrV2.groupMetadata.render)
+        // INTENTIONAL divergence from the reference's v2 path: it dumps the
+        // full v3-shaped group dict (zarr_format:3, node_type,
+        // attributes:{ome:...}) into .zattrs verbatim; we write only the
+        // {"ome": ...} attributes object, which is what zarr v2 defines
+        // .zattrs to hold and what v2 readers (zarr-python, ome-zarr-py)
+        // expect. Byte-level .zattrs parity with reference v2 output is
+        // NOT a goal; semantic parity of the ome block is spec-tested, and
+        // ZarrMigrate lifts either flavor (it copies .zattrs verbatim).
         ZarrV3.writeString(hconf, s"$store/.zattrs",
           OmeNgff.omeAttributes(stem, nLevels,
             (repFactor.z, repFactor.y, repFactor.x), voxel, origin).render)

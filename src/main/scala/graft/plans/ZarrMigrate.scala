@@ -75,7 +75,17 @@ object ZarrMigrate {
     val metas = levels.map(l => l -> readLevelMeta(hconf, s"$srcStore/$l")).toMap
 
     // ---- v3 metadata, driver-side (root attributes copied verbatim) ----
-    val attrs = new String(ZarrV3.read(hconf, s"$srcStore/.zattrs"), "UTF-8")
+    // Two .zattrs flavors exist in the wild: plain attributes ({"ome":...},
+    // what zarr v2 defines and what our v2 writer emits) and the
+    // reference's quirk of dumping a v3-shaped group dict ({"zarr_format":3,
+    // "node_type":"group","attributes":{...}}) into .zattrs. Unwrap the
+    // latter so both flavors migrate to identically-nested v3 attributes.
+    val rawAttrs = new String(ZarrV3.read(hconf, s"$srcStore/.zattrs"), "UTF-8")
+    val attrsNode = mapper.readTree(rawAttrs)
+    val attrs =
+      if (attrsNode.has("attributes") && attrsNode.has("node_type"))
+        attrsNode.get("attributes").toString
+      else rawAttrs
     ZarrV3.writeString(hconf, s"$dstStore/zarr.json",
       s"""{"zarr_format":3,"node_type":"group","attributes":$attrs}""")
     val specs = levels.map { l =>

@@ -205,6 +205,25 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((z * 16 + y) * 16 + x) == want(z, y, x), s"migrated($z,$y,$x)")
   }
 
+  test("migration unwraps the reference's v3-shaped .zattrs quirk") {
+    // the reference's v2 path dumps a full v3 group dict into .zattrs;
+    // migration must unwrap it so both flavors yield the same v3 nesting
+    val src = Files.createTempDirectory("zarrv2quirk").toString
+    ZarrV3.writeString(conf, s"$src/.zgroup", """{"zarr_format":2}""")
+    ZarrV3.writeString(conf, s"$src/.zattrs",
+      """{"zarr_format":3,"node_type":"group","attributes":{"ome":{"version":"0.5"}}}""")
+    ZarrV3.writeString(conf, s"$src/0/.zarray",
+      ZarrV2.arrayMetadata(Seq(8L, 8L, 8L), Seq(8L, 8L, 8L)).render)
+    val data = Array.fill(512)(9.toShort)
+    ZarrV2.writeRegionChunks(conf, s"$src/0", data, Shape3(8, 8, 8),
+      Shape3(0, 0, 0), Shape3(8, 8, 8))
+    val dst = Files.createTempDirectory("zarrv3quirk").toString + "/store.zarr"
+    graft.plans.ZarrMigrate.v2ToV3(spark, src, dst, shard = Shape3(8, 8, 8))
+    val root = new String(ZarrV3.read(conf, s"$dst/zarr.json"), "UTF-8")
+    assert(root ==
+      """{"zarr_format":3,"node_type":"group","attributes":{"ome":{"version":"0.5"}}}""")
+  }
+
   test("e2e: ims_64 → Zarr v2 store with computed pyramid, voxel-exact") {
     val out = Files.createTempDirectory("zarrv2e2e").toString
     val stats = ImarisToZarr.convert(
