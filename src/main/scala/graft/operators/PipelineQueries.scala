@@ -158,9 +158,10 @@ object PipelineQueries {
               |SELECT doc_id, MIN(lbl) AS cluster_id
               |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val cand = graft.core.CachedRdds.registerDf(
-        DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+      // session-shared, persisted candidate frame (see
+      // DedupQueries.minhashCandidatesShared) — q_c1/q_c13/q_c19 build the
+      // banded-minhash pipeline once per session
+      val cand = DedupQueries.minhashCandidatesShared(s, d)
       connectedComponentsStar(s, cand).orderBy(col("doc_id"))
     },
 
@@ -279,9 +280,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
               |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val cand = graft.core.CachedRdds.registerDf(
-        DedupQueries.minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+      val cand = DedupQueries.minhashCandidatesShared(s, d)
       val dropIds = connectedComponentsStar(s, cand)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
