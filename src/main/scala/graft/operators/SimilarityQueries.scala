@@ -209,7 +209,12 @@ object SimilarityQueries {
     // Approximate by construction ⇒ rows-only driver check.
     QueryDef("q_c9_ann_ivf", None) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
-      val e = embDouble(s, d)
+      // training + search drive ~6 actions over the corpus (count, seed
+      // collect, 2 Lloyd aggs, assign, probe); persist the casted frame so
+      // the parquet scan + float->double transform run once. Registered
+      // with CachedRdds -> released after the query materializes.
+      val e = graft.core.CachedRdds.registerDf(
+        embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (fnFinal, nprobe) = trainIvf(s, e)
       ivfSearch(e, fnFinal, nprobe)
     }
