@@ -63,6 +63,7 @@ object ImsToZarrJob {
           case "--codec"          => s = s.copy(codec = argv(i + 1)); i += 2
           case "--blosc-cname"    => s = s.copy(bloscCname = argv(i + 1)); i += 2
           case "--blosc-shuffle"  => s = s.copy(bloscShuffle = argv(i + 1)); i += 2
+          case "--v2-separator"   => s = s.copy(v2Separator = argv(i + 1)); i += 2
           case "--partition-mode" => s = s.copy(partitionMode = argv(i + 1)); i += 2
           case "--s3-location"    => s = s.copy(s3Location = Some(argv(i + 1))); i += 2
           case "--no-translate"   => s = s.copy(translateImarisPyramid = false); i += 1
@@ -113,6 +114,7 @@ object ImsToZarrJob {
       partitionMode = a.partitionMode, codecName = a.codec,
       zarrFormat = a.zarrFormat, bloscCname = a.bloscCname,
       bloscShuffle = JobSettings.resolveShuffle(a.bloscShuffle),
+      v2Separator = a.v2Separator,
       voxelSizeOverrideUm = voxelOverride,
       originOverrideUm = manifest.flatMap(m =>
         Manifest.tileTranslationUm(m, stack.split('/').last)))

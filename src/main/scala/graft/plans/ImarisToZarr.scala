@@ -46,6 +46,9 @@ object ImarisToZarr {
       zarrFormat: Int = 3,
       bloscCname: String = "zstd",      // v2 chunk codec inside blosc
       bloscShuffle: Int = graft.sinks.Blosc.SHUFFLE,
+      // v2 chunk-key layout: "." = flat (zarr-python default, what the
+      // reference writes), "/" = nested directory store
+      v2Separator: String = ".",
       translatePyramid: Boolean = true,   // models.py:99-108
       computeLevels: Int = 1,             // levels to materialize if not translating
       downsampleMode: String = "mean",    // stride|median|mode|mean|min|max (models.py:79-85)
@@ -93,6 +96,7 @@ object ImarisToZarr {
       origFile: String, store: String, chunk: Shape3, shard: Shape3,
       zstdLevel: Int, codec: String,
       zarrFormat: Int = 3, cname: String = "zstd", shuffle: Int = 1,
+      separator: String = ".",
       // compute-wave extras (downsample source geometry)
       srcShape: Shape3 = Shape3(0, 0, 0), srcChunk: Shape3 = Shape3(0, 0, 0),
       srcShard: Shape3 = Shape3(0, 0, 0), factor: Shape3 = Shape3(1, 1, 1),
@@ -189,7 +193,8 @@ object ImarisToZarr {
           ZarrV3.writeString(hconf, s"$store/$l/.zarray",
             graft.sinks.ZarrV2.arrayMetadata(
               Seq(ts.z, ts.y, ts.x), Seq(chunk.z, chunk.y, chunk.x),
-              settings.bloscCname, settings.zstdLevel, settings.bloscShuffle).render)
+              settings.bloscCname, settings.zstdLevel, settings.bloscShuffle,
+              settings.v2Separator).render)
         else
           ZarrV3.writeString(hconf, s"$store/$l/zarr.json",
             ZarrV3.arrayMetadata(
@@ -232,7 +237,8 @@ object ImarisToZarr {
         val (chunkL, shardL) = p.specs(l)
         (p.file, l) -> TaskIo(p.file, p.store, chunkL, shardL,
           p.settings.zstdLevel, p.settings.codecName,
-          p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle)
+          p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle,
+          p.settings.v2Separator)
       }
     }.toMap
     val readTasksContiguous: Seq[ShardTask] = plans.flatMap { p =>
@@ -278,6 +284,7 @@ object ImarisToZarr {
             p.file, p.store, chunkL, shardL,
             p.settings.zstdLevel, p.settings.codecName,
             p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle,
+            p.settings.v2Separator,
             srcShape = p.trueShapes(level - 1), srcChunk = srcChunk,
             srcShard = srcShard, factor = p.settings.scaleFactor,
             mode = p.settings.downsampleMode)
@@ -391,7 +398,7 @@ object ImarisToZarr {
             val w = graft.sinks.ZarrV2.writeRegionChunks(
               serConf.value, s"${spec.store}/${t.level}", data, dataShape,
               Shape3(t.z0, t.y0, t.x0), spec.chunk,
-              spec.cname, spec.zstdLevel, spec.shuffle)
+              spec.cname, spec.zstdLevel, spec.shuffle, spec.separator)
             (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
           } else {
             val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)
@@ -441,7 +448,7 @@ object ImarisToZarr {
         if (spec.zarrFormat == 2)
           graft.sinks.ZarrV2.readRegionInto(
             serConf.value, t.file, src, spec.srcChunk,
-            sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
+            sz0, sz1, sy0, sy1, sx0, sx1, srcBuf, spec.separator)
         else ZarrRegion.readInto(
           serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
           sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
@@ -454,7 +461,7 @@ object ImarisToZarr {
           val w = graft.sinks.ZarrV2.writeRegionChunks(
             serConf.value, s"${spec.store}/${t.level}", reduced, dataShape,
             Shape3(t.z0, t.y0, t.x0), spec.chunk,
-            spec.cname, spec.zstdLevel, spec.shuffle)
+            spec.cname, spec.zstdLevel, spec.shuffle, spec.separator)
           (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
         } else {
           val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)

@@ -48,7 +48,10 @@ final case class JobSettings(
     // models.py:91-98). `use_tensorstore` in a config is honored.
     zarrFormat: Int = 3,
     bloscCname: String = "zstd",
-    bloscShuffle: String = "shuffle") {
+    bloscShuffle: String = "shuffle",
+    // v2 chunk-key layout: "." flat (zarr-python + reference default),
+    // "/" nested directory store (not a reference knob — ecosystem interop)
+    v2Separator: String = ".") {
 
   def validated: JobSettings = {
     require(inputSource.nonEmpty, "input_source is required")
@@ -68,6 +71,8 @@ final case class JobSettings(
         s"blosc cname must be zstd|lz4|lz4hc|zlib|snappy, got: $bloscCname")
       require(graft.sinks.Blosc.ShuffleNames.contains(bloscShuffle),
         s"shuffle must be one of ${graft.sinks.Blosc.ShuffleNames.keys.toSeq.sorted.mkString("|")}, got: $bloscShuffle")
+      require(v2Separator == "." || v2Separator == "/",
+        s"dimension_separator must be '.' or '/', got: $v2Separator")
     }
     for ((s, k) <- Seq((shardSize, "shard_size"), (chunkSize, "chunk_size"), (scaleFactor, "scale_factor")))
       require(s.z > 0 && s.y > 0 && s.x > 0, s"$k must be three positive integers, got: $s")

@@ -31,7 +31,8 @@ object ZarrV2 {
       chunks: Seq[Long],
       cname: String = "zstd",
       clevel: Int = 3,
-      shuffle: Int = Blosc.SHUFFLE): JValue =
+      shuffle: Int = Blosc.SHUFFLE,
+      separator: String = "."): JValue =
     obj(
       "zarr_format" -> num(2),
       "shape" -> arr(shape.map(num): _*),
@@ -47,7 +48,7 @@ object ZarrV2 {
       "fill_value" -> num(0),
       "order" -> str("C"),
       "filters" -> Json.JNull,
-      "dimension_separator" -> str(".")
+      "dimension_separator" -> str(separator)
     )
 
   /** `.zgroup` document. */
@@ -71,7 +72,10 @@ object ZarrV2 {
       chunk: Shape3,
       cname: String = "zstd",
       clevel: Int = 3,
-      shuffle: Int = Blosc.SHUFFLE): Long = {
+      shuffle: Int = Blosc.SHUFFLE,
+      separator: String = "."): Long = {
+    require(separator == "." || separator == "/",
+      s"dimension_separator must be '.' or '/', got: $separator")
     require(regionData.length >= dataShape.voxels,
       s"region payload ${regionData.length} < ${dataShape.voxels}")
     require(origin.z % chunk.z == 0 && origin.y % chunk.y == 0 && origin.x % chunk.x == 0,
@@ -105,8 +109,11 @@ object ZarrV2 {
           }
           val comp = Blosc.compress(buf.array(), typesize = 2, cname = cname,
             clevel = clevel, shuffle = shuffle)
-          val key = chunkKey(
+          // "/" yields zarr-python's nested store layout (subdirectories);
+          // the FS create makes parents, so both layouts share this path
+          val key = Seq(
             (origin.z + z0) / chunk.z, (origin.y + y0) / chunk.y, (origin.x + x0) / chunk.x)
+            .mkString(separator)
           ZarrV3.write(fsConf, s"$levelDir/$key", comp)
           written += comp.length
           x0 += chunk.x

@@ -205,6 +205,37 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((z * 16 + y) * 16 + x) == want(z, y, x), s"migrated($z,$y,$x)")
   }
 
+  test("nested dimension_separator '/' writes, reads back, and migrates") {
+    val out = Files.createTempDirectory("zarrv2nest").toString
+    ImarisToZarr.convert(
+      spark, s"${Fixtures.dir}/ims_64.ims", out,
+      ImarisToZarr.Settings(
+        shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+        translatePyramid = false, computeLevels = 2, zarrFormat = 2,
+        v2Separator = "/"))
+    val store = s"$out/ims_64.ome.zarr"
+    // zarr-python nested store layout: chunk keys are subdirectory paths
+    assert(new java.io.File(s"$store/0/0/0/0").isFile)
+    assert(new java.io.File(s"$store/0/1/1/1").isFile)
+    assert(!new java.io.File(s"$store/0/0.0.0").exists)
+    val zarray = new String(ZarrV3.read(conf, s"$store/0/.zarray"), "UTF-8")
+    assert(zarray.contains(""""dimension_separator":"/""""))
+    // read back through the separator-aware region reader, voxel-exact
+    val l0 = ZarrV2.readRegion(conf, s"$store/0",
+      Shape3(64, 64, 64), Shape3(16, 16, 16), 0, 64, 0, 64, 0, 64, "/")
+    for (z <- 0 until 64; y <- 0 until 64; x <- 0 until 64)
+      assert(l0((z * 64 + y) * 64 + x) == v(z, y, x), s"($z,$y,$x)")
+    // migration auto-detects the separator from .zarray
+    val dst = Files.createTempDirectory("zarrv3nest").toString + "/store.zarr"
+    val stats = graft.plans.ZarrMigrate.v2ToV3(
+      spark, store, dst, shard = Shape3(32, 32, 32))
+    assert(stats.map(_.voxels).sum == 64L * 64 * 64 + 32L * 32 * 32)
+    val got = graft.plans.ZarrRegion.read(conf, s"$dst/0",
+      Shape3(64, 64, 64), Shape3(32, 32, 32), Shape3(16, 16, 16),
+      0, 64, 0, 64, 0, 64)
+    assert(got.sameElements(l0))
+  }
+
   test("migration unwraps the reference's v3-shaped .zattrs quirk") {
     // the reference's v2 path dumps a full v3 group dict into .zattrs;
     // migration must unwrap it so both flavors yield the same v3 nesting
