@@ -196,19 +196,23 @@ object DedupQueries {
     * Reuse is a pure plan substitution — outputs are bit-identical to
     * rebuilding (the pipeline is deterministic).
     */
-  private var sharedCand: Option[(String, DataFrame)] = None
+  private var sharedCand: Option[(SparkSession, String, DataFrame)] = None
   def minhashCandidatesShared(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
-    val key = s"${System.identityHashCode(s)}:$d"
     sharedCand match {
-      case Some((k, df)) if k == key => df
+      // REFERENCE equality on the session (hashes can collide across
+      // sessions; a stale hit would hand out a frame bound to a stopped
+      // SparkContext), plus liveness: a restarted identical session must
+      // rebuild, not reuse a dead plan
+      case Some((ps, pd, df)) if (ps eq s) && pd == d && !s.sparkContext.isStopped =>
+        df
       case prev =>
-        prev.foreach { case (_, df) =>
+        prev.foreach { case (_, _, df) =>
           try df.unpersist(blocking = false)
           catch { case _: Throwable => () }
         }
         val df = minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-        sharedCand = Some((key, df))
+        sharedCand = Some((s, d, df))
         df
     }
   }

@@ -399,7 +399,7 @@ object ImarisToZarr {
               serConf.value, s"${spec.store}/${t.level}", data, dataShape,
               Shape3(t.z0, t.y0, t.x0), spec.chunk,
               spec.cname, spec.zstdLevel, spec.shuffle, spec.separator)
-            (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
+            (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx, spec.separator), w)
           } else {
             val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)
             val w = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$k",
@@ -462,7 +462,7 @@ object ImarisToZarr {
             serConf.value, s"${spec.store}/${t.level}", reduced, dataShape,
             Shape3(t.z0, t.y0, t.x0), spec.chunk,
             spec.cname, spec.zstdLevel, spec.shuffle, spec.separator)
-          (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx), w)
+          (graft.sinks.ZarrV2.chunkKey(t.sz, t.sy, t.sx, spec.separator), w)
         } else {
           val k = ZarrV3.shardKey(t.sz, t.sy, t.sx)
           val w = ZarrV3.writeShard(serConf.value, s"${spec.store}/${t.level}/$k",

@@ -93,7 +93,7 @@ object JobSettings {
     "chunk_size", "scale_factor", "downsample_levels", "downsample_mode",
     "translate_imaris_pyramid", "partition_mode", "single_tile_upload",
     "zstd_level", "codec", "zarr_format", "use_tensorstore",
-    "compressor_kwargs")
+    "compressor_kwargs", "dimension_separator")
 
   /** Reference keys accepted for config compatibility but meaningless on
     * Spark (see class scaladoc).
@@ -165,7 +165,8 @@ object JobSettings {
       codec = str("codec").getOrElse("zstd"),
       zarrFormat = fmt,
       bloscCname = kwargsCname.getOrElse("zstd"),
-      bloscShuffle = kwargsShuffle.getOrElse("shuffle")
+      bloscShuffle = kwargsShuffle.getOrElse("shuffle"),
+      v2Separator = str("dimension_separator").getOrElse(".")
     ).validated
   }
 
@@ -211,7 +212,8 @@ object JobSettings {
       codec = v("codec").getOrElse("zstd"),
       zarrFormat = v("zarr_format").map(_.toInt).getOrElse(3),
       bloscCname = v("blosc_cname").getOrElse("zstd"),
-      bloscShuffle = v("blosc_shuffle").getOrElse("shuffle")
+      bloscShuffle = v("blosc_shuffle").getOrElse("shuffle"),
+      v2Separator = v("dimension_separator").getOrElse(".")
     ).validated
   }
 }

@@ -82,8 +82,13 @@ object ZarrMigrate {
     // latter so both flavors migrate to identically-nested v3 attributes.
     val rawAttrs = new String(ZarrV3.read(hconf, s"$srcStore/.zattrs"), "UTF-8")
     val attrsNode = mapper.readTree(rawAttrs)
+    // match the exact quirk shape (a v3 GROUP document), not mere key
+    // presence — user attributes may legitimately contain an "attributes"
+    // key and must migrate verbatim
     val attrs =
-      if (attrsNode.has("attributes") && attrsNode.has("node_type"))
+      if (attrsNode.has("attributes") &&
+        attrsNode.path("node_type").asText("") == "group" &&
+        attrsNode.path("zarr_format").asInt(0) == 3)
         attrsNode.get("attributes").toString
       else rawAttrs
     ZarrV3.writeString(hconf, s"$dstStore/zarr.json",
@@ -112,8 +117,9 @@ object ZarrMigrate {
     val io = levels.map(l => l -> (metas(l), specs(l))).toMap
     spark.createDataset(spark.sparkContext.parallelize(tasks, par)).map { t =>
       val (m, (chunkL, shardL)) = io(t.level)
+      // foreign stores may omit all-fill chunks (write_empty_chunks=False)
       val data = ZarrV2.readRegion(serConf.value, t.file, m.shape, m.chunk,
-        t.z0, t.z1, t.y0, t.y1, t.x0, t.x1, m.separator)
+        t.z0, t.z1, t.y0, t.y1, t.x0, t.x1, m.separator, allowMissing = true)
       val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
       val key = ZarrV3.shardKey(t.sz, t.sy, t.sx)
       val written = ZarrV3.writeShard(serConf.value, s"$dstStore/${t.level}/$key",

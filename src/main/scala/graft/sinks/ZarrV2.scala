@@ -54,8 +54,9 @@ object ZarrV2 {
   /** `.zgroup` document. */
   def groupMetadata: JValue = obj("zarr_format" -> num(2))
 
-  /** Chunk key within a level dir ("." separator, v2 default). */
-  def chunkKey(gz: Long, gy: Long, gx: Long): String = s"$gz.$gy.$gx"
+  /** Chunk key within a level dir ("." = flat v2 default, "/" = nested). */
+  def chunkKey(gz: Long, gy: Long, gx: Long, separator: String = "."): String =
+    Seq(gz, gy, gx).mkString(separator)
 
   /** Write every chunk file of a shard-aligned region. `regionData` holds
     * the region voxels in C order (possibly in an oversized reused
@@ -111,9 +112,9 @@ object ZarrV2 {
             clevel = clevel, shuffle = shuffle)
           // "/" yields zarr-python's nested store layout (subdirectories);
           // the FS create makes parents, so both layouts share this path
-          val key = Seq(
-            (origin.z + z0) / chunk.z, (origin.y + y0) / chunk.y, (origin.x + x0) / chunk.x)
-            .mkString(separator)
+          val key = chunkKey(
+            (origin.z + z0) / chunk.z, (origin.y + y0) / chunk.y,
+            (origin.x + x0) / chunk.x, separator)
           ZarrV3.write(fsConf, s"$levelDir/$key", comp)
           written += comp.length
           x0 += chunk.x
@@ -136,12 +137,22 @@ object ZarrV2 {
       shape: Shape3,
       chunk: Shape3,
       z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
-      separator: String = "."): Array[Short] =
+      separator: String = ".",
+      allowMissing: Boolean = false): Array[Short] =
     readRegionInto(conf, levelDir, shape, chunk, z0, z1, y0, y1, x0, x1,
-      new Array[Short](((z1 - z0) * (y1 - y0) * (x1 - x0)).toInt), separator)
+      new Array[Short](((z1 - z0) * (y1 - y0) * (x1 - x0)).toInt), separator,
+      allowMissing)
 
   /** [[readRegion]] into a caller-owned (possibly oversized, REUSED)
     * buffer. Returns `out`.
+    *
+    * `allowMissing` scopes the zarr v2 absent-chunk-is-fill_value
+    * semantics to callers reading FOREIGN stores (zarr-python's
+    * `write_empty_chunks=False` omits all-fill chunks — the ZarrMigrate
+    * path). Our own writer always writes every chunk, so on internal
+    * reads (the compute-pyramid source) a missing chunk is a lost write
+    * or a path bug and must stay a loud FileNotFoundException — silently
+    * zero-filling there would corrupt downsampled levels.
     */
   def readRegionInto(
       conf: Configuration,
@@ -150,7 +161,8 @@ object ZarrV2 {
       chunk: Shape3,
       z0: Long, z1: Long, y0: Long, y1: Long, x0: Long, x1: Long,
       out: Array[Short],
-      separator: String = "."): Array[Short] = {
+      separator: String = ".",
+      allowMissing: Boolean = false): Array[Short] = {
     val nz = (z1 - z0).toInt; val ny = (y1 - y0).toInt; val nx = (x1 - x0).toInt
     require(out.length >= nz.toLong * ny * nx,
       s"region buffer ${out.length} < ${nz.toLong * ny * nx}")
@@ -162,13 +174,11 @@ object ZarrV2 {
         while (gx * chunk.x < x1) {
           val c0z = gz * chunk.z; val c0y = gy * chunk.y; val c0x = gx * chunk.x
           val key = Seq(gz, gy, gx).mkString(separator)
-          // zarr v2: an absent chunk object means the chunk is all
-          // fill_value — zarr-python (write_empty_chunks=False, the 2.13+
-          // default the reference inherits) omits all-fill chunks, so
-          // reference-produced stores legitimately have holes.
           val raw =
             try Blosc.decompress(ZarrV3.read(conf, s"$levelDir/$key"))
-            catch { case _: java.io.FileNotFoundException => null }
+            catch {
+              case _: java.io.FileNotFoundException if allowMissing => null
+            }
           if (raw != null)
             require(raw.length == chunk.voxels * 2,
               s"chunk $key: ${raw.length} bytes, want ${chunk.voxels * 2}")

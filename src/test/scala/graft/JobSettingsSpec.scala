@@ -73,6 +73,22 @@ class JobSettingsSpec extends AnyFunSuite {
     assert(s.bloscCname == "zstd" && s.bloscShuffle == "shuffle")
   }
 
+  test("dimension_separator reaches v2Separator from JSON and is validated") {
+    val s = JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":2,
+        |"dimension_separator":"/"}""".stripMargin)
+    assert(s.v2Separator == "/")
+    assert(JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out"}""").v2Separator == ".")
+    intercept[Exception](JobSettings.fromJson(
+      """{"input_source":"/in","output_directory":"/out","zarr_format":2,
+        |"dimension_separator":"x"}""".stripMargin))
+    val e = JobSettings.fromEnv(Map(
+      "GRAFT_JOB_INPUT_SOURCE" -> "/in", "GRAFT_JOB_OUTPUT_DIRECTORY" -> "/out",
+      "GRAFT_JOB_ZARR_FORMAT" -> "2", "GRAFT_JOB_DIMENSION_SEPARATOR" -> "/"))
+    assert(e.v2Separator == "/")
+  }
+
   test("use_tensorstore=false selects the legacy Zarr v2 writer (W1)") {
     val s = JobSettings.fromJson(
       """{"input_source":"/in","output_directory":"/out",

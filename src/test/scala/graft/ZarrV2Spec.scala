@@ -86,7 +86,8 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // simulate a store with holes by deleting two chunk objects
     assert(new java.io.File(s"$dir/1.0.1").delete())
     assert(new java.io.File(s"$dir/2.1.0").delete())
-    val back = ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 30, 0, 20)
+    val back = ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 30, 0, 20,
+      allowMissing = true)
     for (z <- 0 until 40; y <- 0 until 30; x <- 0 until 20) {
       val inHole = (z / 16 == 1 && y / 16 == 0 && x / 16 == 1) ||
         (z / 16 == 2 && y / 16 == 1 && x / 16 == 0)
@@ -96,9 +97,14 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // the reused-buffer path must overwrite stale contents in the hole
     val stale = Array.fill(shape.voxels.toInt)(12345.toShort)
     val back2 = ZarrV2.readRegionInto(
-      conf, dir, shape, chunk, 16, 32, 0, 16, 16, 20, stale)
+      conf, dir, shape, chunk, 16, 32, 0, 16, 16, 20, stale,
+      allowMissing = true)
     for (z <- 16 until 32; y <- 0 until 16; x <- 16 until 20)
       assert(back2(((z - 16) * 16 + y) * 4 + (x - 16)) == ZarrV2.Fill, s"($z,$y,$x)")
+    // INTERNAL reads (our writer always writes every chunk) must stay
+    // loud: a hole there is a lost write, not v2 fill semantics
+    intercept[java.io.FileNotFoundException](
+      ZarrV2.readRegion(conf, dir, shape, chunk, 0, 40, 0, 30, 0, 20))
   }
 
   test("regions written shard-by-shard compose one consistent array") {
