@@ -195,8 +195,34 @@ object DedupQueries {
     * to be reusable; the slot unpersists its predecessor on replacement.
     * Reuse is a pure plan substitution — outputs are bit-identical to
     * rebuilding (the pipeline is deterministic).
+    *
+    * ASSUMES the parquet files under `d` are immutable for the session's
+    * lifetime (true for the bench/verify fixtures): the memo keys on the
+    * path, not a content snapshot, so rewriting files at the same path
+    * mid-session would serve stale candidates.
     */
   private var sharedCand: Option[(SparkSession, String, DataFrame)] = None
+  // sessions whose context already carries our eviction listener (weak keys:
+  // the set must not itself pin a stopped session in memory)
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** Drop the slot if it belongs to `owner` (or unconditionally when None),
+    * unpersisting only while the owning context is still alive. Idempotent.
+    */
+  private def evictShared(owner: Option[SparkSession]): Unit = synchronized {
+    sharedCand match {
+      case Some((ps, _, df)) if owner.forall(_ eq ps) =>
+        if (!ps.sparkContext.isStopped) {
+          try df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+        sharedCand = None
+      case _ => ()
+    }
+  }
+
   def minhashCandidatesShared(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     sharedCand match {
@@ -206,16 +232,25 @@ object DedupQueries {
       // rebuild, not reuse a dead plan
       case Some((ps, pd, df)) if (ps eq s) && pd == d && !s.sparkContext.isStopped =>
         df
-      case prev =>
-        prev.foreach { case (_, _, df) =>
-          try df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
-        }
+      case _ =>
+        evictShared(None)
         val df = minhashCandidates(s, d).persist(StorageLevel.MEMORY_AND_DISK)
         sharedCand = Some((s, d, df))
+        // evict eagerly when the owning session stops, so a long-lived
+        // multi-tenant process doesn't carry a dead frame until the next call
+        if (evictionHooked.add(s)) {
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              evictShared(Some(s))
+          })
+        }
         df
     }
   }
+
+  /** Test hook: whether the memo slot currently holds a frame. */
+  private[graft] def sharedCandOccupied: Boolean = synchronized(sharedCand.isDefined)
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the oracle twin of
     * [[minhashCandidates]], shared by q_c1's and q_c13's oracles.

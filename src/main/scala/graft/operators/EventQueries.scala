@@ -126,10 +126,18 @@ object EventQueries {
     },
 
     // ---- Q-B4: as-of join (latest prior order per event) -----------------
-    // Range-join shape: equi-join on the user/customer key plus
-    // o_orderdate <= ts, deduplicated to the latest order with a fully
-    // deterministic tie-break (orderdate DESC, orderkey DESC). At scale the
-    // equi-key carries the shuffle; AQE handles skewed users.
+    // UNION-STREAM form: tag orders (0) and events (1), union them keyed by
+    // user, sort once within user by (time, tag, orderkey), and carry the
+    // most recent order forward with last(..., ignoreNulls) over a running
+    // window. One shuffle on user_id, zero pair amplification — the naive
+    // join-then-rank form materializes O(events_per_user × orders_per_user)
+    // rows per key before the window prunes them, which is quadratic on a
+    // skewed power-user at scale. Tie-break parity with the declared oracle
+    // (ROW_NUMBER ... ORDER BY o_orderdate DESC, o_orderkey DESC → rn=1):
+    // orders sort before events at equal time (tag 0 < 1, matching the
+    // inclusive o_orderdate <= ts bound) and ascending orderkey within a
+    // timestamp makes the running `last` adopt the max orderkey — exactly
+    // the rn=1 winner. Events with no prior order drop (inner-join parity).
     QueryDef(
       "q_b4_asof_join",
       Some("""SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
@@ -146,29 +154,47 @@ object EventQueries {
              |WHERE rn = 1
              |ORDER BY event_id""".stripMargin)
     ) { (s, d) =>
-      val e = Tables(s, d, "events")
-        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"))
-      val o = Tables(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      val w = Window
-        .partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      e.join(
-        o,
-        col("user_id") === col("o_custkey")
-          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
-          // the identity epoch mapping and unix_micros == DuckDB epoch_us
-          && unix_micros(col("o_orderdate").cast("timestamp")) <= col("ts_us")
+      val ev = Tables(s, d, "events").select(
+        col("user_id"),
+        expr("ts DIV 1000").as("t_us"),
+        lit(1).as("tag"),
+        col("event_id"),
+        lit(null).cast("bigint").as("o_orderkey"),
+        lit(null).cast("timestamp_ntz").as("o_orderdate"),
+        lit(null).cast("double").as("o_totalprice")
       )
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val or = Tables(s, d, "orders").select(
+        col("o_custkey").as("user_id"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+        // the identity epoch mapping and unix_micros == DuckDB epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(0).as("tag"),
+        lit(null).cast("bigint").as("event_id"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice")
+      )
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(or)
+        .withColumn(
+          "ord",
+          last(
+            when(col("tag") === 0,
+              struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+            ignoreNulls = true
+          ).over(w)
+        )
+        .filter(col("tag") === 1 && col("ord").isNotNull)
         .select(
           col("event_id"),
-          col("ts_us"),
+          col("t_us").as("ts_us"),
           col("user_id"),
-          col("o_orderkey").as("last_orderkey"),
-          col("o_orderdate").as("last_orderdate"),
-          col("o_totalprice").as("last_totalprice")
+          col("ord.o_orderkey").as("last_orderkey"),
+          col("ord.o_orderdate").as("last_orderdate"),
+          col("ord.o_totalprice").as("last_totalprice")
         )
         .orderBy(col("event_id"))
     },

@@ -175,7 +175,13 @@ object MultimodalOps {
         new ByteArrayInputStream(payload))
       try {
         pngReader.setInput(iis, true, true)
-        pngReader.read(0)
+        // unlike ImageIO.read (null on unrecognized input), a dedicated
+        // reader throws — normalize to one diagnostic message
+        try pngReader.read(0)
+        catch {
+          case e: javax.imageio.IIOException =>
+            throw new IllegalArgumentException("payload is not a decodable image", e)
+        }
       } finally {
         pngReader.setInput(null)
         iis.close()
@@ -245,7 +251,6 @@ object MultimodalOps {
     /** Decode a PNG payload → (nPixels, Σ gray values, normalized pixels). */
     def decodeImage(payload: Array[Byte]): (Long, Long, Array[Float]) = {
       val img = readPng(payload)
-      require(img != null, "payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val r = img.getRaster
       val px = new Array[Float](w * h)
@@ -272,7 +277,6 @@ object MultimodalOps {
       */
     def resizeImageSum(payload: Array[Byte], outW: Int, outH: Int): Long = {
       val img = readPng(payload)
-      require(img != null, "payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val r = img.getRaster
       var sum = 0L
@@ -288,12 +292,17 @@ object MultimodalOps {
 
     /** Decode a WAV payload → (nSamples, Σ signed samples, normalized). */
     def decodeAudio(payload: Array[Byte]): (Long, Long, Array[Float]) = {
-      val bis = new ByteArrayInputStream(payload)
+      // fresh stream per provider attempt (cheap — wraps the same array):
+      // reset() only returns to the last mark(), so a provider that marks at
+      // a non-zero offset before rejecting would corrupt later attempts.
+      // IOException is likewise a skip-to-next-reader signal, not fatal.
       val ais = audioReaders.iterator
         .flatMap { r =>
-          bis.reset()
-          try Some(r.getAudioInputStream(bis))
-          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          try Some(r.getAudioInputStream(new ByteArrayInputStream(payload)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
         }
         .nextOption()
         .getOrElse(sys.error("payload is not a decodable audio stream"))

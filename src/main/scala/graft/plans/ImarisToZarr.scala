@@ -150,6 +150,16 @@ object ImarisToZarr {
     val hconf = spark.sparkContext.hadoopConfiguration
     val serConf = new SerializableConfiguration(hconf)
 
+    // Fail before ANY metadata is written: Settings built directly via the
+    // API bypass JobSettings.validated, and a bad separator caught only at
+    // executor write time would leave a partially written store whose
+    // .zarray files already carry the bogus dimension_separator.
+    imsPaths.foreach { p =>
+      val sep = settingsFor(p).v2Separator
+      require(sep == "." || sep == "/",
+        s"dimension_separator must be '.' or '/', got: $sep (input $p)")
+    }
+
     // ---- driver-side planning + store init, metadata-only (W7→driver, W9, X9) ----
     final case class FilePlan(file: String, settings: Settings, store: String,
                               trueShapes: Seq[Shape3], specs: Seq[(Shape3, Shape3)])

@@ -273,6 +273,22 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("invalid v2Separator fails before any store bytes are written") {
+    val out = Files.createTempDirectory("zarrbadsep").toString
+    val e = intercept[IllegalArgumentException] {
+      ImarisToZarr.convert(
+        spark, s"${Fixtures.dir}/ims_64.ims", out,
+        ImarisToZarr.Settings(
+          shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+          translatePyramid = false, computeLevels = 1,
+          zarrFormat = 2, v2Separator = "|"))
+    }
+    assert(e.getMessage.contains("dimension_separator"))
+    // driver must not have pre-created the store or written any metadata
+    assert(new java.io.File(out).listFiles().isEmpty,
+      "no partial store may exist after early validation failure")
+  }
+
   test("discover: deterministic order and single-tile mode (S1-S3)") {
     val files = ImarisToZarr.discover(Fixtures.dir, singleTileOnly = false, conf)
     assert(files.map(_.split('/').last) ==
