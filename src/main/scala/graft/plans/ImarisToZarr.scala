@@ -67,7 +67,17 @@ object ImarisToZarr {
       voxelSizeOverrideUm: Option[(Double, Double, Double)] = None,
       // tile translation from acquisition.json (imaris_job.py:256-307);
       // absent → Imaris ExtMin origin
-      originOverrideUm: Option[(Double, Double, Double)] = None
+      originOverrideUm: Option[(Double, Double, Double)] = None,
+      // Fuse the level-1 reduction into the L0 write wave: each L0 read
+      // task already holds its region in memory, and when the L0 task
+      // shard is factor-aligned (shard % scaleFactor == 0 per dim) every
+      // level-1 output window lies wholly inside one L0 task, so the task
+      // emits its L1 partial for free and the level-1 wave assembles
+      // partials (1/∏factor of the bytes, no L0 chunk decode) instead of
+      // re-reading the full-resolution store. Pure plan substitution —
+      // output stores are byte-identical (spec-asserted); auto-disabled
+      // when the alignment precondition fails.
+      fuseDownsample: Boolean = true
   )
 
   final case class ShardStats(
@@ -100,7 +110,13 @@ object ImarisToZarr {
       // compute-wave extras (downsample source geometry)
       srcShape: Shape3 = Shape3(0, 0, 0), srcChunk: Shape3 = Shape3(0, 0, 0),
       srcShard: Shape3 = Shape3(0, 0, 0), factor: Shape3 = Shape3(1, 1, 1),
-      mode: String = "mean")
+      mode: String = "mean",
+      // read-wave fusion: non-empty → emit a level-1 partial reduction of
+      // this task's region to `$partialDir/<sz>_<sy>_<sx>` (uses factor/mode)
+      partialDir: String = "",
+      // compute-wave level-1: non-empty → assemble from read-wave partials
+      // under this dir instead of decoding the level-0 store
+      partialSrcDir: String = "")
 
   /** Deterministic discovery: recursive *.ims listing, *.h5 fallback,
     * lexicographic order, optional first-only (reference S1–S3,
@@ -239,6 +255,18 @@ object ImarisToZarr {
     }
 
     // ---- global task lists, planned up front (pure geometry) ----
+    // level-1 fusion precondition (see Settings.fuseDownsample): the L0
+    // TASK grid must be factor-aligned so no output window crosses a task
+    // border (file-mode's chunk-aligned cover isn't; skip fusion there)
+    def fusesL1(p: FilePlan): Boolean = {
+      val f = p.settings.scaleFactor
+      val shard0 = p.specs(0)._2
+      p.settings.fuseDownsample && !p.settings.translatePyramid &&
+        p.settings.computeLevels >= 2 && p.settings.partitionMode == "shard" &&
+        shard0.z % f.z == 0 && shard0.y % f.y == 0 && shard0.x % f.x == 0
+    }
+    def partialDir(p: FilePlan): String = s"${p.store}/1/.partial"
+
     // wave A: every (file, level) that reads from IMS, pooled
     val readIo: Map[(String, Int), TaskIo] = plans.flatMap { p =>
       val readLevels =
@@ -248,7 +276,9 @@ object ImarisToZarr {
         (p.file, l) -> TaskIo(p.file, p.store, chunkL, shardL,
           p.settings.zstdLevel, p.settings.codecName,
           p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle,
-          p.settings.v2Separator)
+          p.settings.v2Separator,
+          factor = p.settings.scaleFactor, mode = p.settings.downsampleMode,
+          partialDir = if (l == 0 && fusesL1(p)) partialDir(p) else "")
       }
     }.toMap
     val readTasksContiguous: Seq[ShardTask] = plans.flatMap { p =>
@@ -297,7 +327,8 @@ object ImarisToZarr {
             p.settings.v2Separator,
             srcShape = p.trueShapes(level - 1), srcChunk = srcChunk,
             srcShard = srcShard, factor = p.settings.scaleFactor,
-            mode = p.settings.downsampleMode)
+            mode = p.settings.downsampleMode,
+            partialSrcDir = if (level == 1 && fusesL1(p)) partialDir(p) else "")
         }.toMap
         val tasks = wave.flatMap(p => Geometry.shardTasks(
           s"${p.store}/${level - 1}", level,
@@ -328,6 +359,12 @@ object ImarisToZarr {
       allStats ++= runReadWave(spark, readTasks, readIo, serConf, progress)
       for ((tasks, io) <- computeWaves)
         allStats ++= runComputeWave(spark, tasks, io, serConf, progress)
+      // fused-reduction scratch is consumed by the level-1 wave; remove it
+      // so the finished store contains only spec-defined keys
+      plans.filter(fusesL1).foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(partialDir(p))
+        dir.getFileSystem(hconf).delete(dir, true)
+      }
       allStats.toSeq
     } finally listener.foreach(spark.sparkContext.removeSparkListener)
   }
@@ -391,6 +428,7 @@ object ImarisToZarr {
       // allocation (and concurrent humongous allocation is pathologically
       // slow under syscall-intercepting sandboxes)
       var regionBuf: Array[Short] = Array.emptyShortArray
+      var partialBuf: Array[Short] = Array.emptyShortArray
       it.map { t =>
         val spec = io((t.file, t.level))
         val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
@@ -416,6 +454,22 @@ object ImarisToZarr {
               data, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
             (k, w)
           }
+        // fused level-1 partial: reduce the region we already hold and
+        // stash it for the level-1 assembly wave (Settings.fuseDownsample).
+        // Task borders are factor-aligned (planner precondition), so every
+        // output window is wholly local and the partial is exact.
+        if (spec.partialDir.nonEmpty) {
+          val f = spec.factor
+          val pShape = Shape3(
+            Geometry.ceilDiv(t.z1, f.z) - t.z0 / f.z,
+            Geometry.ceilDiv(t.y1, f.y) - t.y0 / f.y,
+            Geometry.ceilDiv(t.x1, f.x) - t.x0 / f.x)
+          if (partialBuf.length < pShape.voxels)
+            partialBuf = new Array[Short](pShape.voxels.toInt)
+          Downsample.reduceInto(data, dataShape, pShape, f, spec.mode, partialBuf)
+          PartialStore.write(serConf.value,
+            s"${spec.partialDir}/${t.sz}_${t.sy}_${t.sx}", partialBuf, pShape)
+        }
         progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
         ShardStats(t.file, t.level, key, written, dataShape.voxels)
       }
@@ -429,11 +483,17 @@ object ImarisToZarr {
       progress: Option[Progress]): Seq[ShardStats] = {
     if (tasks.isEmpty) return Seq.empty
     import spark.implicits._
-    // the downsample task holds the ×factor SOURCE region + the output
+    // the downsample task holds the ×factor SOURCE region + the output —
+    // unless it assembles read-wave partials, which needs only the output
+    // region plus one already-reduced partial as scratch
     val maxTaskBytes = tasks.map { t =>
       val spec = io((t.file, t.level))
       val f = spec.factor
-      (t.z1 - t.z0) * f.z * (t.y1 - t.y0) * f.y * (t.x1 - t.x0) * f.x * 2L
+      if (spec.partialSrcDir.nonEmpty) {
+        val partialVox = spec.srcShard.voxels / math.max(1L, f.z * f.y * f.x)
+        ((t.z1 - t.z0) * (t.y1 - t.y0) * (t.x1 - t.x0) + partialVox) * 2L
+      } else
+        (t.z1 - t.z0) * f.z * (t.y1 - t.y0) * f.y * (t.x1 - t.x0) * f.x * 2L
     }.max * 3
     val taskDs = spark.createDataset(spark.sparkContext.parallelize(
       tasks, memoryCappedParallelism(spark, tasks.size, maxTaskBytes)))
@@ -448,24 +508,74 @@ object ImarisToZarr {
       val spec = io((t.file, t.level))
       val f = spec.factor
       val src = spec.srcShape
-      // read the ×factor source region from level l-1's shards
-      val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
-      val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
-      val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
-      val nSrc = ((sz1 - sz0) * (sy1 - sy0) * (sx1 - sx0)).toInt
-      if (srcBuf.length < nSrc) srcBuf = new Array[Short](nSrc)
-      val srcData =
-        if (spec.zarrFormat == 2)
-          graft.sinks.ZarrV2.readRegionInto(
-            serConf.value, t.file, src, spec.srcChunk,
-            sz0, sz1, sy0, sy1, sx0, sx1, srcBuf, spec.separator)
-        else ZarrRegion.readInto(
-          serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
-          sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
       val dataShape = Shape3(t.z1 - t.z0, t.y1 - t.y0, t.x1 - t.x0)
       if (dstBuf.length < dataShape.voxels) dstBuf = new Array[Short](dataShape.voxels.toInt)
-      val reduced = Downsample.reduceInto(
-        srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode, dstBuf)
+      val reduced = if (spec.partialSrcDir.nonEmpty) {
+        // FUSED path: the read wave already reduced each L0 task's region;
+        // assemble this task's output from the overlapping partials — a
+        // plain region copy over 1/∏factor of the source bytes, with no
+        // L0 chunk decode. Partial (gz,gy,gx) covers the L1 region that is
+        // the image of L0 task [g·shard, (g+1)·shard) under ÷factor.
+        val g = spec.srcShard
+        var gz = t.z0 * f.z / g.z
+        while (gz * g.z < t.z1 * f.z && gz * g.z < src.z) {
+          var gy = t.y0 * f.y / g.y
+          while (gy * g.y < t.y1 * f.y && gy * g.y < src.y) {
+            var gx = t.x0 * f.x / g.x
+            while (gx * g.x < t.x1 * f.x && gx * g.x < src.x) {
+              val pz0 = gz * g.z / f.z
+              val pz1 = Geometry.ceilDiv(math.min((gz + 1) * g.z, src.z), f.z)
+              val py0 = gy * g.y / f.y
+              val py1 = Geometry.ceilDiv(math.min((gy + 1) * g.y, src.y), f.y)
+              val px0 = gx * g.x / f.x
+              val px1 = Geometry.ceilDiv(math.min((gx + 1) * g.x, src.x), f.x)
+              val pShape = Shape3(pz1 - pz0, py1 - py0, px1 - px0)
+              if (srcBuf.length < pShape.voxels)
+                srcBuf = new Array[Short](pShape.voxels.toInt)
+              PartialStore.readInto(serConf.value,
+                s"${spec.partialSrcDir}/${gz}_${gy}_$gx", pShape, srcBuf)
+              // copy the intersection of the partial with this task's region
+              val izLo = math.max(t.z0, pz0); val izHi = math.min(t.z1, pz1)
+              val iyLo = math.max(t.y0, py0); val iyHi = math.min(t.y1, py1)
+              val ixLo = math.max(t.x0, px0); val ixHi = math.min(t.x1, px1)
+              var z = izLo
+              while (z < izHi) {
+                var y = iyLo
+                while (y < iyHi) {
+                  val sBase = (((z - pz0) * pShape.y + (y - py0)) * pShape.x + (ixLo - px0)).toInt
+                  val dBase = (((z - t.z0) * dataShape.y + (y - t.y0)) * dataShape.x + (ixLo - t.x0)).toInt
+                  val run = (ixHi - ixLo).toInt
+                  var i = 0
+                  while (i < run) { dstBuf(dBase + i) = srcBuf(sBase + i); i += 1 }
+                  y += 1
+                }
+                z += 1
+              }
+              gx += 1
+            }
+            gy += 1
+          }
+          gz += 1
+        }
+        dstBuf
+      } else {
+        // read the ×factor source region from level l-1's shards
+        val sz0 = t.z0 * f.z; val sz1 = math.min(t.z1 * f.z, src.z)
+        val sy0 = t.y0 * f.y; val sy1 = math.min(t.y1 * f.y, src.y)
+        val sx0 = t.x0 * f.x; val sx1 = math.min(t.x1 * f.x, src.x)
+        val nSrc = ((sz1 - sz0) * (sy1 - sy0) * (sx1 - sx0)).toInt
+        if (srcBuf.length < nSrc) srcBuf = new Array[Short](nSrc)
+        val srcData =
+          if (spec.zarrFormat == 2)
+            graft.sinks.ZarrV2.readRegionInto(
+              serConf.value, t.file, src, spec.srcChunk,
+              sz0, sz1, sy0, sy1, sx0, sx1, srcBuf, spec.separator)
+          else ZarrRegion.readInto(
+            serConf.value, t.file, src, spec.srcShard, spec.srcChunk,
+            sz0, sz1, sy0, sy1, sx0, sx1, srcBuf)
+        Downsample.reduceInto(
+          srcData, Shape3(sz1 - sz0, sy1 - sy0, sx1 - sx0), dataShape, f, spec.mode, dstBuf)
+      }
       val (key, written) =
         if (spec.zarrFormat == 2) {
           val w = graft.sinks.ZarrV2.writeRegionChunks(
@@ -485,6 +595,58 @@ object ImarisToZarr {
       ShardStats(spec.origFile, t.level, key, written, dataShape.voxels)
       }
     }.collect().toSeq
+  }
+}
+
+/** Scratch store for fused level-1 partial reductions (one blob per L0
+  * read task): 12-byte header of int32-BE dims, then a zstd-1 compressed
+  * little-endian int16 payload. Lives at `<store>/1/.partial/` between the
+  * read wave and the level-1 assembly wave, deleted by the driver after.
+  * zstd level 1 (not the store's clevel): this data is written once, read
+  * once, and deleted — cheap-to-encode beats small-on-disk.
+  */
+object PartialStore {
+  import graft.core.Geometry.Shape3
+  import com.github.luben.zstd.Zstd
+
+  def write(conf: org.apache.hadoop.conf.Configuration, path: String,
+            data: Array[Short], shape: Shape3): Unit = {
+    val n = shape.voxels.toInt
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = data(i)
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val packed = Zstd.compress(raw, 1)
+    val out = java.nio.ByteBuffer.allocate(12 + packed.length)
+    out.putInt(shape.z.toInt).putInt(shape.y.toInt).putInt(shape.x.toInt)
+    out.put(packed)
+    graft.sinks.ZarrV3.write(conf, path, out.array())
+  }
+
+  /** Read a partial into a caller-owned (possibly oversized, REUSED)
+    * buffer; the stored dims must equal `expect` (planner geometry).
+    */
+  def readInto(conf: org.apache.hadoop.conf.Configuration, path: String,
+               expect: Shape3, out: Array[Short]): Array[Short] = {
+    val bytes = graft.sinks.ZarrV3.read(conf, path)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val got = Shape3(bb.getInt.toLong, bb.getInt.toLong, bb.getInt.toLong)
+    require(got == expect, s"partial $path dims $got, planner expected $expect")
+    val n = got.voxels.toInt
+    require(out.length >= n, s"partial buffer ${out.length} < $n")
+    val raw = new Array[Byte](n * 2)
+    val m = Zstd.decompressByteArray(raw, 0, raw.length, bytes, 12, bytes.length - 12)
+    require(m == raw.length, s"partial $path expanded to $m, want ${raw.length}")
+    var i = 0
+    while (i < n) {
+      out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
   }
 }
 

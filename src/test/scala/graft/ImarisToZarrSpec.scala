@@ -273,6 +273,46 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("fused L1 reduction is voxel-exact vs the unfused compute wave") {
+    // 100³ true shape, shard 32 ⇒ edge tasks clamp at 100 and L1 tasks
+    // assemble from up to 8 partials with odd extents — every geometry
+    // edge of the fused path in one fixture. median exercises a
+    // non-linear kernel (order statistics can't hide an off-by-one the
+    // way mean might).
+    for ((mode, fmt) <- Seq(("mean", 3), ("median", 3), ("mean", 2))) {
+      def conv(fuse: Boolean): (String, Seq[ImarisToZarr.ShardStats]) = {
+        val out = Files.createTempDirectory(s"zarrfuse_${mode}_${fmt}_$fuse").toString
+        val stats = ImarisToZarr.convert(
+          spark, s"${Fixtures.dir}/ims_padded.ims", out,
+          ImarisToZarr.Settings(
+            shard = Shape3(32, 32, 32), chunk = Shape3(16, 16, 16),
+            translatePyramid = false, computeLevels = 3, downsampleMode = mode,
+            zarrFormat = fmt, fuseDownsample = fuse))
+        (s"$out/ims_padded.ome.zarr", stats)
+      }
+      val (fused, statsF) = conv(fuse = true)
+      val (plain, statsP) = conv(fuse = false)
+      // identical stats (same keys, bytes, voxels) and identical voxels
+      assert(statsF.map(s => (s.level, s.key, s.bytesWritten, s.voxels)).sorted ==
+        statsP.map(s => (s.level, s.key, s.bytesWritten, s.voxels)).sorted)
+      for ((shape, l) <- Seq(Shape3(50, 50, 50) -> 1, Shape3(25, 25, 25) -> 2)) {
+        val (chunkL, shardL) =
+          graft.core.Geometry.clampSpec(shape, Shape3(16, 16, 16), Shape3(32, 32, 32))
+        def readLevel(store: String): Array[Short] =
+          if (fmt == 2)
+            graft.sinks.ZarrV2.readRegion(conf, s"$store/$l", shape,
+              chunkL, 0, shape.z, 0, shape.y, 0, shape.x, ".")
+          else
+            ZarrRegion.read(conf, s"$store/$l", shape, shardL,
+              chunkL, 0, shape.z, 0, shape.y, 0, shape.x)
+        assert(java.util.Arrays.equals(readLevel(fused), readLevel(plain)),
+          s"level $l mismatch (mode=$mode fmt=$fmt)")
+      }
+      // the partial scratch dir must be consumed and deleted
+      assert(!new java.io.File(s"$fused/1/.partial").exists())
+    }
+  }
+
   test("invalid v2Separator fails before any store bytes are written") {
     val out = Files.createTempDirectory("zarrbadsep").toString
     val e = intercept[IllegalArgumentException] {
