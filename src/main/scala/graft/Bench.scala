@@ -97,8 +97,28 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probesJson =
       s"""{"passA":${probesA.map(fmt).mkString("[", ",", "]")},"passB":${probesB.map(fmt).mkString("[", ",", "]")}}"""
+    // pin the approximate query's QUALITY next to its wall time: recall@5
+    // of the IVF-pruned ANN vs brute force at this SF (the rows-only
+    // correctness check can't see quality regressions)
+    val quality: Option[String] =
+      if (selected.exists(_._1 == "q_c9_ann_ivf")) {
+        try {
+          def top5(name: String, extra: String): Map[Long, Set[Long]] =
+            SparkEntry.queries(name)(spark, sfDir)
+              .filter(extra).collect()
+              .map(r => (r.getLong(0), r.getLong(2)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val brute = top5("q_b7_cosine_topk", "rank <= 5")
+          val ivf = top5("q_c9_ann_ivf", "true")
+          val recalls = brute.keys.toSeq.map { q =>
+            brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+          }
+          graft.core.CachedRdds.drain()
+          Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
+        } catch { case _: Throwable => None }
+      } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

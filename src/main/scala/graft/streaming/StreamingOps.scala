@@ -119,6 +119,62 @@ object StreamingOps {
       }
   }
 
+  // ---- streaming as-of join (Q-B4 twin) ----------------------------------
+
+  /** Tagged union row for the streaming as-of join: orders carry tag=0
+    * with their attributes, events tag=1 with `event_id`; both share the
+    * user key and an int64-µs event time (the exact shape the batch
+    * q_b4 union-stream plan sorts). Unused fields are 0 on the other tag.
+    */
+  final case class AsOfIn(user_id: Long, t_us: Long, tag: Int, event_id: Long,
+                          o_orderkey: Long, o_orderdate_us: Long,
+                          o_totalprice: Double)
+  final case class AsOfCarry(t_us: Long, orderkey: Long, orderdate_us: Long,
+                             totalprice: Double)
+  final case class AsOfOut(event_id: Long, ts_us: Long, user_id: Long,
+                           last_orderkey: Long, last_orderdate_us: Long,
+                           last_totalprice: Double)
+
+  /** Streaming twin of the batch union-stream as-of join (q_b4): state
+    * per user is ONE AsOfCarry — the latest order seen, with the same
+    * (t_us, then orderkey) adoption rule the batch running-last window
+    * uses — and each event emits enriched with the carry (dropped while
+    * no order precedes it, matching the batch inner-join semantics).
+    * Within a micro-batch rows are sorted by (t_us, tag, orderkey), so a
+    * batch containing the full history reproduces the batch query
+    * exactly; across micro-batches the source must deliver rows in
+    * event-time order per user (the usual watermark contract for
+    * stream-stream joins — out-of-order events older than an adopted
+    * order would see a newer order than the batch plan assigns).
+    * State is one tuple per user — bounded, key-hash-partitioned, no
+    * growth with history length.
+    */
+  def asOfJoin(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfCarry, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[AsOfIn], state: GroupState[AsOfCarry]) =>
+          val sorted = batch.toSeq.sortBy(r => (r.t_us, r.tag, r.o_orderkey))
+          var carry = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          for (r <- sorted) {
+            if (r.tag == 0) {
+              // adopt iff strictly newer, or same time with larger orderkey
+              // (the batch plan's deterministic tie-break)
+              if (carry == null || r.t_us > carry.t_us ||
+                  (r.t_us == carry.t_us && r.o_orderkey > carry.orderkey))
+                carry = AsOfCarry(r.t_us, r.o_orderkey, r.o_orderdate_us,
+                  r.o_totalprice)
+            } else if (carry != null)
+              out += AsOfOut(r.event_id, r.t_us, userId,
+                carry.orderkey, carry.orderdate_us, carry.totalprice)
+          }
+          if (carry != null) state.update(carry)
+          out.iterator
+      }
+  }
+
   /** Wire any of the above to a memory sink for tests/demos; returns the
     * query name to poll with `spark.sql(s"select * from $name")`.
     */

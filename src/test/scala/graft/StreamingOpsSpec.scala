@@ -141,6 +141,57 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming as-of join equals the batch q_b4 union-stream plan") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamingOps.{AsOfIn, AsOfOut}
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EventQueries.defs
+      .find(_.name == "q_b4_asof_join").get.plan(sp, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("last_orderkey"),
+        unix_micros(col("last_orderdate").cast("timestamp")).as("od_us"),
+        col("last_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+    val orders = graft.core.Tables(sp, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => AsOfIn(r.getLong(0), r.getLong(1), 0, 0L, r.getLong(2),
+        r.getLong(1), r.getDouble(3)))
+    val events = graft.core.Tables(sp, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("t_us"), col("event_id"))
+      .collect()
+      .map(r => AsOfIn(r.getLong(0), r.getLong(1), 1, r.getLong(2), 0L, 0L, 0.0))
+    // deliver in global event-time order (the stream-stream watermark
+    // contract) across three micro-batches: state must carry the latest
+    // order per user between triggers
+    val all = (orders ++ events).sortBy(r => (r.t_us, r.tag, r.o_orderkey))
+    val input = MemoryStream[AsOfIn]
+    val q = StreamingOps.asOfJoin(input.toDS()).writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_asof").toString)
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    for (chunk <- all.grouped(all.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = sp.sql(
+      """SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate_us,
+        |       last_totalprice FROM asof_stream""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(got == batch)
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization carries custom per-key state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext

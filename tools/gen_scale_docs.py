@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Deterministic N-times-sf0.1 documents/embeddings set for scale-trend
+measurement (VERDICT r7 item 5). Mimics the driver's sf0.1 distributions
+(measured from /root/testdata/sf0.1): 30-word uniform vocab, text lengths
+~44-577 chars, ~0.16% exact-duplicate rows, ~5% docs in 'dup'-marked
+near-duplicate families, 5 langs (en-dominant), 20 sources; embeddings
+unit-normalized 64-dim float with a weak 10-label tilt. Seed fixed at
+1042 so every run reproduces byte-identical parquet.
+
+Usage: gen_scale_docs.py <outdir> [scale=10]
+Writes <outdir>/documents.parquet and <outdir>/embeddings.parquet with
+scale * (5000 docs, 2000 vectors). Other tables should be symlinked from
+sf0.1 (only documents/embeddings feed the heavy-five queries).
+
+Vocabulary grows as 30·sqrt(scale) (Heaps'-law-ish): with the fixture's
+FIXED 30-word vocab, 10x more docs makes every 3-word shingle ~10x more
+common and shared-shingle candidate PAIRS grow ~100x per shingle — a
+fixture artifact, not operator behavior (real corpora add vocabulary as
+they grow, keeping shingle density roughly stable). The synthetic extra
+words (w030, w031, ...) keep per-shingle document frequency comparable
+to sf0.1 so the measured exponent reflects the operator's scaling on a
+realistic corpus, with candidate growth called out separately.
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ("spark window merge table column vector stream value data small "
+         "join filter big group hash customer sort order slow line part "
+         "fast the row agg key query a scan batch").split()
+LANGS = ["en"] * 16 + ["de", "fr", "es", "zh"]
+SEED = 1042
+
+
+def gen_documents(n, rng, scale):
+    vocab = VOCAB + [f"w{k:03d}" for k in
+                     range(len(VOCAB), int(len(VOCAB) * scale ** 0.5))]
+    texts = []
+    target_words = rng.integers(8, 100, size=n)
+    for i in range(n):
+        words = rng.integers(0, len(vocab), size=target_words[i])
+        texts.append(" ".join(vocab[w] for w in words))
+    # ~5% near-dup families: overwrite runs of 5 docs with one base text
+    # plus small per-member edits, marked with the 'dup' token like sf0.1
+    n_fam = n // 100
+    fam_starts = rng.choice(n - 5, size=n_fam, replace=False)
+    for s in fam_starts:
+        base = texts[s].split()
+        for k in range(1, 5):
+            t = list(base)
+            for _ in range(1 + int(rng.integers(0, 3))):
+                t[int(rng.integers(0, len(t)))] = vocab[int(rng.integers(0, len(vocab)))]
+            t.append("dup")
+            texts[s + k] = " ".join(t)
+    # ~0.16% exact dups
+    for _ in range(max(1, n // 625)):
+        a, b = rng.integers(0, n, size=2)
+        texts[int(a)] = texts[int(b)]
+    lang = [LANGS[int(i)] for i in rng.integers(0, len(LANGS), size=n)]
+    source = [f"src{int(i)}" for i in rng.integers(0, 20, size=n)]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(lang),
+        "source": pa.array(source),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+
+
+def gen_embeddings(n, rng):
+    dim, n_labels = 64, 10
+    centroids = rng.standard_normal((n_labels, dim)).astype(np.float32) * 0.08
+    labels = rng.integers(0, n_labels, size=n).astype(np.int32)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32) * 0.125 + centroids[labels]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+        "label": pa.array(labels),
+    })
+
+
+def main():
+    outdir = sys.argv[1]
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    docs = gen_documents(5000 * scale, rng, scale)
+    emb = gen_embeddings(2000 * scale, rng)
+    pq.write_table(docs, os.path.join(outdir, "documents.parquet"))
+    pq.write_table(emb, os.path.join(outdir, "embeddings.parquet"))
+    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings to {outdir}")
+
+
+if __name__ == "__main__":
+    main()
