@@ -114,7 +114,9 @@ object Bench {
             brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
           }
           graft.core.CachedRdds.drain()
-          Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
+          // empty query set would make the mean NaN — invalid JSON
+          if (recalls.isEmpty) None
+          else Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
         } catch { case _: Throwable => None }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
