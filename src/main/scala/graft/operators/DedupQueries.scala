@@ -355,22 +355,27 @@ object DedupQueries {
               |  FROM bits GROUP BY doc_id)
               |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
+      // 16 conditional-sum COLUMNS in one doc-keyed aggregation, not an
+      // explode(sequence(0,15)): the exploded form shuffled 16× the token
+      // rows and co-located the rolling-hash projection with a Generate,
+      // re-evaluating it per emitted k under codegen (see PERF.md round
+      // 8). One shuffle on doc_id, map-side-combined wide partials; th is
+      // referenced 16× so Catalyst keeps its Project un-collapsed (one
+      // hash per token row).
       val toks = Tables(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       val h = toks.select(col("doc_id"), expr(rollingHash("tok")).as("th"))
-      h.select(col("doc_id"), col("th"), explode(expr("sequence(0, 15)")).as("k"))
-        .groupBy(col("doc_id"), col("k"))
-        .agg(
-          sum(
-            when(expr("(th >> CAST(k AS INT)) & 1") === 1, 1L).otherwise(-1L)
-          ).as("s")
-        )
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << CAST(k AS INT)")).otherwise(0L))
+      val bitSums = (0 until 16).map(k =>
+        sum(when(expr(s"(th >> $k) & 1") === 1, 1L).otherwise(-1L)).as(s"s$k"))
+      h.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(
+          col("doc_id"),
+          (0 until 16)
+            .map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(0L))
+            .reduce(_ + _)
             .cast("long")
-            .as("simhash")
-        )
+            .as("simhash"))
         .orderBy(col("doc_id"))
     },
 

@@ -323,6 +323,15 @@ object PipelineQueries {
              |FROM q GROUP BY vec_id, dim, mx
              |ORDER BY vec_id""".stripMargin)
     ) { (s, d) =>
+      // Per-row array FOLDS, no posexplode: the earlier explode-then-
+      // groupBy form amplified the shuffle by dim (n·dim rows keyed back
+      // to the same vec_id) and — worse — co-located the array_max
+      // projection with a Generate, which under whole-stage codegen
+      // defers the pass-through's evaluation into the per-element output
+      // loop (a dim-fold re-evaluation of mx; see PERF.md round 8). Here
+      // mx is referenced by MULTIPLE consumer expressions, so Catalyst
+      // keeps it in its own Project (one evaluation per row), and the
+      // whole query is projection + sort — zero aggregation shuffles.
       val m = Tables(s, d, "embeddings")
         .select(
           col("vec_id"),
@@ -330,20 +339,17 @@ object PipelineQueries {
             .as("mx"),
           size(col("embedding")).cast("long").as("dim"),
           col("embedding"))
-        .filter(col("mx") > 0)
-      m.select(col("vec_id"), col("mx"), col("dim"),
-          posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("mx"), col("dim"),
-          expr("CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)").as("qi"),
-          col("i").cast("long").as("i"))
-        .groupBy(col("vec_id"), col("dim"), col("mx"))
-        .agg(
-          sum(col("qi")).as("qsum"),
-          sum(col("qi") * (col("i") + 1)).as("qdot"))
-        .select(
+        .filter(col("mx") > 0 && col("dim") > 0)
+      m.select(
           col("vec_id"), col("dim"),
           emitQ(col("mx") / 127).as("scale"),
-          col("qsum"), col("qdot"))
+          expr("""aggregate(embedding, CAST(0 AS BIGINT),
+                 |  (a, x) -> a + CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))"""
+            .stripMargin).as("qsum"),
+          // position-weighted dot: qi · (i+1), i 0-based ⇒ weights 1..dim
+          expr("""aggregate(zip_with(embedding, sequence(1, CAST(dim AS INT)),
+                 |    (x, j) -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) * j),
+                 |  CAST(0 AS BIGINT), (a, y) -> a + y)""".stripMargin).as("qdot"))
         .orderBy(col("vec_id"))
     },
 

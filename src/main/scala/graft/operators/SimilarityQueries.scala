@@ -266,22 +266,32 @@ object SimilarityQueries {
       var cents: Array[Double] =
         seedRows.flatMap(r => normalized(r.getSeq[Double](0).toArray))
       val kEff = cents.length / dim
-      // 2 Lloyd iterations: assign (projection) → per-(cell,dim) partial
-      // sums (distributed groupBy) → k·dim rows to the driver → recenter
+      // 2 Lloyd iterations: assign (projection) → per-cell partial sums
+      // (distributed groupBy, one WIDE row per cell: dim sum columns) →
+      // k rows to the driver → recenter. The sums are per-dim COLUMNS,
+      // not a posexplode to (cell, pos, x) rows: a Generate collapses the
+      // assignment projection into its per-element output loop, so the
+      // k·dim NearestCells kernel would re-run once PER ELEMENT — a
+      // dim-fold amplification of the whole training cost (measured 64×
+      // = 45 s/iteration at 20k vectors, k=564 vs 0.7 s this way).
       for (_ <- 1 to 2) {
         val fn = graft.functions.NearestCells.register(s, cents, dim)
+        val cellCol = expr(s"element_at($fn(v, 1), 1)").as("cell")
+        val dimCols = (0 until dim).map(i => col("v").getItem(i).as(s"x$i"))
         val sums = e
-          .select(expr(s"element_at($fn(v, 1), 1)").as("cell"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+          .select(cellCol +: dimCols: _*)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("cnt"),
+            (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
           .collect()
         val next = java.util.Arrays.copyOf(cents, cents.length)
         val acc = Array.fill(kEff)(new Array[Double](dim))
         val cntOf = new Array[Long](kEff)
         sums.foreach { r =>
-          val cell = r.getInt(0); val pos = r.getInt(1)
-          acc(cell)(pos) = r.getDouble(2); cntOf(cell) = r.getLong(3)
+          val cell = r.getInt(0)
+          cntOf(cell) = r.getLong(1)
+          var i = 0
+          while (i < dim) { acc(cell)(i) = r.getDouble(2 + i); i += 1 }
         }
         var c = 0
         while (c < kEff) {
