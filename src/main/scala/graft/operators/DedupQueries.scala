@@ -131,12 +131,17 @@ object DedupQueries {
         .agg(sort_array(collect_list(col("gid"))).as("gids"), count(lit(1)).as("n_g"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val prefix = garr.select(
-      col("doc_id"),
+      col("doc_id"), col("n_g"),
       explode(slice(col("gids"), lit(1), prefixLen.cast("int"))).as("gid"))
+    // length filter (Arasu/Bayardo): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so J ≥ τ requires 10·min ≥ τ10·max — prune size-incompatible pairs
+    // inside the candidate join, before the distinct and the verify join
     val cand = prefix.as("a")
       .join(
         prefix.as("b"),
-        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_g") * 10 >= col("b.n_g") * tau10 &&
+          col("b.n_g") * 10 >= col("a.n_g") * tau10)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // NOTE: broadcasting garr into the verify joins measured 10x SLOWER
