@@ -84,7 +84,10 @@ object Bench {
       val (tB, eB) = passB(name)
       val oks = Seq((tA, eA), (tB, eB)).collect { case (t, None) => t }
       val adopted = if (oks.nonEmpty) oks.min else math.min(tA, tB)
-      (name, Seq(tA, tB), adopted, oks.nonEmpty)
+      // a query that errored in EITHER pass is a failure (parity with the
+      // old harness): a nondeterministic crash must not ship as a clean
+      // number just because the other pass survived
+      (name, Seq(tA, tB), adopted, eA.isEmpty && eB.isEmpty)
     }
 
     def fmt(d: Double): String = f"$d%.4f"
@@ -117,7 +120,14 @@ object Bench {
           // empty query set would make the mean NaN — invalid JSON
           if (recalls.isEmpty) None
           else Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
-        } catch { case _: Throwable => None }
+        } catch {
+          case e: Throwable =>
+            // never let the quality probe sink the bench, but a silently
+            // missing key would defeat its purpose — leave a loud trace
+            System.err.println(
+              s"[bench] quality computation failed: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")

@@ -163,17 +163,22 @@ object EventQueries {
         lit(null).cast("timestamp_ntz").as("o_orderdate"),
         lit(null).cast("double").as("o_totalprice")
       )
-      val or = Tables(s, d, "orders").select(
-        col("o_custkey").as("user_id"),
-        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
-        // the identity epoch mapping and unix_micros == DuckDB epoch_us
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
-        lit(0).as("tag"),
-        lit(null).cast("bigint").as("event_id"),
-        col("o_orderkey"),
-        col("o_orderdate"),
-        col("o_totalprice")
-      )
+      val or = Tables(s, d, "orders")
+        // join parity: the oracle's `epoch_us(o_orderdate) <= ts` predicate
+        // drops NULL-dated orders; without this filter a NULL t_us sorts
+        // nulls-first and would become every event's carry
+        .filter(col("o_orderdate").isNotNull)
+        .select(
+          col("o_custkey").as("user_id"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+          // the identity epoch mapping and unix_micros == DuckDB epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+          lit(0).as("tag"),
+          lit(null).cast("bigint").as("event_id"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice")
+        )
       val w = Window
         .partitionBy(col("user_id"))
         .orderBy(col("t_us"), col("tag"), col("o_orderkey"))

@@ -343,12 +343,17 @@ object PipelineQueries {
       m.select(
           col("vec_id"), col("dim"),
           emitQ(col("mx") / 127).as("scale"),
+          // coalesce per element = SQL SUM's skip-NULL semantics (the old
+          // posexplode+sum form ignored a NULL element; a bare fold would
+          // poison the whole sum). Positions stay intact for qdot.
           expr("""aggregate(embedding, CAST(0 AS BIGINT),
-                 |  (a, x) -> a + CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))"""
+                 |  (a, x) -> a + coalesce(
+                 |    CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT), 0L))"""
             .stripMargin).as("qsum"),
           // position-weighted dot: qi · (i+1), i 0-based ⇒ weights 1..dim
           expr("""aggregate(zip_with(embedding, sequence(1, CAST(dim AS INT)),
-                 |    (x, j) -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) * j),
+                 |    (x, j) -> coalesce(
+                 |      CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT), 0L) * j),
                  |  CAST(0 AS BIGINT), (a, y) -> a + y)""".stripMargin).as("qdot"))
         .orderBy(col("vec_id"))
     },

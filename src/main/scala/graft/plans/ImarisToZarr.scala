@@ -354,19 +354,35 @@ object ImarisToZarr {
       l
     }
 
+    // drop any fused-reduction scratch left by a PREVIOUS failed run
+    // regardless of THIS run's fusion mode: a crash between the read wave
+    // and cleanup leaves `<store>/1/.partial` on disk, and a later
+    // successful run (fused or not) must not ship it — the finished-store
+    // invariant is "spec-defined keys only". Also guards the fused path
+    // against assembling stale partials from an aborted earlier attempt.
+    plans.foreach { p =>
+      val dir = new org.apache.hadoop.fs.Path(partialDir(p))
+      val fs = dir.getFileSystem(hconf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+
     try {
       val allStats = scala.collection.mutable.ArrayBuffer.empty[ShardStats]
       allStats ++= runReadWave(spark, readTasks, readIo, serConf, progress)
       for ((tasks, io) <- computeWaves)
         allStats ++= runComputeWave(spark, tasks, io, serConf, progress)
+      allStats.toSeq
+    } finally {
+      listener.foreach(spark.sparkContext.removeSparkListener)
       // fused-reduction scratch is consumed by the level-1 wave; remove it
-      // so the finished store contains only spec-defined keys
+      // even on failure so a partially written store never carries
+      // non-spec keys into a rerun
       plans.filter(fusesL1).foreach { p =>
         val dir = new org.apache.hadoop.fs.Path(partialDir(p))
-        dir.getFileSystem(hconf).delete(dir, true)
+        try dir.getFileSystem(hconf).delete(dir, true)
+        catch { case _: java.io.IOException => () }
       }
-      allStats.toSeq
-    } finally listener.foreach(spark.sparkContext.removeSparkListener)
+    }
   }
 
   /** Memory-aware wave parallelism: a shard task holds its whole voxel
@@ -429,6 +445,7 @@ object ImarisToZarr {
       // slow under syscall-intercepting sandboxes)
       var regionBuf: Array[Short] = Array.emptyShortArray
       var partialBuf: Array[Short] = Array.emptyShortArray
+      lazy val partialScratch = new PartialStore.Scratch
       it.map { t =>
         val spec = io((t.file, t.level))
         val r = readers.getOrElseUpdate(t.file, new Hdf5Reader(t.file, serConf.value))
@@ -468,7 +485,8 @@ object ImarisToZarr {
             partialBuf = new Array[Short](pShape.voxels.toInt)
           Downsample.reduceInto(data, dataShape, pShape, f, spec.mode, partialBuf)
           PartialStore.write(serConf.value,
-            s"${spec.partialDir}/${t.sz}_${t.sy}_${t.sx}", partialBuf, pShape)
+            s"${spec.partialDir}/${t.sz}_${t.sy}_${t.sx}", partialBuf, pShape,
+            partialScratch)
         }
         progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
         ShardStats(t.file, t.level, key, written, dataShape.voxels)
@@ -503,6 +521,7 @@ object ImarisToZarr {
       // (round 5), applied to the downsample wave: a 512³ compute task
       // otherwise allocates a fresh ×8 source region per task
       var srcBuf: Array[Short] = Array.emptyShortArray
+      lazy val partialScratch = new PartialStore.Scratch
       var dstBuf: Array[Short] = Array.emptyShortArray
       it.map { t =>
       val spec = io((t.file, t.level))
@@ -533,7 +552,8 @@ object ImarisToZarr {
               if (srcBuf.length < pShape.voxels)
                 srcBuf = new Array[Short](pShape.voxels.toInt)
               PartialStore.readInto(serConf.value,
-                s"${spec.partialSrcDir}/${gz}_${gy}_$gx", pShape, srcBuf)
+                s"${spec.partialSrcDir}/${gz}_${gy}_$gx", pShape, srcBuf,
+                partialScratch)
               // copy the intersection of the partial with this task's region
               val izLo = math.max(t.z0, pz0); val izHi = math.min(t.z1, pz1)
               val iyLo = math.max(t.y0, py0); val iyHi = math.min(t.y1, py1)
@@ -609,10 +629,27 @@ object PartialStore {
   import graft.core.Geometry.Shape3
   import com.github.luben.zstd.Zstd
 
+  /** Grow-only byte scratch for [[write]]/[[readInto]]: one per partition,
+    * reused across tasks — the raw int16 image of a 512³/2× partial is
+    * ~33 MB, and a fresh copy (plus a compressed copy, plus a header
+    * concat) per task would recreate exactly the per-task humongous-
+    * allocation churn the wave's regionBuf/partialBuf reuse eliminates.
+    */
+  final class Scratch {
+    private[PartialStore] var raw: Array[Byte] = Array.emptyByteArray
+    private[PartialStore] var packed: Array[Byte] = Array.emptyByteArray
+    private[PartialStore] def ensure(n: Int, bound: Int): Unit = {
+      if (raw.length < n) raw = new Array[Byte](n)
+      if (packed.length < 12 + bound) packed = new Array[Byte](12 + bound)
+    }
+  }
+
   def write(conf: org.apache.hadoop.conf.Configuration, path: String,
-            data: Array[Short], shape: Shape3): Unit = {
+            data: Array[Short], shape: Shape3, scratch: Scratch): Unit = {
     val n = shape.voxels.toInt
-    val raw = new Array[Byte](n * 2)
+    val bound = Zstd.compressBound(n.toLong * 2).toInt
+    scratch.ensure(n * 2, bound)
+    val raw = scratch.raw
     var i = 0
     while (i < n) {
       val v = data(i)
@@ -620,27 +657,30 @@ object PartialStore {
       raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val packed = Zstd.compress(raw, 1)
-    val out = java.nio.ByteBuffer.allocate(12 + packed.length)
-    out.putInt(shape.z.toInt).putInt(shape.y.toInt).putInt(shape.x.toInt)
-    out.put(packed)
-    graft.sinks.ZarrV3.write(conf, path, out.array())
+    // header + payload share one reused buffer: int32-BE dims at [0,12),
+    // zstd-1 stream compressed directly at offset 12 — zero extra copies
+    val dst = scratch.packed
+    val bb = java.nio.ByteBuffer.wrap(dst, 0, 12)
+    bb.putInt(shape.z.toInt).putInt(shape.y.toInt).putInt(shape.x.toInt)
+    val m = Zstd.compressByteArray(dst, 12, dst.length - 12, raw, 0, n * 2, 1).toInt
+    graft.sinks.ZarrV3.write(conf, path, dst, 12 + m)
   }
 
   /** Read a partial into a caller-owned (possibly oversized, REUSED)
     * buffer; the stored dims must equal `expect` (planner geometry).
     */
   def readInto(conf: org.apache.hadoop.conf.Configuration, path: String,
-               expect: Shape3, out: Array[Short]): Array[Short] = {
+               expect: Shape3, out: Array[Short], scratch: Scratch): Array[Short] = {
     val bytes = graft.sinks.ZarrV3.read(conf, path)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val got = Shape3(bb.getInt.toLong, bb.getInt.toLong, bb.getInt.toLong)
     require(got == expect, s"partial $path dims $got, planner expected $expect")
     val n = got.voxels.toInt
     require(out.length >= n, s"partial buffer ${out.length} < $n")
-    val raw = new Array[Byte](n * 2)
-    val m = Zstd.decompressByteArray(raw, 0, raw.length, bytes, 12, bytes.length - 12)
-    require(m == raw.length, s"partial $path expanded to $m, want ${raw.length}")
+    scratch.ensure(n * 2, 0)
+    val raw = scratch.raw
+    val m = Zstd.decompressByteArray(raw, 0, n * 2, bytes, 12, bytes.length - 12)
+    require(m == n * 2, s"partial $path expanded to $m, want ${n * 2}")
     var i = 0
     while (i < n) {
       out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort

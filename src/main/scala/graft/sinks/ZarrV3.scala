@@ -372,11 +372,15 @@ object ZarrV3 {
       case other => other
     }
 
-  def write(fsConf: Configuration, pathStr: String, bytes: Array[Byte]): Unit = {
+  def write(fsConf: Configuration, pathStr: String, bytes: Array[Byte]): Unit =
+    write(fsConf, pathStr, bytes, bytes.length)
+
+  /** Write the first `len` bytes of a (possibly oversized, reused) buffer. */
+  def write(fsConf: Configuration, pathStr: String, bytes: Array[Byte], len: Int): Unit = {
     val p = new Path(pathStr)
     val fs = rawFs(p, fsConf)
     val out = fs.create(p, true)
-    try out.write(bytes)
+    try out.write(bytes, 0, len)
     finally out.close()
   }
 

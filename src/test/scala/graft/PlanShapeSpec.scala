@@ -48,20 +48,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bit index re-explode reintroduced:\n$plan")
   }
 
-  test("q_c4 LSH signature feeds the generator input, not a pass-through") {
+  test("q_c4 LSH signature stays in its own Project below the Generate") {
     val plan = optimized("q_c4_embedding_neardup")
-    // hyperplanesignature must appear only below/inside generator inputs —
-    // i.e. never on a Generate line's pass-through (required-output) side.
-    // Cheap structural proxy: every line mentioning the signature fn is a
-    // Project line, not a Generate line.
+    // In the safe plan the signature is computed once per row in a Project
+    // and the Generate references it only as a bound ATTRIBUTE (sig#N)
+    // inside its generator input. The hazard shape inlines the function
+    // call itself onto the Generate line (re-evaluated per band), so the
+    // fn name must never appear there.
     val bad = plan.linesIterator
       .filter(l => l.contains("Generate ") && l.contains("hyperplanesignature"))
-    assert(bad.isEmpty || {
-      // signature referenced inside the generator expression itself is
-      // fine (evaluated once per row to build the array); a bare attr is
-      // also fine. Only flag if the fn call rides OUTSIDE explode(...)
-      // on a Generate line — conservative: require it inside "explode(".
-      bad.forall(l => l.indexOf("hyperplanesignature") > l.indexOf("explode("))
-    })
+      .toSeq
+    assert(bad.isEmpty, s"signature call inlined into Generate:\n${bad.mkString("\n")}")
+    assert(plan.contains("hyperplanesignature"), "signature projection missing entirely")
   }
 }

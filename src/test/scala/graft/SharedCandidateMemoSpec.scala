@@ -17,6 +17,13 @@ class SharedCandidateMemoSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def newSession(): SparkSession = {
+    // getOrCreate() would silently hand back another suite's live session
+    // (wrong master/config) and this spec STOPS its sessions — stopping a
+    // shared one would sabotage the rest of the JVM's suites. Force a
+    // genuinely fresh context by stopping any leftover default first
+    // (suites run sequentially, so nothing is mid-flight).
+    SparkSession.getDefaultSession.filter(!_.sparkContext.isStopped)
+      .foreach(_.stop())
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-sharedcand-test")
