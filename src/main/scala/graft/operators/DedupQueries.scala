@@ -110,20 +110,23 @@ object DedupQueries {
     val g = graft.core.CachedRdds.registerDf(
       keyed.persist(StorageLevel.MEMORY_AND_DISK))
     val ids = {
-      // distributed rarity rank: range-partitioned RDD sort + zipWithIndex
-      // instead of a global Window.orderBy (which would funnel the whole
-      // vocabulary through ONE partition). Only the ORDER of gids matters
-      // downstream, and (f, key) is a total order, so the dense ids are
-      // deterministic.
-      val base = graft.core.CachedRdds.register(
+      // distributed rarity rank: range-partitioned sort by (f, key) — a
+      // total order, so the result is deterministic — with
+      // monotonically_increasing_id over the sorted output instead of a
+      // global Window.orderBy (single-partition funnel) or RDD
+      // sortBy+zipWithIndex (an extra count pass over the vocabulary).
+      // Ids are (partition << 33 | row): NOT dense, but globally MONOTONE
+      // in (f, key) because range partitions are ordered — and downstream
+      // only needs a rarity-consistent total order (prefix slice) plus
+      // uniqueness (merge-intersect equality). The aggregated frame is
+      // persisted so the sort's range-sampling pass and the sort itself
+      // don't each recompute the aggregation.
+      val base = graft.core.CachedRdds.registerDf(
         g.groupBy(col("key")).agg(count(lit(1)).as("f"))
-          .as[(String, Long)].rdd
           .persist(StorageLevel.MEMORY_AND_DISK))
       base
-        .sortBy { case (k, f) => (f, k) }
-        .zipWithIndex()
-        .map { case ((k, _), i) => (k, i + 1L) }
-        .toDF("key", "gid")
+        .orderBy(col("f"), col("key"))
+        .select(col("key"), monotonically_increasing_id().as("gid"))
     }
     val garr = graft.core.CachedRdds.registerDf(
       g.join(ids, Seq("key"))
