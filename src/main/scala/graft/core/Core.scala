@@ -23,6 +23,13 @@ object GraftSession {
       // events.ts is TIMESTAMP(NANOS); read as BIGINT nanos (see
       // EventQueries scaladoc for the µs canonicalization contract)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 54-query surface generates far more than the default 100
+      // cached codegen units, so a multi-query session recompiled every
+      // plan on each revisit — janino compilation is a fixed engine
+      // overhead (and pathologically slow under syscall-intercepting
+      // sandboxes), not a property of any plan. Static conf: must be set
+      // before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
