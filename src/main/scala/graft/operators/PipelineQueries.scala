@@ -57,9 +57,13 @@ object PipelineQueries {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // exact set-equality in ONE action: both sides are distinct (canon),
+    // so an edge in the symmetric difference appears exactly once in the
+    // union. The old two-anti-join form cost a second job on the final
+    // (converged) round — one fixed job of sandbox/driver tax per query.
     def changed(x: DataFrame, y: DataFrame): Boolean =
-      !x.join(y, Seq("a", "b"), "left_anti").isEmpty ||
-        !y.join(x, Seq("a", "b"), "left_anti").isEmpty
+      !x.unionByName(y).groupBy(col("a"), col("b")).count()
+        .filter(col("count") === 1).isEmpty
     var e = materializedLeaf(s,
       canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))))
     var converged = false
