@@ -21,6 +21,12 @@ package graft
   * Both raw runs are emitted (`queries_raw`, pass order) alongside the
   * adopted numbers (`queries`) so the record stays honest about what was
   * measured.
+  *
+  * Each query is materialized through the `noop` sink (full physical plan,
+  * rows discarded at the writer), not `count()`: a counted plan lets
+  * Catalyst's EliminateSorts drop the terminal global orderBy and prune the
+  * emit projections, under-measuring what a user actually pays (`"sink"`
+  * field in the JSON records this).
   */
 object Bench {
   private val ProbeName = "q_a1_scan_filter"
@@ -47,7 +53,13 @@ object Bench {
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
              name: String): (Double, Option[Throwable]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      // Materialize the FULL result through a noop sink rather than count():
+      // counting lets EliminateSorts delete a query's terminal global orderBy
+      // and column pruning drop the emit-cast projections, so the measured
+      // plan was cheaper than what a user pays. The noop write executes the
+      // complete physical plan (sorts, final projections, row serialization)
+      // and discards rows at the sink — the honest end-to-end number.
+      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(e)
@@ -118,19 +130,20 @@ object Bench {
           }
           graft.core.CachedRdds.drain()
           // empty query set would make the mean NaN — invalid JSON
-          if (recalls.isEmpty) None
+          if (recalls.isEmpty) Some(""","quality":{"q_c9_recall_at_5":null}""")
           else Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
         } catch {
           case e: Throwable =>
-            // never let the quality probe sink the bench, but a silently
-            // missing key would defeat its purpose — leave a loud trace
+            // never let the quality probe sink the bench, but the artifact
+            // must record that the probe was ATTEMPTED and crashed — a
+            // silently absent key is indistinguishable from "not applicable"
             System.err.println(
               s"[bench] quality computation failed: ${e.getClass.getName}: ${e.getMessage}")
-            None
+            Some(""","quality":{"q_c9_recall_at_5":null}""")
         }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"noop","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
