@@ -13,7 +13,9 @@ package graft
   * by a full suite pass decorrelates them from any single stall.
   *
   * The artifact is additionally self-diagnosing: a fixed health probe
-  * (q_a1_scan_filter, a light scan+filter whose clean time is ~0.2-0.3 s) is
+  * (q_a1_scan_filter, a light scan+filter whose clean time is ~0.6 s under
+  * noop-sink timing — it materializes its ~27k-row output; ~0.2-0.3 s under
+  * the old count() timing) is
   * run at the start of each pass and after every [[probeEvery]] queries, and
   * the full probe series is emitted per pass (`probes`). A degraded window
   * shows up as elevated probe times bracketing the affected queries, so a
@@ -46,6 +48,10 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // optional comma-separated name-substring filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // diagnostic-only: SPARK_GRAFT_SINK=count restores the old count() timing
+    // for same-window A/B attribution (noop-vs-count delta vs sandbox drift).
+    // The default — and what every driver artifact uses — is the noop sink.
+    val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "noop")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
@@ -59,7 +65,12 @@ object Bench {
       // plan was cheaper than what a user pays. The noop write executes the
       // complete physical plan (sorts, final projections, row serialization)
       // and discards rows at the sink — the honest end-to-end number.
-      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None } catch {
+      val err = try {
+        val df = fn(spark, sfDir)
+        if (sinkMode == "count") df.count()
+        else df.write.format("noop").mode("overwrite").save()
+        None
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(e)
@@ -143,7 +154,7 @@ object Bench {
         }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"noop","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
