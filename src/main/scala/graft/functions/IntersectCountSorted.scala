@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native expression: |a ∩ b| for two SORTED string arrays via a single
   * O(n+m) merge pass — the PPJoin verify-step kernel. `array_intersect`
@@ -30,14 +30,15 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def elem(t: DataType): Option[DataType] = t match {
-      case ArrayType(et @ (StringType | LongType), _) => Some(et)
+      case ArrayType(et @ (StringType | LongType | IntegerType), _) => Some(et)
       case _ => None
     }
     (elem(left.dataType), elem(right.dataType)) match {
       // compare element types only — containsNull flags may differ
       case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"intersect_count_sorted requires two ARRAY<STRING> or two ARRAY<BIGINT> arguments, got " +
+        s"intersect_count_sorted requires two ARRAY<STRING>, two ARRAY<INT> or " +
+          s"two ARRAY<BIGINT> arguments, got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
   }
@@ -49,11 +50,13 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0L
-    val longs = elemType == LongType
+    val et = elemType
     while (i < n && j < m) {
-      val cmp =
-        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
-        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp = et match {
+        case LongType => java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        case IntegerType => java.lang.Integer.compare(x.getInt(i), y.getInt(j))
+        case _ => x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      }
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -66,9 +69,11 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
-      val cmpExpr =
-        if (elemType == LongType) s"java.lang.Long.compare($x.getLong($i), $y.getLong($j))"
-        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
+      val cmpExpr = elemType match {
+        case LongType => s"java.lang.Long.compare($x.getLong($i), $y.getLong($j))"
+        case IntegerType => s"java.lang.Integer.compare($x.getInt($i), $y.getInt($j))"
+        case _ => s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
+      }
       s"""
          |int $n = $x.numElements(); int $m = $y.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;

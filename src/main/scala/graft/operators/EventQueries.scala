@@ -154,20 +154,26 @@ object EventQueries {
              |WHERE rn = 1
              |ORDER BY event_id""".stripMargin)
     ) { (s, d) =>
-      val ev = Tables(s, d, "events").select(
-        col("user_id"),
-        expr("ts DIV 1000").as("t_us"),
-        lit(1).as("tag"),
-        col("event_id"),
-        lit(null).cast("bigint").as("o_orderkey"),
-        lit(null).cast("timestamp_ntz").as("o_orderdate"),
-        lit(null).cast("double").as("o_totalprice")
-      )
+      val ev = Tables(s, d, "events")
+        // join-key parity: the oracle's inner join on e.user_id = o.o_custkey
+        // drops NULL keys; the union-stream window would otherwise co-locate
+        // NULL-keyed events and orders in one partition and pair them up
+        .filter(col("user_id").isNotNull)
+        .select(
+          col("user_id"),
+          expr("ts DIV 1000").as("t_us"),
+          lit(1).as("tag"),
+          col("event_id"),
+          lit(null).cast("bigint").as("o_orderkey"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("double").as("o_totalprice")
+        )
       val or = Tables(s, d, "orders")
         // join parity: the oracle's `epoch_us(o_orderdate) <= ts` predicate
         // drops NULL-dated orders; without this filter a NULL t_us sorts
-        // nulls-first and would become every event's carry
-        .filter(col("o_orderdate").isNotNull)
+        // nulls-first and would become every event's carry. The custkey
+        // filter mirrors the events leg (inner-join NULL-key parity).
+        .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
         .select(
           col("o_custkey").as("user_id"),
           // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is

@@ -62,12 +62,27 @@ class IntersectCountSortedSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("int arrays: merge count agrees with array_intersect") {
+    val rows = spark.sql(
+      """SELECT intersect_count_sorted(a, b) AS fast,
+        |       CAST(size(array_intersect(a, b)) AS BIGINT) AS ref
+        |FROM VALUES
+        |  (array(1,5,9), array(5,9,10)),
+        |  (array(1), array(2)),
+        |  (array(-3,0,7), array(-3,7,8)),
+        |  (array(3,4,5), array(3,4,5)) AS t(a, b)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("rejects mismatched or unsupported argument types") {
     intercept[Exception] {
-      spark.sql("SELECT intersect_count_sorted(array(1,2), array(2,3))").collect()
+      spark.sql("SELECT intersect_count_sorted(array(1), array(2L))").collect()
     }
     intercept[Exception] {
       spark.sql("SELECT intersect_count_sorted(array('a'), array(1L))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT intersect_count_sorted(array(1.5), array(2.5))").collect()
     }
   }
 }

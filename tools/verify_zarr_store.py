@@ -160,6 +160,14 @@ def blosc_decompress(blob, path):
 
 
 def read_level_v2(level_dir):
+    """Reassemble one v2 level from its chunk files.
+
+    NOTE: the chunk-file-count assertion below is a WRITER-SPECIFIC
+    completeness check, not a Zarr v2 spec requirement — the spec allows
+    omitting chunks that contain only the fill value, but this project's
+    writer always materializes every chunk in the grid, so a missing file
+    here means a lost write, not a legal sparse store.
+    """
     meta = json.load(open(f"{level_dir}/.zarray"))
     assert meta["zarr_format"] == 2, f"bad zarr_format {meta['zarr_format']}"
     assert meta["dtype"] == "<u2", f"expected <u2 dtype, got {meta['dtype']}"
