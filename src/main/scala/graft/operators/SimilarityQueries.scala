@@ -203,9 +203,14 @@ object SimilarityQueries {
     //  - assignment/probing is the codegen'd [[graft.functions.NearestCells]]
     //    PROJECTION over the in-expression centroid matrix — zero shuffle,
     //    zero crossJoin, zero window.
-    //  - each query probes its nprobe = k/4 nearest cells ⇒ ~25% of the
-    //    corpus scanned; SimilarityRecallSpec asserts recall@5 ≥ 0.8 at
-    //    that fraction (measured 1.0 at sf0.001, ~0.84 at sf0.1).
+    //  - each query probes its nprobe = k/2 nearest cells ⇒ ~50% of the
+    //    corpus scanned; SimilarityRecallSpec asserts recall@5 ≥ 0.9 at
+    //    that fraction (measured 1.0 at sf0.001, 0.95 at sf0.1). The
+    //    synthetic near-uniform embeddings cluster weakly, so recall here
+    //    is bought with nprobe (round-9 sweep: 25% → 0.83, 33% → 0.88,
+    //    50% → 0.95 recall, Lloyd iterations beyond 2 flat); a real
+    //    clustered corpus reaches the same recall at a far smaller
+    //    fraction with the identical plan.
     // Approximate by construction ⇒ rows-only driver check.
     QueryDef("q_c9_ann_ivf", None) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
@@ -233,7 +238,11 @@ object SimilarityQueries {
     * driver-side model state — this phase has no SQL-text twin; the
     * SEARCH phase does (see [[SparkSqlQueries.qC9SearchSql]]).
     */
-  private[graft] def trainIvf(s: SparkSession, e: DataFrame): (String, Int) = {
+  private[graft] def trainIvf(
+      s: SparkSession,
+      e: DataFrame,
+      lloydIters: Int = 2,
+      nprobeDiv: Int = 2): (String, Int) = {
       val n = e.count()
       // k grows as 4·√n (the usual IVF sizing) but is CAPPED so the
       // driver-side model state stays bounded: every Lloyd iteration
@@ -242,7 +251,7 @@ object SimilarityQueries {
       // ≤ 16384·dim ≈ 50 MB — model parameters, independent of corpus
       // size; beyond that, recall is bought with nprobe, not more cells.
       val k = math.min(16384, math.max(8, 4 * math.sqrt(n.toDouble).toInt))
-      val nprobe = math.max(2, k / 4)
+      val nprobe = math.max(2, k / nprobeDiv)
       // deterministic spread seeds: stride over vec_id (≈ linspace when ids
       // are dense); one tiny collect of k vectors
       val stride = math.max(1L, n / k)
@@ -274,7 +283,7 @@ object SimilarityQueries {
       // k·dim NearestCells kernel would re-run once PER ELEMENT — a
       // dim-fold amplification of the whole training cost (measured 64×
       // = 45 s/iteration at 20k vectors, k=564 vs 0.7 s this way).
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to lloydIters) {
         val fn = graft.functions.NearestCells.register(s, cents, dim)
         val cellCol = expr(s"element_at($fn(v, 1), 1)").as("cell")
         val dimCols = (0 until dim).map(i => col("v").getItem(i).as(s"x$i"))
@@ -330,7 +339,7 @@ object SimilarityQueries {
         // exact per-cell top-k pushdown: each corpus vector lives in ONE
         // cell, so a query's global top-5 is contained in its per-cell
         // top-5s; the per-query window then sees ≤ 5·nprobe rows instead
-        // of the whole probed ~25% of the corpus. Same (score, vec_id)
+        // of the whole probed fraction of the corpus. Same (score, vec_id)
         // total order in both windows keeps the result bit-identical.
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= 5)

@@ -26,7 +26,7 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("IVF ANN recall@5 >= 0.8 at ~25% scanned fraction") {
+  test("IVF ANN recall@5 >= 0.9 at ~50% scanned fraction") {
     val brute = SimilarityQueries.defs.find(_.name == "q_b7_cosine_topk").get
       .plan(spark, sf)
       .filter("rank <= 5")
@@ -45,14 +45,55 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       brute(q).intersect(hits).size.toDouble / brute(q).size
     }
     val mean = recalls.sum / recalls.length
-    // q_c9 probes nprobe = k/4 of k = 4·√n Lloyd-trained cells ⇒ ~25% of
-    // the corpus scanned. Round-2 gate: the trained quantizer must reach
-    // recall@5 ≥ 0.8 at that pruning ratio (numpy prototype measured 1.0
-    // at sf0.001 / ~0.84 at sf0.1 with the same seeding + 2 iterations).
-    val scannedFraction = 0.25
+    // q_c9 probes nprobe = k/2 of k = 4·√n Lloyd-trained cells ⇒ ~50% of
+    // the corpus scanned (round-9 retune: the synthetic near-uniform
+    // embeddings cluster weakly, so nprobe is the recall lever — the
+    // sf0.1 sweep measured 25% → 0.83, 33% → 0.88, 50% → 0.95). Gate:
+    // recall@5 ≥ 0.9 at that pruning ratio (measured 1.0 at sf0.001).
+    val scannedFraction = 0.5
     info(f"mean recall@5 over ${recalls.length} queries: $mean%.2f (scanned ~$scannedFraction%.2f of corpus)")
-    assert(mean >= 0.8, f"IVF recall below gate: $mean%.2f < 0.8")
+    assert(mean >= 0.9, f"IVF recall below gate: $mean%.2f < 0.9")
     assert(mean > scannedFraction,
       f"IVF no better than random pruning: recall $mean%.2f <= scanned $scannedFraction%.2f")
+  }
+
+  test("planted near-copies are recalled regardless of corpus luck") {
+    // Structural-margin variant (q_c4b's trick): for each query vector,
+    // plant 5 near-copies (cosine ≈ 0.999, far above any random pair).
+    // A near-copy quantizes to the same (or an immediately adjacent)
+    // cell as its query, so the probed buckets MUST contain it — recall
+    // stays 1.0 whatever the random corpus looks like. This pins the
+    // quantizer+search contract itself, immune to the unlucky-corpus
+    // flake the threshold test above could in principle hit.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new java.util.Random(2024)
+    val dim = 16
+    def randVec(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    val base = (0 until 600).map { i =>
+      (i.toLong, (i % 3).toLong, randVec())
+    }
+    // queries are vec_id % 100 == 0 (the ivfSearch convention); give each
+    // five planted neighbors at ids that are NOT query ids
+    val planted = base.collect { case (id, lab, v) if id % 100 == 0 =>
+      (1 to 5).map { j =>
+        val nearly = v.map(x => x + 0.001 * rnd.nextGaussian())
+        (10000L + id * 10 + j, lab, nearly)
+      }
+    }.flatten
+    val e = (base ++ planted).toDF("vec_id", "label", "v")
+
+    val (fn, nprobe) = SimilarityQueries.trainIvf(spark, e)
+    val got = SimilarityQueries.ivfSearch(e, fn, nprobe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = base.collect { case (id, _, _) if id % 100 == 0 => id }
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      val want = (1 to 5).map(j => 10000L + q * 10 + j).toSet
+      assert(got.getOrElse(q, Set.empty) == want,
+        s"query $q must retrieve exactly its planted near-copies, got ${got.get(q)}")
+    }
   }
 }
