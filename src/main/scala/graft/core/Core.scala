@@ -30,6 +30,14 @@ object GraftSession {
       // sandboxes), not a property of any plan. Static conf: must be set
       // before the first session is created.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // whole-stage codegen turns itself off above 100 plan fields, which
+      // a wide-aggregation pipeline crosses routinely: the q_c9 Lloyd
+      // partial sums carry dim+2 columns, so real embedding dims
+      // (384/768) would silently drop the training aggregation out of
+      // codegen (measured: dim-384 Lloyd 4.0 s interpreted vs 3.5 s
+      // codegen'd at 20k vectors, no janino blowout at 770 fields —
+      // generated methods split fine). 1024 covers dim-768 with margin.
+      .config("spark.sql.codegen.maxFields", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
