@@ -43,9 +43,17 @@ object PipelineQueries {
     * rounds INDEPENDENT of graph diameter — the at-scale upgrade over
     * min-label propagation's diameter-bound rounds (a 100 TB near-dup
     * graph with chain-shaped components would stall propagation; stars
-    * do not). Convergence is detected exactly: a round that leaves the
-    * canonical edge set unchanged is the fixed point (set equality via
-    * two anti-joins — same key partitioning as the round itself).
+    * do not).
+    *
+    * Each round is EXACTLY ONE job (round 9): the previous edge set
+    * (tag 0) unions with the raw small-star output (tag 1) into a single
+    * groupBy(a, b) that performs the DISTINCT and the set-diff in the
+    * same shuffle — a group with sum(tag) = 0 exists only in the old set,
+    * one with count = sum(tag) only in the new — and a single
+    * rdd.aggregate both materializes the round's localCheckpoint and
+    * counts those symmetric-difference rows. Convergence (diff = 0 ⟺
+    * exact set equality) therefore costs no separate action, and the
+    * small-star output needs no pre-distinct shuffle of its own.
     *
     * Input: undirected candidate edges (doc_a < doc_b), no self loops.
     * Output: (doc_id, cluster_id = component minimum) for EVERY node,
@@ -53,23 +61,18 @@ object PipelineQueries {
     * (PipelineCcSpec asserts equality on randomized graphs).
     */
   def connectedComponentsStar(s: SparkSession, edges0: DataFrame): DataFrame = {
+    // canonical orientation WITHOUT dedup — every consumer below either
+    // tolerates duplicates or dedups inside a shuffle it runs anyway
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    // exact set-equality in ONE action: both sides are distinct (canon),
-    // so an edge in the symmetric difference appears exactly once in the
-    // union. The old two-anti-join form cost a second job on the final
-    // (converged) round — one fixed job of sandbox/driver tax per query.
-    def changed(x: DataFrame, y: DataFrame): Boolean =
-      !x.unionByName(y).groupBy(col("a"), col("b")).count()
-        .filter(col("count") === 1).isEmpty
     var e = materializedLeaf(s,
-      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))).distinct())
     var converged = false
     while (!converged) {
       // large-star: every node's strictly-larger neighbors connect to the
-      // minimum of its closed neighborhood
+      // minimum of its closed neighborhood (distinct: ls feeds TWO
+      // groupings below, so dedup once here rather than twice there)
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mnv"))
@@ -77,18 +80,36 @@ object PipelineQueries {
         sym.join(mins, Seq("u"))
           .filter(col("v") > col("u"))
           .select(col("v").as("a"), least(col("mnv"), col("u")).as("b")))
+        .distinct()
       // small-star: every node's smaller-or-equal neighbors (and itself)
       // connect to the minimum of that set — grouped by the LARGER
       // endpoint (canonical edges have a < b, so u = b)
       val byMax = ls.select(col("b").as("u"), col("a").as("v")) // u = max, v = min
       val mins2 = byMax.groupBy(col("u")).agg(min(col("v")).as("mnv"))
       val withM = byMax.join(mins2, Seq("u"))
-      val ss = materializedLeaf(s,
-        canon(
-          withM.select(col("v").as("a"), col("mnv").as("b"))
-            .unionByName(withM.select(col("u").as("a"), col("mnv").as("b")))))
-      converged = !changed(e, ss)
-      e = ss
+      val ssRaw = canon(
+        withM.select(col("v").as("a"), col("mnv").as("b"))
+          .unionByName(withM.select(col("u").as("a"), col("mnv").as("b"))))
+      // fused dedup + diff: one shuffle, one action. st = how many ssRaw
+      // rows hit the group, c - st = 1 iff the edge was in e (e is
+      // distinct). diff rows: e-only (st = 0) or ss-only (c = st).
+      val merged = e.select(col("a"), col("b"), lit(0L).as("tag"))
+        .unionByName(ssRaw.select(col("a"), col("b"), lit(1L).as("tag")))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("tag")).as("st"), count(lit(1)).as("c"))
+      val rdd = merged.rdd
+      rdd.localCheckpoint() // must be marked before first materialization
+      // the ONE action of the round: materializes the checkpoint blocks
+      // and folds the symmetric-difference count in the same pass
+      val diff = rdd.aggregate(0L)(
+        (acc, r) =>
+          acc + (if (r.getLong(2) == 0L || r.getLong(3) == r.getLong(2)) 1L else 0L),
+        _ + _)
+      graft.core.CachedRdds.register(rdd)
+      val leaf = s.createDataFrame(rdd, merged.schema)
+      converged = diff == 0L
+      // the new edge set: every group at least one ssRaw row landed in
+      e = leaf.filter(col("st") >= 1L).select(col("a"), col("b"))
     }
     // fixed point is a star forest rooted at component minima
     e.select(col("b").as("doc_id"), col("a").as("cluster_id"))

@@ -84,6 +84,40 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
     check((1L to 6L).map(i => (0L, i)), "star")
   }
 
+  test("star-CC rounds stay single-action (job-count ceiling)") {
+    // Each star round runs EXACTLY ONE action (the fused
+    // materialize+diff rdd.aggregate); under AQE an action fans out into
+    // one job per shuffle stage, so the observable is a per-graph job
+    // total. A 17-node chain (~5 rounds) measured 47 jobs with the fused
+    // check vs 57 with the round-8 separate convergence action — the
+    // ceiling below would trip if a separate per-round action crept back
+    // in, while leaving slack for AQE stage-planning drift.
+    val sp = spark
+    import sp.implicits._
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val chain = (1L to 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      Thread.sleep(300) // let queued listener events from prior tests drain
+      val before = counter.get()
+      val out = PipelineQueries.connectedComponentsStar(spark, chain)
+      Thread.sleep(300)
+      val loopJobs = counter.get() - before
+      assert(out.collect().length == 17)
+      info(s"chain17 star-CC loop jobs: $loopJobs")
+      assert(loopJobs <= 52, s"convergence should not cost extra actions: $loopJobs jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.core.CachedRdds.drain()
+    }
+  }
+
   test("empty candidate set yields empty clusters from BOTH implementations") {
     val sp = spark
     import sp.implicits._
