@@ -68,15 +68,17 @@ object ImarisToZarr {
       // tile translation from acquisition.json (imaris_job.py:256-307);
       // absent → Imaris ExtMin origin
       originOverrideUm: Option[(Double, Double, Double)] = None,
-      // Fuse the level-1 reduction into the L0 write wave: each L0 read
-      // task already holds its region in memory, and when the L0 task
-      // shard is factor-aligned (shard % scaleFactor == 0 per dim) every
-      // level-1 output window lies wholly inside one L0 task, so the task
-      // emits its L1 partial for free and the level-1 wave assembles
-      // partials (1/∏factor of the bytes, no L0 chunk decode) instead of
-      // re-reading the full-resolution store. Pure plan substitution —
-      // output stores are byte-identical (spec-asserted); auto-disabled
-      // when the alignment precondition fails.
+      // Fuse each level's reduction into the wave that already holds its
+      // source in memory: the L0 read task emits its L1 partial for free,
+      // and (round 9, recursively) each compute task emits the NEXT
+      // level's partial from its reduced output — so every computed level
+      // assembles partials (1/∏factor of the bytes, no chunk decode)
+      // instead of re-reading the previous level's store. Requires the
+      // source task shard to be factor-aligned (shard % scaleFactor == 0
+      // per dim) so no output window crosses a source-task border; the
+      // per-level gate auto-disables at any level whose clamped shard
+      // breaks alignment. Pure plan substitution — output stores are
+      // byte-identical (spec-asserted).
       fuseDownsample: Boolean = true
   )
 
@@ -111,11 +113,13 @@ object ImarisToZarr {
       srcShape: Shape3 = Shape3(0, 0, 0), srcChunk: Shape3 = Shape3(0, 0, 0),
       srcShard: Shape3 = Shape3(0, 0, 0), factor: Shape3 = Shape3(1, 1, 1),
       mode: String = "mean",
-      // read-wave fusion: non-empty → emit a level-1 partial reduction of
-      // this task's region to `$partialDir/<sz>_<sy>_<sx>` (uses factor/mode)
+      // fusion: non-empty → emit a partial reduction of the region this
+      // task already holds (read wave: the L0 region; compute wave: its
+      // reduced output) to `$partialDir/<sz>_<sy>_<sx>` for the NEXT
+      // level's assembly (uses factor/mode)
       partialDir: String = "",
-      // compute-wave level-1: non-empty → assemble from read-wave partials
-      // under this dir instead of decoding the level-0 store
+      // compute-wave: non-empty → assemble from the previous wave's
+      // partials under this dir instead of decoding that level's store
       partialSrcDir: String = "")
 
   /** Deterministic discovery: recursive *.ims listing, *.h5 fallback,
@@ -255,17 +259,29 @@ object ImarisToZarr {
     }
 
     // ---- global task lists, planned up front (pure geometry) ----
-    // level-1 fusion precondition (see Settings.fuseDownsample): the L0
-    // TASK grid must be factor-aligned so no output window crosses a task
-    // border (file-mode's chunk-aligned cover isn't; skip fusion there)
-    def fusesL1(p: FilePlan): Boolean = {
+    // level-(l+1) fusion precondition (see Settings.fuseDownsample): the
+    // level-l TASK grid must be factor-aligned so no level-(l+1) output
+    // window crosses a source-task border (file-mode's chunk-aligned
+    // cover isn't; skip fusion there). l = 0 is the read wave; l ≥ 1 are
+    // compute waves, which hold their reduced output in memory and emit
+    // the NEXT level's partial for free — so every computed level
+    // assembles partials instead of re-reading the previous level's
+    // store (round 9 recursive fusion; the per-level gate lets a deep
+    // level whose clamped shard breaks alignment fall back to the store
+    // read without affecting other levels).
+    def fusesLevel(p: FilePlan, srcLevel: Int): Boolean = {
       val f = p.settings.scaleFactor
-      val shard0 = p.specs(0)._2
+      val shardL = p.specs(srcLevel)._2
       p.settings.fuseDownsample && !p.settings.translatePyramid &&
-        p.settings.computeLevels >= 2 && p.settings.partitionMode == "shard" &&
-        shard0.z % f.z == 0 && shard0.y % f.y == 0 && shard0.x % f.x == 0
+        p.settings.computeLevels >= srcLevel + 2 &&
+        p.settings.partitionMode == "shard" &&
+        shardL.z % f.z == 0 && shardL.y % f.y == 0 && shardL.x % f.x == 0
     }
-    def partialDir(p: FilePlan): String = s"${p.store}/1/.partial"
+    def partialDir(p: FilePlan, level: Int): String = s"${p.store}/$level/.partial"
+    // every partial dir this plan COULD use (any run mode): stale-scratch
+    // cleanup must not depend on the current run's fusion decisions
+    def allPartialDirs(p: FilePlan): Seq[String] =
+      (1 until math.max(2, p.settings.computeLevels)).map(partialDir(p, _))
 
     // wave A: every (file, level) that reads from IMS, pooled
     val readIo: Map[(String, Int), TaskIo] = plans.flatMap { p =>
@@ -278,7 +294,7 @@ object ImarisToZarr {
           p.settings.zarrFormat, p.settings.bloscCname, p.settings.bloscShuffle,
           p.settings.v2Separator,
           factor = p.settings.scaleFactor, mode = p.settings.downsampleMode,
-          partialDir = if (l == 0 && fusesL1(p)) partialDir(p) else "")
+          partialDir = if (l == 0 && fusesLevel(p, 0)) partialDir(p, 1) else "")
       }
     }.toMap
     val readTasksContiguous: Seq[ShardTask] = plans.flatMap { p =>
@@ -328,7 +344,11 @@ object ImarisToZarr {
             srcShape = p.trueShapes(level - 1), srcChunk = srcChunk,
             srcShard = srcShard, factor = p.settings.scaleFactor,
             mode = p.settings.downsampleMode,
-            partialSrcDir = if (level == 1 && fusesL1(p)) partialDir(p) else "")
+            // consume partials iff the wave that produced level-1 emitted
+            // them; emit partials for level+1 iff THIS wave's task grid
+            // is aligned and a next computed level exists
+            partialDir = if (fusesLevel(p, level)) partialDir(p, level + 1) else "",
+            partialSrcDir = if (fusesLevel(p, level - 1)) partialDir(p, level) else "")
         }.toMap
         val tasks = wave.flatMap(p => Geometry.shardTasks(
           s"${p.store}/${level - 1}", level,
@@ -355,15 +375,17 @@ object ImarisToZarr {
     }
 
     // drop any fused-reduction scratch left by a PREVIOUS failed run
-    // regardless of THIS run's fusion mode: a crash between the read wave
-    // and cleanup leaves `<store>/1/.partial` on disk, and a later
+    // regardless of THIS run's fusion mode: a crash between a wave and
+    // cleanup leaves `<store>/<l>/.partial` on disk, and a later
     // successful run (fused or not) must not ship it — the finished-store
     // invariant is "spec-defined keys only". Also guards the fused path
     // against assembling stale partials from an aborted earlier attempt.
     plans.foreach { p =>
-      val dir = new org.apache.hadoop.fs.Path(partialDir(p))
-      val fs = dir.getFileSystem(hconf)
-      if (fs.exists(dir)) fs.delete(dir, true)
+      allPartialDirs(p).foreach { d =>
+        val dir = new org.apache.hadoop.fs.Path(d)
+        val fs = dir.getFileSystem(hconf)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
     }
 
     try {
@@ -374,13 +396,15 @@ object ImarisToZarr {
       allStats.toSeq
     } finally {
       listener.foreach(spark.sparkContext.removeSparkListener)
-      // fused-reduction scratch is consumed by the level-1 wave; remove it
-      // even on failure so a partially written store never carries
-      // non-spec keys into a rerun
-      plans.filter(fusesL1).foreach { p =>
-        val dir = new org.apache.hadoop.fs.Path(partialDir(p))
-        try dir.getFileSystem(hconf).delete(dir, true)
-        catch { case _: java.io.IOException => () }
+      // fused-reduction scratch is consumed by the next level's wave;
+      // remove every level's dir even on failure so a partially written
+      // store never carries non-spec keys into a rerun
+      plans.foreach { p =>
+        allPartialDirs(p).foreach { d =>
+          val dir = new org.apache.hadoop.fs.Path(d)
+          try dir.getFileSystem(hconf).delete(dir, true)
+          catch { case _: java.io.IOException => () }
+        }
       }
     }
   }
@@ -523,6 +547,7 @@ object ImarisToZarr {
       var srcBuf: Array[Short] = Array.emptyShortArray
       lazy val partialScratch = new PartialStore.Scratch
       var dstBuf: Array[Short] = Array.emptyShortArray
+      var partialBuf: Array[Short] = Array.emptyShortArray
       it.map { t =>
       val spec = io((t.file, t.level))
       val f = spec.factor
@@ -609,6 +634,24 @@ object ImarisToZarr {
             reduced, dataShape, spec.shard, spec.chunk, spec.zstdLevel, spec.codec)
           (k, w)
         }
+      // recursive fusion (round 9): this task already holds its reduced
+      // level-l output, so emit the level-(l+1) partial the same way the
+      // read wave does for level 1 — task borders are factor-aligned
+      // (planner precondition), so every next-level output window is
+      // wholly local and the partial is exact. The next wave then
+      // assembles partials instead of re-reading THIS level's store.
+      if (spec.partialDir.nonEmpty) {
+        val pShape = Shape3(
+          Geometry.ceilDiv(t.z1, f.z) - t.z0 / f.z,
+          Geometry.ceilDiv(t.y1, f.y) - t.y0 / f.y,
+          Geometry.ceilDiv(t.x1, f.x) - t.x0 / f.x)
+        if (partialBuf.length < pShape.voxels)
+          partialBuf = new Array[Short](pShape.voxels.toInt)
+        Downsample.reduceInto(reduced, dataShape, pShape, f, spec.mode, partialBuf)
+        PartialStore.write(serConf.value,
+          s"${spec.partialDir}/${t.sz}_${t.sy}_${t.sx}", partialBuf, pShape,
+          partialScratch)
+      }
       progress.foreach { p => p.shards.add(1L); p.bytes.add(written) }
       // stats are keyed by the ORIGINAL ims path (not the source level
       // dir) so callers can aggregate per input file across waves

@@ -308,8 +308,11 @@ class ImarisToZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(java.util.Arrays.equals(readLevel(fused), readLevel(plain)),
           s"level $l mismatch (mode=$mode fmt=$fmt)")
       }
-      // the partial scratch dir must be consumed and deleted
+      // the partial scratch dirs (every fused level) must be consumed
+      // and deleted — level 2's existence also proves the recursive
+      // L1→L2 fusion path ran through the same lifecycle
       assert(!new java.io.File(s"$fused/1/.partial").exists())
+      assert(!new java.io.File(s"$fused/2/.partial").exists())
     }
   }
 
