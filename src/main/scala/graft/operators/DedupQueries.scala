@@ -101,6 +101,53 @@ object DedupQueries {
     * materialization, while the garr frame itself is memoized per
     * (session, documents snapshot) in [[graft.core.SessionMemo]].
     */
+  /** Rarity dictionary over a (doc_id, key) stream: one row per distinct
+    * key with a DENSE gid 0..V-1 in ascending (frequency, key) order.
+    * Distributed range-sort by (f, key) — a total order, so the result is
+    * deterministic — then ids assigned from per-partition offsets (one
+    * small sizes job over the persisted sorted vocab; range partitions
+    * are ordered so offset + row is the global sort rank). Dense ranks
+    * buy the width guard: when the vocabulary fits 2^31 the gid is
+    * emitted as INT, which HALVES the dominant verify-stage shuffle (the
+    * two array-attach joins ship ~2×|cand|·avg|gids| elements — the top
+    * cost of q_c3 at adversarial gram density), with a lossless BIGINT
+    * fallback for larger dictionaries (branch forced in
+    * RarityIdsSpec via `intMaxVocab`). No single-partition funnel
+    * anywhere: the sort is range-partitioned, the sizes job collects one
+    * count per partition, and id assignment is map-side.
+    */
+  private[graft] def rarityIds(
+      s: SparkSession,
+      g: DataFrame,
+      intMaxVocab: Long = Int.MaxValue.toLong): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
+    val base = graft.core.CachedRdds.registerDf(
+      g.groupBy(col("key")).agg(count(lit(1)).as("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sortedKeys = graft.core.CachedRdds.register(
+      base.orderBy(col("f"), col("key")).select(col("key")).as[String].rdd
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = sortedKeys
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val vocab = if (offsets.isEmpty) 0L else offsets.last
+    if (vocab <= intMaxVocab) {
+      val offs = offsets
+      sortedKeys.mapPartitionsWithIndex { (i, it) =>
+        var next = offs(i).toInt
+        it.map { k => val r = (k, next); next += 1; r }
+      }.toDF("key", "gid")
+    } else {
+      val offs = offsets
+      sortedKeys.mapPartitionsWithIndex { (i, it) =>
+        var next = offs(i)
+        it.map { k => val r = (k, next); next += 1; r }
+      }.toDF("key", "gid")
+    }
+  }
+
   private def allPairsJaccard(
       s: SparkSession,
       d: String,
@@ -126,45 +173,7 @@ object DedupQueries {
       // array_distinct lineage is the most expensive scan in the pipeline
       val g = graft.core.CachedRdds.registerDf(
         keyed.persist(StorageLevel.MEMORY_AND_DISK))
-      val ids = {
-        // distributed rarity rank: range-partitioned sort by (f, key) — a
-        // total order, so the result is deterministic — then DENSE ids
-        // 0..V-1 assigned from per-partition offsets (one small sizes job
-        // over the persisted sorted vocab; range partitions are ordered so
-        // offset+row is the global sort rank). Dense ranks buy the width
-        // guard below: when the vocabulary fits 2^31 the gid is emitted as
-        // INT, which HALVES the dominant verify-stage shuffle (the two
-        // array-attach joins ship ~2x|cand|·avg|gids| elements — the top
-        // cost of q_c3 at adversarial gram density), with a lossless BIGINT
-        // fallback for larger dictionaries. No single-partition funnel
-        // anywhere: the sort is range-partitioned, the sizes job collects
-        // one count per partition, and id assignment is map-side.
-        val base = graft.core.CachedRdds.registerDf(
-          g.groupBy(col("key")).agg(count(lit(1)).as("f"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        val sortedKeys = graft.core.CachedRdds.register(
-          base.orderBy(col("f"), col("key")).select(col("key")).as[String].rdd
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        val sizes = sortedKeys
-          .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
-          .collect().sortBy(_._1).map(_._2.toLong)
-        val offsets = sizes.scanLeft(0L)(_ + _)
-        val vocab = if (offsets.isEmpty) 0L else offsets.last
-        if (vocab <= Int.MaxValue.toLong) {
-          val offs = offsets
-          sortedKeys.mapPartitionsWithIndex { (i, it) =>
-            var next = offs(i).toInt
-            it.map { k => val r = (k, next); next += 1; r }
-          }.toDF("key", "gid")
-        } else {
-          val offs = offsets
-          sortedKeys.mapPartitionsWithIndex { (i, it) =>
-            var next = offs(i)
-            it.map { k => val r = (k, next); next += 1; r }
-          }.toDF("key", "gid")
-        }
-      }
-      g.join(ids, Seq("key"))
+      g.join(rarityIds(s, g), Seq("key"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("gid"))).as("gids"), count(lit(1)).as("n_g"))
     }
