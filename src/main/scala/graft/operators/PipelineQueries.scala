@@ -425,6 +425,93 @@ object PipelineQueries {
         .filter(col("rnk") <= 5)
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- q_c20: passage-level (sub-document) dedup metrics ---------------
+    // Chunk each doc into non-overlapping 8-token passages and report, per
+    // doc, how many of its passage occurrences also appear in ANOTHER doc —
+    // the granularity real corpus pipelines dedup boilerplate at (line /
+    // passage dedup), one level below q_b5/q_b6's whole-document dedup.
+    // Shape: explode → groupBy(passage, doc_id) (map-side combined,
+    // PERSISTED — the frame feeds both the per-passage count and the join
+    // probe, and without the persist column pruning rewrites the two
+    // branches' exchanges differently so ReuseExchange misses and the
+    // scan+explode+combine runs twice) → groupBy(passage) for the
+    // per-passage doc count → co-partitioned join back. The per-passage
+    // count is a partial-aggregable groupBy and the join is
+    // AQE-skew-splittable, so the expected hot keys of a real corpus
+    // (boilerplate passages shared by millions of docs) don't funnel
+    // through one task — the reason this is a join and not a COUNT window
+    // over PARTITION BY passage, which would put every occurrence of a hot
+    // passage in a single window partition that AQE cannot split.
+    QueryDef(
+      "q_c20_passage_dedup",
+      Some("""WITH lists AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |ch AS (
+             |  SELECT doc_id, array_to_string(ts[8*k+1 : 8*k+8], ' ') AS passage
+             |  FROM (SELECT doc_id, ts, unnest(range((len(ts)+7)//8)) AS k FROM lists)),
+             |g AS (SELECT passage, doc_id, COUNT(*) AS c FROM ch GROUP BY passage, doc_id),
+             |pc AS (SELECT passage, COUNT(*) AS nd FROM g GROUP BY passage)
+             |SELECT g.doc_id AS doc_id,
+             |  CAST(SUM(c) AS BIGINT) AS n_passages,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
+             |  CAST(CAST(CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) AS DECIMAL(18,6))
+             |    / CAST(SUM(c) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_passage_ratio
+             |FROM g JOIN pc USING (passage)
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      // transform(...) is the generator INPUT, so it is evaluated once per
+      // row, not once per element (the round-8 Generate hazard audit rule)
+      val ch = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, (size(ts) + 7) div 8 - 1), " +
+              "k -> array_join(slice(ts, 8*k + 1, 8), ' '))")).as("passage"))
+      val g = graft.core.CachedRdds.registerDf(
+        ch.groupBy(col("passage"), col("doc_id")).agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pc = g.groupBy(col("passage")).agg(count(lit(1)).as("nd"))
+      g.join(pc, Seq("passage"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_passages"),
+          sum(when(col("nd") > 1, col("c")).otherwise(0L)).as("n_dup_passages"))
+        .select(
+          col("doc_id"),
+          col("n_passages"),
+          col("n_dup_passages"),
+          emit((dec(col("n_dup_passages")) / dec(col("n_passages"))).cast(D38))
+            .as("dup_passage_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c21: pattern scrub / redaction --------------------------------
+    // regexp-redact a blocklist of terms and count the redactions per doc —
+    // the machinery of a PII scrub (swap the pattern for email/phone
+    // regexes in a real pipeline; this fixture's synthetic vocabulary has
+    // no PII, so a term blocklist keeps the check non-vacuous: 480/500
+    // docs hit at sf0.01). Pure per-row projection, zero shuffles besides
+    // the terminal presentation sort — the ideal 100 TB shape. The regex
+    // stays in the RE2 ∩ java.util.regex common subset so both engines
+    // match identically.
+    QueryDef(
+      "q_c21_scrub_redact",
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|value|key)\b')) AS BIGINT) AS n_redacted,
+             |  regexp_replace(text, '\b(customer|value|key)\b', '[REDACTED]', 'g') AS clean_text
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\b(customer|value|key)\\\\b', 0)"))
+            .cast("long").as("n_redacted"),
+          regexp_replace(col("text"), "\\b(customer|value|key)\\b", "[REDACTED]")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -740,6 +740,30 @@ object SparkSqlQueries {
         |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
         |      FROM h)
         |SELECT source, doc_id, hv, rnk FROM r WHERE rnk <= 10
-        |ORDER BY source, rnk""".stripMargin
+        |ORDER BY source, rnk""".stripMargin,
+
+    "q_c20_passage_dedup" ->
+      """WITH lists AS (
+        |  SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    explode(transform(sequence(0, (size(ts) + 7) DIV 8 - 1),
+        |      k -> array_join(slice(ts, 8*k + 1, 8), ' '))) AS passage
+        |  FROM lists),
+        |g AS (SELECT passage, doc_id, COUNT(*) AS c FROM ch GROUP BY passage, doc_id),
+        |pc AS (SELECT passage, COUNT(*) AS nd FROM g GROUP BY passage)
+        |SELECT g.doc_id AS doc_id,
+        |  SUM(c) AS n_passages,
+        |  SUM(CASE WHEN nd > 1 THEN c ELSE 0L END) AS n_dup_passages,
+        |  CAST(CAST(CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0L END) AS DECIMAL(18,6))
+        |    / CAST(SUM(c) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_passage_ratio
+        |FROM g JOIN pc USING (passage)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_c21_scrub_redact" ->
+      """SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text, '\\b(customer|value|key)\\b', 0)) AS BIGINT) AS n_redacted,
+        |  regexp_replace(text, '\\b(customer|value|key)\\b', '[REDACTED]') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
