@@ -86,12 +86,15 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("star-CC rounds stay single-action (job-count ceiling)") {
     // Each star round runs EXACTLY ONE action (the fused
-    // materialize+diff rdd.aggregate); under AQE an action fans out into
-    // one job per shuffle stage, so the observable is a per-graph job
-    // total. A 17-node chain (~5 rounds) measured 47 jobs with the fused
-    // check vs 57 with the round-8 separate convergence action — the
-    // ceiling below would trip if a separate per-round action crept back
-    // in, while leaving slack for AQE stage-planning drift.
+    // materialize+diff rdd.aggregate), and since round 10 the initial
+    // canonical-distinct set pays no action of its own either (it folds
+    // into round 1's plan via exchange reuse). Under AQE an action fans
+    // out into one job per shuffle stage, so the observable is a
+    // per-graph job total. A 17-node chain (~5 rounds) measured 45 jobs
+    // with both fusions vs 47 round-9 (separate initial count) vs 57
+    // round-8 (separate convergence action) — the ceiling below would
+    // trip if either extra action crept back in, while leaving slack for
+    // AQE stage-planning drift.
     val sp = spark
     import sp.implicits._
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -111,7 +114,7 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
       val loopJobs = counter.get() - before
       assert(out.collect().length == 17)
       info(s"chain17 star-CC loop jobs: $loopJobs")
-      assert(loopJobs <= 52, s"convergence should not cost extra actions: $loopJobs jobs")
+      assert(loopJobs <= 49, s"convergence should not cost extra actions: $loopJobs jobs")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       graft.core.CachedRdds.drain()
