@@ -123,26 +123,29 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probesJson =
       s"""{"passA":${probesA.map(fmt).mkString("[", ",", "]")},"passB":${probesB.map(fmt).mkString("[", ",", "]")}}"""
-    // pin the approximate query's QUALITY next to its wall time: recall@5
-    // of the IVF-pruned ANN vs brute force at this SF (the rows-only
-    // correctness check can't see quality regressions)
+    // pin the approximate query's QUALITY next to its wall time — recall@5
+    // vs exact brute force AND the MEASURED scanned-corpus fraction, on
+    // BOTH fixtures (the rows-only correctness check can't see quality
+    // regressions, and recall without its scanned fraction can't separate
+    // structure from fan-out):
+    //  - uniform: the shipped q_c9 operating point (nprobe = k/2 — this
+    //    corpus's near-uniform embeddings cluster weakly, so recall there
+    //    is bought with fan-out; documented since round 9), and
+    //  - clustered: the deterministic planted-cluster corpus at the
+    //    structural nprobe = √k, where the probed cells blanket the
+    //    query's own cluster and the scanned fraction is ≪ 50 %.
     val quality: Option[String] =
       if (selected.exists(_._1 == "q_c9_ann_ivf")) {
         try {
-          def top5(name: String, extra: String): Map[Long, Set[Long]] =
-            SparkEntry.queries(name)(spark, sfDir)
-              .filter(extra).collect()
-              .map(r => (r.getLong(0), r.getLong(2)))
-              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-          val brute = top5("q_b7_cosine_topk", "rank <= 5")
-          val ivf = top5("q_c9_ann_ivf", "true")
-          val recalls = brute.keys.toSeq.map { q =>
-            brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
-          }
+          val sq = graft.operators.SimilarityQueries
+          val base = sq.ivfCorpus(spark, sfDir)
+          val (uR, uF, uK, uN) = sq.ivfQuality(spark, base, k => math.max(2, k / 2))
           graft.core.CachedRdds.drain()
-          // empty query set would make the mean NaN — invalid JSON
-          if (recalls.isEmpty) Some(""","quality":{"q_c9_recall_at_5":null}""")
-          else Some(s""","quality":{"q_c9_recall_at_5":${fmt(recalls.sum / recalls.length)}}""")
+          val (cR, cF, cK, cN) =
+            sq.ivfQuality(spark, sq.clusteredCorpus(spark, base), sq.sqrtNprobe)
+          graft.core.CachedRdds.drain()
+          Some(
+            s""","quality":{"q_c9_recall_at_5":${fmt(uR)},"q_c9_scanned_fraction":${fmt(uF)},"q_c9_nprobe":$uN,"q_c9_cells":$uK,"q_c9_clustered_recall_at_5":${fmt(cR)},"q_c9_clustered_scanned_fraction":${fmt(cF)},"q_c9_clustered_nprobe":$cN,"q_c9_clustered_cells":$cK}""")
         } catch {
           case e: Throwable =>
             // never let the quality probe sink the bench, but the artifact

@@ -208,9 +208,13 @@ object SimilarityQueries {
     //    that fraction (measured 1.0 at sf0.001, 0.95 at sf0.1). The
     //    synthetic near-uniform embeddings cluster weakly, so recall here
     //    is bought with nprobe (round-9 sweep: 25% → 0.83, 33% → 0.88,
-    //    50% → 0.95 recall, Lloyd iterations beyond 2 flat); a real
-    //    clustered corpus reaches the same recall at a far smaller
-    //    fraction with the identical plan.
+    //    50% → 0.95 recall, Lloyd iterations beyond 2 flat). That the
+    //    IDENTICAL plan prunes structurally when the data clusters is
+    //    proven in-repo (round 10): on the deterministic planted-cluster
+    //    corpus ([[clusteredCorpus]]) recall@5 = 1.0 at nprobe = √k with
+    //    a MEASURED scanned fraction of ~13 % (SimilarityRecallSpec +
+    //    the bench quality block, which records recall AND scanned
+    //    fraction for both fixtures).
     // Approximate by construction ⇒ rows-only driver check.
     QueryDef("q_c9_ann_ivf", None) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
@@ -242,7 +246,7 @@ object SimilarityQueries {
       s: SparkSession,
       e: DataFrame,
       lloydIters: Int = 2,
-      nprobeDiv: Int = 2): (String, Int) = {
+      nprobeOf: Int => Int = k => math.max(2, k / 2)): (String, Int) = {
       val n = e.count()
       // k grows as 4·√n (the usual IVF sizing) but is CAPPED so the
       // driver-side model state stays bounded: every Lloyd iteration
@@ -250,8 +254,12 @@ object SimilarityQueries {
       // (~48M doubles/iteration at dim 384). At the cap the collect is
       // ≤ 16384·dim ≈ 50 MB — model parameters, independent of corpus
       // size; beyond that, recall is bought with nprobe, not more cells.
+      // Default nprobe = k/2 is the UNIFORM-fixture setting (this corpus's
+      // near-uniform synthetic embeddings cluster weakly — round-9 sweep);
+      // on clustered data the structural setting is nprobe ≈ √k (see
+      // [[sqrtNprobe]] / [[clusteredCorpus]]).
       val k = math.min(16384, math.max(8, 4 * math.sqrt(n.toDouble).toInt))
-      val nprobe = math.max(2, k / nprobeDiv)
+      val nprobe = math.min(k, math.max(2, nprobeOf(k)))
       // deterministic spread seeds: stride over vec_id (≈ linspace when ids
       // are dense); one tiny collect of k vectors
       val stride = math.max(1L, n / k)
@@ -348,5 +356,110 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
         .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The structural nprobe for clustered data: √k (the standard IVF
+    * operating point — probes grow with the square root of the cell
+    * count, so the scanned fraction shrinks as 1/√k with corpus size).
+    */
+  private[graft] val sqrtNprobe: Int => Int = k => math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Deterministic planted-cluster variant of an embeddings corpus
+    * (q_c4b's generator-determinism discipline): each vector is moved to
+    * `center(vec_id % nClusters) + alpha · v/‖v‖` — `nClusters` seeded
+    * unit centers (driver-side model constants, broadcast) plus an
+    * alpha-scaled unit perturbation derived from the ORIGINAL vector.
+    * Intra-cluster cosine ≈ 1/(1+α²) ≈ 0.94 at α = 0.25; inter-cluster
+    * ≈ 0 (independent high-dim unit centers) — so nearest neighbors are
+    * same-cluster by construction and IVF recall at nprobe ≈ √k is
+    * STRUCTURAL (the probed cells blanket the query's own cluster),
+    * unlike the near-uniform base fixture where recall must be bought
+    * with fan-out. Used by SimilarityRecallSpec and the bench quality
+    * block; never a correctness-gated query (it exists to measure the
+    * quantizer, not the corpus).
+    */
+  private[graft] def clusteredCorpus(
+      s: SparkSession,
+      e: DataFrame,
+      nClusters: Int = 64,
+      alpha: Double = 0.25,
+      seed: Long = 1042L): DataFrame = {
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val rnd = new java.util.Random(seed)
+    val centers = (0 until nClusters).map { c =>
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (c.toLong, raw.map(_ / nrm).toSeq)
+    }
+    import s.implicits._
+    val cdf = centers.toDF("cl", "ctr")
+    e.withColumn("cl", pmod(col("vec_id"), lit(nClusters.toLong)))
+      .join(broadcast(cdf), Seq("cl"))
+      .withColumn("nrm",
+        greatest(sqrt(expr("aggregate(v, 0D, (a, y) -> a + y * y)")), lit(1e-12)))
+      .select(col("vec_id"), col("label"),
+        expr(s"zip_with(ctr, v, (c, x) -> c + ${alpha}D * x / nrm)").as("v"))
+  }
+
+  /** MEASURED fraction of the corpus a search at (fn, nprobe) actually
+    * scans: Σ_q |probed buckets of q| / (nQueries · n). Two tiny
+    * aggregations (cell histogram + probe join) — the number the recall
+    * figure is meaningless without (recall 0.95 scanning 50 % of the
+    * corpus is fan-out, not structure).
+    */
+  private[graft] def scannedFraction(e: DataFrame, fn: String, nprobe: Int): Double = {
+    val sizes = e
+      .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val probed = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), explode(expr(s"$fn(v, $nprobe)")).as("cell"))
+    val row = probed.join(sizes, Seq("cell"))
+      .agg(sum(col("cnt")).as("scanned"), countDistinct(col("query_id")).as("nq"))
+      .head()
+    val n = e.count().toDouble
+    if (row.isNullAt(0) || n == 0.0) 0.0
+    else row.getLong(0).toDouble / (row.getLong(1).toDouble * n)
+  }
+
+  /** Quality probe shared by the bench artifact and SimilarityRecallSpec:
+    * train IVF on `e` at `nprobeOf`, compute mean recall@5 vs the exact
+    * brute-force top-5 over the SAME frame, and the measured scanned
+    * fraction. Returns (recall@5, scannedFraction, k, nprobe).
+    */
+  private[graft] def ivfQuality(
+      s: SparkSession,
+      e0: DataFrame,
+      nprobeOf: Int => Int): (Double, Double, Int, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = graft.core.CachedRdds.registerDf(
+      e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (fn, nprobe) = trainIvf(s, e, nprobeOf = nprobeOf)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(expr(cosExpr), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = ivfSearch(e, fn, nprobe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { qid =>
+      brute(qid).intersect(got.getOrElse(qid, Set.empty)).size.toDouble / brute(qid).size
+    }
+    val recall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.length
+    val frac = scannedFraction(e, fn, nprobe)
+    // k is recomputed the same way trainIvf sized it (count is cheap on
+    // the persisted frame) so callers can report nprobe/k
+    val n = e.count()
+    val k = math.min(16384, math.max(8, 4 * math.sqrt(n.toDouble).toInt))
+    (recall, frac, k, nprobe)
   }
 }
