@@ -576,6 +576,20 @@ object SparkSqlQueries {
       s"""SELECT doc_id, ${rh("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the tokenizer expression is SHARED with the DataFrame plan
+    // (TextQueries.subwordCountExpr) — one source of truth for the greedy
+    // longest-match fold on the Spark side
+    "q_c22_subword_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(size(filter(split(lower(text), ' '), w -> length(w) > 0)) AS BIGINT) AS ws_tokens,
+         |    ${TextQueries.subwordCountExpr("text")} AS subword_tokens
+         |  FROM documents)
+         |SELECT doc_id, ws_tokens, subword_tokens,
+         |  CAST(CASE WHEN ws_tokens = 0 THEN CAST(0 AS DECIMAL(38,6))
+         |       ELSE CAST(CAST(subword_tokens AS DECIMAL(18,6)) / CAST(ws_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS fertility
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_c12_bm25" ->
       """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),

@@ -14,6 +14,51 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import Decimals._
 
+  /** Greedy longest-match merge vocabulary for q_c22's subword (BPE-style)
+    * token counting — a fixed public list of frequent English character
+    * merges (lengths 4 → 2); single characters are the implicit fallback
+    * unit. These are driver-side model constants compiled into the
+    * expression (the IVF-centroid pattern), so tokenization is a pure
+    * per-row projection: no broadcast join, no shuffle, no UDF.
+    */
+  private[graft] val bpeVocab: Seq[String] = Seq(
+    "tion", "ment", "ther", "with", "that",
+    "the", "ing", "and", "ent", "ion", "for", "ter", "ate", "est", "ers", "res",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
+    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
+    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur")
+
+  /** q_c22's tokenizer as ONE Spark SQL expression (shared by the
+    * DataFrame plan and the SQL-text twin): per word (whitespace
+    * pre-split, the GPT-2-style pre-tokenization), a linear fold over
+    * character positions that consumes the LONGEST vocab entry matching
+    * at the cursor (single char when none matches) and counts the
+    * consumed units. The fold is `aggregate` over `sequence(1, len)`
+    * with a (pos, cnt) struct accumulator — each element acts only when
+    * it equals the cursor, so the greedy sequential scan stays a
+    * codegen-friendly higher-order function, not a UDF, and the whole
+    * doc count is a transform+aggregate with NO Generate (the explode
+    * co-location hazard documented on q_c17 never arises).
+    */
+  private[graft] def subwordCountExpr(textCol: String): String = {
+    val vocabArr = bpeVocab.map(v => s"'$v'").mkString("array(", ", ", ")")
+    s"""aggregate(
+       |  transform(filter(split(lower($textCol), ' '), w -> length(w) > 0), w ->
+       |    aggregate(sequence(1, length(w)),
+       |      named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
+       |      (acc, i) -> IF(i = acc.pos,
+       |        named_struct(
+       |          'pos', acc.pos + coalesce(array_max(transform(
+       |            filter($vocabArr, v -> substring(w, acc.pos, length(v)) = v),
+       |            v -> length(v))), 1),
+       |          'cnt', acc.cnt + CAST(1 AS BIGINT)),
+       |        acc),
+       |      acc -> acc.cnt)),
+       |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+  }
+
   /** Tiny public stopword profiles per language (heuristic lang-ID). */
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "in"),
@@ -173,6 +218,63 @@ object TextQueries {
             .cast("long")
             .as("uniq_tokens")
         )
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c22: subword (BPE-style) token counting -----------------------
+    // Real corpus pipelines budget by SUBWORD tokens, not whitespace
+    // tokens: greedy longest-match tokenization of each word against a
+    // fixed merge vocabulary (see [[bpeVocab]] / [[subwordCountExpr]]),
+    // with fertility = subwords per whitespace token. Pure per-row
+    // projection — the only shuffle is the terminal global sort. The
+    // DuckDB oracle replays the identical greedy scan as a per-word
+    // recursive CTE (depth = max word length), so the match is
+    // hash-exact, not rows-only.
+    QueryDef(
+      "q_c22_subword_tokens",
+      Some {
+        val vocabList = bpeVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE
+           |words AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS w
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, w, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM words
+           |  UNION ALL
+           |  SELECT doc_id, w, pos + ml, cnt + 1 FROM (
+           |    SELECT doc_id, w, pos, cnt,
+           |      COALESCE(list_max(list_transform(
+           |        list_filter($vocabList, v -> substr(w, pos, len(v)) = v),
+           |        v -> len(v))), 1) AS ml
+           |    FROM f WHERE pos <= len(w))),
+           |sub AS (
+           |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS subword_tokens
+           |  FROM f WHERE pos > len(w) GROUP BY doc_id),
+           |ws AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS ws_tokens
+           |  FROM documents)
+           |SELECT ws.doc_id, ws.ws_tokens,
+           |  COALESCE(sub.subword_tokens, CAST(0 AS BIGINT)) AS subword_tokens,
+           |  CAST(CASE WHEN ws.ws_tokens = 0 THEN CAST(0 AS DECIMAL(38,6))
+           |       ELSE CAST(CAST(COALESCE(sub.subword_tokens, 0) AS DECIMAL(18,6)) / CAST(ws.ws_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS fertility
+           |FROM ws LEFT JOIN sub USING (doc_id) ORDER BY ws.doc_id""".stripMargin
+      }
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
+            .cast("long").as("ws_tokens"),
+          expr(subwordCountExpr("text")).as("subword_tokens"))
+        .select(
+          col("doc_id"),
+          col("ws_tokens"),
+          col("subword_tokens"),
+          emit(
+            when(col("ws_tokens") === 0, lit(0).cast(D38))
+              .otherwise((dec(col("subword_tokens")) / dec(col("ws_tokens"))).cast(D38)))
+            .as("fertility"))
         .orderBy(col("doc_id"))
     },
 
