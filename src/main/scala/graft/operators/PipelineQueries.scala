@@ -522,6 +522,58 @@ object PipelineQueries {
           regexp_replace(col("text"), "\\b(customer|value|key)\\b", "[REDACTED]")
             .as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c23: boilerplate-passage removal (q_c20 ∘ q_c21) --------------
+    // The composed real-pipeline shape the two parents exist to serve:
+    // detect passages shared across documents (q_c20's counting) and emit
+    // each document's CLEANED text with those boilerplate passages
+    // removed (q_c21's scrub posture). A passage occurring in more than
+    // one distinct doc is boilerplate and is dropped; the survivors are
+    // reassembled in original order.
+    //
+    // Shape: posexplode keeps the passage INDEX k for reassembly; the
+    // per-passage distinct-doc count is a partial-aggregable two-phase
+    // agg and the count join is AQE-skew-splittable (same reasoning as
+    // q_c20 — no COUNT window that would funnel hot boilerplate keys
+    // into one task). Everything after the join is ONE groupBy(doc_id):
+    // collect_list(CASE ...) skips the dropped passages' NULLs, so the
+    // stats and the ordered reassembly (array_sort by k) ride the same
+    // shuffle — no persist, no second pass, docs whose every passage was
+    // dropped still appear with clean_text = ''.
+    QueryDef(
+      "q_c23_boilerplate_scrub",
+      Some("""WITH lists AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |ch AS (
+             |  SELECT doc_id, k, array_to_string(ts[8*k+1 : 8*k+8], ' ') AS passage
+             |  FROM (SELECT doc_id, ts, unnest(range((len(ts)+7)//8)) AS k FROM lists)),
+             |pc AS (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY passage),
+             |j AS (SELECT ch.doc_id, ch.k, ch.passage, pc.nd FROM ch JOIN pc USING (passage))
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |  COALESCE(string_agg(CASE WHEN nd <= 1 THEN passage END, ' ' ORDER BY k), '') AS clean_text
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      // transform(...) is the generator INPUT (round-8 audit rule): the
+      // chunking runs once per row, not once per emitted passage
+      val ch = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, (size(ts) + 7) div 8 - 1), " +
+              "k -> array_join(slice(ts, 8*k + 1, 8), ' '))")).as(Seq("k", "passage")))
+      val pc = ch.groupBy(col("passage")).agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(pc, Seq("passage"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_passages"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN nd <= 1 THEN named_struct('k', k, 'passage', passage) END)), " +
+            "p -> p.passage), ' ')").as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

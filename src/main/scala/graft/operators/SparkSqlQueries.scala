@@ -778,6 +778,23 @@ object SparkSqlQueries {
       """SELECT doc_id,
         |  CAST(size(regexp_extract_all(text, '\\b(customer|value|key)\\b', 0)) AS BIGINT) AS n_redacted,
         |  regexp_replace(text, '\\b(customer|value|key)\\b', '[REDACTED]') AS clean_text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_c23_boilerplate_scrub" ->
+      """WITH lists AS (
+        |  SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |ch AS (
+        |  SELECT doc_id, posexplode(transform(sequence(0, (size(ts) + 7) DIV 8 - 1),
+        |      k -> array_join(slice(ts, 8*k + 1, 8), ' '))) AS (k, passage)
+        |  FROM lists),
+        |pc AS (SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY passage)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_passages,
+        |  SUM(CASE WHEN nd > 1 THEN 1L ELSE 0L END) AS n_dropped,
+        |  array_join(transform(array_sort(collect_list(
+        |    CASE WHEN nd <= 1 THEN named_struct('k', k, 'passage', passage) END)),
+        |    p -> p.passage), ' ') AS clean_text
+        |FROM ch JOIN pc USING (passage)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
