@@ -192,6 +192,38 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming passage dedup (fMGWS) equals the batch q_c20 plan on real documents") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val occ = StreamingOps.passageOccurrences(input.toDF().toDF("doc_id", "text"))
+      .as[StreamingOps.PassageOcc]
+    val q = StreamingOps.passageCounts(occ).writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_pass").toString)
+      .format("memory").queryName("passages").outputMode("update").start()
+    // three micro-batches split by position: passages shared across docs in
+    // DIFFERENT triggers cross the nd 1 → 2 boundary between triggers, so
+    // the snapshot re-emission must retro-flag earlier contributors — the
+    // path a single-batch run would never exercise
+    for (chunk <- docs.grouped(docs.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val served = StreamingOps.passageDedupServe(sp.table("passages")).collect()
+    q.stop()
+    val batch = graft.operators.PipelineQueries.defs
+      .find(_.name == "q_c20_passage_dedup").get.plan(sp, dir).collect()
+    graft.core.CachedRdds.drain() // q_c20 persists its (passage, doc) frame
+    assert(served.length == batch.length,
+      s"served ${served.length} rows vs batch ${batch.length}")
+    served.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
   test("flatMapGroupsWithState sessionization carries custom per-key state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
