@@ -56,8 +56,34 @@ object Bench {
       only.forall(_.exists(name.contains))
     }
 
+    // Per-query JOB COUNTS (round 10): wall time alone hides scheduler-
+    // overhead regressions — under gVisor each job costs ~2 s fixed, so an
+    // operator that silently grows an extra action per round (the round-8
+    // star-CC bug class) regresses total time without any single stage
+    // slowing down. A SparkListener counts job starts; snapshots bracket
+    // each query. The listener bus is async, so each snapshot polls until
+    // the counter is stable (outside the timed section — the poll costs
+    // ~40 ms and never touches the measured interval).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    def stableJobCount(): Int = {
+      var prev = jobCounter.get()
+      var same = 0
+      while (same < 2) {
+        Thread.sleep(20)
+        val c = jobCounter.get()
+        if (c == prev) same += 1 else { prev = c; same = 0 }
+      }
+      prev
+    }
+
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-             name: String): (Double, Option[Throwable]) = {
+             name: String): (Double, Option[Throwable], Int) = {
+      val jobs0 = stableJobCount()
       val t0 = System.nanoTime()
       // Materialize the FULL result through a noop sink rather than count():
       // counting lets EliminateSorts delete a query's terminal global orderBy
@@ -75,7 +101,8 @@ object Bench {
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
           Some(e)
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      (elapsed, err, stableJobCount() - jobs0)
     }
 
     val probeFn = SparkEntry.queries.get(ProbeName)
@@ -83,7 +110,7 @@ object Bench {
     // One full pass: run every selected query once, probing the environment
     // at the start and after every `probeEvery` queries. Returns per-query
     // (time, error) plus the probe time series for the pass.
-    def pass(): (Map[String, (Double, Option[Throwable])], Seq[Double]) = {
+    def pass(): (Map[String, (Double, Option[Throwable], Int)], Seq[Double]) = {
       val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       def probe(): Unit = probeFn.foreach { fn => probes += time(fn, s"$ProbeName[probe]")._1 }
       probe()
@@ -103,23 +130,29 @@ object Bench {
     val (passB, probesB) = pass()
 
     val results = selected.map { case (name, _) =>
-      val (tA, eA) = passA(name)
-      val (tB, eB) = passB(name)
+      val (tA, eA, jA) = passA(name)
+      val (tB, eB, jB) = passB(name)
       val oks = Seq((tA, eA), (tB, eB)).collect { case (t, None) => t }
       val adopted = if (oks.nonEmpty) oks.min else math.min(tA, tB)
       // a query that errored in EITHER pass is a failure (parity with the
       // old harness): a nondeterministic crash must not ship as a clean
       // number just because the other pass survived
-      (name, Seq(tA, tB), adopted, eA.isEmpty && eB.isEmpty)
+      (name, Seq(tA, tB), adopted, eA.isEmpty && eB.isEmpty, Seq(jA, jB))
     }
 
     def fmt(d: Double): String = f"$d%.4f"
-    val qs = results.map { case (k, _, adopted, _) => s"\"" + k + "\":" + fmt(adopted) }
+    val qs = results.map { case (k, _, adopted, _, _) => s"\"" + k + "\":" + fmt(adopted) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, runs, _, _) =>
+    val raw = results.map { case (k, runs, _, _, _) =>
       s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => k }
+    // per-pass job counts; pass B can legitimately differ from pass A
+    // (memo-warm queries skip their build jobs; AQE stage planning can
+    // drift by one), so BOTH are recorded rather than an adopted scalar
+    val jobsJson = results.map { case (k, _, _, _, js) =>
+      s"\"" + k + "\":" + js.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false, _) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probesJson =
       s"""{"passA":${probesA.map(fmt).mkString("[", ",", "]")},"passB":${probesB.map(fmt).mkString("[", ",", "]")}}"""
@@ -157,7 +190,7 @@ object Bench {
         }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","queries":$qs,"queries_raw":$raw,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","queries":$qs,"queries_raw":$raw,"jobs":$jobsJson,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
