@@ -284,31 +284,55 @@ object SimilarityQueries {
         seedRows.flatMap(r => normalized(r.getSeq[Double](0).toArray))
       val kEff = cents.length / dim
       // 2 Lloyd iterations: assign (projection) → per-cell partial sums
-      // (distributed groupBy, one WIDE row per cell: dim sum columns) →
-      // k rows to the driver → recenter. The sums are per-dim COLUMNS,
-      // not a posexplode to (cell, pos, x) rows: a Generate collapses the
-      // assignment projection into its per-element output loop, so the
-      // k·dim NearestCells kernel would re-run once PER ELEMENT — a
-      // dim-fold amplification of the whole training cost (measured 64×
-      // = 45 s/iteration at 20k vectors, k=564 vs 0.7 s this way).
+      // (distributed groupBy) → k rows to the driver → recenter. Two
+      // formulations by dimension (PERF.md dim probe):
+      //  - dim ≤ 768: per-dim sum COLUMNS — fully codegen'd hash agg, the
+      //    fastest form. NOT a posexplode to (cell, pos, x) rows: a
+      //    Generate collapses the assignment projection into its
+      //    per-element output loop, so the k·dim NearestCells kernel
+      //    would re-run once PER ELEMENT — a dim-fold amplification of
+      //    the training cost (measured 64× = 45 s/iteration at 20k
+      //    vectors, k=564 vs 0.7 s this way).
+      //  - dim > 768: ONE [[graft.functions.VectorSum]]
+      //    TypedImperativeAggregate whose buffer is a single
+      //    Array[Double] (ObjectHashAggregate, map-side partials) — past
+      //    codegen.maxFields=1024 the wide form silently loses
+      //    whole-stage codegen and its 1538-column aggregate row is all
+      //    setter overhead; the buffer aggregate is dimension-independent
+      //    (IvfWideDimSpec pins a dim-1536 train+search end-to-end).
+      val useWide = dim <= 768
+      if (!useWide) graft.functions.VectorSum.register(s)
       for (_ <- 1 to lloydIters) {
         val fn = graft.functions.NearestCells.register(s, cents, dim)
         val cellCol = expr(s"element_at($fn(v, 1), 1)").as("cell")
-        val dimCols = (0 until dim).map(i => col("v").getItem(i).as(s"x$i"))
-        val sums = e
-          .select(cellCol +: dimCols: _*)
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("cnt"),
-            (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
-          .collect()
+        val sums =
+          if (useWide) {
+            val dimCols = (0 until dim).map(i => col("v").getItem(i).as(s"x$i"))
+            e.select(cellCol +: dimCols: _*)
+              .groupBy(col("cell"))
+              .agg(count(lit(1)).as("cnt"),
+                (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
+              .collect()
+          } else {
+            e.select(cellCol, col("v"))
+              .groupBy(col("cell"))
+              .agg(count(lit(1)).as("cnt"), expr("vector_sum(v)").as("vsum"))
+              .collect()
+          }
         val next = java.util.Arrays.copyOf(cents, cents.length)
         val acc = Array.fill(kEff)(new Array[Double](dim))
         val cntOf = new Array[Long](kEff)
         sums.foreach { r =>
           val cell = r.getInt(0)
           cntOf(cell) = r.getLong(1)
-          var i = 0
-          while (i < dim) { acc(cell)(i) = r.getDouble(2 + i); i += 1 }
+          if (useWide) {
+            var i = 0
+            while (i < dim) { acc(cell)(i) = r.getDouble(2 + i); i += 1 }
+          } else {
+            val sq = r.getSeq[Double](2)
+            var i = 0
+            while (i < dim) { acc(cell)(i) = sq(i); i += 1 }
+          }
         }
         var c = 0
         while (c < kEff) {
