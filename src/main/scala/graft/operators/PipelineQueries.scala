@@ -72,14 +72,18 @@ object PipelineQueries {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    // The initial canonical-distinct set is NOT materialized separately
-    // (round 10): it is consumed only inside round 1's single fused plan,
-    // where exchange reuse computes its distinct shuffle once even though
-    // `e` appears three times (sym twice + the merged union) — so the
-    // upfront count() action the round-9 shape paid bought nothing.
-    // Lineage truncation is unnecessary for it: after round 1, `e` always
-    // comes from that round's checkpointed leaf.
-    var e = canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))).distinct()
+    // The initial canonical-distinct set IS materialized upfront (one
+    // aggregate action, no separate count). Round 10 measured the
+    // alternative — consuming the distinct lazily inside round 1's fused
+    // plan and betting on exchange reuse to dedupe its shuffle across the
+    // three references (sym twice + the merged union): on the real q_c13
+    // path (candidate pairs behind a multi-stage AQE pipeline) reuse does
+    // NOT collapse the references, and the round-1 plan re-derived the
+    // edge source per reference — q_c13 jobs 39 → 77, q_c19 35 → 57,
+    // warm wall +60 % (PERF.md round 10). A checkpointed leaf keeps every
+    // round's plan anchored on cheap materialized blocks instead.
+    var (e, _) = materializedLeafFold(s,
+      canon(edges0.select(col("doc_a").as("a"), col("doc_b").as("b"))).distinct())(_ => 0L)
     var converged = false
     while (!converged) {
       // large-star: every node's strictly-larger neighbors connect to the

@@ -86,15 +86,18 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("star-CC rounds stay single-action (job-count ceiling)") {
     // Each star round runs EXACTLY ONE action (the fused
-    // materialize+diff rdd.aggregate), and since round 10 the initial
-    // canonical-distinct set pays no action of its own either (it folds
-    // into round 1's plan via exchange reuse). Under AQE an action fans
-    // out into one job per shuffle stage, so the observable is a
-    // per-graph job total. A 17-node chain (~5 rounds) measured 45 jobs
-    // with both fusions vs 47 round-9 (separate initial count) vs 57
-    // round-8 (separate convergence action) — the ceiling below would
-    // trip if either extra action crept back in, while leaving slack for
-    // AQE stage-planning drift.
+    // materialize+diff rdd.aggregate), plus ONE upfront aggregate that
+    // materializes the initial canonical-distinct leaf. Round 10 measured
+    // the lazy-init alternative (fold the distinct into round 1's plan
+    // and rely on exchange reuse): it shaved 2 jobs on THIS trivial chain
+    // but on the real candidate-pair path reuse missed and re-derived the
+    // edge source per reference — q_c13 39 → 77 jobs (PERF.md round 10) —
+    // so the leaf stays. Under AQE an action fans out into one job per
+    // shuffle stage, so the observable is a per-graph job total. A
+    // 17-node chain (~5 rounds) measured 47 jobs with the round fusion +
+    // materialized init vs 57 round-8 (separate convergence action) — the
+    // ceiling below would trip if a per-round extra action crept back in,
+    // while leaving slack for AQE stage-planning drift.
     val sp = spark
     import sp.implicits._
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -114,7 +117,7 @@ class PipelineCcSpec extends AnyFunSuite with BeforeAndAfterAll {
       val loopJobs = counter.get() - before
       assert(out.collect().length == 17)
       info(s"chain17 star-CC loop jobs: $loopJobs")
-      assert(loopJobs <= 49, s"convergence should not cost extra actions: $loopJobs jobs")
+      assert(loopJobs <= 51, s"convergence should not cost extra actions: $loopJobs jobs")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       graft.core.CachedRdds.drain()
