@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat_ws, lit}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -99,5 +100,68 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SessionMemo.buildCount("minhash_cand") == b0 + 2,
       "rewrite must invalidate the candidate memo")
     assert(first.nonEmpty)
+  }
+
+  test("size budget: an oversized frame is not memoized, a fitting one is") {
+    val sp = spark
+    import sp.implicits._
+    writeDocs(baseDocs)
+    try {
+      // ~3 MB of rows vs a 64 KB budget: the build must still return a
+      // usable (persisted-for-this-query) frame, but the memo must stay
+      // empty so the blocks drain with the query instead of squatting in
+      // the storage region (the q_c3 scale10 displacement, PERF.md r10)
+      spark.conf.set("spark.graft.memo.maxBytes", (64 * 1024).toString)
+      val big = SessionMemo.getOrBuild(spark, "budget_big", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(100000).select(col("id"), concat_ws("-", lit("x" * 24), col("id")).as("t"))
+      }
+      assert(big.count() == 100000L)
+      assert(!SessionMemo.occupied("budget_big"),
+        "an over-budget frame must not be memoized")
+      // a second call must REBUILD (miss), not serve a dropped entry
+      SessionMemo.getOrBuild(spark, "budget_big", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(10).toDF("id")
+      }
+      assert(SessionMemo.buildCount("budget_big") == 2L)
+
+      // a small frame fits and is held, with its measured size recorded
+      val small = SessionMemo.getOrBuild(spark, "budget_small", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(100).toDF("id")
+      }
+      assert(small.count() == 100L)
+      assert(SessionMemo.occupied("budget_small"))
+      assert(SessionMemo.heldBytes("budget_small").exists(b => b > 0L && b <= 64 * 1024))
+    } finally {
+      spark.conf.unset("spark.graft.memo.maxBytes")
+      graft.core.CachedRdds.drain()
+      SessionMemo.evict(Some(spark))
+    }
+  }
+
+  test("size budget: total across entries evicts oldest first") {
+    val sp = spark
+    import sp.implicits._
+    writeDocs(baseDocs)
+    try {
+      // each entry ~tens of KB; budget sized to hold roughly one of them
+      val one = {
+        val df = SessionMemo.getOrBuild(spark, "budget_a", dir, Seq(s"$dir/documents.parquet")) {
+          spark.range(2000).select(col("id"), concat_ws("-", lit("y" * 16), col("id")).as("t"))
+        }
+        df.count()
+        SessionMemo.heldBytes("budget_a").get
+      }
+      spark.conf.set("spark.graft.memo.maxBytes", (one + one / 2).toString)
+      SessionMemo.getOrBuild(spark, "budget_b", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(2000).select(col("id"), concat_ws("-", lit("z" * 16), col("id")).as("t"))
+      }.count()
+      assert(SessionMemo.occupied("budget_b"), "the newest entry must be kept")
+      assert(!SessionMemo.occupied("budget_a"),
+        "the oldest entry must be evicted when the total exceeds the budget")
+    } finally {
+      spark.conf.unset("spark.graft.memo.maxBytes")
+      graft.core.CachedRdds.drain()
+      SessionMemo.evict(Some(spark))
+    }
   }
 }
