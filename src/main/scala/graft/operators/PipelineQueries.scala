@@ -578,6 +578,134 @@ object PipelineQueries {
             "CASE WHEN nd <= 1 THEN named_struct('k', k, 'passage', passage) END)), " +
             "p -> p.passage), ' ')").as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c24: benchmark decontamination (13-gram overlap) --------------
+    // The eval-set contamination check every serious pretraining pipeline
+    // runs (the GPT-3 appendix's 13-gram rule): flag corpus documents
+    // sharing any sliding 13-token n-gram with a held-out benchmark set.
+    // The fixture has no external benchmark, so `doc_id % 7 == 0` plays
+    // the held-out set (deterministic, self-contained, non-vacuous: 8
+    // corpus docs overlap at sf0.01).
+    //
+    // 100 TB shape: real benchmark suites are MBs against a TB-scale
+    // corpus, so the benchmark n-gram set is DISTINCT'd (a shuffle over
+    // only the tiny held-out slice) and BROADCAST; the corpus streams
+    // through the broadcast hash join (per-row hash probe, zero corpus
+    // shuffle) into one map-side-combined groupBy(doc_id). Sliding
+    // n-grams via transform(sequence(...)) keep the chunker in the
+    // generator INPUT (round-8 Generate audit rule: evaluated once per
+    // row, not once per element); docs shorter than 13 tokens must
+    // survive with n_ngrams = 0, hence the explode_outer over a guarded
+    // empty array (an unguarded sequence(0, size-13) would DESCEND for
+    // short docs and emit garbage slices).
+    QueryDef(
+      "q_c24_decontaminate",
+      Some("""WITH lists AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |bn AS (
+             |  SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
+             |  FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+             |        FROM lists WHERE doc_id % 7 = 0)),
+             |cg AS (
+             |  SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
+             |  FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+             |        FROM lists WHERE doc_id % 7 <> 0)),
+             |j AS (
+             |  SELECT l.doc_id, cg.ng, bn.ng AS hit
+             |  FROM (SELECT doc_id FROM lists WHERE doc_id % 7 <> 0) l
+             |  LEFT JOIN cg USING (doc_id) LEFT JOIN bn ON cg.ng = bn.ng)
+             |SELECT doc_id,
+             |  CAST(COUNT(ng) AS BIGINT) AS n_ngrams,
+             |  CAST(COUNT(hit) AS BIGINT) AS n_contaminated,
+             |  CAST(CASE WHEN COUNT(hit) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val n = 13
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      val grams = when(size(col("ts")) >= n, expr(
+        s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
+        .otherwise(expr("array()"))
+      val bn = toks
+        .filter(col("doc_id") % 7 === 0)
+        .select(explode(grams).as("ng"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      toks
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), explode_outer(grams).as("ng"))
+        .join(broadcast(bn), Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("ng").isNotNull, 1L).otherwise(0L)).as("n_ngrams"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+          when(col("n_contaminated") > 0, 1L).otherwise(0L).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c25: sequence packing (concat-and-chunk) ----------------------
+    // Map each document to the fixed-length training sequences it lands in
+    // when the per-source token stream is concatenated in doc_id order and
+    // chunked into L = 512-token windows — GPT-style concat-and-chunk
+    // packing, the step that turns a cleaned corpus into trainer input.
+    // Per doc: its global token offset within the source stream and the
+    // [seq_start, seq_end] window range it spans.
+    //
+    // The whole query is one prefix sum, and the 100 TB shape is the
+    // point: a window over PARTITION BY source would funnel every doc of
+    // a source through ONE task (sources are few and huge — the same
+    // hot-key funnel q_c20 rejects). Instead the prefix sum is
+    // BLOCK-STRUCTURED: docs bucket into (source, blk = doc_id div 4096)
+    // blocks; per-block token sums are a map-side-combined aggregate
+    // whose output is corpus_size/4096 TINY rows; block offsets are a
+    // window over that small frame (hierarchical blocking would bound
+    // even that at another 4096× if sources ever reached billions of
+    // blocks); the offsets broadcast back and the within-block window
+    // partitions by (source, blk) — every window partition is ≤ 4096
+    // rows by construction, regardless of corpus size.
+    QueryDef(
+      "q_c25_sequence_pack",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(tok_start AS BIGINT) AS tok_start,
+             |  CAST(tok_start // 512 AS BIGINT) AS seq_start,
+             |  CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+             |  CAST((tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS BIGINT) AS n_seqs
+             |FROM c ORDER BY source, doc_id""".stripMargin)
+    ) { (s, d) =>
+      val L = 512L
+      val blkSize = 4096L
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr(s"doc_id div ${blkSize}L").as("blk"))
+      val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkOff = t.groupBy(col("source"), col("blk"))
+        .agg(sum(col("n_tokens")).as("bsum"))
+        .withColumn("boff", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
+        .drop("bsum")
+      val wIn = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(blkOff), Seq("source", "blk"))
+        .withColumn("tok_start",
+          col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .withColumn("seq_start", expr(s"tok_start div ${L}L"))
+        .withColumn("seq_end", expr(s"(tok_start + n_tokens - 1) div ${L}L"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+          col("seq_start"), col("seq_end"),
+          (col("seq_end") - col("seq_start") + 1L).as("n_seqs"))
+        .orderBy(col("source"), col("doc_id"))
     }
   )
 }

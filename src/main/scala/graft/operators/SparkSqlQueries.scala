@@ -795,6 +795,45 @@ object SparkSqlQueries {
         |    CASE WHEN nd <= 1 THEN named_struct('k', k, 'passage', passage) END)),
         |    p -> p.passage), ' ') AS clean_text
         |FROM ch JOIN pc USING (passage)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_c24_decontaminate" ->
+      """WITH lists AS (
+        |  SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN size(ts) >= 13 THEN transform(sequence(0, size(ts) - 13),
+        |      k -> array_join(slice(ts, k + 1, 13), ' ')) ELSE array() END AS ngs
+        |  FROM lists),
+        |bn AS (SELECT DISTINCT ng
+        |       FROM (SELECT explode(ngs) AS ng FROM g WHERE doc_id % 7 = 0)),
+        |cg AS (SELECT doc_id, ng
+        |       FROM g LATERAL VIEW OUTER explode(ngs) t AS ng
+        |       WHERE doc_id % 7 <> 0)
+        |SELECT cg.doc_id,
+        |  SUM(CASE WHEN cg.ng IS NOT NULL THEN 1L ELSE 0L END) AS n_ngrams,
+        |  SUM(CASE WHEN bn.ng IS NOT NULL THEN 1L ELSE 0L END) AS n_contaminated,
+        |  CASE WHEN SUM(CASE WHEN bn.ng IS NOT NULL THEN 1L ELSE 0L END) > 0
+        |    THEN 1L ELSE 0L END AS contaminated
+        |FROM cg LEFT JOIN bn ON cg.ng = bn.ng
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // value-identical simple-window form of the DataFrame program's
+    // block-structured prefix sum (the blocking changes the plan shape,
+    // not the arithmetic)
+    "q_c25_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tok_start,
+        |  tok_start DIV 512 AS seq_start,
+        |  (tok_start + n_tokens - 1) DIV 512 AS seq_end,
+        |  (tok_start + n_tokens - 1) DIV 512 - tok_start DIV 512 + 1L AS n_seqs
+        |FROM c ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -61,4 +61,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"signature call inlined into Generate:\n${bad.mkString("\n")}")
     assert(plan.contains("hyperplanesignature"), "signature projection missing entirely")
   }
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // settle AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    graft.core.CachedRdds.drain()
+    p
+  }
+
+  test("q_c24 benchmark n-gram join is broadcast (corpus never shuffles on ng)") {
+    val plan = executed("q_c24_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join on n-grams reintroduced:\n$plan")
+  }
+
+  test("q_c25 prefix sum is block-structured (no per-source global window over docs)") {
+    val plan = optimized("q_c25_sequence_pack")
+    // the within-block running sum must partition by (source, blk) — every
+    // window partition is ≤ 4096 rows by construction
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined,
+      s"bounded (source, blk) window missing:\n$plan")
+    // the funnel shape: a window over the full doc stream partitioned by
+    // source alone (one task per source at 100 TB)
+    assert("windowspecdefinition\\(source#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty,
+      s"per-source global window over docs reintroduced:\n$plan")
+    val phys = executed("q_c25_sequence_pack")
+    assert(phys.contains("BroadcastHashJoin") && !phys.contains("SortMergeJoin"),
+      s"block offsets must broadcast back:\n$phys")
+  }
 }
