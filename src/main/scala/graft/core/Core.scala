@@ -20,8 +20,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS); read as BIGINT nanos (see
-      // EventQueries scaladoc for the µs canonicalization contract)
+      // Dual-layout contract for events.ts (see EventTime): if a data
+      // generation ships TIMESTAMP(NANOS) — which Spark 4 cannot represent
+      // as a timestamp — this reads it as BIGINT nanos instead of failing
+      // the scan; EventTime then canonicalizes per the LOADED type, so the
+      // setting is inert (harmless) for µs-timestamp generations.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the 54-query surface generates far more than the default 100
       // cached codegen units, so a multi-query session recompiled every
@@ -51,6 +54,49 @@ object GraftSession {
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Schema-adaptive event-time canonicalization.
+  *
+  * The physical parquet layout of `events.ts` has already changed once
+  * between test-data generations (TIMESTAMP(NANOS) — which Spark reads as
+  * BIGINT nanos under `spark.sql.legacy.parquet.nanosAsLong` — then
+  * timestamp[us], which Spark reads as TIMESTAMP_NTZ). The reference's
+  * schema discipline is to verify dynamically rather than trust a remembered
+  * layout (aind-exaspim-data-transformation `io_utils.py:452-466`); the
+  * analog here is to inspect the loaded column's Spark type and canonicalize
+  * to **int64 epoch microseconds** — the exact value DuckDB's `epoch_us(ts)`
+  * yields on every layout (DuckDB truncates nanos to µs on scan), so all
+  * window buckets, gap tests and as-of comparisons stay identical integer
+  * arithmetic on both engines.
+  *
+  * Supported layouts (the session is pinned to UTC, so NTZ→instant casts are
+  * the identity epoch map):
+  *   - BIGINT            → nanos (the nanosAsLong read of TIMESTAMP(NANOS))
+  *   - TIMESTAMP_NTZ     → µs wall time read as UTC
+  *   - TIMESTAMP         → µs instant
+  */
+object EventTime {
+  /** µs canonicalization expression for a column named `ts` of type `dt`.
+    * Integer `DIV` (not `/`) for the nanos layout: epoch nanos exceed 2^53,
+    * so a float division would lose the low digits.
+    */
+  def microsExpr(dt: DataType): Column = dt match {
+    case LongType         => expr("ts DIV 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected BIGINT nanos, TIMESTAMP or TIMESTAMP_NTZ")
+  }
+
+  /** `df` with a canonical `t_us` BIGINT epoch-µs column derived from `ts`. */
+  def withMicros(df: DataFrame): DataFrame =
+    df.withColumn("t_us", microsExpr(df.schema("ts").dataType))
+
+  /** The events table with the canonical `t_us` column appended. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withMicros(Tables(spark, dir, "events"))
 }
 
 /** Numeric canonicalization for DuckDB-oracle hash equality (SURVEY §2.4).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.{Decimals, QueryDef, Tables}
+import graft.core.{Decimals, EventTime, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * uses (`window()`, session gap logic, as-of ordering), so each plan is
   * streaming-ready: swap `read` for `readStream`, add a watermark.
   *
-  * Event-time canonicalization: the driver's `events.ts` parquet column is
-  * TIMESTAMP(NANOS), which Spark's µs timestamps cannot represent and
-  * DuckDB truncates to µs on scan. We therefore read it as BIGINT nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every graft session)
-  * and canonicalize to **int64 epoch microseconds** (`ts DIV 1000`) — the
-  * exact value DuckDB's `epoch_us(ts)` produces — so every comparison,
-  * window bucket and gap test is identical integer arithmetic on both
-  * engines. `timestamp_micros()` lifts back to a (lossless) Spark timestamp
-  * where the idiomatic operator wants one (`window()`, as-of range join).
+  * Event-time canonicalization is SCHEMA-ADAPTIVE ([[graft.core.EventTime]]):
+  * every plan reads the events table through `EventTime.events`, which
+  * inspects the loaded `ts` type (BIGINT nanos / TIMESTAMP / TIMESTAMP_NTZ —
+  * the physical layout has changed across data generations) and appends a
+  * canonical `t_us` int64 epoch-µs column — the exact value DuckDB's
+  * `epoch_us(ts)` produces on every layout — so every comparison, window
+  * bucket and gap test is identical integer arithmetic on both engines.
+  * `timestamp_micros()` lifts back to a (lossless) Spark timestamp where the
+  * idiomatic operator wants one (`window()`, as-of range join).
   *
   * The streaming variants live in [[graft.streaming.StreamingOps]].
   */
@@ -35,8 +35,8 @@ object EventQueries {
              |GROUP BY 1, 2
              |ORDER BY window_start_us, event_type""".stripMargin)
     ) { (s, d) =>
-      Tables(s, d, "events")
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      EventTime.events(s, d)
+        .withColumn("ets", timestamp_micros(col("t_us")))
         .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
@@ -64,8 +64,8 @@ object EventQueries {
              |GROUP BY 1
              |ORDER BY window_start_us""".stripMargin)
     ) { (s, d) =>
-      Tables(s, d, "events")
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      EventTime.events(s, d)
+        .withColumn("ets", timestamp_micros(col("t_us")))
         .groupBy(window(col("ets"), "1 hour", "15 minutes").as("w"))
         .agg(
           count(lit(1)).as("cnt"),
@@ -105,8 +105,8 @@ object EventQueries {
     ) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, d, "events")
-        .withColumn("tsu", expr("ts DIV 1000"))
+      EventTime.events(s, d)
+        .withColumn("tsu", col("t_us"))
         .withColumn("prev_tsu", lag(col("tsu"), 1).over(wOrd))
         .withColumn(
           "new_sess",
@@ -154,14 +154,14 @@ object EventQueries {
              |WHERE rn = 1
              |ORDER BY event_id""".stripMargin)
     ) { (s, d) =>
-      val ev = Tables(s, d, "events")
+      val ev = EventTime.events(s, d)
         // join-key parity: the oracle's inner join on e.user_id = o.o_custkey
         // drops NULL keys; the union-stream window would otherwise co-locate
         // NULL-keyed events and orders in one partition and pair them up
         .filter(col("user_id").isNotNull)
         .select(
           col("user_id"),
-          expr("ts DIV 1000").as("t_us"),
+          col("t_us"),
           lit(1).as("tag"),
           col("event_id"),
           lit(null).cast("bigint").as("o_orderkey"),
@@ -229,8 +229,8 @@ object EventQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ) { (s, d) =>
       val W = 60000000L // 60 s in µs
-      val e = Tables(s, d, "events")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      val e = EventTime.events(s, d)
+        .select(col("event_id"), col("user_id"), col("t_us").as("us"))
         .withColumn("bk", expr(s"us DIV $W"))
       def side(tag: String) = e.select(
         col("user_id"), col("bk"),

@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Dialect notes vs the DuckDB oracles in the QueryDefs: `string_split`
   * → `split`, `list_*` → `array_*`, 1-based `[i]` → 0-based,
   * `unnest(range(n))` → `explode(sequence(0, n-1))`, `epoch_us(ts)` →
-  * `ts DIV 1000` (events.ts is read as BIGINT nanos), `//` → `DIV`,
+  * `t_us` from the `events_us` view (the schema-adaptive EventTime
+  * canonicalization — events.ts has shipped as both BIGINT nanos and
+  * timestamp[us] across data generations), `//` → `DIV`,
   * bare float literals carry a `D` suffix where the DataFrame side uses
   * doubles (Spark parses `1.0` as DECIMAL).
   */
@@ -36,9 +38,12 @@ object SparkSqlQueries {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings"))
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    // events + canonical epoch-µs `t_us`, adaptive to the shipped ts layout
+    graft.core.EventTime.events(spark, dir).createOrReplaceTempView("events_us")
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.HyperplaneSignature.register(spark)
     graft.functions.IntersectCountSorted.register(spark)
+    graft.functions.SubwordCount.register(spark)
   }
 
   /** Run one named query from [[sql]]. */
@@ -330,10 +335,10 @@ object SparkSqlQueries {
 
     // ---- event streams ---------------------------------------------------
     "q_b1_tumbling_window" ->
-      """SELECT unix_micros(date_trunc('hour', timestamp_micros(ts DIV 1000))) AS window_start_us,
+      """SELECT unix_micros(date_trunc('hour', timestamp_micros(t_us))) AS window_start_us,
         |  event_type, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
-        |FROM events
+        |FROM events_us
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
@@ -341,15 +346,15 @@ object SparkSqlQueries {
       """SELECT unix_micros(window.start) AS window_start_us,
         |  COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
-        |FROM (SELECT timestamp_micros(ts DIV 1000) AS ets, value FROM events)
+        |FROM (SELECT timestamp_micros(t_us) AS ets, value FROM events_us)
         |GROUP BY window(ets, '1 hour', '15 minutes')
         |ORDER BY window_start_us""".stripMargin,
 
     "q_b3_sessionize" ->
       """WITH t AS (
-        |  SELECT user_id, event_id, ts DIV 1000 AS tsu,
-        |         lag(ts DIV 1000) OVER (PARTITION BY user_id ORDER BY ts DIV 1000, event_id) AS prev_tsu
-        |  FROM events),
+        |  SELECT user_id, event_id, t_us AS tsu,
+        |         lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_tsu
+        |  FROM events_us),
         |f AS (
         |  SELECT *, CASE WHEN prev_tsu IS NULL
         |                   OR tsu - prev_tsu > 1800000000 THEN 1L ELSE 0L END AS new_sess
@@ -367,24 +372,24 @@ object SparkSqlQueries {
     "q_b4_asof_join" ->
       """SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
         |FROM (
-        |  SELECT e.event_id, e.ts DIV 1000 AS ts_us, e.user_id,
+        |  SELECT e.event_id, e.t_us AS ts_us, e.user_id,
         |         o.o_orderkey AS last_orderkey,
         |         o.o_orderdate AS last_orderdate,
         |         o.o_totalprice AS last_totalprice,
         |         ROW_NUMBER() OVER (PARTITION BY e.event_id
         |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
+        |  FROM events_us e
         |  JOIN orders o ON e.user_id = o.o_custkey
-        |    AND unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) <= e.ts DIV 1000
+        |    AND unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) <= e.t_us
         |)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 
     "q_b9_interval_join" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs
-        |FROM events a JOIN events b
+        |FROM events_us a JOIN events_us b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        | AND abs(a.ts DIV 1000 - b.ts DIV 1000) <= 60000000
+        | AND abs(a.t_us - b.t_us) <= 60000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ---- dedup -----------------------------------------------------------

@@ -15,23 +15,16 @@ object TextQueries {
   import Decimals._
 
   /** Greedy longest-match merge vocabulary for q_c22's subword (BPE-style)
-    * token counting — a fixed public list of frequent English character
-    * merges (lengths 4 → 2); single characters are the implicit fallback
-    * unit. These are driver-side model constants compiled into the
-    * expression (the IVF-centroid pattern), so tokenization is a pure
-    * per-row projection: no broadcast join, no shuffle, no UDF.
+    * token counting — single source of truth lives with the native
+    * expression ([[graft.functions.SubwordCount.vocab]]); aliased here for
+    * the HOF twin and the DuckDB oracle text.
     */
-  private[graft] val bpeVocab: Seq[String] = Seq(
-    "tion", "ment", "ther", "with", "that",
-    "the", "ing", "and", "ent", "ion", "for", "ter", "ate", "est", "ers", "res",
-    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
-    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
-    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
-    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
-    "om", "ur")
+  private[graft] val bpeVocab: Seq[String] = graft.functions.SubwordCount.vocab
 
-  /** q_c22's tokenizer as ONE Spark SQL expression (shared by the
-    * DataFrame plan and the SQL-text twin): per word (whitespace
+  /** q_c22's tokenizer as ONE Spark SQL expression (the SQL-text twin;
+    * the DataFrame plan uses the codegen'd native
+    * [[graft.functions.SubwordCount]], which SqlParitySpec cross-checks
+    * against this form): per word (whitespace
     * pre-split, the GPT-2-style pre-tokenization), a linear fold over
     * character positions that consumes the LONGEST vocab entry matching
     * at the cursor (single char when none matches) and counts the
@@ -261,12 +254,13 @@ object TextQueries {
            |FROM ws LEFT JOIN sub USING (doc_id) ORDER BY ws.doc_id""".stripMargin
       }
     ) { (s, d) =>
+      graft.functions.SubwordCount.register(s)
       Tables(s, d, "documents")
         .select(
           col("doc_id"),
           size(expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
             .cast("long").as("ws_tokens"),
-          expr(subwordCountExpr("text")).as("subword_tokens"))
+          expr("subword_count(text)").as("subword_tokens"))
         .select(
           col("doc_id"),
           col("ws_tokens"),

@@ -113,8 +113,8 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the same events as an unbounded stream in three chunks; chunk order
     // follows file order, so later chunks contain EARLIER timestamps —
     // session_window state must merge them (complete mode, lax watermark)
-    val evts = graft.core.Tables(sp, dir, "events")
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    val evts = graft.core.EventTime.events(sp, dir)
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Evt].collect()
     assert(evts.length >= 1000, "fixture sanity")
@@ -164,8 +164,8 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
       .map(r => AsOfIn(r.getLong(0), r.getLong(1), 0, 0L, r.getLong(2),
         r.getLong(1), r.getDouble(3)))
-    val events = graft.core.Tables(sp, dir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("t_us"), col("event_id"))
+    val events = graft.core.EventTime.events(sp, dir)
+      .select(col("user_id"), col("t_us"), col("event_id"))
       .collect()
       .map(r => AsOfIn(r.getLong(0), r.getLong(1), 1, r.getLong(2), 0L, 0L, 0.0))
     // deliver in global event-time order (the stream-stream watermark
