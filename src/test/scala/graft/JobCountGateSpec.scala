@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate for the heavy query set, adjudicated by SPARK
+  * JOB COUNT rather than wall-clock: under the gVisor sandbox, wall times on
+  * scheduler-bound queries swing ±4 s across identical binaries, but the
+  * number of jobs an action fans out into is deterministic for a fixed plan
+  * (round 10 used exactly this signal to catch a star-CC change that doubled
+  * the production job count while the spec fixture improved, and to find the
+  * memo displacement at scale10 — see PERF.md).
+  *
+  * Each query runs COLD (session memo evicted, cached RDDs drained) at
+  * sf0.001 in a bench-like session (AQE on). Ceilings are measured-cold
+  * counts + ~25 % slack for AQE stage-planning drift: a creeping extra
+  * action per round / per stage (the class of regression this gate exists
+  * for) adds far more than 25 %.
+  */
+class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-jobgate-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Measured-cold job counts in THIS spec environment (local[8], sf0.001,
+    * collect sink) + slack. Not the bench artifact's sf0.1 numbers — the
+    * gate pins the plan shape, which is scale-free; absolute counts differ
+    * with AQE decisions per SF.
+    */
+  private val ceilings: Seq[(String, Int)] = Seq(
+    "q_b6_jaccard_neardup" -> 23,   // measured 18 cold (×2 runs, identical)
+    "q_c3_ngram_jaccard" -> 23,     // measured 18
+    "q_c9_ann_ivf" -> 19,           // measured 15
+    "q_c13_dup_clusters" -> 38,     // measured 30
+    "q_c19_neardup_retained" -> 40  // measured 32
+  )
+
+  test("cold job counts for the heavy set stay under their ceilings") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val measured = for ((name, ceiling) <- ceilings) yield {
+        // cold state: no memo hits, no cached vocab RDDs from a prior query
+        graft.core.SessionMemo.evict(Some(spark))
+        graft.core.CachedRdds.drain()
+        Thread.sleep(300) // drain queued listener events
+        val before = counter.get()
+        val n = SparkEntry.queries(name)(spark, sf).collect().length
+        Thread.sleep(300)
+        val jobs = counter.get() - before
+        assert(n > 0 || name == "q_c4_embedding_neardup", s"$name: empty result")
+        info(s"$name: $jobs jobs (ceiling $ceiling)")
+        (name, jobs, ceiling)
+      }
+      graft.core.CachedRdds.drain()
+      val over = measured.filter { case (_, jobs, ceiling) => jobs > ceiling }
+      assert(over.isEmpty,
+        s"job-count regressions: ${over.map(t => s"${t._1}=${t._2}>${t._3}").mkString(", ")}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}
