@@ -28,9 +28,12 @@ import org.apache.spark.storage.StorageLevel
   * much as rebuilding (pass B 108.6 s ≈ cold). So each build is persisted
   * as an owned row RDD, materialized eagerly, and MEASURED: a frame larger
   * than `spark.graft.memo.maxBytes` (default heap/8) is handed to
-  * [[CachedRdds]] for normal per-query drain instead of being memoized,
-  * and when the TOTAL across entries exceeds the budget the oldest entries
-  * are evicted first. Under-budget entries keep the round-9 semantics
+  * [[CachedRdds]] for per-query drain (rebuilt next query) — or, with
+  * `spark.graft.memo.diskTier=true`, moved to an opt-in DISK TIER
+  * (round 11): spilled once to session-local parquet, its storage blocks
+  * freed immediately, reuse served by columnar scans of the spill file.
+  * When the TOTAL across in-memory entries exceeds the budget the
+  * oldest entries are evicted first. Under-budget entries keep the round-9 semantics
   * exactly: they survive per-query `drain()`, unpersist on replacement, on
   * snapshot mismatch, and eagerly when the owning session stops
   * (listener), so a long-lived multi-tenant process never carries a dead
@@ -41,7 +44,11 @@ object SessionMemo {
       session: SparkSession,
       snapshot: String,
       df: DataFrame,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      // Left: in-memory tier (owned persisted row RDD).
+      // Right: disk tier (session-local parquet path) — for frames over
+      // the memory budget, where holding blocks would displace execution
+      // memory but a rebuild costs the whole upstream pipeline.
+      store: Either[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], String],
       bytes: Long,
       seq: Long)
   // (kind, dir) -> entry; small by construction (one entry per memoized
@@ -89,11 +96,31 @@ object SessionMemo {
     }.sorted.mkString("|")
   }
 
-  private def unpersistEntry(e: Entry): Unit =
-    if (!e.session.sparkContext.isStopped) {
-      try e.rdd.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+  private def unpersistEntry(e: Entry): Unit = e.store match {
+    case Left(rdd) =>
+      if (!e.session.sparkContext.isStopped) {
+        try rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    case Right(path) => deleteLocal(path)
+  }
+
+  /** Per-JVM root for disk-tier spills; entries are deleted on evict/
+    * replacement/session stop, the root on JVM exit.
+    */
+  private lazy val diskRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-memo-disk")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteLocal(d.toString)))
+    d
+  }
+
+  private def deleteLocal(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    try rm(new java.io.File(path))
+    catch { case _: Throwable => () }
+  }
 
   /** Drop every entry owned by `owner` (or all when None). Idempotent. */
   def evict(owner: Option[SparkSession]): Unit = synchronized {
@@ -108,8 +135,14 @@ object SessionMemo {
     */
   private def enforceTotal(s: SparkSession, keep: (String, String)): Unit = {
     val budget = maxBytes(s)
-    var total = slots.valuesIterator.map(_.bytes).sum
-    val victims = slots.toSeq.filter(_._1 != keep).sortBy(_._2.seq)
+    // disk-tier entries hold no storage-region blocks; their footprint is
+    // bounded separately (one spill file per (kind, dir), deleted on
+    // replacement/evict/session stop)
+    var total = slots.valuesIterator.collect {
+      case e if e.store.isLeft => e.bytes
+    }.sum
+    val victims = slots.toSeq
+      .filter { case (k, e) => k != keep && e.store.isLeft }.sortBy(_._2.seq)
     val it = victims.iterator
     while (total > budget && it.hasNext) {
       val (k, e) = it.next()
@@ -118,6 +151,32 @@ object SessionMemo {
       total -= e.bytes
     }
   }
+
+  /** Disk tier is OPT-IN (`spark.graft.memo.diskTier=true`). The round-11
+    * scale10 A/B could not certify it faster than drop-and-rebuild — the
+    * sandbox's identical-plan colds spread 130–305 s across runs, and
+    * disk-scan vs rebuild pass-B walls (269 vs 244 s) landed inside that
+    * noise (PERF.md round 11) — so the r10-certified drop behavior stays
+    * the default until a clean window proves the tier out. On the
+    * regenerated corpus the over-budget path is hypothetical anyway at
+    * the default budget (scale10 garr measures 214 MB vs the 1 GB
+    * heap/8).
+    */
+  private def diskTierEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.memo.diskTier").exists(_.toBoolean)
+
+  /** Evict eagerly when the owning session stops, so a long-lived
+    * multi-tenant process doesn't carry dead frames (or spill files)
+    * until the next call.
+    */
+  private def hookEviction(s: SparkSession): Unit =
+    if (evictionHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evict(Some(s))
+      })
+    }
 
   /** Return the memoized frame for (kind, dir) when the owning session and
     * input snapshot still match; otherwise evict the stale entry, run
@@ -148,25 +207,44 @@ object SessionMemo {
           .find(_.id == rdd.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
         val df = s.createDataFrame(rdd, built.schema)
         builds(kind) = builds.getOrElse(kind, 0L) + 1L
+        // one admission line per build: the tier decision is the whole
+        // story when reading a bench (memo-warm vs rebuild vs disk scan)
+        System.err.println(
+          s"[memo] $kind: measured $bytes B vs budget ${maxBytes(s)} B -> " +
+            (if (bytes > maxBytes(s)) { if (diskTierEnabled(s)) "disk tier" else "drop (rebuild per query)" }
+             else "memory tier"))
         if (bytes > maxBytes(s)) {
-          // too big to be a view: keep it persisted for THIS query's
-          // consumers (they reference it repeatedly), drain it after
-          CachedRdds.register(rdd)
+          if (diskTierEnabled(s)) {
+            // DISK TIER (round 11): the round-10 displacement A/B showed
+            // holding an over-budget frame in the storage region makes the
+            // SAME session 2.2x slower, but dropping it forces pass B to
+            // rebuild the whole upstream pipeline (scale10 garr: 62.9 s).
+            // Middle path: spill ONCE to session-local parquet from the
+            // already-materialized blocks, free the blocks immediately,
+            // and serve columnar scans of the spill on every reuse —
+            // no storage-region occupancy, no pipeline rebuild.
+            val path = diskRoot.resolve(
+              s"$kind-${java.lang.Integer.toHexString((dir + snap).hashCode)}").toString
+            df.write.mode("overwrite").parquet(path)
+            rdd.unpersist(blocking = false)
+            val diskDf = s.read.parquet(path)
+            seqCounter += 1L
+            slots(key) = Entry(s, snap, diskDf, Right(path), bytes, seqCounter)
+            hookEviction(s)
+            diskDf
+          } else {
+            // diagnostic fallback (A/B): keep it persisted for THIS
+            // query's consumers, drain it after, rebuild next query
+            CachedRdds.register(rdd)
+            df
+          }
         } else {
           seqCounter += 1L
-          slots(key) = Entry(s, snap, df, rdd, bytes, seqCounter)
+          slots(key) = Entry(s, snap, df, Left(rdd), bytes, seqCounter)
           enforceTotal(s, key)
-          // evict eagerly when the owning session stops, so a long-lived
-          // multi-tenant process doesn't carry dead frames until the next call
-          if (evictionHooked.add(s)) {
-            s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-              override def onApplicationEnd(
-                  end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-                evict(Some(s))
-            })
-          }
+          hookEviction(s)
+          df
         }
-        df
     }
   }
 
@@ -181,4 +259,10 @@ object SessionMemo {
   /** Test hook: measured bytes of the held entry, if any. */
   private[graft] def heldBytes(kind: String): Option[Long] =
     synchronized(slots.collectFirst { case ((k, _), e) if k == kind => e.bytes })
+
+  /** Test hook: the disk-tier spill path of the held entry, if any. */
+  private[graft] def heldOnDisk(kind: String): Option[String] =
+    synchronized(slots.collectFirst {
+      case ((k, _), e) if k == kind && e.store.isRight => e.store.toOption.get
+    })
 }

@@ -354,9 +354,18 @@ object SimilarityQueries {
     * [[SparkSqlQueries.qC9SearchSql]] (asserted row-identical in
     * SqlParitySpec).
     */
-  private[graft] def ivfSearch(e: DataFrame, fn: String, nprobe: Int): DataFrame = {
+  private[graft] def ivfSearch(
+      e: DataFrame, fn: String, nprobe: Int, nassign: Int = 1): DataFrame = {
+      // nassign > 1 is SPILLED ASSIGNMENT (the multi-assignment idea from
+      // the ANN literature, e.g. ScaNN's SOAR): index each corpus vector
+      // under its nassign nearest cells. A true neighbor is then missed
+      // only if NONE of its cells is probed — on weakly-clustered corpora
+      // (where cell ranking by centroid similarity is noisy) this buys
+      // more recall per scanned row than raising nprobe, at the cost of
+      // an nassign-times larger index. Scanned-rows accounting and
+      // [[scannedFraction]] count the duplicated entries honestly.
       val assigned = e
-        .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+        .withColumn("cell", explode(expr(s"$fn(v, $nassign)")))
       val qProbe = e
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -365,17 +374,23 @@ object SimilarityQueries {
       val wCell = Window.partitionBy(col("query_id"), col("cell"))
         .orderBy(col("score").desc, col("vec_id"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-      assigned.join(broadcast(qProbe), Seq("cell"))
+      val scored = assigned.join(broadcast(qProbe), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score", round(expr(cosExpr), 4))
-        // exact per-cell top-k pushdown: each corpus vector lives in ONE
-        // cell, so a query's global top-5 is contained in its per-cell
-        // top-5s; the per-query window then sees ≤ 5·nprobe rows instead
-        // of the whole probed fraction of the corpus. Same (score, vec_id)
-        // total order in both windows keeps the result bit-identical.
+        // exact per-cell top-k pushdown: a query's global top-5 is
+        // contained in its per-cell top-5s (each corpus entry lives in
+        // its row's cell bucket), so the per-query window sees
+        // ≤ 5·nprobe rows instead of the whole probed fraction of the
+        // corpus. Same (score, vec_id) total order in both windows keeps
+        // the result bit-identical.
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= 5)
-        .drop("cell_rank")
+        .select(col("query_id"), col("vec_id"), col("score"))
+      // under spilled assignment one (query, vec) pair can surface from
+      // two probed cells; the surviving rows are identical triples, so
+      // the dedup is deterministic. No-op (and skipped) at nassign = 1.
+      val uniq = if (nassign > 1) scored.dropDuplicates("query_id", "vec_id") else scored
+      uniq
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
@@ -431,9 +446,10 @@ object SimilarityQueries {
     * figure is meaningless without (recall 0.95 scanning 50 % of the
     * corpus is fan-out, not structure).
     */
-  private[graft] def scannedFraction(e: DataFrame, fn: String, nprobe: Int): Double = {
+  private[graft] def scannedFraction(
+      e: DataFrame, fn: String, nprobe: Int, nassign: Int = 1): Double = {
     val sizes = e
-      .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+      .withColumn("cell", explode(expr(s"$fn(v, $nassign)")))
       .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
     val probed = e
       .filter(col("vec_id") % 100 === 0)
@@ -454,7 +470,8 @@ object SimilarityQueries {
   private[graft] def ivfQuality(
       s: SparkSession,
       e0: DataFrame,
-      nprobeOf: Int => Int): (Double, Double, Int, Int) = {
+      nprobeOf: Int => Int,
+      nassign: Int = 1): (Double, Double, Int, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val e = graft.core.CachedRdds.registerDf(
       e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -471,7 +488,7 @@ object SimilarityQueries {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val got = ivfSearch(e, fn, nprobe)
+    val got = ivfSearch(e, fn, nprobe, nassign)
       .collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -479,7 +496,7 @@ object SimilarityQueries {
       brute(qid).intersect(got.getOrElse(qid, Set.empty)).size.toDouble / brute(qid).size
     }
     val recall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.length
-    val frac = scannedFraction(e, fn, nprobe)
+    val frac = scannedFraction(e, fn, nprobe, nassign)
     // k is recomputed the same way trainIvf sized it (count is cheap on
     // the persisted frame) so callers can report nprobe/k
     val n = e.count()

@@ -102,36 +102,94 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.nonEmpty)
   }
 
-  test("size budget: an oversized frame is not memoized, a fitting one is") {
+  test("size budget: an oversized frame moves to the disk tier, a fitting one stays in memory") {
     val sp = spark
     import sp.implicits._
     writeDocs(baseDocs)
     try {
-      // ~3 MB of rows vs a 64 KB budget: the build must still return a
-      // usable (persisted-for-this-query) frame, but the memo must stay
-      // empty so the blocks drain with the query instead of squatting in
-      // the storage region (the q_c3 scale10 displacement, PERF.md r10)
+      // ~3 MB of rows vs a 64 KB budget: the frame must NOT hold storage
+      // blocks (the q_c3 scale10 displacement, PERF.md r10) but must
+      // still be reusable without rebuilding — served from a parquet
+      // spill under the memo's session-local disk root (opt-in tier)
       spark.conf.set("spark.graft.memo.maxBytes", (64 * 1024).toString)
+      spark.conf.set("spark.graft.memo.diskTier", "true")
       val big = SessionMemo.getOrBuild(spark, "budget_big", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(100000).select(col("id"), concat_ws("-", lit("x" * 24), col("id")).as("t"))
       }
       assert(big.count() == 100000L)
-      assert(!SessionMemo.occupied("budget_big"),
-        "an over-budget frame must not be memoized")
-      // a second call must REBUILD (miss), not serve a dropped entry
-      SessionMemo.getOrBuild(spark, "budget_big", dir, Seq(s"$dir/documents.parquet")) {
+      assert(SessionMemo.occupied("budget_big"),
+        "an over-budget frame must be memoized on the disk tier")
+      val spill = SessionMemo.heldOnDisk("budget_big")
+      assert(spill.isDefined, "over-budget entry must live on disk, not in memory")
+      assert(new java.io.File(spill.get).exists())
+      assert(!spark.sparkContext.getRDDStorageInfo
+          .exists(i => i.memSize + i.diskSize > 64 * 1024),
+        "disk-tier admission must free the over-budget build's persisted blocks")
+      // a second call is a HIT: same rows, no rebuild
+      val again = SessionMemo.getOrBuild(spark, "budget_big", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(10).toDF("id")
       }
-      assert(SessionMemo.buildCount("budget_big") == 2L)
+      assert(again.count() == 100000L)
+      assert(SessionMemo.buildCount("budget_big") == 1L,
+        "disk-tier hit must not rebuild the pipeline")
+      // eviction deletes the spill file
+      SessionMemo.evict(Some(spark))
+      assert(!new java.io.File(spill.get).exists(),
+        "evicting a disk-tier entry must delete its spill")
 
-      // a small frame fits and is held, with its measured size recorded
+      // a small frame fits and is held in memory, measured
       val small = SessionMemo.getOrBuild(spark, "budget_small", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(100).toDF("id")
       }
       assert(small.count() == 100L)
       assert(SessionMemo.occupied("budget_small"))
+      assert(SessionMemo.heldOnDisk("budget_small").isEmpty)
       assert(SessionMemo.heldBytes("budget_small").exists(b => b > 0L && b <= 64 * 1024))
     } finally {
+      spark.conf.unset("spark.graft.memo.diskTier")
+      spark.conf.unset("spark.graft.memo.maxBytes")
+      graft.core.CachedRdds.drain()
+      SessionMemo.evict(Some(spark))
+    }
+  }
+
+  test("disk tier: snapshot mismatch rebuilds and replaces the spill; default stays drop-and-rebuild") {
+    val sp = spark
+    import sp.implicits._
+    writeDocs(baseDocs)
+    try {
+      spark.conf.set("spark.graft.memo.maxBytes", (64 * 1024).toString)
+      spark.conf.set("spark.graft.memo.diskTier", "true")
+      SessionMemo.getOrBuild(spark, "disk_inval", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(100000).select(col("id"), concat_ws("-", lit("a" * 24), col("id")).as("t"))
+      }.count()
+      val b0 = SessionMemo.buildCount("disk_inval")
+      val spill0 = SessionMemo.heldOnDisk("disk_inval").get
+      // rewrite the fixture → snapshot mismatch → rebuild, old spill replaced
+      writeDocs(baseDocs.map { case (id, src, t) => (id, src, t + " tail") })
+      val fresh = SessionMemo.getOrBuild(spark, "disk_inval", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(50000).select(col("id"), concat_ws("-", lit("b" * 24), col("id")).as("t"))
+      }
+      assert(fresh.count() == 50000L)
+      assert(SessionMemo.buildCount("disk_inval") == b0 + 1)
+      assert(!new java.io.File(spill0).exists(),
+        "stale spill must be deleted on invalidation")
+
+      // DEFAULT (tier unset): over-budget frames drop and rebuild —
+      // the r10-certified behavior (the round-11 A/B could not certify
+      // the tier faster in the sandbox, so it stays opt-in)
+      spark.conf.unset("spark.graft.memo.diskTier")
+      SessionMemo.getOrBuild(spark, "disk_optout", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(100000).select(col("id"), concat_ws("-", lit("c" * 24), col("id")).as("t"))
+      }.count()
+      assert(!SessionMemo.occupied("disk_optout"),
+        "with the tier off, an over-budget frame must not be memoized")
+      SessionMemo.getOrBuild(spark, "disk_optout", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(10).toDF("id")
+      }
+      assert(SessionMemo.buildCount("disk_optout") == 2L)
+    } finally {
+      spark.conf.unset("spark.graft.memo.diskTier")
       spark.conf.unset("spark.graft.memo.maxBytes")
       graft.core.CachedRdds.drain()
       SessionMemo.evict(Some(spark))
