@@ -174,18 +174,11 @@ object Bench {
           val base = sq.ivfCorpus(spark, sfDir)
           val (uR, uF, uK, uN) = sq.ivfQuality(spark, base, k => math.max(2, k / 2))
           graft.core.CachedRdds.drain()
-          // spilled-assignment operating point (round 11): each corpus
-          // vector indexed under its 2 nearest cells, probing k/8 —
-          // targets recall >= 0.9 while scanning ~25 % of corpus rows on
-          // the weakly-clustered uniform fixture (vs 50 % at nprobe=k/2)
-          val (sR, sF, _, sN) =
-            sq.ivfQuality(spark, base, k => math.max(2, k / 8), nassign = 2)
-          graft.core.CachedRdds.drain()
           val (cR, cF, cK, cN) =
             sq.ivfQuality(spark, sq.clusteredCorpus(spark, base), sq.sqrtNprobe)
           graft.core.CachedRdds.drain()
           Some(
-            s""","quality":{"q_c9_recall_at_5":${fmt(uR)},"q_c9_scanned_fraction":${fmt(uF)},"q_c9_nprobe":$uN,"q_c9_cells":$uK,"q_c9_spill_recall_at_5":${fmt(sR)},"q_c9_spill_scanned_fraction":${fmt(sF)},"q_c9_spill_nprobe":$sN,"q_c9_spill_nassign":2,"q_c9_clustered_recall_at_5":${fmt(cR)},"q_c9_clustered_scanned_fraction":${fmt(cF)},"q_c9_clustered_nprobe":$cN,"q_c9_clustered_cells":$cK}""")
+            s""","quality":{"q_c9_recall_at_5":${fmt(uR)},"q_c9_scanned_fraction":${fmt(uF)},"q_c9_nprobe":$uN,"q_c9_cells":$uK,"q_c9_clustered_recall_at_5":${fmt(cR)},"q_c9_clustered_scanned_fraction":${fmt(cF)},"q_c9_clustered_nprobe":$cN,"q_c9_clustered_cells":$cK}""")
         } catch {
           case e: Throwable =>
             // never let the quality probe sink the bench, but the artifact

@@ -358,14 +358,21 @@ object SimilarityQueries {
       e: DataFrame, fn: String, nprobe: Int, nassign: Int = 1): DataFrame = {
       // nassign > 1 is SPILLED ASSIGNMENT (the multi-assignment idea from
       // the ANN literature, e.g. ScaNN's SOAR): index each corpus vector
-      // under its nassign nearest cells. A true neighbor is then missed
-      // only if NONE of its cells is probed — on weakly-clustered corpora
-      // (where cell ranking by centroid similarity is noisy) this buys
-      // more recall per scanned row than raising nprobe, at the cost of
-      // an nassign-times larger index. Scanned-rows accounting and
-      // [[scannedFraction]] count the duplicated entries honestly.
-      val assigned = e
-        .withColumn("cell", explode(expr(s"$fn(v, $nassign)")))
+      // under its nassign nearest cells, so a true neighbor is missed
+      // only if NONE of its cells is probed. MEASURED on this corpus
+      // (round 11, sf0.1, equal scanned budget): it does NOT beat plain
+      // nprobe — 25 % scan: spill k/8×2 recall 0.81 vs single k/4 0.83;
+      // 33 %: 0.86 vs 0.88 — because on near-uniform embeddings the
+      // second-nearest cell is fully correlated with the query's probe
+      // ranking (no diversity gain). Kept as a measurement mechanism
+      // (default 1 everywhere): on corpora whose assignment/probe
+      // rankings decorrelate it is the standard recall lever, and
+      // [[scannedFraction]] counts the duplicated entries honestly.
+      // nassign = 1 stays a pure projection — an explode would insert a
+      // Generate node into the hot assignment scan for nothing
+      val assigned =
+        if (nassign == 1) e.withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+        else e.withColumn("cell", explode(expr(s"$fn(v, $nassign)")))
       val qProbe = e
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -448,8 +455,9 @@ object SimilarityQueries {
     */
   private[graft] def scannedFraction(
       e: DataFrame, fn: String, nprobe: Int, nassign: Int = 1): Double = {
-    val sizes = e
-      .withColumn("cell", explode(expr(s"$fn(v, $nassign)")))
+    val sizes = (
+      if (nassign == 1) e.withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+      else e.withColumn("cell", explode(expr(s"$fn(v, $nassign)"))))
       .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
     val probed = e
       .filter(col("vec_id") % 100 === 0)
