@@ -612,6 +612,22 @@ object SparkSqlQueries {
         |FROM scored GROUP BY 1
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q_c26_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(tot) */ t.doc_id,
+        |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+        |  FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s),
+        |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        |  CAST(CAST(a.nll / CAST(d.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+        |FROM dl d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // ---- multimodal ------------------------------------------------------
     "q_c10_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -342,6 +342,57 @@ object TextQueries {
         .agg(emit(sum(col("tscore"))).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- q_c26: unigram log-prob quality score (CCNet-style) -------------
+    // The perplexity-filter step every corpus pipeline runs (CCNet and its
+    // descendants score documents with an LM and drop the worst tail);
+    // here the LM is the corpus's own unigram distribution, so the whole
+    // op is SQL-expressible and hash-exact: avg_nll = Σ tf·(−ln p(term))
+    // / n_tokens. Distributed shape: one token-keyed shuffle builds the
+    // vocab (Heaps-law bounded but NOT broadcastable at corpus scale —
+    // the tf⋈vocab join shuffles on term, the scale-correct plan), the
+    // 1-row total rides a broadcast, and the per-doc reduce shuffles on
+    // doc_id. Cross-engine float discipline is q_c12's: each per-term
+    // product quantizes through DECIMAL(18,6) (ln ulp wobble dies), the
+    // per-doc sum is exact decimal, and the final mean divides D18/D18
+    // through DECIMAL(38,6) (the q_c22 fertility precedent).
+    QueryDef(
+      "q_c26_unigram_logprob",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+             |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+             |  FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s),
+             |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1)
+             |SELECT d.doc_id, d.n_tokens,
+             |  CAST(CAST(a.nll / CAST(d.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+             |FROM dl d JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val toks = Tables(s, d, "documents").select(
+        col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .join(vocab, Seq("term")) // term-keyed shuffle join: vocab is corpus-sized state
+        .crossJoin(broadcast(tot))
+        .withColumn("tscore",
+          dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
+      val agg = scored.groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
+      dl.join(agg, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          emit((col("nll") / dec(col("n_tokens"))).cast(D38)).as("avg_nll"))
+        .orderBy(col("doc_id"))
     }
   )
 }
