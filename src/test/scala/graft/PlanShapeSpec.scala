@@ -94,4 +94,42 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(phys.contains("BroadcastHashJoin") && !phys.contains("SortMergeJoin"),
       s"block offsets must broadcast back:\n$phys")
   }
+
+  test("q_b1 event canonicalization keeps column pruning (no props/event_id read)") {
+    // EventTime appends t_us from ts; the scan must still prune to the
+    // three consumed columns — a canonicalizer that forced a full-row
+    // read would turn every event query into a full-table scan at 100 TB
+    val plan = executed("q_b1_tumbling_window")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("event_type") && read.contains("value"),
+      s"expected ts/event_type/value in scan schema:\n$read")
+    assert(!read.contains("props") && !read.contains("event_id"),
+      s"unconsumed columns must prune from the scan:\n$read")
+  }
+
+  test("q_b4 as-of join stays union-stream (no join node, NULL-key filters pushed)") {
+    val plan = executed("q_b4_asof_join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q_b4 must be the union-stream form, not a pair-amplifying join:\n$plan")
+    assert(plan.contains("IsNotNull(user_id)"),
+      s"events-leg NULL-key filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("IsNotNull(o_custkey)"),
+      s"orders-leg NULL-key filter must reach the parquet scan:\n$plan")
+  }
+
+  test("q_c26 declares no broadcast of the vocab; only the 1-row total is hinted") {
+    // the unigram vocab is corpus-sized state: a DECLARED broadcast of it
+    // is the 100 TB failure mode. At test SF, AQE legitimately converts
+    // the tiny term join to a runtime broadcast — so the pin is on the
+    // optimized logical plan's hints, not the AQE-final physical choice:
+    // exactly one broadcast hint (the scalar total), none on the term join.
+    val plan = optimized("q_c26_unigram_logprob")
+    val hinted = plan.linesIterator.filter(_.contains("strategy=broadcast")).toSeq
+    assert(hinted.size == 1 && hinted.head.contains("Join Cross"),
+      s"only the 1-row total cross join may carry a broadcast hint:\n$plan")
+    assert("Join Inner, \\(term#\\d+ = term#\\d+\\)$".r
+      .findFirstIn(plan.linesIterator.map(_.trim.stripPrefix(":- ").stripPrefix("+- ")).mkString("\n")).isDefined ||
+      plan.contains("= term#"),
+      s"term-keyed vocab join missing:\n$plan")
+  }
 }
