@@ -614,10 +614,10 @@ object SparkSqlQueries {
 
     "q_c26_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
-        |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
         |scored AS (
         |  SELECT /*+ BROADCAST(tot) */ t.doc_id,
         |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore

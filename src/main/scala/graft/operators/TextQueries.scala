@@ -349,21 +349,28 @@ object TextQueries {
     // descendants score documents with an LM and drop the worst tail);
     // here the LM is the corpus's own unigram distribution, so the whole
     // op is SQL-expressible and hash-exact: avg_nll = Σ tf·(−ln p(term))
-    // / n_tokens. Distributed shape: one token-keyed shuffle builds the
-    // vocab (Heaps-law bounded but NOT broadcastable at corpus scale —
-    // the tf⋈vocab join shuffles on term, the scale-correct plan), the
-    // 1-row total rides a broadcast, and the per-doc reduce shuffles on
-    // doc_id. Cross-engine float discipline is q_c12's: each per-term
-    // product quantizes through DECIMAL(18,6) (ln ulp wobble dies), the
-    // per-doc sum is exact decimal, and the final mean divides D18/D18
-    // through DECIMAL(38,6) (the q_c22 fertility precedent).
+    // / n_tokens. Distributed shape: the corpus is tokenized ONCE into the
+    // (doc, term) tf aggregate — doc length and vocab counts both derive
+    // from tf by algebra (n_tokens = Σ_term tf, cnt = Σ_doc tf) — and tf
+    // is persisted as an owned frame (the q_c9-corpus pattern, drained by
+    // the harness after the query): plain plan sharing can't dedupe the
+    // three consumers because each pushes different IsNotNull filters
+    // into its scan subtree, which defeats ReuseExchange, so without the
+    // persist this query would tokenize 100 TB three times
+    // (PlanShapeSpec pins the single corpus scan). The vocab join shuffles on term
+    // (Heaps-law bounded but NOT broadcastable at corpus scale), the 1-row
+    // total rides a broadcast, the per-doc reduce shuffles on doc_id.
+    // Cross-engine float discipline is q_c12's: each per-term product
+    // quantizes through DECIMAL(18,6) (ln ulp wobble dies), the per-doc
+    // sum is exact decimal, and the final mean divides D18/D18 through
+    // DECIMAL(38,6) (the q_c22 fertility precedent).
     QueryDef(
       "q_c26_unigram_logprob",
       Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
-             |dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
-             |vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
-             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+             |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
              |scored AS (
              |  SELECT t.doc_id,
              |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
@@ -374,13 +381,16 @@ object TextQueries {
              |FROM dl d JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      val toks = Tables(s, d, "documents").select(
-        col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
-      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tf = graft.core.CachedRdds.registerDf(
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
       val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val scored = tf
         .join(vocab, Seq("term")) // term-keyed shuffle join: vocab is corpus-sized state
         .crossJoin(broadcast(tot))

@@ -132,4 +132,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains("= term#"),
       s"term-keyed vocab join missing:\n$plan")
   }
+
+  test("q_c26 tokenizes the corpus once (persisted tf shared by all consumers)") {
+    // dl/vocab/scored all derive from the same persisted (doc, term) tf
+    // aggregate — three independent tokenization passes over 100 TB is
+    // the regression this pins against (plain plan sharing can't dedupe
+    // them: each consumer pushes different IsNotNull filters into its
+    // scan subtree, defeating ReuseExchange)
+    val df = SparkEntry.queries("q_c26_unigram_logprob")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // every tf consumer must read the ONE persisted frame: if the persist
+    // is dropped, InMemoryTableScan disappears and each consumer gets its
+    // own scan+explode+aggregate subtree. (FileScan lines inside the plan
+    // text all sit within InMemoryRelation printouts — the cached plan is
+    // printed per reference but materialized once.)
+    val imts = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    graft.core.CachedRdds.drain()
+    assert(imts >= 3,
+      s"expected >= 3 InMemoryTableScan readers of the persisted tf, got $imts:\n$plan")
+  }
 }
