@@ -75,6 +75,36 @@ object StreamingOps {
     * millisecond-truncated; the sub-ms residue lives in `getNanos` (which
     * carries the FULL sub-second fraction, so take it mod 1 ms).
     */
+  /** Q-B9 streaming twin: stream-stream SELF-JOIN with an event-time
+    * range condition — per-user pairs of events within 60 s of each
+    * other. This is the canonical Structured Streaming interval join:
+    * both sides carry watermarks and the join condition bounds each
+    * side's event time relative to the other, so the state store can
+    * evict rows once the watermark passes their match horizon (state is
+    * O(events inside the 60 s + watermark window per user shard), not
+    * unbounded). The `id_a < id_b` predicate gives each unordered pair
+    * exactly once — the same contract as batch q_b9's bucket blocking,
+    * reached here through join-state symmetry instead.
+    *
+    * Emits the PAIRS (append mode); consumers aggregate downstream
+    * (chaining a streaming aggregation after a stream-stream join is
+    * legal in recent Spark but keeps tighter output-mode constraints, so
+    * the composable unit is the pair stream).
+    */
+  def intervalPairs(a: DataFrame, b: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = a.select(col("event_id").as("id_a"), col("user_id").as("user_a"),
+      col("ts").as("ts_a")).withWatermark("ts_a", watermark)
+    val r = b.select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+      col("ts").as("ts_b")).withWatermark("ts_b", watermark)
+    l.join(r,
+      col("user_a") === col("user_b") &&
+        col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 60 seconds") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 60 seconds"))
+      .select(col("user_a").as("user_id"), col("id_a"), col("id_b"))
+  }
+
   private def epochUs(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 

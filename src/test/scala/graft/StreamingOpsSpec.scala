@@ -192,6 +192,38 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-stream interval join equals the batch q_b9 pair counts on real events") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EventQueries.defs
+      .find(_.name == "q_b9_interval_join").get.plan(sp, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val evts = graft.core.EventTime.events(sp, dir)
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect()
+    val input = MemoryStream[Evt]
+    // the SAME MemoryStream feeds both sides of the self-join (two
+    // lineages over one source, the streaming analog of q_b9's self-join)
+    val pairs = StreamingOps.intervalPairs(input.toDF(), input.toDF(),
+      watermark = "365 days")
+    val q = pairs.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_iv").toString)
+      .format("memory").queryName("iv_pairs").outputMode("append").start()
+    for (chunk <- evts.grouped(evts.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = sp.sql("SELECT user_id, COUNT(*) FROM iv_pairs GROUP BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    q.stop()
+    assert(got == batch,
+      s"streaming pair counts diverge from batch q_b9 (got ${got.size} users, want ${batch.size})")
+  }
+
   test("streaming passage dedup (fMGWS) equals the batch q_c20 plan on real documents") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
