@@ -645,6 +645,80 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c27: incremental ingestion dedup ------------------------------
+    // The continual-pretraining shape q_b6/q_c24 don't cover: a SMALL
+    // incoming batch (docs with doc_id % 10 = 7) checked against the
+    // RETAINED corpus (everything else) for exact and n-gram-overlap
+    // duplication before admission. The asymmetry is the point at 100 TB:
+    // the new batch's per-doc distinct 13-grams and md5 hashes are the
+    // BROADCAST side; the retained corpus streams through scan → explode →
+    // broadcast-hash-join with NO corpus-side shuffle on grams or hashes —
+    // only MATCHED rows shuffle (by new doc_id) for the distinct-hit
+    // count. Compare q_c24, which broadcasts the benchmark and aggregates
+    // on the corpus keys; here aggregation lands on the small side's keys.
+    QueryDef(
+      "q_c27_incremental_dedup",
+      Some("""WITH lists AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |ngrams AS (
+             |  SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
+             |  FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+             |        FROM lists)),
+             |newg AS (SELECT DISTINCT doc_id, ng FROM ngrams WHERE doc_id % 10 = 7),
+             |retg AS (SELECT ng FROM ngrams WHERE doc_id % 10 <> 7),
+             |hits AS (SELECT n.doc_id, CAST(COUNT(DISTINCT n.ng) AS BIGINT) AS n_hit
+             |         FROM newg n JOIN retg r ON n.ng = r.ng GROUP BY 1),
+             |ngc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM newg GROUP BY 1),
+             |newh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+             |ex AS (SELECT DISTINCT n.doc_id FROM newh n
+             |       JOIN (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7) r
+             |         ON n.h = r.h)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(g.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+             |  CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_candidate
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+             |LEFT JOIN ngc g USING (doc_id)
+             |LEFT JOIN hits h USING (doc_id)
+             |LEFT JOIN ex e USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val n = 13
+      val docs = Tables(s, d, "documents")
+      val isNew = col("doc_id") % 10 === 7
+      val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      val grams = when(size(col("ts")) >= n, expr(
+        s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
+        .otherwise(expr("array()"))
+      val newG = toks.filter(isNew)
+        .select(col("doc_id"), explode(grams).as("ng")).distinct()
+      val ngc = newG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      // corpus side: RAW grams (no distinct — that would shuffle the whole
+      // corpus on ng); the broadcast join filters to matches first
+      val hits = toks.filter(!isNew)
+        .select(explode(grams).as("ng"))
+        .join(broadcast(newG), Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("ng")).as("n_hit"))
+      val newH = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
+      val ex = docs.filter(!isNew).select(md5(col("text")).as("h"))
+        .join(broadcast(newH), Seq("h"))
+        .select(col("doc_id")).distinct()
+        .withColumn("exact_dup", lit(1L))
+      docs.filter(isNew).select(col("doc_id"))
+        .join(ngc, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .join(ex, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+          when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L).as("near_candidate"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q_c25: sequence packing (concat-and-chunk) ----------------------
     // Map each document to the fixed-length training sequences it lands in
     // when the per-source token stream is concatenated in doc_id order and

@@ -842,6 +842,33 @@ object SparkSqlQueries {
     // value-identical simple-window form of the DataFrame program's
     // block-structured prefix sum (the blocking changes the plan shape,
     // not the arithmetic)
+    "q_c27_incremental_dedup" ->
+      """WITH lists AS (
+        |  SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |ngrams AS (
+        |  SELECT doc_id, array_join(slice(ts, k + 1, 13), ' ') AS ng
+        |  FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 13)) AS k
+        |        FROM lists WHERE size(ts) >= 13)),
+        |newg AS (SELECT DISTINCT doc_id, ng FROM ngrams WHERE doc_id % 10 = 7),
+        |retg AS (SELECT ng FROM ngrams WHERE doc_id % 10 <> 7),
+        |hits AS (SELECT /*+ BROADCAST(n) */ n.doc_id, CAST(COUNT(DISTINCT n.ng) AS BIGINT) AS n_hit
+        |         FROM newg n JOIN retg r ON n.ng = r.ng GROUP BY 1),
+        |ngc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM newg GROUP BY 1),
+        |newh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+        |ex AS (SELECT /*+ BROADCAST(n) */ DISTINCT n.doc_id FROM newh n
+        |       JOIN (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7) r
+        |         ON n.h = r.h)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(g.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+        |  CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_candidate
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN ngc g USING (doc_id)
+        |LEFT JOIN hits h USING (doc_id)
+        |LEFT JOIN ex e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_c25_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
