@@ -49,7 +49,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c3_ngram_jaccard" -> 23,     // measured 18
     "q_c9_ann_ivf" -> 19,           // measured 15
     "q_c13_dup_clusters" -> 38,     // measured 30
-    "q_c19_neardup_retained" -> 40  // measured 32
+    "q_c19_neardup_retained" -> 40, // measured 32
+    "q_c26_unigram_logprob" -> 22,  // measured 17
+    "q_c27_incremental_dedup" -> 19 // measured 15
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {

@@ -117,6 +117,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orders-leg NULL-key filter must reach the parquet scan:\n$plan")
   }
 
+  test("q_c27 broadcasts the incoming batch; the corpus never shuffles on grams") {
+    // the continual-ingestion asymmetry: new-batch grams and hashes are
+    // the broadcast side; a SortMergeJoin here would shuffle the whole
+    // retained corpus on 13-gram strings
+    val plan = executed("q_c27_incremental_dedup")
+    // the scale-critical joins are on the gram and hash keys: those must
+    // build a broadcast side. (The final assembly left-joins on doc_id
+    // merge 50-row new-batch frames — SMJ there is irrelevant at scale.)
+    assert("BroadcastHashJoin \\[ng#".r.findFirstIn(plan).isDefined,
+      s"gram join must broadcast the incoming batch:\n$plan")
+    assert("BroadcastHashJoin \\[h#".r.findFirstIn(plan).isDefined,
+      s"hash join must broadcast the incoming batch:\n$plan")
+    assert("SortMergeJoin \\[(ng|h)#".r.findFirstIn(plan).isEmpty,
+      s"corpus-side shuffle join on grams/hashes reintroduced:\n$plan")
+  }
+
   test("q_c26 declares no broadcast of the vocab; only the 1-row total is hinted") {
     // the unigram vocab is corpus-sized state: a DECLARED broadcast of it
     // is the 100 TB failure mode. At test SF, AQE legitimately converts
