@@ -381,13 +381,19 @@ object TextQueries {
              |FROM dl d JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      val tf = graft.core.CachedRdds.registerDf(
+      // the tf frame is deterministic per (session, documents snapshot),
+      // so it lives in the SessionMemo like the dedup garr: repeat
+      // invocations (and any future tf consumer) skip the tokenize scan
+      // and the (doc, term) shuffle entirely; the memo measures the frame
+      // and degrades to per-query drain/disk tier if it outgrows budget
+      val tf = graft.core.SessionMemo.getOrBuild(
+        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
         Tables(s, d, "documents")
           .select(
             col("doc_id"),
             explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
       val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
       val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))

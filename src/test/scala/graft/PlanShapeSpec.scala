@@ -149,23 +149,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"term-keyed vocab join missing:\n$plan")
   }
 
-  test("q_c26 tokenizes the corpus once (persisted tf shared by all consumers)") {
-    // dl/vocab/scored all derive from the same persisted (doc, term) tf
-    // aggregate — three independent tokenization passes over 100 TB is
-    // the regression this pins against (plain plan sharing can't dedupe
+  test("q_c26 tokenizes the corpus once (memoized tf shared by all consumers)") {
+    // dl/vocab/scored all derive from the same memoized (doc, term) tf
+    // frame — three independent tokenization passes over 100 TB is the
+    // regression this pins against (plain plan sharing can't dedupe
     // them: each consumer pushes different IsNotNull filters into its
-    // scan subtree, defeating ReuseExchange)
+    // scan subtree, defeating ReuseExchange). The SessionMemo serves tf
+    // as a lineage-truncated owned-RDD leaf, so the query plan must show
+    // ONLY ExistingRDD leaves — any parquet FileScan means a consumer
+    // rebuilt the tokenization from source.
     val df = SparkEntry.queries("q_c26_unigram_logprob")(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
-    // every tf consumer must read the ONE persisted frame: if the persist
-    // is dropped, InMemoryTableScan disappears and each consumer gets its
-    // own scan+explode+aggregate subtree. (FileScan lines inside the plan
-    // text all sit within InMemoryRelation printouts — the cached plan is
-    // printed per reference but materialized once.)
-    val imts = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    val rddScans = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    val fileScans = plan.linesIterator.count(_.contains("Scan parquet"))
+    graft.core.SessionMemo.evict(Some(spark))
     graft.core.CachedRdds.drain()
-    assert(imts >= 3,
-      s"expected >= 3 InMemoryTableScan readers of the persisted tf, got $imts:\n$plan")
+    assert(rddScans >= 3,
+      s"expected >= 3 ExistingRDD readers of the memoized tf, got $rddScans:\n$plan")
+    assert(fileScans == 0,
+      s"a consumer re-tokenized from the parquet source:\n$plan")
   }
 }
