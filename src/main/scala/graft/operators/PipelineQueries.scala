@@ -645,6 +645,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c28: source-mixture resampling --------------------------------
+    // The mixture-weights step that turns a cleaned pool into a training
+    // corpus with target per-source proportions (the Pile/LLaMA recipe):
+    // each source gets quota = floor(BUDGET · w_s / Σw), and its quota is
+    // filled by the same deterministic-hash ranking q_c15 uses. Unlike
+    // q_c15's FIXED cap, the threshold here is DATA-DEPENDENT: quotas are
+    // computed from the observed source set (tiny distinct-aggregate),
+    // joined back by broadcast into the per-stratum ranked stream — at
+    // 100 TB the corpus ranks inside its key-partitioned windows and
+    // meets only a broadcast of O(#sources) quota rows. Weights are a
+    // deterministic function of the source name so both engines derive
+    // them independently; all quota math is integer (hash-exact).
+    QueryDef(
+      "q_c28_source_mixture",
+      Some("""WITH w AS (
+             |  SELECT source, CAST(length(source) % 3 + 1 AS BIGINT) AS wt
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+             |quota AS (
+             |  SELECT source, CAST((200 * wt) // tw AS BIGINT) AS n_take
+             |  FROM w CROSS JOIN tot),
+             |h AS (
+             |  SELECT doc_id, source,
+             |         (doc_id * 1103515245 + 12345) % 1000000007 AS hv
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, hv,
+             |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+             |      FROM h)
+             |SELECT r.source, r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, q.n_take
+             |FROM r JOIN quota q ON r.source = q.source
+             |WHERE r.rnk <= q.n_take
+             |ORDER BY r.source, r.rnk""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val w = docs.select(col("source")).distinct()
+        .withColumn("wt", (length(col("source")) % 3 + 1).cast("long"))
+      val tot = w.agg(sum(col("wt")).cast("long").as("tw"))
+      val quota = w.crossJoin(broadcast(tot))
+        .select(col("source"), expr("CAST(200 * wt DIV tw AS BIGINT)").as("n_take"))
+      val r = docs.select(
+          col("doc_id"), col("source"),
+          ((col("doc_id") * 1103515245L + 12345L) % 1000000007L).as("hv"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id")))
+            .cast("long"))
+      r.join(broadcast(quota), Seq("source"))
+        .filter(col("rnk") <= col("n_take"))
+        .select(col("source"), col("doc_id"), col("rnk"), col("n_take"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
     // ---- q_c27: incremental ingestion dedup ------------------------------
     // The continual-pretraining shape q_b6/q_c24 don't cover: a SMALL
     // incoming batch (docs with doc_id % 10 = 7) checked against the

@@ -842,6 +842,26 @@ object SparkSqlQueries {
     // value-identical simple-window form of the DataFrame program's
     // block-structured prefix sum (the blocking changes the plan shape,
     // not the arithmetic)
+    "q_c28_source_mixture" ->
+      """WITH w AS (
+        |  SELECT source, CAST(length(source) % 3 + 1 AS BIGINT) AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+        |quota AS (
+        |  SELECT /*+ BROADCAST(tot) */ source, CAST(200 * wt DIV tw AS BIGINT) AS n_take
+        |  FROM w CROSS JOIN tot),
+        |h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 1103515245L + 12345L) % 1000000007L AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, hv,
+        |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+        |      FROM h)
+        |SELECT /*+ BROADCAST(quota) */ r.source, r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, q.n_take
+        |FROM r JOIN quota q ON r.source = q.source
+        |WHERE r.rnk <= q.n_take
+        |ORDER BY r.source, r.rnk""".stripMargin,
+
     "q_c27_incremental_dedup" ->
       """WITH lists AS (
         |  SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
