@@ -102,7 +102,18 @@ object SessionMemo {
         try rdd.unpersist(blocking = false)
         catch { case _: Throwable => () }
       }
-    case Right(path) => deleteLocal(path)
+    case Right(path) =>
+      // spill under a configured shared-FS root must be deleted through the
+      // Hadoop FS (it may be hdfs:///s3a://); the default local-temp root is
+      // a plain directory
+      if (!e.session.sparkContext.isStopped) {
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(e.session.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        } catch { case _: Throwable => deleteLocal(path) }
+      } else deleteLocal(path)
   }
 
   /** Per-JVM root for disk-tier spills; entries are deleted on evict/
@@ -165,11 +176,25 @@ object SessionMemo {
   private def diskTierEnabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.memo.diskTier").exists(_.toBoolean)
 
+  /** Where disk-tier spills go. The driver-side temp directory is only a
+    * valid spill target when driver and executors share a filesystem —
+    * i.e. local mode; on a real cluster executors would commit parquet to
+    * their OWN local disks and the re-read would silently return partial
+    * data (ADVICE round 11). So: an explicitly configured
+    * `spark.graft.memo.diskRoot` (a shared filesystem — HDFS, s3a, NFS)
+    * wins; otherwise local masters get the per-JVM temp root; otherwise
+    * None — the caller falls back to drop-and-rebuild rather than serve
+    * wrong rows.
+    */
+  private def spillRoot(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.memo.diskRoot")
+      .orElse(if (s.sparkContext.isLocal) Some(diskRoot.toString) else None)
+
   /** Evict eagerly when the owning session stops, so a long-lived
     * multi-tenant process doesn't carry dead frames (or spill files)
     * until the next call.
     */
-  private def hookEviction(s: SparkSession): Unit =
+  private def hookEviction(s: SparkSession): Unit = synchronized {
     if (evictionHooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -177,6 +202,7 @@ object SessionMemo {
           evict(Some(s))
       })
     }
+  }
 
   /** Return the memoized frame for (kind, dir) when the owning session and
     * input snapshot still match; otherwise evict the stale entry, run
@@ -189,62 +215,92 @@ object SessionMemo {
     * no-op action, but the build runs once per session and the action's
     * stages are exactly the ones the first consumer would have run.
     */
+  // per-key build guards: the object-wide lock must NOT span a build or a
+  // disk spill (both run full Spark jobs — ADVICE round 11: any concurrent
+  // session touching the memo would block for the whole duration). The
+  // global lock only protects slot lookup/insert; concurrent builds of the
+  // SAME key serialize here, of different keys proceed in parallel.
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+
+  private def nextSeq(): Long = synchronized { seqCounter += 1L; seqCounter }
+
   def getOrBuild(s: SparkSession, kind: String, dir: String, inputs: Seq[String])(
-      build: => DataFrame): DataFrame = synchronized {
+      build: => DataFrame): DataFrame = {
     val key = (kind, dir)
-    val snap = snapshot(s, inputs)
-    slots.get(key) match {
-      case Some(e) if (e.session eq s) && e.snapshot == snap && !s.sparkContext.isStopped =>
-        e.df
-      case stale =>
-        stale.foreach(unpersistEntry)
-        slots.remove(key)
-        val built = build
-        val rdd = built.rdd
-        rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        rdd.foreach(_ => ()) // materialize now so the size is measurable
-        val bytes = s.sparkContext.getRDDStorageInfo
-          .find(_.id == rdd.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
-        val df = s.createDataFrame(rdd, built.schema)
-        builds(kind) = builds.getOrElse(kind, 0L) + 1L
-        // one admission line per build: the tier decision is the whole
-        // story when reading a bench (memo-warm vs rebuild vs disk scan)
-        System.err.println(
-          s"[memo] $kind: measured $bytes B vs budget ${maxBytes(s)} B -> " +
-            (if (bytes > maxBytes(s)) { if (diskTierEnabled(s)) "disk tier" else "drop (rebuild per query)" }
-             else "memory tier"))
-        if (bytes > maxBytes(s)) {
-          if (diskTierEnabled(s)) {
-            // DISK TIER (round 11): the round-10 displacement A/B showed
-            // holding an over-budget frame in the storage region makes the
-            // SAME session 2.2x slower, but dropping it forces pass B to
-            // rebuild the whole upstream pipeline (scale10 garr: 62.9 s).
-            // Middle path: spill ONCE to session-local parquet from the
-            // already-materialized blocks, free the blocks immediately,
-            // and serve columnar scans of the spill on every reuse —
-            // no storage-region occupancy, no pipeline rebuild.
-            val path = diskRoot.resolve(
-              s"$kind-${java.lang.Integer.toHexString((dir + snap).hashCode)}").toString
-            df.write.mode("overwrite").parquet(path)
-            rdd.unpersist(blocking = false)
-            val diskDf = s.read.parquet(path)
-            seqCounter += 1L
-            slots(key) = Entry(s, snap, diskDf, Right(path), bytes, seqCounter)
-            hookEviction(s)
-            diskDf
+    val snap = snapshot(s, inputs) // metadata-only FS listing; lock-free
+    def lookup(): Option[DataFrame] = synchronized {
+      slots.get(key).collect {
+        case e if (e.session eq s) && e.snapshot == snap && !s.sparkContext.isStopped =>
+          e.df
+      }
+    }
+    lookup().getOrElse {
+      val keyLock = inFlight.computeIfAbsent(key, _ => new Object)
+      keyLock.synchronized {
+        // a concurrent caller may have finished the build while we waited
+        lookup().getOrElse {
+          synchronized { slots.remove(key).foreach(unpersistEntry) }
+          val built = build
+          val rdd = built.rdd
+          rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          rdd.foreach(_ => ()) // materialize now so the size is measurable
+          val bytes = s.sparkContext.getRDDStorageInfo
+            .find(_.id == rdd.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+          val df = s.createDataFrame(rdd, built.schema)
+          synchronized { builds(kind) = builds.getOrElse(kind, 0L) + 1L }
+          val spillTo = if (bytes > maxBytes(s) && diskTierEnabled(s)) spillRoot(s) else None
+          // one admission line per build: the tier decision is the whole
+          // story when reading a bench (memo-warm vs rebuild vs disk scan)
+          System.err.println(
+            s"[memo] $kind: measured $bytes B vs budget ${maxBytes(s)} B -> " +
+              (if (bytes > maxBytes(s)) {
+                 if (!diskTierEnabled(s)) "drop (rebuild per query)"
+                 else if (spillTo.isDefined) "disk tier"
+                 else "drop (disk tier requested but no shared spill root on a non-local master; set spark.graft.memo.diskRoot)"
+               } else "memory tier"))
+          if (bytes > maxBytes(s)) {
+            spillTo match {
+              case Some(root) =>
+                // DISK TIER (round 11): the round-10 displacement A/B showed
+                // holding an over-budget frame in the storage region makes the
+                // SAME session 2.2x slower, but dropping it forces pass B to
+                // rebuild the whole upstream pipeline (scale10 garr: 62.9 s).
+                // Middle path: spill ONCE to session-local parquet from the
+                // already-materialized blocks, free the blocks immediately,
+                // and serve columnar scans of the spill on every reuse —
+                // no storage-region occupancy, no pipeline rebuild. The spill
+                // directory is keyed by the entry's unique seq counter, never
+                // a 32-bit content hash: a hash collision between two
+                // (kind, dir) slots would silently cross-link their files
+                // (admission overwriting the other's parquet, eviction
+                // deleting it — ADVICE round 11).
+                val seq = nextSeq()
+                val path = s"$root/$kind-$seq"
+                df.write.mode("overwrite").parquet(path)
+                rdd.unpersist(blocking = false)
+                val diskDf = s.read.parquet(path)
+                synchronized { slots(key) = Entry(s, snap, diskDf, Right(path), bytes, seq) }
+                hookEviction(s)
+                diskDf
+              case None =>
+                // diagnostic fallback (A/B) AND the safe cluster-mode path
+                // when no shared spill root exists: keep it persisted for
+                // THIS query's consumers, drain it after, rebuild next query
+                CachedRdds.register(rdd)
+                df
+            }
           } else {
-            // diagnostic fallback (A/B): keep it persisted for THIS
-            // query's consumers, drain it after, rebuild next query
-            CachedRdds.register(rdd)
+            val seq = nextSeq()
+            synchronized {
+              slots(key) = Entry(s, snap, df, Left(rdd), bytes, seq)
+              enforceTotal(s, key)
+            }
+            hookEviction(s)
             df
           }
-        } else {
-          seqCounter += 1L
-          slots(key) = Entry(s, snap, df, Left(rdd), bytes, seqCounter)
-          enforceTotal(s, key)
-          hookEviction(s)
-          df
         }
+      }
     }
   }
 

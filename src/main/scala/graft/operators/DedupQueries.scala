@@ -177,18 +177,35 @@ object DedupQueries {
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("gid"))).as("gids"), count(lit(1)).as("n_g"))
     }
-    val prefix = garr.select(
-      col("doc_id"), col("n_g"),
-      explode(slice(col("gids"), lit(1), prefixLen.cast("int"))).as("gid"))
-    // length filter (Arasu/Bayardo): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so J ≥ τ requires 10·min ≥ τ10·max — prune size-incompatible pairs
-    // inside the candidate join, before the distinct and the verify join
+    val prefix = garr
+      .select(
+        col("doc_id"), col("n_g"),
+        posexplode(slice(col("gids"), lit(1), prefixLen.cast("int"))))
+      .toDF("doc_id", "n_g", "pos", "gid")
+    // Two exact candidate prunes evaluated INSIDE the join, before the
+    // distinct and the (dominant) verify-stage array shuffle:
+    //  - length filter (Arasu/Bayardo): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    //    so J ≥ τ requires 10·min ≥ τ10·max;
+    //  - PPJoin positional filter (Xiao et al., WWW'08): a token shared at
+    //    0-based sorted positions (pa, pb) bounds the overlap by
+    //    1 + min(n_a−pa−1, n_b−pb−1) — everything shared besides this token
+    //    sits strictly after it in BOTH sorted arrays — and J ≥ τ needs
+    //    α·(10+τ10) ≥ τ10·(n_a+n_b). Filtering each collision row keeps
+    //    every qualifying pair: at the FIRST shared token (minimal gid ⇒
+    //    minimal pa AND pb) the bound is ≥ the true overlap, so that row
+    //    always survives; later collisions only tighten. Integer arithmetic
+    //    throughout — the verify step still reproduces the naive join
+    //    bit-for-bit, this only shrinks what reaches it.
     val cand = prefix.as("a")
       .join(
         prefix.as("b"),
         col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_g") * 10 >= col("b.n_g") * tau10 &&
-          col("b.n_g") * 10 >= col("a.n_g") * tau10)
+          col("b.n_g") * 10 >= col("a.n_g") * tau10 &&
+          (lit(1L) + least(
+            col("a.n_g") - col("a.pos") - 1L,
+            col("b.n_g") - col("b.pos") - 1L)) * (10 + tau10) >=
+            (col("a.n_g") + col("b.n_g")) * tau10)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // NOTE: broadcasting garr into the verify joins measured 10x SLOWER

@@ -266,14 +266,18 @@ object PipelineQueries {
     // ---- q_c15: deterministic stratified sampling ------------------------
     // Keep at most CAP docs per source, chosen by a deterministic
     // integer hash of doc_id (reproducible across engines and runs — no
-    // RNG state). The rank window partitions by the stratum, so at
+    // RNG state). doc_id is reduced mod p BEFORE the LCG multiply:
+    // identical value mod p, but the product stays ≤ (p-1)·1103515245
+    // ≈ 1.1e18 < int64 max for ANY doc_id, where the unreduced form
+    // wraps silently in Spark (and raises in DuckDB) past doc_id ≈ 8.4e9.
+    // The rank window partitions by the stratum, so at
     // 100 TB each source's ranking is an independent key-partitioned
     // sort; no global ordering anywhere.
     QueryDef(
       "q_c15_stratified_sample",
       Some("""WITH h AS (
              |  SELECT doc_id, source,
-             |         (doc_id * 1103515245 + 12345) % 1000000007 AS hv
+             |         ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
              |  FROM documents),
              |r AS (SELECT doc_id, source, hv,
              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
@@ -284,7 +288,7 @@ object PipelineQueries {
       val h = Tables(s, d, "documents").select(
         col("doc_id"),
         col("source"),
-        (col("doc_id") * 1103515245L + 12345L) % 1000000007L as "hv")
+        ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L as "hv")
       h.withColumn("rnk",
           row_number().over(Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -418,7 +422,7 @@ object PipelineQueries {
              |r AS (
              |  SELECT doc_id, source,
              |         ROW_NUMBER() OVER (PARTITION BY source
-             |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007, doc_id) AS rnk
+             |           ORDER BY ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007, doc_id) AS rnk
              |  FROM kept)
              |SELECT source, doc_id FROM r WHERE rnk <= 5
              |ORDER BY source, doc_id""".stripMargin)
@@ -435,7 +439,7 @@ object PipelineQueries {
       kept
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("source"))
-            .orderBy((col("doc_id") * 1103515245L + 12345L) % 1000000007L, col("doc_id"))))
+            .orderBy(((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L, col("doc_id"))))
         .filter(col("rnk") <= 5)
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
@@ -668,7 +672,7 @@ object PipelineQueries {
              |  FROM w CROSS JOIN tot),
              |h AS (
              |  SELECT doc_id, source,
-             |         (doc_id * 1103515245 + 12345) % 1000000007 AS hv
+             |         ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
              |  FROM documents),
              |r AS (SELECT doc_id, source, hv,
              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
@@ -686,7 +690,7 @@ object PipelineQueries {
         .select(col("source"), expr("CAST(200 * wt DIV tw AS BIGINT)").as("n_take"))
       val r = docs.select(
           col("doc_id"), col("source"),
-          ((col("doc_id") * 1103515245L + 12345L) % 1000000007L).as("hv"))
+          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L).as("hv"))
         .withColumn("rnk",
           row_number().over(Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id")))
             .cast("long"))

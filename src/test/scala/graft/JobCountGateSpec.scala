@@ -68,10 +68,12 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         // cold state: no memo hits, no cached vocab RDDs from a prior query
         graft.core.SessionMemo.evict(Some(spark))
         graft.core.CachedRdds.drain()
-        Thread.sleep(300) // drain queued listener events
+        // deterministic drain of the async listener bus: a fixed sleep can
+        // leak a prior query's job-start events into this window
+        org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
         val before = counter.get()
         val n = SparkEntry.queries(name)(spark, sf).collect().length
-        Thread.sleep(300)
+        org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
         val jobs = counter.get() - before
         assert(n > 0 || name == "q_c4_embedding_neardup", s"$name: empty result")
         info(s"$name: $jobs jobs (ceiling $ceiling)")

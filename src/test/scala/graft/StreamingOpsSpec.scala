@@ -224,6 +224,54 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming pair counts diverge from batch q_b9 (got ${got.size} users, want ${batch.size})")
   }
 
+  test("chained stateful ops: windowed pair counts AFTER the interval join equal batch") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evtsDf = graft.core.EventTime.events(sp, dir)
+      .select(col("event_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // batch reference: the SAME naive interval self-join, windowed with the
+    // SAME window() expression over ts_a (the smaller-id event's time)
+    val bPairs = evtsDf.as("a").join(evtsDf.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.event_id") < col("b.event_id") &&
+        abs(unix_micros(col("a.ts")) - unix_micros(col("b.ts"))) <= 60000000L)
+      .select(col("a.user_id").as("user_id"), col("a.ts").as("ts_a"))
+    val batch = bPairs.groupBy(col("user_id"), window(col("ts_a"), "10 minutes"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("user_id"), col("window.start").cast("long").as("ws"),
+        col("n_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "vacuous: no windowed pairs at sf0.001")
+
+    // streaming: deliver in event-time order (watermark contract), then a
+    // far-future sentinel pushes the watermark past every real window end
+    // so the append-mode aggregation finalizes them. The sentinel user has
+    // one event — it can never form a pair, so it adds no rows.
+    val evts = evtsDf.as[Evt].collect().sortBy(e => e.ts.getTime)
+    val input = MemoryStream[Evt]
+    val counts = StreamingOps.intervalPairCounts(
+      StreamingOps.intervalPairs(input.toDF(), input.toDF(), watermark = "2 minutes"))
+    val q = counts.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_ivagg").toString)
+      .format("memory").queryName("iv_counts").outputMode("append").start()
+    for (chunk <- evts.grouped(evts.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val maxTs = evts.map(_.ts.getTime).max
+    input.addData(Evt(-1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000), -1L, "x", 0.0))
+    q.processAllAvailable()
+    val got = sp.sql("SELECT user_id, CAST(w_start AS LONG), n_pairs FROM iv_counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == batch,
+      s"chained streaming agg diverges: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("streaming passage dedup (fMGWS) equals the batch q_c20 plan on real documents") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
