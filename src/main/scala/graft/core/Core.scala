@@ -56,6 +56,54 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Driver-side size estimation for DECLARED join-strategy intent.
+  *
+  * A derived frame (distinct n-grams of an incoming batch, say) has
+  * useless Catalyst statistics — explode + distinct destroys sizeInBytes —
+  * so queries that want "broadcast the small side" semantics hint it
+  * explicitly. But an unconditional hint is a promise that breaks at
+  * scale: past executor memory the broadcast OOMs rather than degrading.
+  * These helpers flip the declared hint on a metadata-only estimate
+  * (input file bytes × a documented expansion factor); AQE still re-plans
+  * at runtime from real stats, the declared plan just stops promising a
+  * broadcast it can't keep. Ceiling: `spark.graft.broadcastBytes`
+  * (default 64 MB — comfortably inside a 4 GB executor's storage share,
+  * the usual "large dim table" ceiling at which a shuffle join's extra
+  * exchange beats per-executor rebroadcast cost).
+  */
+object Sizing {
+  /** Total on-disk bytes under `path` — driver-side FS metadata listing
+    * only (O(files) RPCs, no data read), same discipline as
+    * [[SessionMemo.snapshot]].
+    */
+  def onDiskBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
+  }
+
+  /** Declared-broadcast ceiling in bytes (`spark.graft.broadcastBytes`,
+    * default 64 MB).
+    */
+  def broadcastBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.broadcastBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Hint `df` for broadcast iff the caller's size estimate fits the
+    * ceiling; otherwise return it unhinted (shuffle join declared, AQE
+    * free to do better at runtime).
+    */
+  def broadcastIfUnder(spark: SparkSession, df: DataFrame,
+      estimatedBytes: Long): DataFrame =
+    if (estimatedBytes <= broadcastBytes(spark)) broadcast(df) else df
+}
+
 /** Schema-adaptive event-time canonicalization.
   *
   * The physical parquet layout of `events.ts` has already changed once

@@ -749,16 +749,31 @@ object PipelineQueries {
       val newG = toks.filter(isNew)
         .select(col("doc_id"), explode(grams).as("ng")).distinct()
       val ngc = newG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      // The incoming batch broadcasts ONLY while its exploded distinct-
+      // 13-gram frame plausibly fits the declared ceiling (round 12,
+      // VERDICT lead 2): the batch is ~1/10 of documents.parquet on-disk
+      // bytes, and the gram expansion is ≈ ×13 heap bytes per raw text
+      // byte (each token opens one ~13-token gram string) × ≈3 parquet
+      // decompression ≈ ×39. Past `spark.graft.broadcastBytes` the
+      // DECLARED plan keeps the gram join a shuffle — the corpus side
+      // still never shuffles on ng until then, and AQE may still
+      // broadcast at runtime from real stats. The scale10 A/B (PERF.md
+      // round 12) measured broadcast vs forced-shuffle to set the
+      // default ceiling honestly.
+      val docBytes = graft.core.Sizing.onDiskBytes(s, s"$d/documents.parquet")
+      val gramBytesEst = docBytes / 10 * 39
       // corpus side: RAW grams (no distinct — that would shuffle the whole
-      // corpus on ng); the broadcast join filters to matches first
+      // corpus on ng); the batch-side join filters to matches first
       val hits = toks.filter(!isNew)
         .select(explode(grams).as("ng"))
-        .join(broadcast(newG), Seq("ng"))
+        .join(graft.core.Sizing.broadcastIfUnder(s, newG, gramBytesEst), Seq("ng"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("ng")).as("n_hit"))
       val newH = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
+      // md5 rows are ~48 B/doc — orders of magnitude under the gram frame;
+      // the same flip still guards the degenerate huge-batch case
       val ex = docs.filter(!isNew).select(md5(col("text")).as("h"))
-        .join(broadcast(newH), Seq("h"))
+        .join(graft.core.Sizing.broadcastIfUnder(s, newH, docBytes / 10), Seq("h"))
         .select(col("doc_id")).distinct()
         .withColumn("exact_dup", lit(1L))
       docs.filter(isNew).select(col("doc_id"))

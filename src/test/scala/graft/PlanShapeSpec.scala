@@ -133,6 +133,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-side shuffle join on grams/hashes reintroduced:\n$plan")
   }
 
+  test("q_c27 declared broadcast flips to a shuffle past the size ceiling") {
+    // The batch-side hint is a size-conditional DECLARATION (round 12):
+    // under the default 64 MB ceiling the sf0.001 batch estimate fits and
+    // both scale joins carry the hint; with the ceiling forced to 0 the
+    // declared plan must stop promising a broadcast it couldn't keep
+    // (AQE remains free to broadcast at runtime from real stats).
+    val plan0 = optimized("q_c27_incremental_dedup")
+    assert(plan0.linesIterator.count(_.contains("strategy=broadcast")) >= 2,
+      s"default ceiling: gram and hash joins must declare broadcast:\n$plan0")
+    spark.conf.set("spark.graft.broadcastBytes", "0")
+    try {
+      val plan1 = optimized("q_c27_incremental_dedup")
+      assert(!plan1.contains("strategy=broadcast"),
+        s"ceiling 0: no declared broadcast may remain:\n$plan1")
+    } finally spark.conf.unset("spark.graft.broadcastBytes")
+  }
+
   test("q_c26 declares no broadcast of the vocab; only the 1-row total is hinted") {
     // the unigram vocab is corpus-sized state: a DECLARED broadcast of it
     // is the 100 TB failure mode. At test SF, AQE legitimately converts
