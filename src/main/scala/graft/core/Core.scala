@@ -52,8 +52,31 @@ object GraftSession {
   * (`TESTDATA.md`: one parquet per table under the SF dir).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "documents") canonDocuments(df) else df
+  }
+
+  /** Layout adaptation for `documents` (round 12 — the same regeneration
+    * exposure `EventTime` closes for `events.ts`): a generation written
+    * without parquet's UTF8 annotation loads text columns as BINARY, and
+    * every string operator downstream would fail analysis. The decode is
+    * the identity on the current layout (TableLayoutSpec pins both
+    * encodings byte-identical). Integer WIDTH is deliberately left as
+    * loaded: raw columns must flow through at the file's width so Spark
+    * and the DuckDB oracle shift together; arithmetic that needs 64-bit
+    * (the LCG sampling hash) widens in-expression on BOTH engines
+    * instead.
+    */
+  private def canonDocuments(df: DataFrame): DataFrame = {
+    val fixed = df.schema.fields.map {
+      case f if f.dataType == BinaryType =>
+        col(f.name).cast(StringType).as(f.name)
+      case f => col(f.name)
+    }
+    if (df.schema.fields.exists(_.dataType == BinaryType)) df.select(fixed.toSeq: _*)
+    else df
+  }
 }
 
 /** Driver-side size estimation for DECLARED join-strategy intent.

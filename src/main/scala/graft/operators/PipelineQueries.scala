@@ -277,7 +277,7 @@ object PipelineQueries {
       "q_c15_stratified_sample",
       Some("""WITH h AS (
              |  SELECT doc_id, source,
-             |         ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
+             |         ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
              |  FROM documents),
              |r AS (SELECT doc_id, source, hv,
              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
@@ -422,7 +422,7 @@ object PipelineQueries {
              |r AS (
              |  SELECT doc_id, source,
              |         ROW_NUMBER() OVER (PARTITION BY source
-             |           ORDER BY ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007, doc_id) AS rnk
+             |           ORDER BY ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007, doc_id) AS rnk
              |  FROM kept)
              |SELECT source, doc_id FROM r WHERE rnk <= 5
              |ORDER BY source, doc_id""".stripMargin)
@@ -672,7 +672,7 @@ object PipelineQueries {
              |  FROM w CROSS JOIN tot),
              |h AS (
              |  SELECT doc_id, source,
-             |         ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
+             |         ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
              |  FROM documents),
              |r AS (SELECT doc_id, source, hv,
              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk

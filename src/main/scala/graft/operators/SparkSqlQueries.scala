@@ -761,7 +761,7 @@ object SparkSqlQueries {
         |r AS (
         |  SELECT doc_id, source,
         |         ROW_NUMBER() OVER (PARTITION BY source
-        |           ORDER BY ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L, doc_id) AS rnk
+        |           ORDER BY ((CAST(doc_id AS BIGINT) % 1000000007L) * 1103515245L + 12345L) % 1000000007L, doc_id) AS rnk
         |  FROM kept)
         |SELECT source, doc_id FROM r WHERE rnk <= 5
         |ORDER BY source, doc_id""".stripMargin,
@@ -769,7 +769,7 @@ object SparkSqlQueries {
     "q_c15_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,
-        |         ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv
+        |         ((CAST(doc_id AS BIGINT) % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv
         |  FROM documents),
         |r AS (SELECT doc_id, source, hv,
         |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
@@ -852,7 +852,7 @@ object SparkSqlQueries {
         |  FROM w CROSS JOIN tot),
         |h AS (
         |  SELECT doc_id, source,
-        |         ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv
+        |         ((CAST(doc_id AS BIGINT) % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv
         |  FROM documents),
         |r AS (SELECT doc_id, source, hv,
         |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
