@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.{Decimals, EventTime, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +24,80 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
   import Decimals._
+
+  /** Shared oracle texts: the salted variants (below) must be row-identical
+    * to the plain plans, so they declare the SAME oracle SQL — the driver's
+    * hash compare then gates both against one truth.
+    */
+  private val sessionizeOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_tsu IS NULL
+      |                   OR tsu - prev_tsu > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM t),
+      |s AS (
+      |  SELECT user_id, tsu, event_id,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val asofOracle: String =
+    """SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
+      |FROM (
+      |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+      |         o.o_orderkey AS last_orderkey,
+      |         o.o_orderdate AS last_orderdate,
+      |         o.o_totalprice AS last_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      |)
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** The q_b4 union-stream legs, shared with the salted variant: events
+    * tagged 1, orders tagged 0, both filtered for NULL-key/NULL-date
+    * inner-join parity with the oracle (the union-stream window would
+    * otherwise co-locate NULL-keyed rows in one partition and pair them,
+    * and a NULL order time sorts nulls-first and would become every
+    * event's carry). o_orderdate is TIMESTAMP_NTZ; the session TZ is UTC
+    * so the cast is the identity epoch mapping and unix_micros ==
+    * DuckDB's epoch_us.
+    */
+  private def asofUnionLegs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = EventTime.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("user_id"),
+        col("t_us"),
+        lit(1).as("tag"),
+        col("event_id"),
+        lit(null).cast("bigint").as("o_orderkey"),
+        lit(null).cast("timestamp_ntz").as("o_orderdate"),
+        lit(null).cast("double").as("o_totalprice")
+      )
+    val or = Tables(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .select(
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(0).as("tag"),
+        lit(null).cast("bigint").as("event_id"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice")
+      )
+    (ev, or)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ---- Q-B1: tumbling window aggregate ---------------------------------
@@ -84,24 +159,7 @@ object EventQueries {
     // new-session flag, all in exact int64 µs arithmetic.
     QueryDef(
       "q_b3_sessionize",
-      Some("""WITH t AS (
-             |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
-             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_tsu
-             |  FROM events),
-             |f AS (
-             |  SELECT *, CASE WHEN prev_tsu IS NULL
-             |                   OR tsu - prev_tsu > 1800000000
-             |                 THEN 1 ELSE 0 END AS new_sess
-             |  FROM t),
-             |s AS (
-             |  SELECT user_id, tsu, event_id,
-             |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-             |  FROM f)
-             |SELECT user_id, session_id, COUNT(*) AS n_events,
-             |       MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
-             |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin)
+      Some(sessionizeOracle)
     ) { (s, d) =>
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -140,51 +198,9 @@ object EventQueries {
     // the rn=1 winner. Events with no prior order drop (inner-join parity).
     QueryDef(
       "q_b4_asof_join",
-      Some("""SELECT event_id, ts_us, user_id, last_orderkey, last_orderdate, last_totalprice
-             |FROM (
-             |  SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
-             |         o.o_orderkey AS last_orderkey,
-             |         o.o_orderdate AS last_orderdate,
-             |         o.o_totalprice AS last_totalprice,
-             |         ROW_NUMBER() OVER (PARTITION BY e.event_id
-             |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-             |  FROM events e
-             |  JOIN orders o ON e.user_id = o.o_custkey AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
-             |)
-             |WHERE rn = 1
-             |ORDER BY event_id""".stripMargin)
+      Some(asofOracle)
     ) { (s, d) =>
-      val ev = EventTime.events(s, d)
-        // join-key parity: the oracle's inner join on e.user_id = o.o_custkey
-        // drops NULL keys; the union-stream window would otherwise co-locate
-        // NULL-keyed events and orders in one partition and pair them up
-        .filter(col("user_id").isNotNull)
-        .select(
-          col("user_id"),
-          col("t_us"),
-          lit(1).as("tag"),
-          col("event_id"),
-          lit(null).cast("bigint").as("o_orderkey"),
-          lit(null).cast("timestamp_ntz").as("o_orderdate"),
-          lit(null).cast("double").as("o_totalprice")
-        )
-      val or = Tables(s, d, "orders")
-        // join parity: the oracle's `epoch_us(o_orderdate) <= ts` predicate
-        // drops NULL-dated orders; without this filter a NULL t_us sorts
-        // nulls-first and would become every event's carry. The custkey
-        // filter mirrors the events leg (inner-join NULL-key parity).
-        .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
-        .select(
-          col("o_custkey").as("user_id"),
-          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
-          // the identity epoch mapping and unix_micros == DuckDB epoch_us
-          unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
-          lit(0).as("tag"),
-          lit(null).cast("bigint").as("event_id"),
-          col("o_orderkey"),
-          col("o_orderdate"),
-          col("o_totalprice")
-        )
+      val (ev, or) = asofUnionLegs(s, d)
       val w = Window
         .partitionBy(col("user_id"))
         .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
@@ -246,6 +262,127 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- Q-B3 salted: hot-user-proof sessionization ----------------------
+    // The plain q_b3 windows PARTITION BY user_id: one power-law user puts
+    // their entire history in a single window partition that AQE cannot
+    // split — the event-surface skew hazard (round 12, VERDICT lead 4).
+    // This variant ports q_c20's skew-splittable decomposition to the
+    // ordered-window op: SALT = the 6 h time bucket (bk = t_us DIV B,
+    // B ≫ the 30 min gap).
+    //  1. per-(user, bk) windows find internal session starts — a hot
+    //     user's events spread over their time buckets;
+    //  2. bucket-first events resolve against the ADJACENT bucket's last
+    //     event via an equi-join on (user, bk) summaries (one row per
+    //     bucket; if bucket b−1 is empty the true gap is ≥ B > gap, so
+    //     "no adjacent summary" correctly means "new session");
+    //  3. the latest-start carry chains across buckets in a per-user
+    //     window over BUCKET SUMMARIES — O(time-span/B) rows per user,
+    //     not O(events) (a month-long hot user is ~120 rows);
+    //  4. session assembly is groupBy(user, session_start): count/min/max
+    //     partial-aggregate map-side, so even a single 100 M-event
+    //     session never funnels raw rows into one task;
+    //  5. session_id = row_number over SESSION rows per user (tiny).
+    // Same oracle as q_b3 — the rows must be identical (HotUserSkewSpec
+    // also proves plain == salted on a synthetic power-law fixture).
+    QueryDef(
+      "q_b3_sessionize_salted",
+      Some(sessionizeOracle)
+    ) { (s, d) =>
+      val G = 1800000000L          // 30 min inactivity gap, µs
+      val B = 21600000000L         // 6 h salt bucket, ≫ G
+      val e = EventTime.events(s, d)
+        .select(col("user_id"), col("event_id"), col("t_us").as("tsu"))
+        .withColumn("bk", expr(s"tsu DIV $B"))
+      val wB = Window.partitionBy(col("user_id"), col("bk"))
+        .orderBy(col("tsu"), col("event_id"))
+      val wBrun = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sums = e.groupBy(col("user_id"), col("bk"))
+        .agg(min(col("tsu")).as("first_tsu"), max(col("tsu")).as("last_tsu"))
+      val chain = sums
+        .join(sums.select(col("user_id"), (col("bk") + 1).as("bk"),
+          col("last_tsu").as("prev_last")), Seq("user_id", "bk"), "left")
+        .select(col("user_id"), col("bk"), col("prev_last"))
+      val flagged = e.join(chain, Seq("user_id", "bk"))
+        .withColumn("prev_in", lag(col("tsu"), 1).over(wB))
+        .withColumn("is_start",
+          when(col("prev_in").isNotNull, col("tsu") - col("prev_in") > G)
+            .otherwise(col("prev_last").isNull || col("tsu") - col("prev_last") > G))
+      val withRun = flagged.withColumn("run_start",
+        last(when(col("is_start"), col("tsu")), ignoreNulls = true).over(wBrun))
+      val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = withRun.groupBy(col("user_id"), col("bk"))
+        .agg(max(when(col("is_start"), col("tsu"))).as("last_start_in_bk"))
+        .withColumn("carried_in",
+          last(col("last_start_in_bk"), ignoreNulls = true).over(wUbk))
+        .select(col("user_id"), col("bk"), col("carried_in"))
+      withRun.join(carried, Seq("user_id", "bk"))
+        .withColumn("sess_start", coalesce(col("run_start"), col("carried_in")))
+        .groupBy(col("user_id"), col("sess_start"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tsu")).as("session_start_us"),
+          max(col("tsu")).as("session_end_us"))
+        .withColumn("session_id", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("sess_start"))).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start_us"), col("session_end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- Q-B4 salted: hot-user-proof as-of join ---------------------------
+    // Same salt decomposition for the union-stream running-last: per-
+    // (user, 6 h bucket) windows carry the last order WITHIN the bucket;
+    // the cross-bucket carry (the most recent order in any earlier
+    // bucket) chains through a per-user window over bucket summaries —
+    // O(buckets) rows, never O(events). Unlike sessionization there is no
+    // gap bound, so the bucket summary keeps the full order payload in a
+    // max-struct ordered by (t_us, orderkey) — the same tie-break the
+    // running `last` applies. Same oracle as q_b4.
+    QueryDef(
+      "q_b4_asof_salted",
+      Some(asofOracle)
+    ) { (s, d) =>
+      val B = 21600000000L
+      val (ev, or) = asofUnionLegs(s, d)
+      val u = ev.unionByName(or).withColumn("bk", expr(s"t_us DIV $B"))
+      val wB = Window.partitionBy(col("user_id"), col("bk"))
+        .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRun = u.withColumn("run_ord",
+        last(
+          when(col("tag") === 0,
+            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+          ignoreNulls = true).over(wB))
+      val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = u.select(col("user_id"), col("bk"),
+          when(col("tag") === 0,
+            struct(col("t_us"), col("o_orderkey"), col("o_orderdate"),
+              col("o_totalprice"))).as("ordRow"))
+        .groupBy(col("user_id"), col("bk"))
+        .agg(max(col("ordRow")).as("last_ord"))
+        .withColumn("carried_ord", last(col("last_ord"), ignoreNulls = true).over(wUbk))
+        .select(col("user_id"), col("bk"), col("carried_ord"))
+      withRun.join(carried, Seq("user_id", "bk"))
+        .withColumn("ord", coalesce(
+          col("run_ord"),
+          when(col("carried_ord").isNotNull,
+            struct(
+              col("carried_ord.o_orderkey").as("o_orderkey"),
+              col("carried_ord.o_orderdate").as("o_orderdate"),
+              col("carried_ord.o_totalprice").as("o_totalprice")))))
+        .filter(col("tag") === 1 && col("ord").isNotNull)
+        .select(
+          col("event_id"),
+          col("t_us").as("ts_us"),
+          col("user_id"),
+          col("ord.o_orderkey").as("last_orderkey"),
+          col("ord.o_orderdate").as("last_orderdate"),
+          col("ord.o_totalprice").as("last_totalprice"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -122,7 +122,7 @@ object SparkSqlQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     // ---- relational core -------------------------------------------------
     "q_a1_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
@@ -904,4 +904,13 @@ object SparkSqlQueries {
         |  (tok_start + n_tokens - 1) DIV 512 - tok_start DIV 512 + 1L AS n_seqs
         |FROM c ORDER BY source, doc_id""".stripMargin
   )
+
+  /** The salted event variants are execution-strategy rewrites: their
+    * user-facing SQL semantics (and oracle) ARE the plain queries', so the
+    * SQL surface maps them to the same text (single-sourced from the
+    * literal map above).
+    */
+  val sql: Map[String, String] = base ++ Map(
+    "q_b3_sessionize_salted" -> base("q_b3_sessionize"),
+    "q_b4_asof_salted" -> base("q_b4_asof_join"))
 }
