@@ -174,11 +174,18 @@ object Bench {
           val base = sq.ivfCorpus(spark, sfDir)
           val (uR, uF, uK, uN) = sq.ivfQuality(spark, base, k => math.max(2, k / 2))
           graft.core.CachedRdds.drain()
+          // int8-stage-1 + exact rerank at the same fan-out (round 12):
+          // identical row-scanned fraction, ~4x fewer stage-1 BYTES at
+          // scale (1-byte elements); the recall delta vs exact stage 1 is
+          // the quantization loss the over-fetch must absorb (measured 0)
+          val (rR, _, _, _) = sq.ivfQuality(spark, base, k => math.max(2, k / 2),
+            search = (e, fn, np) => sq.ivfSearchRerank(e, fn, np))
+          graft.core.CachedRdds.drain()
           val (cR, cF, cK, cN) =
             sq.ivfQuality(spark, sq.clusteredCorpus(spark, base), sq.sqrtNprobe)
           graft.core.CachedRdds.drain()
           Some(
-            s""","quality":{"q_c9_recall_at_5":${fmt(uR)},"q_c9_scanned_fraction":${fmt(uF)},"q_c9_nprobe":$uN,"q_c9_cells":$uK,"q_c9_clustered_recall_at_5":${fmt(cR)},"q_c9_clustered_scanned_fraction":${fmt(cF)},"q_c9_clustered_nprobe":$cN,"q_c9_clustered_cells":$cK}""")
+            s""","quality":{"q_c9_recall_at_5":${fmt(uR)},"q_c9_scanned_fraction":${fmt(uF)},"q_c9_nprobe":$uN,"q_c9_cells":$uK,"q_c9_rerank_recall_at_5":${fmt(rR)},"q_c9_clustered_recall_at_5":${fmt(cR)},"q_c9_clustered_scanned_fraction":${fmt(cF)},"q_c9_clustered_nprobe":$cN,"q_c9_clustered_cells":$cK}""")
         } catch {
           case e: Throwable =>
             // never let the quality probe sink the bench, but the artifact

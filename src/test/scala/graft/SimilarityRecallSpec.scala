@@ -78,6 +78,28 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frac < 0.25, f"scanned fraction should be << 50%%: $frac%.3f")
   }
 
+  test("int8 rerank search matches exact-stage-1 recall at the same fan-out") {
+    // Round 12: ivfSearchRerank scores stage 1 on the int8-quantized
+    // corpus and exact-reranks a 4x over-fetched pool. Its recall is
+    // upper-bounded by exact-within-probed-cells; the gate is that the
+    // over-fetch fully absorbs the quantization loss (measured ZERO on
+    // the sf0.1 200-vector-per-cell regime, PERF.md round 12) — any
+    // drift here means the quantized ranking degraded enough to push
+    // true neighbors out of the over-fetch window.
+    val base = SimilarityQueries.ivfCorpus(spark, sf)
+    val (exactR, frac, k, nprobe) =
+      SimilarityQueries.ivfQuality(spark, base, kk => math.max(2, kk / 2))
+    graft.core.CachedRdds.drain()
+    val (rerankR, _, _, _) =
+      SimilarityQueries.ivfQuality(spark, base, kk => math.max(2, kk / 2),
+        search = (e, fn, np) => SimilarityQueries.ivfSearchRerank(e, fn, np))
+    graft.core.CachedRdds.drain()
+    info(f"exact recall $exactR%.3f vs int8-rerank $rerankR%.3f " +
+      f"at nprobe $nprobe of $k cells (rows scanned $frac%.3f; stage-1 bytes ~4x cheaper)")
+    assert(rerankR >= exactR - 1e-9,
+      f"rerank lost recall vs exact stage 1: $rerankR%.3f < $exactR%.3f")
+  }
+
   test("planted near-copies are recalled regardless of corpus luck") {
     // Structural-margin variant (q_c4b's trick): for each query vector,
     // plant 5 near-copies (cosine ≈ 0.999, far above any random pair).
