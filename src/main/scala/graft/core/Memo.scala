@@ -27,11 +27,11 @@ import org.apache.spark.storage.StorageLevel
   * the memo hit saves nothing because re-reading spilled blocks costs as
   * much as rebuilding (pass B 108.6 s ≈ cold). So each build is persisted
   * as an owned row RDD, materialized eagerly, and MEASURED: a frame larger
-  * than `spark.graft.memo.maxBytes` (default heap/8) is handed to
-  * [[CachedRdds]] for per-query drain (rebuilt next query) — or, with
-  * `spark.graft.memo.diskTier=true`, moved to an opt-in DISK TIER
-  * (round 11): spilled once to session-local parquet, its storage blocks
-  * freed immediately, reuse served by columnar scans of the spill file.
+  * than `spark.graft.memo.maxBytes` (default heap/8) moves to the DISK
+  * TIER (round 11; DEFAULT-ON since the round-12 clean-window A/B —
+  * `spark.graft.memo.diskTier=false` opts out to drop-and-rebuild):
+  * spilled once to session-local parquet, its storage blocks freed
+  * immediately, reuse served by columnar scans of the spill file.
   * When the TOTAL across in-memory entries exceeds the budget the
   * oldest entries are evicted first. Under-budget entries keep the round-9 semantics
   * exactly: they survive per-query `drain()`, unpersist on replacement, on
@@ -163,18 +163,20 @@ object SessionMemo {
     }
   }
 
-  /** Disk tier is OPT-IN (`spark.graft.memo.diskTier=true`). The round-11
-    * scale10 A/B could not certify it faster than drop-and-rebuild — the
-    * sandbox's identical-plan colds spread 130–305 s across runs, and
-    * disk-scan vs rebuild pass-B walls (269 vs 244 s) landed inside that
-    * noise (PERF.md round 11) — so the r10-certified drop behavior stays
-    * the default until a clean window proves the tier out. On the
-    * regenerated corpus the over-budget path is hypothetical anyway at
-    * the default budget (scale10 garr measures 214 MB vs the 1 GB
-    * heap/8).
+  /** Disk tier is DEFAULT-ON since round 12 (`spark.graft.memo.diskTier=
+    * false` opts out). The round-11 A/B could not certify it — disk-scan
+    * vs rebuild pass-B walls (269 vs 244 s) sat inside a 130–305 s dirty-
+    * window cold spread — but the round-12 clean-window rerun (steady
+    * probes ≤ 0.86 s both legs, post-PPJoin plans) was decisive: with the
+    * scale10 garr forced over a 64 MB budget, pass B served from the
+    * spill in 19.1 s vs 105.9 s drop-and-rebuild (5.5×), and the spill
+    * itself cost ~2 jobs inside pass A's cold-window noise (PERF.md
+    * round 12). On a non-local master without a configured shared
+    * `spark.graft.memo.diskRoot` the tier still falls back to
+    * drop-and-rebuild rather than spill to a driver-only path.
     */
   private def diskTierEnabled(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.memo.diskTier").exists(_.toBoolean)
+    s.conf.getOption("spark.graft.memo.diskTier").forall(_.toBoolean)
 
   /** Where disk-tier spills go. The driver-side temp directory is only a
     * valid spill target when driver and executors share a filesystem —

@@ -153,7 +153,7 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("disk tier: snapshot mismatch rebuilds and replaces the spill; default stays drop-and-rebuild") {
+  test("disk tier: snapshot mismatch rebuilds and replaces the spill; on by default, opt-out drops") {
     val sp = spark
     import sp.implicits._
     writeDocs(baseDocs)
@@ -175,10 +175,18 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!new java.io.File(spill0).exists(),
         "stale spill must be deleted on invalidation")
 
-      // DEFAULT (tier unset): over-budget frames drop and rebuild —
-      // the r10-certified behavior (the round-11 A/B could not certify
-      // the tier faster in the sandbox, so it stays opt-in)
+      // DEFAULT (tier unset): since round 12 the disk tier is ON by
+      // default — the clean-window scale10 A/B measured spill-serve
+      // pass B 5.5x faster than drop-and-rebuild (PERF.md round 12)
       spark.conf.unset("spark.graft.memo.diskTier")
+      SessionMemo.getOrBuild(spark, "disk_default", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(100000).select(col("id"), concat_ws("-", lit("c" * 24), col("id")).as("t"))
+      }.count()
+      assert(SessionMemo.heldOnDisk("disk_default").isDefined,
+        "default: an over-budget frame must be memoized on the disk tier")
+      // explicit opt-OUT restores the drop-and-rebuild diagnostic path
+      spark.conf.set("spark.graft.memo.diskTier", "false")
+      SessionMemo.evict(Some(spark))
       SessionMemo.getOrBuild(spark, "disk_optout", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(100000).select(col("id"), concat_ws("-", lit("c" * 24), col("id")).as("t"))
       }.count()
