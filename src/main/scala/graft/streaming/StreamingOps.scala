@@ -306,6 +306,78 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- streaming source-mixture resampling (q_c28 twin) ------------------
+
+  final case class MixIn(doc_id: Long, source: String)
+  final case class MixState(top: Seq[(Long, Long)], ver: Long) // (hv, doc_id)
+  final case class MixUpd(source: String, doc_id: Long, hv: Long, rnk: Long,
+                          ver: Long)
+
+  /** Streaming twin of q_c28's per-source candidate ranking (round 12,
+    * VERDICT stretch): the batch query's admission threshold is DATA-
+    * DEPENDENT (quota_s = ⌊BUDGET·w_s/Σw⌋ over the OBSERVED source set),
+    * so admission is not monotone under ingestion — a later doc with a
+    * smaller hash displaces an earlier admit, and a NEW source shrinks
+    * every other source's quota. Same lambda split as the passage twin:
+    * the stream maintains, per source, the top-BUDGET candidates by the
+    * deterministic (hv, doc_id) ranking — a SUPERSET of any possible
+    * final admission, since quota_s = ⌊200·w_s/Σw⌋ ≤ 200 always — and
+    * emits a versioned snapshot each trigger; [[mixtureServe]] applies
+    * the quota arithmetic over the latest snapshots at read time.
+    * State is capped at BUDGET rows per source (key-hash-partitioned,
+    * never grows with history), which is what makes the data-dependent
+    * global threshold streamable at all.
+    */
+  def mixtureCandidates(docs: Dataset[MixIn], budget: Int = 200): Dataset[MixUpd] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[MixState, MixUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[MixIn], state: GroupState[MixState]) =>
+          val s0 = state.getOption.getOrElse(MixState(Seq.empty, 0L))
+          val fresh = batch.map { r =>
+            val hv = (r.doc_id % 1000000007L * 1103515245L + 12345L) % 1000000007L
+            (hv, r.doc_id)
+          }
+          val top = (s0.top ++ fresh).distinct.sorted.take(budget)
+          val ver = s0.ver + 1
+          state.update(MixState(top, ver))
+          top.iterator.zipWithIndex.map { case ((hv, id), i) =>
+            MixUpd(source, id, hv, i + 1L, ver)
+          }
+      }
+  }
+
+  /** Serve step over [[mixtureCandidates]]'s update log: latest snapshot
+    * per source, quotas derived from the observed source set exactly as
+    * batch q_c28 derives them, rank filter — row-identical to the batch
+    * query over the union of all ingested micro-batches
+    * (StreamingOpsSpec proves it, including a late-arriving NEW source
+    * that shrinks the other quotas retroactively).
+    */
+  def mixtureServe(updates0: DataFrame, budget: Int = 200): DataFrame = {
+    // the serve plan references the update log from three branches
+    // (latest rows, per-source max version, quota derivation); when the
+    // log is a memory-sink View, Catalyst's relation dedup fails to
+    // resolve the conflicting references — re-root it as a plain RDD
+    // leaf (bounded: ≤ budget rows per source per version)
+    val updates = updates0.sparkSession.createDataFrame(updates0.rdd, updates0.schema)
+    val mv = updates.groupBy(col("source")).agg(max(col("ver")).as("maxver"))
+    val latest = updates.join(mv, Seq("source"))
+      .filter(col("ver") === col("maxver"))
+      .select(col("source"), col("doc_id"), col("hv"), col("rnk"))
+    val w = mv.select(col("source"))
+      .withColumn("wt", (length(col("source")) % 3 + 1).cast("long"))
+    val tot = w.agg(sum(col("wt")).cast("long").as("tw"))
+    val quota = w.crossJoin(broadcast(tot))
+      .select(col("source"), expr(s"CAST($budget * wt DIV tw AS BIGINT)").as("n_take"))
+    latest.join(broadcast(quota), Seq("source"))
+      .filter(col("rnk") <= col("n_take"))
+      .select(col("source"), col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("n_take"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Wire any of the above to a memory sink for tests/demos; returns the
     * query name to poll with `spark.sql(s"select * from $name")`.
     */

@@ -304,6 +304,41 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     served.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("streaming source-mixture (fMGWS) equals batch q_c28 with a late new source") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    // hold one source back entirely until the LAST trigger: its arrival
+    // must shrink every other source's quota retroactively (the
+    // data-dependent-threshold path a prefix-only run never exercises)
+    val lateSource = docs.map(_._2).distinct.sorted.head
+    val early = docs.filterNot(_._2 == lateSource)
+    val late = docs.filter(_._2 == lateSource)
+    val input = MemoryStream[StreamingOps.MixIn]
+    val q = StreamingOps.mixtureCandidates(input.toDS()).writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_mix").toString)
+      .format("memory").queryName("mix_updates").outputMode("update").start()
+    for (chunk <- early.grouped(early.length / 2 + 1) ++ Iterator(late)) {
+      input.addData(chunk.toSeq.map { case (id, src) => StreamingOps.MixIn(id, src) })
+      q.processAllAvailable()
+    }
+    val served = StreamingOps.mixtureServe(sp.table("mix_updates"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    val batch = graft.operators.PipelineQueries.defs
+      .find(_.name == "q_c28_source_mixture").get.plan(sp, dir)
+      .select(col("source"), col("doc_id"), col("rnk"), col("n_take"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.nonEmpty)
+    assert(served.length == batch.length,
+      s"served ${served.length} rows vs batch ${batch.length}")
+    served.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
   test("flatMapGroupsWithState sessionization carries custom per-key state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
