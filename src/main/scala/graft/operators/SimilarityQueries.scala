@@ -192,6 +192,65 @@ object SimilarityQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // ---- q_c29: semantic dedup — cluster-representative retention --------
+    // The SemDeDup step (Abbas et al. 2023: embed, group semantically,
+    // keep one representative per duplicate group) as the SERVE form of
+    // the q_c4 pair machinery: a vector is DROPPED iff some same-label
+    // vector with a smaller vec_id sits within cosine ≥ τ of it, and each
+    // dropped vector reports its representative = the SMALLEST such id —
+    // a deterministic one-pass retention rule (the pair relation defines
+    // the result; no iteration, so both engines compute it independently).
+    // The corpus is the q_c4b planted union (original + perturbed copy at
+    // cos ≈ 0.9996) so the rule fires non-vacuously at every SF: each
+    // planted row must collapse onto exactly its original
+    // (SemanticDedupSpec asserts that shape end-to-end).
+    // Distributed shape: candidates come from the SAME hyperplane-LSH
+    // blocker as q_c4 (miss prob ~5e-24 at the planted cosine —
+    // structurally lossless); the dominator aggregation shuffles on vec_b
+    // (key-partitioned, skew-free: one row per dropped vector); the final
+    // left join shuffles on vec_id. Nothing is all-pairs, nothing
+    // broadcasts the corpus.
+    QueryDef(
+      "q_c29_semantic_dedup",
+      Some("""WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, label, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS vec_id, label,
+             |    list_transform(v, x -> x + CAST(0.1 AS DOUBLE) * x * x) AS v
+             |  FROM base),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE round(CAST(list_dot_product(a.v, b.v)
+             |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             |    AS DECIMAL(18,6)), 4) >= 0.90),
+             |dom AS (SELECT vec_b AS vec_id, MIN(vec_a) AS representative FROM pairs GROUP BY 1)
+             |SELECT e.vec_id, e.label,
+             |  CAST(CASE WHEN d.representative IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+             |  d.representative
+             |FROM e LEFT JOIN dom d USING (vec_id)
+             |ORDER BY e.vec_id""".stripMargin)
+    ) { (s, d) =>
+      val base = embDouble(s, d)
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("label"),
+        expr("transform(v, x -> x + 0.1D * x * x)").as("v"))
+      val e = base.unionAll(planted)
+      val dom = lshCosinePairs(s, e, tau = 0.90, bands = 16, rBits = 4, seed = 42L)
+        .groupBy(col("vec_b").as("vec_id"))
+        .agg(min(col("vec_a")).as("representative"))
+      e.select(col("vec_id"), col("label"))
+        .join(dom, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          col("label"),
+          when(col("representative").isNull, lit(1)).otherwise(lit(0)).as("kept"),
+          col("representative"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- IVF ANN: Lloyd-trained coarse quantizer + nprobe search ----------
     // Real IVF at the right plan shape (round-2 rewrite of the crossJoin+
     // window assignment the round-1 verdict flagged as an 8× shuffle):

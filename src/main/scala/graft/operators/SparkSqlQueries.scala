@@ -523,6 +523,39 @@ object SparkSqlQueries {
         |FROM scored WHERE cos_sim >= 0.90
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "q_c29_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000L AS vec_id, label,
+        |    transform(v, x -> x + 0.1D * x * x) AS v
+        |  FROM base),
+        |sig AS (SELECT vec_id, label, hyperplane_sig(v, 64, 42L) AS sig FROM e),
+        |bands AS (
+        |  SELECT vec_id, label, bk.band AS band, bk.key AS key FROM (
+        |    SELECT vec_id, label,
+        |      explode(transform(sequence(0, 15),
+        |        b -> struct(b AS band, shiftright(sig, b * 4) & 15 AS key))) AS bk
+        |    FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.label = b.label AND a.band = b.band AND a.key = b.key
+        |    AND a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT vec_a, vec_b
+        |  FROM cand
+        |  JOIN (SELECT vec_id AS vec_a, v FROM e) av USING (vec_a)
+        |  JOIN (SELECT vec_id AS vec_b, v AS qv FROM e) bv USING (vec_b)
+        |  WHERE round(CAST(cosine_similarity(av.v, bv.qv) AS DECIMAL(18,6)), 4) >= 0.90),
+        |dom AS (SELECT vec_b AS vec_id, MIN(vec_a) AS representative FROM pairs GROUP BY vec_b)
+        |SELECT e.vec_id, e.label,
+        |  CAST(CASE WHEN d.representative IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+        |  d.representative
+        |FROM e LEFT JOIN dom d USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
+
     // ---- text ------------------------------------------------------------
     "q_b8_percentiles" ->
       """SELECT lang,
@@ -627,6 +660,24 @@ object SparkSqlQueries {
         |  CAST(CAST(a.nll / CAST(d.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
         |FROM dl d JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_c30_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens,
+        |    aggregate(toks, 0L, (acc, w) ->
+        |      acc + ((aggregate(split(w, ''), 0L,
+        |               (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64)
+        |             * 1103515245L + 12345L) % 2048L - 1024L) AS wsum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN CAST(0 AS DECIMAL(38,6))
+        |    ELSE CAST(CAST(wsum AS DECIMAL(18,6)) / CAST(n_tokens * 1024 AS DECIMAL(18,6)) AS DECIMAL(38,6)) END
+        |    AS DOUBLE) AS score,
+        |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS cls
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // ---- multimodal ------------------------------------------------------
     "q_c10_multimodal_stats" ->

@@ -409,6 +409,63 @@ object TextQueries {
           col("n_tokens"),
           emit((col("nll") / dec(col("n_tokens"))).cast(D38)).as("avg_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c30: hashed-bag-of-words linear quality classifier ------------
+    // The fastText-style model-based filter step (hash tokens into D
+    // buckets, score = mean of per-bucket linear weights, threshold into
+    // keep/drop) that DCLM-class pipelines run at corpus scale. The model
+    // here is deterministic so both engines evaluate it exactly: token →
+    // q_c8's rolling char hash mod 64 buckets, bucket b → integer weight
+    // ((b·1103515245 + 12345) mod 2048) − 1024 (an LCG draw in
+    // [−1024, 1023], i.e. a fixed random weight vector scaled by 1024),
+    // doc score = Σ weights / (n_tokens·1024) in exact decimal, verdict =
+    // sign. Distributed shape: the entire classifier is ONE map-side
+    // projection — nested HOF folds, no explode, no shuffle, no UDF —
+    // the ideal 100 TB form (embarrassingly parallel; the only exchange
+    // is the terminal presentation sort). A real learned model swaps the
+    // weight EXPRESSION for a lookup table; the plan shape is identical.
+    QueryDef(
+      "q_c30_quality_classifier",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+             |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
+             |       * 1103515245 + 12345) % 2048 - 1024)),
+             |      (a, x) -> a + x) AS wsum
+             |  FROM t)
+             |SELECT doc_id, n_tokens,
+             |  CAST(CASE WHEN n_tokens = 0 THEN CAST(0 AS DECIMAL(38,6))
+             |    ELSE CAST(CAST(wsum AS DECIMAL(18,6)) / CAST(n_tokens * 1024 AS DECIMAL(18,6)) AS DECIMAL(38,6)) END
+             |    AS DOUBLE) AS score,
+             |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS cls
+             |FROM h ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr(s"""aggregate(toks, 0L, (acc, w) ->
+                  |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
+            .as("wsum"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          emit(
+            when(col("n_tokens") === 0, lit(0).cast(D38))
+              .otherwise((dec(col("wsum")) / dec(col("n_tokens") * 1024)).cast(D38)))
+            .as("score"),
+          when(col("wsum") > 0, lit("keep")).otherwise(lit("drop")).as("cls"))
+        .orderBy(col("doc_id"))
     }
   )
 }

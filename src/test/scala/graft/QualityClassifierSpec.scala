@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c30 hashed-bag-of-words linear classifier: the whole model is
+  * deterministic integer arithmetic, so this spec re-implements it
+  * independently in plain Scala (regex tokenize → rolling char hash mod 64
+  * → LCG weight → sum) and asserts the distributed plan reproduces the
+  * reference (n_tokens, wsum-derived verdict, exact score) on every
+  * sf0.001 document — plus that the sign threshold is non-vacuous (both
+  * verdicts occur).
+  */
+class QualityClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-classifier-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Independent reference: q_c8's rolling hash, 64 buckets, LCG weights. */
+  private def refScore(text: String): (Long, Long) = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val wsum = toks.map { w =>
+      val h = w.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+      ((h % 64) * 1103515245L + 12345L) % 2048L - 1024L
+    }.sum
+    (toks.length.toLong, wsum)
+  }
+
+  test("q_c30 matches an independent Scala reference on every sf0.001 doc") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = SparkEntry.queries("q_c30_quality_classifier")(spark, sf).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nRef, wsumRef) = refScore(docs(id))
+      assert(r.getAs[Long]("n_tokens") == nRef, s"n_tokens mismatch for doc $id")
+      val clsRef = if (wsumRef > 0) "keep" else "drop"
+      assert(r.getAs[String]("cls") == clsRef, s"verdict mismatch for doc $id")
+      if (nRef > 0) {
+        // the plan emits through DECIMAL(38,6): quantize the reference the
+        // same way (6 dp, HALF_UP) before comparing
+        val scoreRef = (BigDecimal(wsumRef) / BigDecimal(nRef * 1024))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        assert(math.abs(r.getAs[Double]("score") - scoreRef.toDouble) < 1e-12,
+          s"score mismatch for doc $id")
+      } else assert(r.getAs[Double]("score") == 0.0)
+    }
+    val verdicts = out.map(_.getAs[String]("cls")).toSet
+    assert(verdicts == Set("keep", "drop"), "sign threshold must be non-vacuous")
+  }
+}
