@@ -99,6 +99,250 @@ object EventQueries {
     (ev, or)
   }
 
+  /** Declared-plan dispatch for the skew-sensitive event queries (round 13).
+    *
+    * The measured 2×2 on 10M-event (~250 MB) fixtures (PERF.md round 13):
+    * with one user at 30 % of events the salted plans win 1.6× (sessionize)
+    * and 3.5× (as-of); with uniform users the SAME salted plans LOSE
+    * 1.7–3.3× — so neither plan is a safe blind default and table SIZE
+    * alone cannot pick (skew, not volume, is the decider). Policy
+    * (`spark.graft.events.salted`, default `auto`):
+    *   - `on` / `off`: caller knows the workload, forced;
+    *   - `auto`: tables under `spark.graft.events.saltBytes` (default
+    *     128 MB) always take the plain plan — at that size even a 100 %
+    *     hot user fits one task comfortably. Above the floor, a BOUNDED
+    *     head-sample probe (`limit(spark.graft.events.skewSampleRows)`,
+    *     default 1M rows — a LocalLimit scan that reads only the leading
+    *     row groups, never the table) measures the top user's share; above
+    *     `spark.graft.events.skewShare` (default 0.05 — 5 % of a
+    *     >128 MB table in one window partition is straggler territory)
+    *     the salted plan is dispatched. The probe is cached per
+    *     (path, content snapshot) so repeat invocations plan for free.
+    * Limits, stated honestly: a head sample only sees the leading files,
+    * so a hot key living purely in later files is missed (dispatch falls
+    * back to today's plain behavior — never worse than the status quo);
+    * `on` exists precisely for workloads that know better. AQE's runtime
+    * skew handling still applies either way; this dispatch sets the
+    * DECLARED plan, which AQE cannot restructure (it can split shuffle
+    * partitions but not decompose an ordered per-key window).
+    */
+  private[graft] object Dispatch {
+    private val cache =
+      scala.collection.mutable.Map.empty[String, (String, Boolean)]
+
+    private def conf(s: SparkSession, key: String, dflt: String): String =
+      s.conf.getOption(key).getOrElse(dflt)
+
+    def useSalted(s: SparkSession, d: String): Boolean =
+      conf(s, "spark.graft.events.salted", "auto") match {
+        case "on"  => true
+        case "off" => false
+        case _ =>
+          val floor = conf(s, "spark.graft.events.saltBytes", (128L << 20).toString).toLong
+          graft.core.Sizing.onDiskBytes(s, s"$d/events.parquet") > floor &&
+            probedSkew(s, d)
+      }
+
+    /** Top-user share over a bounded head sample, cached per content
+      * snapshot (metadata-only FS listing, the SessionMemo discipline).
+      */
+    private def probedSkew(s: SparkSession, d: String): Boolean = {
+      val path = s"$d/events.parquet"
+      val snap = graft.core.SessionMemo.snapshot(s, Seq(path))
+      cache.synchronized(cache.get(path).filter(_._1 == snap).map(_._2))
+        .getOrElse {
+          val rows = conf(s, "spark.graft.events.skewSampleRows", "1000000").toInt
+          val thresh = conf(s, "spark.graft.events.skewShare", "0.05").toDouble
+          val agg = s.read.parquet(path).select(col("user_id")).limit(rows)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+            .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).head()
+          val res = !agg.isNullAt(0) &&
+            agg.getLong(0).toDouble / agg.getLong(1).toDouble > thresh
+          cache.synchronized { cache(path) = (snap, res) }
+          res
+        }
+    }
+  }
+
+  // ---- Q-B3 plain plan: sessionization (30-minute inactivity gap) --------
+  // Batch analog of session_window(ts, '30 minutes'): lag + cumulative
+  // new-session flag, all in exact int64 µs arithmetic.
+  private def sessionizePlain(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    EventTime.events(s, d)
+      .withColumn("tsu", col("t_us"))
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(wOrd))
+      .withColumn(
+        "new_sess",
+        when(
+          col("prev_tsu").isNull || (col("tsu") - col("prev_tsu") > 1800000000L),
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tsu")).as("session_start_us"),
+        max(col("tsu")).as("session_end_us")
+      )
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ---- Q-B3 salted plan: hot-user-proof sessionization -------------------
+  // The plain q_b3 windows PARTITION BY user_id: one power-law user puts
+  // their entire history in a single window partition that AQE cannot
+  // split — the event-surface skew hazard (round 12, VERDICT lead 4).
+  // This variant ports q_c20's skew-splittable decomposition to the
+  // ordered-window op: SALT = the 6 h time bucket (bk = t_us DIV B,
+  // B ≫ the 30 min gap).
+  //  1. per-(user, bk) windows find internal session starts — a hot
+  //     user's events spread over their time buckets;
+  //  2. bucket-first events resolve against the ADJACENT bucket's last
+  //     event via an equi-join on (user, bk) summaries (one row per
+  //     bucket; if bucket b−1 is empty the true gap is ≥ B > gap, so
+  //     "no adjacent summary" correctly means "new session");
+  //  3. the latest-start carry chains across buckets in a per-user
+  //     window over BUCKET SUMMARIES — O(time-span/B) rows per user,
+  //     not O(events) (a month-long hot user is ~120 rows);
+  //  4. session assembly is groupBy(user, session_start): count/min/max
+  //     partial-aggregate map-side, so even a single 100 M-event
+  //     session never funnels raw rows into one task;
+  //  5. session_id = row_number over SESSION rows per user (tiny).
+  private def sessionizeSalted(s: SparkSession, d: String): DataFrame = {
+    val G = 1800000000L          // 30 min inactivity gap, µs
+    val B = 21600000000L         // 6 h salt bucket, ≫ G
+    val e = EventTime.events(s, d)
+      .select(col("user_id"), col("event_id"), col("t_us").as("tsu"))
+      .withColumn("bk", expr(s"tsu DIV $B"))
+    val wB = Window.partitionBy(col("user_id"), col("bk"))
+      .orderBy(col("tsu"), col("event_id"))
+    val wBrun = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = e.groupBy(col("user_id"), col("bk"))
+      .agg(min(col("tsu")).as("first_tsu"), max(col("tsu")).as("last_tsu"))
+    val chain = sums
+      .join(sums.select(col("user_id"), (col("bk") + 1).as("bk"),
+        col("last_tsu").as("prev_last")), Seq("user_id", "bk"), "left")
+      .select(col("user_id"), col("bk"), col("prev_last"))
+    val flagged = e.join(chain, Seq("user_id", "bk"))
+      .withColumn("prev_in", lag(col("tsu"), 1).over(wB))
+      .withColumn("is_start",
+        when(col("prev_in").isNotNull, col("tsu") - col("prev_in") > G)
+          .otherwise(col("prev_last").isNull || col("tsu") - col("prev_last") > G))
+    val withRun = flagged.withColumn("run_start",
+      last(when(col("is_start"), col("tsu")), ignoreNulls = true).over(wBrun))
+    val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = withRun.groupBy(col("user_id"), col("bk"))
+      .agg(max(when(col("is_start"), col("tsu"))).as("last_start_in_bk"))
+      .withColumn("carried_in",
+        last(col("last_start_in_bk"), ignoreNulls = true).over(wUbk))
+      .select(col("user_id"), col("bk"), col("carried_in"))
+    withRun.join(carried, Seq("user_id", "bk"))
+      .withColumn("sess_start", coalesce(col("run_start"), col("carried_in")))
+      .groupBy(col("user_id"), col("sess_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tsu")).as("session_start_us"),
+        max(col("tsu")).as("session_end_us"))
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("sess_start"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ---- Q-B4 plain plan: as-of join (latest prior order per event) --------
+  // UNION-STREAM form: tag orders (0) and events (1), union them keyed by
+  // user, sort once within user by (time, tag, orderkey), and carry the
+  // most recent order forward with last(..., ignoreNulls) over a running
+  // window. One shuffle on user_id, zero pair amplification — the naive
+  // join-then-rank form materializes O(events_per_user × orders_per_user)
+  // rows per key before the window prunes them, which is quadratic on a
+  // skewed power-user at scale. Tie-break parity with the declared oracle
+  // (ROW_NUMBER ... ORDER BY o_orderdate DESC, o_orderkey DESC → rn=1):
+  // orders sort before events at equal time (tag 0 < 1, matching the
+  // inclusive o_orderdate <= ts bound) and ascending orderkey within a
+  // timestamp makes the running `last` adopt the max orderkey — exactly
+  // the rn=1 winner. Events with no prior order drop (inner-join parity).
+  private def asofPlain(s: SparkSession, d: String): DataFrame = {
+    val (ev, or) = asofUnionLegs(s, d)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(or)
+      .withColumn(
+        "ord",
+        last(
+          when(col("tag") === 0,
+            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+          ignoreNulls = true
+        ).over(w)
+      )
+      .filter(col("tag") === 1 && col("ord").isNotNull)
+      .select(
+        col("event_id"),
+        col("t_us").as("ts_us"),
+        col("user_id"),
+        col("ord.o_orderkey").as("last_orderkey"),
+        col("ord.o_orderdate").as("last_orderdate"),
+        col("ord.o_totalprice").as("last_totalprice")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  // ---- Q-B4 salted plan: hot-user-proof as-of join ------------------------
+  // Same salt decomposition for the union-stream running-last: per-
+  // (user, 6 h bucket) windows carry the last order WITHIN the bucket;
+  // the cross-bucket carry (the most recent order in any earlier
+  // bucket) chains through a per-user window over bucket summaries —
+  // O(buckets) rows, never O(events). Unlike sessionization there is no
+  // gap bound, so the bucket summary keeps the full order payload in a
+  // max-struct ordered by (t_us, orderkey) — the same tie-break the
+  // running `last` applies.
+  private def asofSalted(s: SparkSession, d: String): DataFrame = {
+    val B = 21600000000L
+    val (ev, or) = asofUnionLegs(s, d)
+    val u = ev.unionByName(or).withColumn("bk", expr(s"t_us DIV $B"))
+    val wB = Window.partitionBy(col("user_id"), col("bk"))
+      .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = u.withColumn("run_ord",
+      last(
+        when(col("tag") === 0,
+          struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+        ignoreNulls = true).over(wB))
+    val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = u.select(col("user_id"), col("bk"),
+        when(col("tag") === 0,
+          struct(col("t_us"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))).as("ordRow"))
+      .groupBy(col("user_id"), col("bk"))
+      .agg(max(col("ordRow")).as("last_ord"))
+      .withColumn("carried_ord", last(col("last_ord"), ignoreNulls = true).over(wUbk))
+      .select(col("user_id"), col("bk"), col("carried_ord"))
+    withRun.join(carried, Seq("user_id", "bk"))
+      .withColumn("ord", coalesce(
+        col("run_ord"),
+        when(col("carried_ord").isNotNull,
+          struct(
+            col("carried_ord.o_orderkey").as("o_orderkey"),
+            col("carried_ord.o_orderdate").as("o_orderdate"),
+            col("carried_ord.o_totalprice").as("o_totalprice")))))
+      .filter(col("tag") === 1 && col("ord").isNotNull)
+      .select(
+        col("event_id"),
+        col("t_us").as("ts_us"),
+        col("user_id"),
+        col("ord.o_orderkey").as("last_orderkey"),
+        col("ord.o_orderdate").as("last_orderdate"),
+        col("ord.o_totalprice").as("last_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- Q-B1: tumbling window aggregate ---------------------------------
     QueryDef(
@@ -155,75 +399,24 @@ object EventQueries {
     },
 
     // ---- Q-B3: sessionization (30-minute inactivity gap) -----------------
-    // Batch analog of session_window(ts, '30 minutes'): lag + cumulative
-    // new-session flag, all in exact int64 µs arithmetic.
+    // Skew-dispatched (see [[Dispatch]]): plain plan below the size floor
+    // or when the head-sample probe sees no hot user; salted decomposition
+    // otherwise. Both plans are row-identical (HotUserSkewSpec) and share
+    // this oracle.
     QueryDef(
       "q_b3_sessionize",
       Some(sessionizeOracle)
     ) { (s, d) =>
-      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      EventTime.events(s, d)
-        .withColumn("tsu", col("t_us"))
-        .withColumn("prev_tsu", lag(col("tsu"), 1).over(wOrd))
-        .withColumn(
-          "new_sess",
-          when(
-            col("prev_tsu").isNull || (col("tsu") - col("prev_tsu") > 1800000000L),
-            1L
-          ).otherwise(0L)
-        )
-        .withColumn("session_id", sum(col("new_sess")).over(wRun))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("tsu")).as("session_start_us"),
-          max(col("tsu")).as("session_end_us")
-        )
-        .orderBy(col("user_id"), col("session_id"))
+      if (Dispatch.useSalted(s, d)) sessionizeSalted(s, d) else sessionizePlain(s, d)
     },
 
     // ---- Q-B4: as-of join (latest prior order per event) -----------------
-    // UNION-STREAM form: tag orders (0) and events (1), union them keyed by
-    // user, sort once within user by (time, tag, orderkey), and carry the
-    // most recent order forward with last(..., ignoreNulls) over a running
-    // window. One shuffle on user_id, zero pair amplification — the naive
-    // join-then-rank form materializes O(events_per_user × orders_per_user)
-    // rows per key before the window prunes them, which is quadratic on a
-    // skewed power-user at scale. Tie-break parity with the declared oracle
-    // (ROW_NUMBER ... ORDER BY o_orderdate DESC, o_orderkey DESC → rn=1):
-    // orders sort before events at equal time (tag 0 < 1, matching the
-    // inclusive o_orderdate <= ts bound) and ascending orderkey within a
-    // timestamp makes the running `last` adopt the max orderkey — exactly
-    // the rn=1 winner. Events with no prior order drop (inner-join parity).
+    // Skew-dispatched like q_b3 (see [[Dispatch]] and [[asofPlain]]).
     QueryDef(
       "q_b4_asof_join",
       Some(asofOracle)
     ) { (s, d) =>
-      val (ev, or) = asofUnionLegs(s, d)
-      val w = Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.unionByName(or)
-        .withColumn(
-          "ord",
-          last(
-            when(col("tag") === 0,
-              struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
-            ignoreNulls = true
-          ).over(w)
-        )
-        .filter(col("tag") === 1 && col("ord").isNotNull)
-        .select(
-          col("event_id"),
-          col("t_us").as("ts_us"),
-          col("user_id"),
-          col("ord.o_orderkey").as("last_orderkey"),
-          col("ord.o_orderdate").as("last_orderdate"),
-          col("ord.o_totalprice").as("last_totalprice")
-        )
-        .orderBy(col("event_id"))
+      if (Dispatch.useSalted(s, d)) asofSalted(s, d) else asofPlain(s, d)
     },
 
     // ---- Q-B9: banded interval self-join ---------------------------------
@@ -264,125 +457,19 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
-    // ---- Q-B3 salted: hot-user-proof sessionization ----------------------
-    // The plain q_b3 windows PARTITION BY user_id: one power-law user puts
-    // their entire history in a single window partition that AQE cannot
-    // split — the event-surface skew hazard (round 12, VERDICT lead 4).
-    // This variant ports q_c20's skew-splittable decomposition to the
-    // ordered-window op: SALT = the 6 h time bucket (bk = t_us DIV B,
-    // B ≫ the 30 min gap).
-    //  1. per-(user, bk) windows find internal session starts — a hot
-    //     user's events spread over their time buckets;
-    //  2. bucket-first events resolve against the ADJACENT bucket's last
-    //     event via an equi-join on (user, bk) summaries (one row per
-    //     bucket; if bucket b−1 is empty the true gap is ≥ B > gap, so
-    //     "no adjacent summary" correctly means "new session");
-    //  3. the latest-start carry chains across buckets in a per-user
-    //     window over BUCKET SUMMARIES — O(time-span/B) rows per user,
-    //     not O(events) (a month-long hot user is ~120 rows);
-    //  4. session assembly is groupBy(user, session_start): count/min/max
-    //     partial-aggregate map-side, so even a single 100 M-event
-    //     session never funnels raw rows into one task;
-    //  5. session_id = row_number over SESSION rows per user (tiny).
-    // Same oracle as q_b3 — the rows must be identical (HotUserSkewSpec
-    // also proves plain == salted on a synthetic power-law fixture).
+    // ---- Q-B3 salted: forced salted plan (A/B handle + spec subject) -----
+    // The salted decomposition regardless of dispatch — HotUserSkewSpec
+    // proves it row-identical to the plain plan, and the bench carries
+    // both so the skew trade stays measured. Same oracle as q_b3.
     QueryDef(
       "q_b3_sessionize_salted",
       Some(sessionizeOracle)
-    ) { (s, d) =>
-      val G = 1800000000L          // 30 min inactivity gap, µs
-      val B = 21600000000L         // 6 h salt bucket, ≫ G
-      val e = EventTime.events(s, d)
-        .select(col("user_id"), col("event_id"), col("t_us").as("tsu"))
-        .withColumn("bk", expr(s"tsu DIV $B"))
-      val wB = Window.partitionBy(col("user_id"), col("bk"))
-        .orderBy(col("tsu"), col("event_id"))
-      val wBrun = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sums = e.groupBy(col("user_id"), col("bk"))
-        .agg(min(col("tsu")).as("first_tsu"), max(col("tsu")).as("last_tsu"))
-      val chain = sums
-        .join(sums.select(col("user_id"), (col("bk") + 1).as("bk"),
-          col("last_tsu").as("prev_last")), Seq("user_id", "bk"), "left")
-        .select(col("user_id"), col("bk"), col("prev_last"))
-      val flagged = e.join(chain, Seq("user_id", "bk"))
-        .withColumn("prev_in", lag(col("tsu"), 1).over(wB))
-        .withColumn("is_start",
-          when(col("prev_in").isNotNull, col("tsu") - col("prev_in") > G)
-            .otherwise(col("prev_last").isNull || col("tsu") - col("prev_last") > G))
-      val withRun = flagged.withColumn("run_start",
-        last(when(col("is_start"), col("tsu")), ignoreNulls = true).over(wBrun))
-      val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carried = withRun.groupBy(col("user_id"), col("bk"))
-        .agg(max(when(col("is_start"), col("tsu"))).as("last_start_in_bk"))
-        .withColumn("carried_in",
-          last(col("last_start_in_bk"), ignoreNulls = true).over(wUbk))
-        .select(col("user_id"), col("bk"), col("carried_in"))
-      withRun.join(carried, Seq("user_id", "bk"))
-        .withColumn("sess_start", coalesce(col("run_start"), col("carried_in")))
-        .groupBy(col("user_id"), col("sess_start"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("tsu")).as("session_start_us"),
-          max(col("tsu")).as("session_end_us"))
-        .withColumn("session_id", row_number().over(
-          Window.partitionBy(col("user_id")).orderBy(col("sess_start"))).cast("long"))
-        .select(col("user_id"), col("session_id"), col("n_events"),
-          col("session_start_us"), col("session_end_us"))
-        .orderBy(col("user_id"), col("session_id"))
-    },
+    ) { (s, d) => sessionizeSalted(s, d) },
 
-    // ---- Q-B4 salted: hot-user-proof as-of join ---------------------------
-    // Same salt decomposition for the union-stream running-last: per-
-    // (user, 6 h bucket) windows carry the last order WITHIN the bucket;
-    // the cross-bucket carry (the most recent order in any earlier
-    // bucket) chains through a per-user window over bucket summaries —
-    // O(buckets) rows, never O(events). Unlike sessionization there is no
-    // gap bound, so the bucket summary keeps the full order payload in a
-    // max-struct ordered by (t_us, orderkey) — the same tie-break the
-    // running `last` applies. Same oracle as q_b4.
+    // ---- Q-B4 salted: forced salted plan (A/B handle + spec subject) -----
     QueryDef(
       "q_b4_asof_salted",
       Some(asofOracle)
-    ) { (s, d) =>
-      val B = 21600000000L
-      val (ev, or) = asofUnionLegs(s, d)
-      val u = ev.unionByName(or).withColumn("bk", expr(s"t_us DIV $B"))
-      val wB = Window.partitionBy(col("user_id"), col("bk"))
-        .orderBy(col("t_us"), col("tag"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withRun = u.withColumn("run_ord",
-        last(
-          when(col("tag") === 0,
-            struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
-          ignoreNulls = true).over(wB))
-      val wUbk = Window.partitionBy(col("user_id")).orderBy(col("bk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carried = u.select(col("user_id"), col("bk"),
-          when(col("tag") === 0,
-            struct(col("t_us"), col("o_orderkey"), col("o_orderdate"),
-              col("o_totalprice"))).as("ordRow"))
-        .groupBy(col("user_id"), col("bk"))
-        .agg(max(col("ordRow")).as("last_ord"))
-        .withColumn("carried_ord", last(col("last_ord"), ignoreNulls = true).over(wUbk))
-        .select(col("user_id"), col("bk"), col("carried_ord"))
-      withRun.join(carried, Seq("user_id", "bk"))
-        .withColumn("ord", coalesce(
-          col("run_ord"),
-          when(col("carried_ord").isNotNull,
-            struct(
-              col("carried_ord.o_orderkey").as("o_orderkey"),
-              col("carried_ord.o_orderdate").as("o_orderdate"),
-              col("carried_ord.o_totalprice").as("o_totalprice")))))
-        .filter(col("tag") === 1 && col("ord").isNotNull)
-        .select(
-          col("event_id"),
-          col("t_us").as("ts_us"),
-          col("user_id"),
-          col("ord.o_orderkey").as("last_orderkey"),
-          col("ord.o_orderdate").as("last_orderdate"),
-          col("ord.o_totalprice").as("last_totalprice"))
-        .orderBy(col("event_id"))
-    }
+    ) { (s, d) => asofSalted(s, d) }
   )
 }
