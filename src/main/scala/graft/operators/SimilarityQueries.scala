@@ -492,20 +492,33 @@ object SimilarityQueries {
       .withColumn("q8",
         expr("transform(v, x -> CAST(round(x * 127 / greatest(mx, 1e-12D)) AS INT))"))
       .select(col("vec_id"), col("cell"), col("q8"))
-    val qProbe = e
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(expr(s"$fn(v, $nprobe)")).as("cell"))
-    val wCell = Window.partitionBy(col("query_id"), col("cell"))
-      .orderBy(col("ascore").desc, col("vec_id"))
-    val wQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("ascore").desc, col("vec_id"))
-    val cands = assigned.join(broadcast(qProbe), Seq("cell"))
+    val cands = assigned.join(broadcast(probeQueries(e, fn, nprobe)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       // ‖qv‖ is constant per query — rank-invariant, omitted
       .withColumn("ascore",
         expr("aggregate(zip_with(q8, qv, (a, b) -> a * b), 0D, (acc, y) -> acc + y)" +
           " / greatest(sqrt(aggregate(q8, 0D, (acc, y) -> acc + CAST(y AS DOUBLE) * y)), 1e-12D)"))
+    rerankTail(cands, e, fetch)
+  }
+
+  /** The query side of the rerank searches: fixed query ids, each probing
+    * its nprobe nearest cells.
+    */
+  private def probeQueries(e: DataFrame, fn: String, nprobe: Int): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(expr(s"$fn(v, $nprobe)")).as("cell"))
+
+  /** Shared tail of the two-stage searches: per-cell + per-query pushdown
+    * of the int8 stage-1 scores to the over-fetch depth, then the exact
+    * rerank over only `fetch` full-precision rows per query.
+    */
+  private def rerankTail(scored: DataFrame, e: DataFrame, fetch: Int): DataFrame = {
+    val wCell = Window.partitionBy(col("query_id"), col("cell"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cands = scored
       // same per-cell pushdown as ivfSearch, at the over-fetched depth
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= fetch)
@@ -520,6 +533,45 @@ object SimilarityQueries {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Round-13 STORED int8 index (NEXT.md lead 4): materialize the
+    * quantized corpus as a narrow parquet index table
+    * (vec_id, cell, q8 BINARY — 1 byte per element via the codegen'd
+    * [[graft.functions.PackInt8]]), so the stage-1 scan's 4× byte
+    * reduction is an in-engine property of the columnar scan rather than
+    * an at-scale argument: stage 1 reads ONLY the index table's columns
+    * (~dim bytes per row), and the float corpus is touched solely by the
+    * exact rerank's per-candidate join (`fetch` rows per query). At
+    * cluster scale the index table is the only thing the fan-out scan
+    * touches — it is ~8× smaller on disk than the float corpus (measured
+    * in Int8IndexSpec), so cache residency and scan bandwidth both
+    * improve by the same factor. Scores are bit-identical to the derived
+    * path ([[graft.functions.Int8CosineQ]] reproduces the HOF
+    * accumulation order exactly), so stored-vs-derived search results
+    * cannot drift (spec-pinned).
+    */
+  private[graft] def buildInt8Index(
+      s: SparkSession, e: DataFrame, fn: String, path: String): Unit = {
+    graft.functions.Int8Ops.register(s)
+    e.withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+      .select(col("vec_id"), col("cell"), expr("pack_int8(v)").as("q8"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Two-stage search over a stored int8 index: stage 1 scans the narrow
+    * index table, stage 2 exact-reranks against the float corpus.
+    */
+  private[graft] def ivfSearchStored(
+      s: SparkSession, indexPath: String, e: DataFrame, fn: String,
+      nprobe: Int, overfetch: Int = 4): DataFrame = {
+    graft.functions.Int8Ops.register(s)
+    val fetch = overfetch * 5
+    val cands = s.read.parquet(indexPath)
+      .join(broadcast(probeQueries(e, fn, nprobe)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ascore", expr("int8_cos_q(q8, qv)"))
+    rerankTail(cands, e, fetch)
   }
 
   /** The structural nprobe for clustered data: √k (the standard IVF
