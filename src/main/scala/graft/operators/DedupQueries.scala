@@ -210,18 +210,35 @@ object DedupQueries {
       .distinct()
     // NOTE: broadcasting garr into the verify joins measured 10x SLOWER
     // than the shuffle joins (copying the array per probe into the
-    // generated-code stream); the shuffle join sorts doc-id pairs instead
-    cand
+    // generated-code stream); the shuffle join sorts doc-id pairs instead.
+    // SHUFFLE_HASH on the garr sides was A/B'd and REVERTED (round 13):
+    // it does kill the wide-stream sort, but SMJ's doc_a-ordered join-1
+    // output is what makes the repeated ga arrays adjacent in the next
+    // exchange — hash-join ordering ballooned that shuffle's compressed
+    // bytes 1.83 → 10.97 GB and pass-A core time 2.2× at scale10.
+    val verified = cand
       .join(garr.select(col("doc_id").as("doc_a"), col("gids").as("ga"),
         col("n_g").as("n_a")), Seq("doc_a"))
       .join(garr.select(col("doc_id").as("doc_b"), col("gids").as("gb"),
         col("n_g").as("n_b")), Seq("doc_b"))
       // O(n+m) merge on the sorted id arrays (native codegen'd
       // expression) — array_intersect's per-row hash set was the
-      // verify-step bottleneck at 0.5M candidate pairs
+      // verify-step bottleneck at 0.5M candidate pairs.
+      // The τ test is phrased so the merge is referenced ONCE:
+      // shared·10 ≥ (n_a+n_b−shared)·τ10 ⟺ shared·(10+τ10) ≥
+      // (n_a+n_b)·τ10 (exact integer algebra). The original
+      // shared/uni-column form let PushPredicateThroughNonJoin
+      // substitute the expression into the join condition TWICE and the
+      // survivor projection recomputed it a third time — 3 O(n+m)
+      // merges per candidate pair where one suffices (scale10 profile,
+      // round 13). Filtering first keeps the join-condition evaluation
+      // the only per-candidate one; the named columns below are
+      // recomputed only for the ~1e-2 surviving fraction.
+      .filter(
+        expr(s"intersect_count_sorted(ga, gb) * ${10 + tau10} >= (n_a + n_b) * $tau10"))
+    verified
       .withColumn("shared", expr("intersect_count_sorted(ga, gb)"))
       .withColumn("uni", col("n_a") + col("n_b") - col("shared"))
-      .filter(col("shared") * 10 >= col("uni") * tau10)
   }
 
   /** Banded-MinHash candidate pairs (doc_a < doc_b), shared by q_c1 and
