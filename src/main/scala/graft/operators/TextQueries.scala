@@ -446,26 +446,36 @@ object TextQueries {
              |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS cls
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
-      Tables(s, d, "documents")
-        .select(
-          col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
-        .select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          expr(s"""aggregate(toks, 0L, (acc, w) ->
-                  |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
-            .as("wsum"))
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          emit(
-            when(col("n_tokens") === 0, lit(0).cast(D38))
-              .otherwise((dec(col("wsum")) / dec(col("n_tokens") * 1024)).cast(D38)))
-            .as("score"),
-          when(col("wsum") > 0, lit("keep")).otherwise(lit("drop")).as("cls"))
-        .orderBy(col("doc_id"))
+      classifierProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
     }
   )
+
+  /** q_c30's classifier as a pure projection over a (doc_id, text) frame —
+    * shared verbatim by the batch query (plus its presentation sort) and
+    * the stateless streaming twin ([[graft.streaming.StreamingOps
+    * .classifierScores]]): the model-based filter applies per-document,
+    * so the SAME plan scores a stream in append mode with zero state.
+    */
+  private[graft] def classifierProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+    docs
+      .select(
+        col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"""aggregate(toks, 0L, (acc, w) ->
+                |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
+          .as("wsum"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        emit(
+          when(col("n_tokens") === 0, lit(0).cast(D38))
+            .otherwise((dec(col("wsum")) / dec(col("n_tokens") * 1024)).cast(D38)))
+          .as("score"),
+        when(col("wsum") > 0, lit("keep")).otherwise(lit("drop")).as("cls"))
+  }
 }

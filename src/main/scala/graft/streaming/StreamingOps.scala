@@ -226,6 +226,21 @@ object StreamingOps {
       }
   }
 
+  // ---- streaming quality-classifier scoring (q_c30 twin) -----------------
+
+  /** Streaming twin of q_c30's hashed-BoW linear classifier: the model
+    * applies per document, so the scoring is the EXACT batch projection
+    * ([[graft.operators.TextQueries.classifierProjection]]) run in
+    * append mode — zero state, no watermark, every micro-batch scored as
+    * it arrives. This is the shape a model-based filter takes at the
+    * ingest edge of a training-data pipeline: the same expression tree
+    * serves batch backfill and the live stream, so scores can never
+    * disagree between the two paths (StreamingOpsSpec asserts row
+    * equality across triggers).
+    */
+  def classifierScores(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.classifierProjection(docs)
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

@@ -304,6 +304,30 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     served.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("streaming classifier scoring equals batch q_c30 on real documents") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.classifierScores(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_cls").toString)
+      .format("memory").queryName("clsscores").outputMode("append").start()
+    for (chunk <- docs.grouped(docs.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("clsscores").orderBy("doc_id").collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c30_quality_classifier")(sp, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming source-mixture (fMGWS) equals batch q_c28 with a late new source") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
