@@ -679,6 +679,26 @@ object SparkSqlQueries {
         |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS cls
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "q_c31_rules_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, filter(split(lower(text), ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(size(ws) AS BIGINT) AS n_words,
+        |    aggregate(ws, 0L, (a, w) -> a + length(w)) AS sumlen,
+        |    CAST(size(array_intersect(ws, array('the','of','and','to','in'))) AS BIGINT) AS stop_hits,
+        |    CAST(size(array_distinct(ws)) AS BIGINT) AS uniq
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  CAST(CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS INT) AS r_words,
+        |  CAST(CASE WHEN 3 * n_words <= sumlen AND 2 * sumlen <= 9 * n_words THEN 1 ELSE 0 END AS INT) AS r_wlen,
+        |  CAST(CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS r_stop,
+        |  CAST(CASE WHEN 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS r_ttr,
+        |  CAST(CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+        |    AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+        |    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // ---- multimodal ------------------------------------------------------
     "q_c10_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

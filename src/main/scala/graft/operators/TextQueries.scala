@@ -447,6 +447,64 @@ object TextQueries {
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
       classifierProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
+    },
+
+    // ---- q_c31: rules-based quality filter (Gopher-style) ----------------
+    // The third member of the public filtering trio (rules / LM score /
+    // classifier — q_c31 / q_c26 / q_c30): Gopher's heuristic document
+    // rules, with thresholds adapted so every rule discriminates on this
+    // corpus (measured sf0.01: n∈[10,99] med 56, mean word len∈[3.7,5.3],
+    // type-token ratio∈[0.28,1.0] med 0.46):
+    //   r_words — ≥ 50 words (Gopher: 50..100k);
+    //   r_wlen  — mean word length in [3, 4.5] as pure integer tests
+    //             (3n ≤ Σlen ∧ 2Σlen ≤ 9n — no division, no floats);
+    //   r_stop  — ≥ 1 of the 5 en stopwords (Gopher's "stop word" rule);
+    //   r_ttr   — type-token ratio ≥ 0.4 (5·uniq ≥ 2·n), the
+    //             duplicate-content proxy.
+    // pass = all four. Like q_c30 the whole filter is ONE map-side
+    // projection of array folds — no shuffle, no UDF; at 100 TB it runs
+    // at scan speed. Every comparison is integer, so the oracle is exact.
+    QueryDef(
+      "q_c31_rules_filter",
+      Some("""WITH t AS (
+             |  SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
+             |    CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
+             |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+             |  FROM t)
+             |SELECT doc_id, n_words,
+             |  CAST(CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS INT) AS r_words,
+             |  CAST(CASE WHEN 3 * n_words <= sumlen AND 2 * sumlen <= 9 * n_words THEN 1 ELSE 0 END AS INT) AS r_wlen,
+             |  CAST(CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS r_stop,
+             |  CAST(CASE WHEN 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS r_ttr,
+             |  CAST(CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+             |    AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+             |    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS pass
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sumlen"),
+          expr("CAST(size(array_intersect(ws, array('the','of','and','to','in'))) AS BIGINT)")
+            .as("stop_hits"),
+          expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("uniq"))
+        .select(col("doc_id"), col("n_words"),
+          when(col("n_words") >= 50, 1).otherwise(0).as("r_words"),
+          when(lit(3) * col("n_words") <= col("sumlen")
+            && lit(2) * col("sumlen") <= lit(9) * col("n_words"), 1).otherwise(0).as("r_wlen"),
+          when(col("stop_hits") >= 1, 1).otherwise(0).as("r_stop"),
+          when(lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0).as("r_ttr"),
+          when(col("n_words") >= 50 && lit(3) * col("n_words") <= col("sumlen")
+            && lit(2) * col("sumlen") <= lit(9) * col("n_words")
+            && col("stop_hits") >= 1
+            && lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0).as("pass"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -64,4 +64,18 @@ class QualityClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     val verdicts = out.map(_.getAs[String]("cls")).toSet
     assert(verdicts == Set("keep", "drop"), "sign threshold must be non-vacuous")
   }
+
+  test("q_c31 rules each discriminate on sf0.01 and pass == AND of the flags") {
+    val out = SparkEntry.queries("q_c31_rules_filter")(spark, "/root/testdata/sf0.01")
+      .collect()
+    for (flag <- Seq("r_words", "r_wlen", "r_stop", "r_ttr")) {
+      val vals = out.map(_.getAs[Int](flag)).toSet
+      assert(vals == Set(0, 1), s"rule $flag is vacuous on sf0.01 (values $vals)")
+    }
+    out.foreach { r =>
+      val and = Seq("r_words", "r_wlen", "r_stop", "r_ttr").map(r.getAs[Int]).min
+      assert(r.getAs[Int]("pass") == and, s"pass != AND of flags for doc ${r.getLong(0)}")
+    }
+    assert(out.map(_.getAs[Int]("pass")).toSet == Set(0, 1))
+  }
 }
