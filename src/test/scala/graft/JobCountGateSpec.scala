@@ -51,7 +51,10 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c13_dup_clusters" -> 38,     // measured 30
     "q_c19_neardup_retained" -> 40, // measured 32
     "q_c26_unigram_logprob" -> 22,  // measured 17
-    "q_c27_incremental_dedup" -> 19 // measured 15
+    "q_c27_incremental_dedup" -> 19, // measured 15
+    "q_c29_semantic_dedup" -> 13,   // measured 10 (r13)
+    "q_c30_quality_classifier" -> 5, // measured 4 (map-only + sort sample)
+    "q_c31_rules_filter" -> 5       // measured 4
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
