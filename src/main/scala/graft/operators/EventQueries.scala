@@ -127,8 +127,13 @@ object EventQueries {
     * partitions but not decompose an ordered per-key window).
     */
   private[graft] object Dispatch {
+    // cache the MEASURED top-user share (not the decision): the threshold
+    // is session conf, and caching the boolean would leak one session's
+    // skewShare setting into another's dispatch. Keyed by (path, sample
+    // size) and guarded by the content snapshot; an empty table probes
+    // as share 0.
     private val cache =
-      scala.collection.mutable.Map.empty[String, (String, Boolean)]
+      scala.collection.mutable.Map.empty[(String, Int), (String, Double)]
 
     private def conf(s: SparkSession, key: String, dflt: String): String =
       s.conf.getOption(key).getOrElse(dflt)
@@ -139,27 +144,29 @@ object EventQueries {
         case "off" => false
         case _ =>
           val floor = conf(s, "spark.graft.events.saltBytes", (128L << 20).toString).toLong
-          graft.core.Sizing.onDiskBytes(s, s"$d/events.parquet") > floor &&
-            probedSkew(s, d)
+          graft.core.Sizing.onDiskBytes(s, s"$d/events.parquet") > floor && {
+            val thresh = conf(s, "spark.graft.events.skewShare", "0.05").toDouble
+            probedShare(s, d) > thresh
+          }
       }
 
     /** Top-user share over a bounded head sample, cached per content
       * snapshot (metadata-only FS listing, the SessionMemo discipline).
       */
-    private def probedSkew(s: SparkSession, d: String): Boolean = {
+    private def probedShare(s: SparkSession, d: String): Double = {
       val path = s"$d/events.parquet"
+      val rows = conf(s, "spark.graft.events.skewSampleRows", "1000000").toInt
       val snap = graft.core.SessionMemo.snapshot(s, Seq(path))
-      cache.synchronized(cache.get(path).filter(_._1 == snap).map(_._2))
+      cache.synchronized(cache.get((path, rows)).filter(_._1 == snap).map(_._2))
         .getOrElse {
-          val rows = conf(s, "spark.graft.events.skewSampleRows", "1000000").toInt
-          val thresh = conf(s, "spark.graft.events.skewShare", "0.05").toDouble
           val agg = s.read.parquet(path).select(col("user_id")).limit(rows)
             .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
             .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).head()
-          val res = !agg.isNullAt(0) &&
-            agg.getLong(0).toDouble / agg.getLong(1).toDouble > thresh
-          cache.synchronized { cache(path) = (snap, res) }
-          res
+          val share =
+            if (agg.isNullAt(0)) 0.0
+            else agg.getLong(0).toDouble / agg.getLong(1).toDouble
+          cache.synchronized { cache((path, rows)) = (snap, share) }
+          share
         }
     }
   }
