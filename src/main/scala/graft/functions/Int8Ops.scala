@@ -144,6 +144,70 @@ case class Int8CosineQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 cosine: both sides are packed q8 codes. Used by the
+  * LSH candidate PREFILTER ([[graft.operators.SimilarityQueries
+  * .lshCosinePairs]]): quantized cosine differs from the true cosine by
+  * at most ε = 4√d/254 (each dequantized coordinate is within half a
+  * quantization step mx/254 of the truth, ‖a‖ ≥ mx, and the unit-vector
+  * perturbation bound ‖x̂/‖x̂‖ − x/‖x‖‖ ≤ 2‖x̂−x‖/‖x‖ applies per side),
+  * so `int8_cos_qq(qa, qb) ≥ τ − ε` is a CONSERVATIVE test — it can
+  * never reject a pair whose true cosine reaches τ, while random
+  * candidates (cosine ~ N(0, 1/√d)) sit many σ below the cut.
+  */
+case class Int8CosineQQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int8_cos_qq requires (BINARY, BINARY), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var dot = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toLong; val yi = y(i).toLong
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot.toDouble / math.max(math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble), 1e-12)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |if ($x.length != $y.length) { ${ev.isNull} = true; } else {
+         |  long $dot = 0L; long $nx = 0L; long $ny = 0L;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    long $xi = (long) $x[$i]; long $yi = (long) $y[$i];
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = (double) $dot / java.lang.Math.max(
+         |    java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny), 1e-12);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8CosineQQ =
+    copy(left = newLeft, right = newRight)
+}
+
 object Int8Ops {
   /** Register `pack_int8` and `int8_cos_q` into a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -160,6 +224,13 @@ object Int8Ops {
       (children: Seq[Expression]) => {
         require(children.length == 2, "int8_cos_q takes 2 arguments")
         Int8CosineQ(children.head, children(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("int8_cos_qq"),
+      new ExpressionInfo(classOf[Int8CosineQQ].getName, "int8_cos_qq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int8_cos_qq takes 2 arguments")
+        Int8CosineQQ(children.head, children(1))
       })
   }
 }

@@ -78,7 +78,34 @@ object SimilarityQueries {
       )
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand
+    // INT8 CONSERVATIVE PREFILTER (round 13): sign-LSH banding prunes by
+    // STRUCTURE, so on an unstructured corpus (the synthetic embeddings
+    // are near-uniform) most same-label pairs collide in some band —
+    // measured 1×→3× candidate growth drove q_c29 superlinear — and every
+    // candidate used to fetch two full float64 arrays for the exact
+    // cosine. Stage the verify: join the candidates to 1-byte/element
+    // packed codes first (8× lighter payload than v), and keep only pairs
+    // whose QUANTIZED cosine reaches τ − ε − 0.001, where ε = 4√d/254 is
+    // a rigorous bound on |cos8 − cos| (per-coordinate dequantization
+    // error ≤ mx/254, ‖a‖ ≥ mx, unit-vector perturbation ≤ 2‖Δ‖/‖a‖ per
+    // side) and the 0.001 slack covers the final 4-dp rounding (a true
+    // cosine of τ − 5e-5 still rounds into the emitted set). The test is
+    // CONSERVATIVE — no pair whose rounded true cosine reaches τ can be
+    // dropped, so oracle parity is untouched (LshPlantedPairsSpec /
+    // q_c4b / SemanticDedupSpec gate it) — while a random candidate's
+    // cosine (~N(0, 1/√d), σ ≈ 0.125 at d=64) sits ~6σ below the cut:
+    // the expensive float-array fetch now runs only at true near-dup
+    // density, even on adversarially unstructured corpora.
+    graft.functions.Int8Ops.register(s)
+    val codes = e.select(col("vec_id"), expr("pack_int8(v)").as("q8"))
+    val pre = cand
+      .join(codes.select(col("vec_id").as("vec_a"), col("q8").as("qa")), Seq("vec_a"))
+      .join(codes.select(col("vec_id").as("vec_b"), col("q8").as("qb")), Seq("vec_b"))
+      .filter(expr(
+        s"int8_cos_qq(qa, qb) >= ${tau}D - 0.001D" +
+          " - 4.0D * sqrt(CAST(length(qa) AS DOUBLE)) / 254.0D"))
+      .select(col("vec_a"), col("vec_b"))
+    pre
       .join(e.select(col("vec_id").as("vec_a"), col("v")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), Seq("vec_b"))
       .withColumn("cos_sim", round(expr(cosExpr), 4))

@@ -79,6 +79,38 @@ class Int8IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("int8_cos_qq error stays under the 4*sqrt(d)/254 prefilter bound") {
+    graft.functions.Int8Ops.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // random pairs plus near-dup pairs (perturbed copies) at several dims:
+    // the LSH prefilter's soundness rests entirely on this bound
+    val dims = Seq(8, 64, 384)
+    val rows = dims.flatMap { d =>
+      (0 until 200).map { i =>
+        val a = Array.fill(d)(rnd.nextGaussian())
+        val b =
+          if (i % 2 == 0) Array.fill(d)(rnd.nextGaussian())
+          else a.map(x => x + 0.05 * rnd.nextGaussian())
+        (a.toSeq, b.toSeq, d)
+      }
+    }
+    val out = rows.toDF("a", "b", "d")
+      .selectExpr(
+        "d",
+        "int8_cos_qq(pack_int8(a), pack_int8(b)) AS c8",
+        """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+          | / (sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))
+          |    * sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x))) AS c""".stripMargin)
+      .collect()
+    out.foreach { r =>
+      val bound = 4.0 * math.sqrt(r.getAs[Int]("d").toDouble) / 254.0
+      val err = math.abs(r.getAs[Double]("c8") - r.getAs[Double]("c"))
+      assert(err <= bound, s"dim ${r.getAs[Int]("d")}: |cos8-cos| $err > bound $bound")
+    }
+  }
+
   test("q8 column bytes are well under half of the float embedding column") {
     graft.functions.CosineSimilarity.register(spark)
     val e = SimilarityQueries.ivfCorpus(spark, sf)
