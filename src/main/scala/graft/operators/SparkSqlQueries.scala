@@ -699,6 +699,19 @@ object SparkSqlQueries {
         |    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "q_c32_bpe_pair_stats" ->
+      """WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS word FROM documents),
+        |wf AS (SELECT word, COUNT(*) AS wf FROM toks GROUP BY word),
+        |pairs AS (
+        |  SELECT word, wf,
+        |    explode(transform(sequence(1, length(word) - 1),
+        |      i -> substring(word, i, 2))) AS pair
+        |  FROM wf WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+
     // ---- multimodal ------------------------------------------------------
     "q_c10_multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

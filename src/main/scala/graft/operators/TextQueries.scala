@@ -505,6 +505,48 @@ object TextQueries {
             && col("stop_hits") >= 1
             && lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0).as("pass"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c32: BPE merge-pair statistics (tokenizer training step) ------
+    // The counting core of BPE vocabulary induction (Sennrich et al.
+    // 2016): aggregate the corpus to its WORD-FREQUENCY table, then count
+    // adjacent symbol pairs weighted by word frequency — the top pair is
+    // the next merge. The distributed shape is the whole point: the
+    // corpus-sized stage is exactly one tokenize + groupBy(word) (a
+    // Heaps-law-bounded shuffle), and every later stage — pair explode,
+    // pair aggregation, top-k — runs over the VOCABULARY, not the corpus,
+    // which is why BPE training is tractable at 100 TB (re-encoding per
+    // merge round touches the word table, never the corpus). Emits the
+    // top-20 candidate merges with occurrence and distinct-word counts;
+    // pure integer arithmetic, deterministic (count DESC, pair ASC).
+    QueryDef(
+      "q_c32_bpe_pair_stats",
+      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+             |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM toks GROUP BY 1),
+             |pairs AS (
+             |  SELECT word, wf,
+             |    unnest(list_transform(range(1, length(word)),
+             |      i -> substring(word, CAST(i AS INT), 2))) AS pair
+             |  FROM wf WHERE length(word) >= 2)
+             |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_occurrences,
+             |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+             |FROM pairs GROUP BY pair
+             |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin)
+    ) { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      val wf = toks.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      wf.filter(length(col("word")) >= 2)
+        .select(col("word"), col("wf"),
+          explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+        .groupBy(col("pair"))
+        .agg(
+          sum(col("wf")).as("n_occurrences"),
+          countDistinct(col("word")).as("n_words"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(20)
     }
   )
 

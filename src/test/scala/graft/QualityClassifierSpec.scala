@@ -78,4 +78,26 @@ class QualityClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(out.map(_.getAs[Int]("pass")).toSet == Set(0, 1))
   }
+
+  test("q_c32 matches a brute-force Scala BPE pair count on sf0.001") {
+    val texts = graft.core.Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase))
+      .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1)
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    val words = scala.collection.mutable.Map.empty[String, Set[String]]
+    for ((w, f) <- wf; if w.length >= 2; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      occ(p) = occ.getOrElse(p, 0L) + f
+      words(p) = words.getOrElse(p, Set.empty) + w
+    }
+    val expected = occ.toSeq
+      .map { case (p, c) => (p, c, words(p).size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(20)
+    val got = SparkEntry.queries("q_c32_bpe_pair_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }
