@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (Sennrich et al. 2016) — the full
+  * multi-round trainer, not just one round's statistics (q_c32 is the
+  * single-round counting query with a DuckDB oracle; this is the
+  * fixpoint loop that consumes it).
+  *
+  * Shape per merge round, and why it scales (the q_c13 star-CC / q_c9
+  * Lloyd discipline — driver holds MODEL state only, never data):
+  *   1. pair statistics over the WORD-FREQUENCY table — explode adjacent
+  *      symbol pairs weighted by word frequency, one Heaps-law-bounded
+  *      shuffle on the pair key;
+  *   2. argmax = orderBy(count desc, pair).limit(1) — ONE ROW reaches
+  *      the driver (the learned merge, i.e. model parameters);
+  *   3. re-encode: a codegen-friendly HOF fold applies the merge
+  *      greedily left-to-right inside each word's symbol array — a pure
+  *      projection over the vocabulary table, no shuffle.
+  * The corpus is touched exactly once (the initial tokenize + word
+  * count); every round after runs over the vocabulary — which is why
+  * BPE training is tractable at 100 TB.
+  *
+  * The greedy fold: accumulator (out, prev); on symbol s, if
+  * (prev, s) == (x, y) emit the merged token and clear prev (so 'aaa'
+  * under (a,a) yields [aa, a] and 'abab' under (a,b) yields [ab, ab] —
+  * exactly the standard non-overlapping left-to-right scan), else flush
+  * prev and hold s. BpeTrainerSpec proves the engine's merge SEQUENCE
+  * and counts identical to an independent Scala reference on the driver
+  * corpora.
+  */
+object BpeTrainer {
+
+  final case class Merge(rank: Int, left: String, right: String,
+                         merged: String, n_occurrences: Long)
+
+  /** Greedy non-overlapping application of merge (x, y) to a symbol
+    * array, as a single fold expression (no UDF).
+    */
+  private def applyMerge(syms: Column, x: String, y: String): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(
+      syms,
+      init,
+      (acc, s) =>
+        when(acc("prev") === lit(x) && s === lit(y),
+          struct(
+            array_append(acc("out"), lit(x + y)).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(acc("prev").isNull, acc("out"))
+              .otherwise(array_append(acc("out"), acc("prev"))).as("out"),
+            s.as("prev"))),
+      acc =>
+        when(acc("prev").isNull, acc("out"))
+          .otherwise(array_append(acc("out"), acc("prev"))))
+  }
+
+  /** The corpus's word-frequency table split into initial char symbols. */
+  private def initialSymbols(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .select(col("wf"), expr("filter(split(word, ''), c -> c <> '')").as("syms"))
+
+  /** Learn `nMerges` merges. Each round materializes one 1-row argmax on
+    * the driver; the evolving symbol table stays distributed (persisted
+    * per round, predecessor unpersisted).
+    */
+  def train(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var syms = initialSymbols(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CachedRdds.registerDf(syms)
+    var k = 1
+    var done = false
+    while (k <= nMerges && !done) {
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (x, y, cnt) =
+          (top(0).getAs[String]("l"), top(0).getAs[String]("r"), top(0).getAs[Long]("cnt"))
+        merges += Merge(k, x, y, x + y, cnt)
+        val next = syms
+          .select(col("wf"), applyMerge(col("syms"), x, y).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.core.CachedRdds.registerDf(next)
+        syms = next
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The trainer as a registered query: the learned merge table. The
+    * fixpoint's argmax-per-round is driver-held model state (the q_c9
+    * Lloyd precedent), so there is no single-SQL oracle — rows-only
+    * driver check; BpeTrainerSpec carries the correctness burden against
+    * an independent reference implementation.
+    */
+  def mergesDf(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
+    import s.implicits._
+    train(s, d, nMerges)
+      .toDF("rank", "left", "right", "merged", "n_occurrences")
+      .orderBy(col("rank"))
+  }
+}

@@ -547,6 +547,17 @@ object TextQueries {
           countDistinct(col("word")).as("n_words"))
         .orderBy(col("n_occurrences").desc, col("pair"))
         .limit(20)
+    },
+
+    // ---- q_c33: BPE tokenizer TRAINING (multi-round merge fixpoint) ------
+    // The full vocabulary-induction loop over q_c32's statistics — see
+    // [[BpeTrainer]]. Emits the learned merge table. The per-round argmax
+    // is driver-held model state (the q_c9 Lloyd / q_c13 star-CC class),
+    // so no single-SQL oracle exists → rows-only driver check;
+    // BpeTrainerSpec proves the merge sequence identical to an
+    // independent Scala reference on the driver corpora.
+    QueryDef("q_c33_bpe_train", None) { (s, d) =>
+      BpeTrainer.mergesDf(s, d, nMerges = 15)
     }
   )
 

@@ -44,10 +44,13 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // connected-components fixpoint needs UNION-distinct recursion, which
     // Spark 4.1's recursive CTE does not support (only UNION ALL) — the
     // candidate phase is q_c1's text and the fixpoint is the iterative
-    // star rewiring.
+    // star rewiring. q_c33: the BPE trainer's per-round argmax is
+    // driver-held model state (the q_c9 class); its single-ROUND
+    // statistics query q_c32 carries the SQL text.
     assert(SparkSqlQueries.sql.keySet ==
       SparkEntry.queries.keySet
-        - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained")
+        - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained"
+        - "q_c33_bpe_train")
   }
 
   for (name <- SparkSqlQueries.sql.keys.toSeq.sorted)
