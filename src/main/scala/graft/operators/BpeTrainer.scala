@@ -73,6 +73,14 @@ object BpeTrainer {
     */
   def train(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // the per-round stats run over the VOCABULARY (Heaps-bounded, tiny
+    // relative to any corpus): AQE's per-stage materialization would cost
+    // ~3 scheduler jobs per round for re-planning that has nothing to
+    // re-plan (measured 50 → 17 jobs for 15 rounds). Restored after the
+    // loop; the conf is read per-query so nothing else is affected.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var syms = initialSymbols(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.CachedRdds.registerDf(syms)
@@ -104,6 +112,7 @@ object BpeTrainer {
       }
     }
     merges.toSeq
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** The trainer as a registered query: the learned merge table. The
