@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native trained-BPE encoder: total token count of an ARRAY<STRING> of
+  * words under a LEARNED rank-ordered merge list.
+  *
+  * The merge list is driver-held model state carried as a constructor
+  * parameter — the [[NearestCells]] centroid-matrix precedent — and the
+  * codegen path embeds `this` as a reference object, so the hot loop is
+  * plain JVM array code instead of the nested-HOF fold it replaces
+  * (q_c34's first form: `aggregate(merges, aggregate(syms, ...))` with
+  * array_append accumulators was O(len²·merges) per word and interpreted;
+  * measured 16.9 s at sf0.1 vs 0.45 s for this expression).
+  *
+  * Encoding contract (BpeTrainerSpec pins it against an independent
+  * reference): merges apply in RANK ORDER; each merge is a greedy
+  * non-overlapping left-to-right scan over the word's current symbols —
+  * identical semantics to the trainer's fold, so training and inference
+  * tokenize alike.
+  */
+case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_tokens requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  /** Token count of one word: symbols start as chars; each merge compacts
+    * in place (two-pointer scan), so a word costs O(merges · len) with
+    * zero per-step allocation beyond the initial symbol array.
+    */
+  def countWord(word: String): Long = {
+    var syms = new Array[String](word.length)
+    var n = word.length
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    merges.foreach { case (x, y) =>
+      var r = 0; var w = 0
+      while (r < n) {
+        if (r + 1 < n && syms(r) == x && syms(r + 1) == y) {
+          syms(w) = x + y; r += 2
+        } else {
+          syms(w) = syms(r); r += 1
+        }
+        w += 1
+      }
+      n = w
+    }
+    n.toLong
+  }
+
+  /** Total token count across a words array (public: called from the
+    * generated code via the embedded reference object).
+    */
+  def countAll(words: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i)) total += countWord(words.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(a: Any): Any = countAll(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", this, classOf[BpeEncodeTokens].getName)
+    nullSafeCodeGen(ctx, ev, words => s"${ev.value} = $ref.countAll($words);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokens =
+    copy(child = newChild)
+}
+
+object BpeEncodeTokens {
+  /** Register `bpe_count_<hash>(words)` bound to THIS merge list (the
+    * [[NearestCells]] per-model registration pattern: the name carries a
+    * content hash so two tokenizers registered in one session cannot
+    * collide, and re-registering the same merges is idempotent). Returns
+    * the registered function name.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): String = {
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.seqHash(merges) & 0x7fffffff)
+    val name = s"bpe_count_$h"
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeEncodeTokens].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name takes 1 argument")
+        BpeEncodeTokens(children.head, merges)
+      })
+    name
+  }
+}

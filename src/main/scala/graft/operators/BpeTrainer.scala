@@ -127,4 +127,37 @@ object BpeTrainer {
       .toDF("rank", "left", "right", "merged", "n_occurrences")
       .orderBy(col("rank"))
   }
+
+  /** q_c34: per-document token counts under the TRAINED tokenizer —
+    * train the merges (driver model state), then one map-side projection
+    * over the corpus counts whitespace words, raw chars, and BPE tokens
+    * per document, plus the compression ratio in exact decimal. The
+    * tokenizer rides into the projection as the codegen'd
+    * [[graft.functions.BpeEncodeTokens]] expression carrying the merge
+    * list as reference state (the q_c9 centroid-matrix pattern — a
+    * nested-HOF fold was 37× slower, see the expression's scaladoc).
+    * Like q_c33, model state ⇒ rows-only driver check, with
+    * BpeTrainerSpec proving the encoder token-identical to the
+    * reference.
+    */
+  def encodedCounts(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
+    import graft.core.Decimals._
+    val merges = train(s, d, nMerges).map(m => (m.left, m.right))
+    val fn = graft.functions.BpeEncodeTokens.register(s, merges)
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        expr(s"$fn(words)").as("n_bpe_tokens"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        emit(
+          when(col("n_bpe_tokens") === 0, lit(0).cast(D38))
+            .otherwise((dec(col("n_chars")) / dec(col("n_bpe_tokens"))).cast(D38)))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -558,6 +558,16 @@ object TextQueries {
     // independent Scala reference on the driver corpora.
     QueryDef("q_c33_bpe_train", None) { (s, d) =>
       BpeTrainer.mergesDf(s, d, nMerges = 15)
+    },
+
+    // ---- q_c34: trained-tokenizer corpus encoding ------------------------
+    // The inference side of q_c33: per-document token counts under the
+    // LEARNED merges (rank-ordered application, nested HOF fold — see
+    // [[BpeTrainer.encodeTokens]]) plus the chars-per-token compression
+    // ratio. Model state ⇒ rows-only; BpeTrainerSpec proves the encoder
+    // token-identical to the reference on real documents.
+    QueryDef("q_c34_bpe_encode", None) { (s, d) =>
+      BpeTrainer.encodedCounts(s, d, nMerges = 15)
     }
   )
 

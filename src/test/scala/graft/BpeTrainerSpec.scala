@@ -76,4 +76,41 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(expected.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 },
         "fixture produced only char-char merges — recursion untested")
     }
+
+  /** Reference encoder: rank-ordered merge application, greedy
+    * non-overlapping scan per merge (same contract as training).
+    */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var v = word.map(_.toString).toVector
+    for ((x, y) <- merges) {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == x && v(i + 1) == y) { b += x + y; i += 2 }
+        else { b += v(i); i += 1 }
+      }
+      v = b.result()
+    }
+    v
+  }
+
+  test("q_c34 encoded counts == reference encoder on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.core.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val refMerges = refTrain(texts.values.toSeq, 15).map { case (_, l, r, _) => (l, r) }
+    val out = SparkEntry.queries("q_c34_bpe_encode")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    assert(out.length == texts.size)
+    out.foreach { row =>
+      val words = "[a-z0-9]+".r.findAllIn(texts(row.getLong(0)).toLowerCase).toSeq
+      val expTokens = words.map(w => refEncode(w, refMerges).length.toLong).sum
+      assert(row.getAs[Long]("n_words") == words.length.toLong)
+      assert(row.getAs[Long]("n_bpe_tokens") == expTokens,
+        s"doc ${row.getLong(0)}: engine ${row.getAs[Long]("n_bpe_tokens")} vs ref $expTokens")
+    }
+    // non-vacuous: training must actually compress (tokens < chars)
+    assert(out.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars")))
+  }
 }

@@ -55,7 +55,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c29_semantic_dedup" -> 13,   // measured 10 (r13)
     "q_c30_quality_classifier" -> 5, // measured 4 (map-only + sort sample)
     "q_c31_rules_filter" -> 5,      // measured 4
-    "q_c33_bpe_train" -> 24         // measured 19 (15 argmax rounds + init, AQE off in-loop)
+    "q_c33_bpe_train" -> 24,        // measured 19 (15 argmax rounds + init, AQE off in-loop)
+    "q_c34_bpe_encode" -> 25        // measured 20 (training + one encode projection)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
