@@ -54,4 +54,41 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Int]("kept") == 1 && r.isNullAt(r.fieldIndex("representative"))),
       "every original must be kept with no representative")
   }
+
+  test("dense duplicate family collapses onto its single min-id representative") {
+    // round-14 lead 4: a dense near-dup family makes ONE representative a
+    // hot join key (every family pair shares vec_a = the min id). Build a
+    // corpus whose majority is one 300-member family of tiny perturbations
+    // around a common vector (all pairwise cosines ≈ 1 ≫ τ): the LSH
+    // bucket holds the whole family, candidates are ~C(300,2), and the
+    // retention rule must still collapse every member onto exactly the
+    // family minimum — while AQE's skew handling absorbs the hot key (the
+    // join is an equi-join, splittable; this pins the semantics under
+    // that load shape).
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val family = (0 until 300).map { i =>
+      (100L + i, 0L, base.map(x => (x + 0.001 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val loners = (0 until 50).map { i =>
+      (1000L + i, 0L, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("densefam").toString
+    (family ++ loners).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_c29_semantic_dedup")(spark, dir)
+      .filter(col("vec_id") < 1000000L) // ignore the query's own planted copies
+      .collect()
+    val fam = out.filter(r => r.getAs[Long]("vec_id") >= 100L && r.getAs[Long]("vec_id") < 400L)
+    assert(fam.length == 300)
+    val keeper = fam.filter(_.getAs[Int]("kept") == 1)
+    assert(keeper.map(_.getAs[Long]("vec_id")).toSeq == Seq(100L),
+      "exactly the min-id family member survives")
+    assert(fam.filter(_.getAs[Long]("vec_id") > 100L)
+      .forall(_.getAs[Long]("representative") == 100L),
+      "every other family member collapses onto the min id")
+  }
 }
