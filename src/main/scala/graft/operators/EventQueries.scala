@@ -159,7 +159,23 @@ object EventQueries {
       val snap = graft.core.SessionMemo.snapshot(s, Seq(path))
       cache.synchronized(cache.get((path, rows)).filter(_._1 == snap).map(_._2))
         .getOrElse {
-          val agg = s.read.parquet(path).select(col("user_id")).limit(rows)
+          // head sample (LocalLimit over the leading row groups) PLUS an
+          // explicit sample of the lexicographically LAST part file
+          // (round-14 lead 2): a hot key whose rows land only in later
+          // files is invisible to the head — the tail read covers the
+          // other placement extreme at the same bounded cost. Still a
+          // heuristic (a hot key purely mid-table evades both ends —
+          // `salted=on` exists for workloads that know); rows may be
+          // double-counted when the table is a single file, which only
+          // biases the share estimate of data both samples saw anyway.
+          val head = s.read.parquet(path).select(col("user_id")).limit(rows / 2)
+          val sample = lastPartFile(s, path) match {
+            case Some(last) =>
+              head.unionAll(
+                s.read.parquet(last).select(col("user_id")).limit(rows / 2))
+            case None => head
+          }
+          val agg = sample
             .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
             .agg(max(col("c")).as("mx"), sum(col("c")).as("n")).head()
           val share =
@@ -168,6 +184,22 @@ object EventQueries {
           cache.synchronized { cache((path, rows)) = (snap, share) }
           share
         }
+    }
+
+    /** The lexicographically last parquet part file under `path`, when
+      * `path` is a multi-file table (None for a single file — the head
+      * sample already covers it). Driver-side listing only.
+      */
+    private def lastPartFile(s: SparkSession, path: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) None
+      else {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .map(_.toString).sorted
+        if (parts.length > 1) Some(parts.last) else None
+      }
     }
   }
 

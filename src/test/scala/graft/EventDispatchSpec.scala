@@ -92,6 +92,47 @@ class EventDispatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the probe's tail sample catches a hot user living only in the LAST part file") {
+    // head-sample blind spot (round-14 lead 2): uniform users fill the
+    // early part files; the hot user's rows are appended as a separate
+    // part renamed to sort last. A head-only probe sees uniform data and
+    // would dispatch plain; the tail sample must flip it.
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000000000L
+    val dir = java.nio.file.Files.createTempDirectory("tailhot").toString
+    val evPath = s"$dir/events.parquet"
+    (0 until 2000).map(i => (i.toLong, t0 + i * 60000000L, 2L + (i % 500)))
+      .toDF("event_id", "tsu", "user_id")
+      .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .repartition(3).write.parquet(evPath)
+    (0 until 2000).map(i => (50000L + i, t0 + i * 60000000L, 1L))
+      .toDF("event_id", "tsu", "user_id")
+      .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(evPath)
+    // rename the appended (hot) part so it is lexicographically LAST
+    val p = new org.apache.hadoop.fs.Path(evPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val hot = parts.maxBy(f => fs.getFileStatus(f).getModificationTime)
+    fs.rename(hot, new org.apache.hadoop.fs.Path(evPath, "part-zzz-hot.parquet"))
+    (1L to 21L).map(u => (u * 10, u, t0 + 1000L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "odate_us", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        timestamp_micros(col("odate_us")).cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    withConf("spark.graft.events.saltBytes" -> "0") {
+      assert(!hasUnsaltedEventWindow("q_b3_sessionize", dir),
+        "a tail-file hot user (50% of events) must probe as skewed -> salted plan")
+    }
+  }
+
   test("auto above the floor probes skew: hot fixture flips, uniform stays plain") {
     // floor 0 puts every table above the size floor, so the probe decides.
     // The benign side uses sf0.01 (max user share 0.86 %) — sf0.001 has
