@@ -84,6 +84,11 @@ object BpeTrainer {
     var syms = initialSymbols(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.CachedRdds.registerDf(syms)
+    // predecessor frames unpersist one round late: round k's argmax
+    // materializes syms_k FROM syms_{k-1}'s cache, after which
+    // syms_{k-1} is dead — eager unpersist keeps the loop's storage
+    // footprint at two vocab frames instead of nMerges
+    var prevSyms: Option[DataFrame] = None
     var k = 1
     var done = false
     while (k <= nMerges && !done) {
@@ -98,6 +103,10 @@ object BpeTrainer {
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1)
         .collect()
+      // the collect above materialized the current syms; its parent is
+      // no longer reachable by any future round
+      prevSyms.foreach(_.unpersist(false))
+      prevSyms = None
       if (top.isEmpty) done = true
       else {
         val (x, y, cnt) =
@@ -107,6 +116,7 @@ object BpeTrainer {
           .select(col("wf"), applyMerge(col("syms"), x, y).as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.core.CachedRdds.registerDf(next)
+        prevSyms = Some(syms)
         syms = next
         k += 1
       }
