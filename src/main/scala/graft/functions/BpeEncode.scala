@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * identical semantics to the trainer's fold, so training and inference
   * tokenize alike.
   */
-case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)],
+    dropoutPermille: Int = 0, seed: Long = 0L)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,7 +45,25 @@ case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
     var n = word.length
     var i = 0
     while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    // BPE-dropout (Provilkov et al. 2020), DETERMINISTIC variant: merge
+    // rank k is skipped for this word iff an LCG draw over (word rolling
+    // hash, k, seed) lands under dropoutPermille — reproducible across
+    // engines/runs (the reference technique flips an independent coin per
+    // merge opportunity; per-(word, rank) is the deterministic adaptation
+    // and keeps the regularization property: skipped merges leave longer
+    // symbol sequences).
+    val wh =
+      if (dropoutPermille > 0)
+        word.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+      else 0L
+    var rank = 0
     merges.foreach { case (x, y) =>
+      rank += 1
+      val dropped = dropoutPermille > 0 && {
+        val draw = ((wh * 1103515245L + 12345L + rank * 2654435761L + seed) % 1000L + 1000L) % 1000L
+        draw < dropoutPermille
+      }
+      if (!dropped) {
       var r = 0; var w = 0
       while (r < n) {
         if (r + 1 < n && syms(r) == x && syms(r + 1) == y) {
@@ -55,6 +74,7 @@ case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
         w += 1
       }
       n = w
+      }
     }
     n.toLong
   }
@@ -92,9 +112,11 @@ object BpeEncodeTokens {
     * the registered function name.
     */
   def register(spark: org.apache.spark.sql.SparkSession,
-      merges: Seq[(String, String)]): String = {
+      merges: Seq[(String, String)],
+      dropoutPermille: Int = 0, seed: Long = 0L): String = {
     val h = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.seqHash(merges) & 0x7fffffff)
+      (scala.util.hashing.MurmurHash3.seqHash(merges) * 31
+        + dropoutPermille * 7919 + seed.toInt) & 0x7fffffff)
     val name = s"bpe_count_$h"
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -102,7 +124,7 @@ object BpeEncodeTokens {
         classOf[BpeEncodeTokens].getName, name),
       (children: Seq[Expression]) => {
         require(children.length == 1, s"$name takes 1 argument")
-        BpeEncodeTokens(children.head, merges)
+        BpeEncodeTokens(children.head, merges, dropoutPermille, seed)
       })
     name
   }

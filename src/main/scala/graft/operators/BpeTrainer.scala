@@ -67,11 +67,34 @@ object BpeTrainer {
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .select(col("wf"), expr("filter(split(word, ''), c -> c <> '')").as("syms"))
 
-  /** Learn `nMerges` merges. Each round materializes one 1-row argmax on
-    * the driver; the evolving symbol table stays distributed (persisted
-    * per round, predecessor unpersisted).
+  // learned merges are pure model data (a tiny Seq, not bound to any
+  // session), so q_c33/q_c34/q_c35 share one training run per
+  // (dir, nMerges) instead of each retraining identical merges; the
+  // content snapshot (metadata-only listing, the SessionMemo discipline)
+  // invalidates on regeneration. Test hook: [[clearModelCache]].
+  private val modelCache =
+    scala.collection.mutable.Map.empty[(String, Int), (String, Seq[Merge])]
+
+  private[graft] def clearModelCache(): Unit =
+    modelCache.synchronized(modelCache.clear())
+
+  /** Learn `nMerges` merges (cached per (dir, nMerges) + content
+    * snapshot). Each round materializes one 1-row argmax on the driver;
+    * the evolving symbol table stays distributed (persisted per round,
+    * predecessor unpersisted).
     */
   def train(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    modelCache.synchronized(
+      modelCache.get((d, nMerges)).filter(_._1 == snap).map(_._2))
+      .getOrElse {
+        val learned = trainUncached(s, d, nMerges)
+        modelCache.synchronized { modelCache((d, nMerges)) = (snap, learned) }
+        learned
+      }
+  }
+
+  private def trainUncached(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     // the per-round stats run over the VOCABULARY (Heaps-bounded, tiny
     // relative to any corpus): AQE's per-stage materialization would cost
@@ -168,6 +191,38 @@ object BpeTrainer {
           when(col("n_bpe_tokens") === 0, lit(0).cast(D38))
             .otherwise((dec(col("n_chars")) / dec(col("n_bpe_tokens"))).cast(D38)))
           .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_c35: BPE-dropout encoding (Provilkov et al. 2020 subword
+    * regularization — deterministic per-seed variant, see
+    * [[graft.functions.BpeEncodeTokens]]): the SAME trained tokenizer
+    * encodes each document twice, deterministically (p=0) and with 10 %
+    * merge dropout (seed 7), emitting both token counts and the
+    * inflation the regularization buys. One map-side projection over the
+    * corpus; model state ⇒ rows-only; BpeTrainerSpec proves the dropout
+    * encoder reference-identical and the inflation invariant
+    * (dropout count ≥ deterministic count per doc, > overall).
+    */
+  def dropoutCounts(s: SparkSession, d: String, nMerges: Int = 15,
+      permille: Int = 100, seed: Long = 7L): DataFrame = {
+    import graft.core.Decimals._
+    val merges = train(s, d, nMerges).map(m => (m.left, m.right))
+    val det = graft.functions.BpeEncodeTokens.register(s, merges)
+    val drop = graft.functions.BpeEncodeTokens.register(s, merges, permille, seed)
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))
+      .select(
+        col("doc_id"),
+        expr(s"$det(words)").as("n_tokens_det"),
+        expr(s"$drop(words)").as("n_tokens_dropout"))
+      .select(
+        col("doc_id"), col("n_tokens_det"), col("n_tokens_dropout"),
+        emit(
+          when(col("n_tokens_det") === 0, lit(0).cast(D38))
+            .otherwise((dec(col("n_tokens_dropout")) / dec(col("n_tokens_det"))).cast(D38)))
+          .as("inflation"))
       .orderBy(col("doc_id"))
   }
 }

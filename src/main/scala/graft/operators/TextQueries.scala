@@ -568,6 +568,13 @@ object TextQueries {
     // token-identical to the reference on real documents.
     QueryDef("q_c34_bpe_encode", None) { (s, d) =>
       BpeTrainer.encodedCounts(s, d, nMerges = 15)
+    },
+
+    // ---- q_c35: BPE-dropout subword regularization -----------------------
+    // Deterministic-per-seed merge dropout over the trained tokenizer
+    // (see [[BpeTrainer.dropoutCounts]]). Model state ⇒ rows-only.
+    QueryDef("q_c35_bpe_dropout", None) { (s, d) =>
+      BpeTrainer.dropoutCounts(s, d, nMerges = 15)
     }
   )
 

@@ -113,4 +113,48 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-vacuous: training must actually compress (tokens < chars)
     assert(out.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars")))
   }
+
+  /** Reference dropout encoder: same merge list, same per-(word, rank)
+    * LCG skip rule as [[graft.functions.BpeEncodeTokens]].
+    */
+  private def refEncodeDropout(word: String, merges: Seq[(String, String)],
+      permille: Int, seed: Long): Int = {
+    val wh = word.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    var v = word.map(_.toString).toVector
+    for (((x, y), idx) <- merges.zipWithIndex) {
+      val rank = idx + 1
+      val draw = ((wh * 1103515245L + 12345L + rank * 2654435761L + seed) % 1000L + 1000L) % 1000L
+      if (draw >= permille) {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < v.length) {
+          if (i + 1 < v.length && v(i) == x && v(i + 1) == y) { b += x + y; i += 2 }
+          else { b += v(i); i += 1 }
+        }
+        v = b.result()
+      }
+    }
+    v.length
+  }
+
+  test("q_c35 dropout counts == reference; dropout only ever inflates") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.core.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val refMerges = refTrain(texts.values.toSeq, 15).map { case (_, l, r, _) => (l, r) }
+    val out = SparkEntry.queries("q_c35_bpe_dropout")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    out.foreach { row =>
+      val words = "[a-z0-9]+".r.findAllIn(texts(row.getLong(0)).toLowerCase).toSeq
+      val expDrop = words.map(w => refEncodeDropout(w, refMerges, 100, 7L).toLong).sum
+      assert(row.getAs[Long]("n_tokens_dropout") == expDrop,
+        s"doc ${row.getLong(0)}: dropout count mismatch")
+      assert(row.getAs[Long]("n_tokens_dropout") >= row.getAs[Long]("n_tokens_det"),
+        "skipping merges can only leave more tokens")
+    }
+    // regularization must actually fire somewhere at p=10%
+    assert(out.exists(r =>
+      r.getAs[Long]("n_tokens_dropout") > r.getAs[Long]("n_tokens_det")))
+  }
 }

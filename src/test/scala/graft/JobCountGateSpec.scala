@@ -56,7 +56,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c30_quality_classifier" -> 5, // measured 4 (map-only + sort sample)
     "q_c31_rules_filter" -> 5,      // measured 4
     "q_c33_bpe_train" -> 24,        // measured 19 (15 argmax rounds + init, AQE off in-loop)
-    "q_c34_bpe_encode" -> 25        // measured 20 (training + one encode projection)
+    "q_c34_bpe_encode" -> 25,       // measured 20 (training + one encode projection)
+    "q_c35_bpe_dropout" -> 25       // measured 20 (training + one two-encoder projection)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
@@ -70,9 +71,12 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(listener)
     try {
       val measured = for ((name, ceiling) <- ceilings) yield {
-        // cold state: no memo hits, no cached vocab RDDs from a prior query
+        // cold state: no memo hits, no cached vocab RDDs from a prior
+        // query, no cached BPE model (its training jobs are part of the
+        // gated plan shape)
         graft.core.SessionMemo.evict(Some(spark))
         graft.core.CachedRdds.drain()
+        graft.operators.BpeTrainer.clearModelCache()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)

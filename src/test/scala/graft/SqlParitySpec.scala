@@ -50,7 +50,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkSqlQueries.sql.keySet ==
       SparkEntry.queries.keySet
         - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained"
-        - "q_c33_bpe_train" - "q_c34_bpe_encode")
+        - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout")
   }
 
   for (name <- SparkSqlQueries.sql.keys.toSeq.sorted)
