@@ -850,6 +850,124 @@ object PipelineQueries {
           col("seq_start"), col("seq_end"),
           (col("seq_end") - col("seq_start") + 1L).as("n_seqs"))
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- q_c36: DSIR importance resampling -------------------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    // score every raw document by how much more likely its hashed n-gram
+    // features are under a TARGET distribution than under the raw pool,
+    // then keep the top-k by importance log-weight. Target here = the
+    // `lang = 'en'` slice (the paper's target is any trusted corpus);
+    // features = q_c30's rolling token hash into 64 buckets; bucket
+    // distributions get +1 smoothing; per-doc log-weight =
+    // Σ_b tf[d,b]·(ln p_tgt[b] − ln p_raw[b]).
+    //
+    // Distributed shape at 100 TB: the corpus tokenizes ONCE into a
+    // (doc_id, bucket) tf frame (token-volume map-side combine collapses
+    // to ≤ 64 rows per doc before the shuffle). The learned state — the
+    // 64-row λ table — derives from two tiny aggregates of that frame and
+    // BROADCASTS back into the scoring join; the per-doc reduce shuffles
+    // on doc_id; the global top-k is TakeOrdered (per-partition heaps, no
+    // single-partition window). Float discipline is q_c26's: λ quantizes
+    // through DECIMAL(18,6) (ln ulp wobble dies), per-term products
+    // re-quantize, sums are exact decimal.
+    QueryDef(
+      "q_c36_dsir_resample",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, lang,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+             |      (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64 AS b
+             |  FROM t),
+             |tfb AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS tf FROM h GROUP BY 1, 2, 3),
+             |tgt AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS ct FROM tfb WHERE lang = 'en' GROUP BY 1),
+             |raw AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cr FROM tfb GROUP BY 1),
+             |nt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt FROM tgt),
+             |nr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr FROM raw),
+             |lam AS (
+             |  SELECT r.b,
+             |    CAST(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (s.nt + 64))
+             |       - ln(CAST(r.cr + 1 AS DOUBLE) / (u.nr + 64)) AS DECIMAL(18,6)) AS lam
+             |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN nt s CROSS JOIN nr u),
+             |sc AS (
+             |  SELECT f.doc_id,
+             |    CAST(SUM(CAST(f.tf * CAST(l.lam AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS lw
+             |  FROM tfb f JOIN lam l USING (b) GROUP BY 1),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tfb GROUP BY 1)
+             |SELECT d.doc_id, d.n_tokens, CAST(s.lw AS DOUBLE) AS log_weight
+             |FROM sc s JOIN dl d USING (doc_id)
+             |ORDER BY s.lw DESC, d.doc_id LIMIT 200""".stripMargin)
+    ) { (s, d) =>
+      val tokHash =
+        "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+      // one corpus scan feeds four consumers (tgt/raw counts, scoring,
+      // doc lengths) — memoized like q_c26's tf frame so the tokenize +
+      // (doc, bucket) shuffle runs once per session
+      val tfb = graft.core.SessionMemo.getOrBuild(
+        s, "tfb_dsir", d, Seq(s"$d/documents.parquet")) {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+          .select(col("doc_id"), col("lang"), (expr(tokHash) % 64).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val tgt = tfb.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("tf")).cast("long").as("ct"))
+      val raw = tfb.groupBy(col("b")).agg(sum(col("tf")).cast("long").as("cr"))
+      val nt = tgt.agg(sum(col("ct")).cast("double").as("nt"))
+      val nr = raw.agg(sum(col("cr")).cast("double").as("nr"))
+      val lam = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .select(col("b"),
+          dec(log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") / (col("nt") + 64d))
+            - log((col("cr") + 1L).cast("double") / (col("nr") + 64d))).as("lam"))
+      val sc = tfb
+        .join(broadcast(lam), Seq("b")) // λ is 64 rows of learned state
+        .groupBy(col("doc_id"))
+        .agg(dec(sum(dec(col("tf") * col("lam").cast("double")))).as("lw"))
+      val dl = tfb.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
+      sc.join(dl, Seq("doc_id"))
+        .orderBy(col("lw").desc, col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("n_tokens"), emit(col("lw")).as("log_weight"))
+    },
+
+    // ---- q_c37: deterministic hash-based train/val/test split ------------
+    // The corpus split every training pipeline runs last: assign each
+    // document to train/val/test by a deterministic hash of its id —
+    // 80/10/10 over 1000 hash buckets. Hash assignment (vs per-stratum
+    // ranking, q_c28's shape) is the at-scale industry form because it is
+    // (a) a pure MAP-SIDE projection — no shuffle, no window, the split
+    // runs at scan speed on 100 TB — and (b) STABLE under corpus growth:
+    // a document's split never changes when other documents arrive or
+    // leave, so incremental ingestion (q_c27) never leaks val/test rows
+    // into train. Proportions per stratum concentrate to 80/10/10 by LLN
+    // instead of being exact — the standard trade. All arithmetic is the
+    // overflow-safe q_c15/q_c28 LCG, so the oracle is hash-exact.
+    QueryDef(
+      "q_c37_corpus_split",
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |    ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+             |  CASE WHEN bucket < 800 THEN 'train'
+             |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L)
+            .as("bucket"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -986,7 +986,44 @@ object SparkSqlQueries {
         |  tok_start DIV 512 AS seq_start,
         |  (tok_start + n_tokens - 1) DIV 512 AS seq_end,
         |  (tok_start + n_tokens - 1) DIV 512 - tok_start DIV 512 + 1L AS n_seqs
-        |FROM c ORDER BY source, doc_id""".stripMargin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "q_c36_dsir_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64 AS b
+        |  FROM t),
+        |tfb AS (SELECT doc_id, lang, b, COUNT(*) AS tf FROM h GROUP BY doc_id, lang, b),
+        |tgt AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS ct FROM tfb WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cr FROM tfb GROUP BY b),
+        |nt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt FROM tgt),
+        |nr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr FROM raw),
+        |lam AS (
+        |  SELECT /*+ BROADCAST(s, u) */ r.b,
+        |    CAST(ln(CAST(COALESCE(t.ct, 0L) + 1L AS DOUBLE) / (s.nt + 64.0D))
+        |       - ln(CAST(r.cr + 1L AS DOUBLE) / (u.nr + 64.0D)) AS DECIMAL(18,6)) AS lam
+        |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN nt s CROSS JOIN nr u),
+        |sc AS (
+        |  SELECT /*+ BROADCAST(l) */ f.doc_id,
+        |    CAST(SUM(CAST(f.tf * CAST(l.lam AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS lw
+        |  FROM tfb f JOIN lam l USING (b) GROUP BY f.doc_id),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tfb GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tokens, CAST(s.lw AS DOUBLE) AS log_weight
+        |FROM sc s JOIN dl d USING (doc_id)
+        |ORDER BY s.lw DESC, d.doc_id LIMIT 200""".stripMargin,
+
+    "q_c37_corpus_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their
