@@ -1015,6 +1015,31 @@ object SparkSqlQueries {
         |FROM sc s JOIN dl d USING (doc_id)
         |ORDER BY s.lw DESC, d.doc_id LIMIT 200""".stripMargin,
 
+    // q_c38's twin is the RELATIONAL form of the native char_bigram_stats
+    // expression — parity here proves the one-pass map-side kernel equals
+    // the explode + groupBy plan bit-for-bit
+    "q_c38_bigram_entropy" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |g AS (
+        |  SELECT doc_id, explode(transform(sequence(1, length(lt) - 1),
+        |    i -> substring(lt, i, 2))) AS gm
+        |  FROM t WHERE length(lt) >= 2),
+        |c AS (SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY doc_id, gm),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |             CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |      FROM c GROUP BY doc_id),
+        |tm AS (SELECT c.doc_id,
+        |         CAST(c.c * (ln(CAST(n.n_bigrams AS DOUBLE)) - ln(CAST(c.c AS DOUBLE))) AS DECIMAL(18,6)) AS term
+        |       FROM c JOIN n USING (doc_id)),
+        |a AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS sm FROM tm GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n.n_bigrams, 0L) AS n_bigrams,
+        |  COALESCE(n.n_distinct, 0L) AS n_distinct,
+        |  CAST(CASE WHEN n.n_bigrams IS NULL THEN CAST(0 AS DECIMAL(38,6))
+        |       ELSE CAST(a.sm / CAST(n.n_bigrams AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS entropy
+        |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_c37_corpus_split" ->
       """WITH h AS (
         |  SELECT doc_id, source,

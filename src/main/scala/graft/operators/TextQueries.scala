@@ -575,6 +575,59 @@ object TextQueries {
     // (see [[BpeTrainer.dropoutCounts]]). Model state ⇒ rows-only.
     QueryDef("q_c35_bpe_dropout", None) { (s, d) =>
       BpeTrainer.dropoutCounts(s, d, nMerges = 15)
+    },
+
+    // ---- q_c38: character-bigram entropy quality signal ------------------
+    // Shannon entropy of each document's character-bigram distribution —
+    // the repetition/boilerplate signal compression-ratio filters proxy
+    // (low entropy ⇒ few distinct character patterns; complements q_c14's
+    // line/ngram repetition rules with an information-theoretic score).
+    // Hot path is the codegen'd native [[graft.functions.CharBigramStats]]
+    // — the whole signal is ONE map-side pass per document, no Generate,
+    // no shuffle, at 100 TB it costs exactly a scan. The relational
+    // explode + two doc-keyed shuffles form is kept as the SQL twin and
+    // the oracle; per-bigram terms quantize through DECIMAL(18,6) inside
+    // the expression (order-independent long sum), so all three forms are
+    // bit-identical.
+    QueryDef(
+      "q_c38_bigram_entropy",
+      Some("""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+             |g AS (
+             |  SELECT doc_id, substring(lt, CAST(i AS INT), 2) AS gm
+             |  FROM (SELECT doc_id, lt, unnest(range(1, length(lt))) AS i
+             |        FROM t WHERE length(lt) >= 2)),
+             |c AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |             CAST(COUNT(*) AS BIGINT) AS n_distinct
+             |      FROM c GROUP BY 1),
+             |tm AS (SELECT c.doc_id,
+             |         CAST(c.c * (ln(CAST(n.n_bigrams AS DOUBLE)) - ln(CAST(c.c AS DOUBLE))) AS DECIMAL(18,6)) AS term
+             |       FROM c JOIN n USING (doc_id)),
+             |a AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS sm FROM tm GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(n.n_bigrams, 0) AS n_bigrams,
+             |  COALESCE(n.n_distinct, 0) AS n_distinct,
+             |  CAST(CASE WHEN n.n_bigrams IS NULL THEN CAST(0 AS DECIMAL(38,6))
+             |       ELSE CAST(a.sm / CAST(n.n_bigrams AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS entropy
+             |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)
+    ) { (s, d) =>
+      graft.functions.CharBigramStats.register(s)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), expr("char_bigram_stats(text)").as("st"))
+        .select(
+          col("doc_id"),
+          col("st.n_bigrams").as("n_bigrams"),
+          col("st.n_distinct").as("n_distinct"),
+          // ent_s is Σ micros(DECIMAL(18,6) terms): exact decimal at 10⁻⁶
+          dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000")).as("sm"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          emit(
+            when(col("n_bigrams") === 0, lit(0).cast(D38))
+              .otherwise((col("sm") / dec(col("n_bigrams"))).cast(D38)))
+            .as("entropy"))
+        .orderBy(col("doc_id"))
     }
   )
 
