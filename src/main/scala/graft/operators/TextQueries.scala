@@ -628,6 +628,25 @@ object TextQueries {
               .otherwise((col("sm") / dec(col("n_bigrams"))).cast(D38)))
             .as("entropy"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c39: unigram-LM tokenizer TRAINING (SentencePiece family) -----
+    // The second public vocabulary-induction algorithm (Kudo 2018),
+    // complementing q_c33's BPE — see [[UnigramTrainer]]. Viterbi-EM over
+    // the word-frequency table; per-round model state collects driver-side
+    // (the Lloyd/BPE class) ⇒ rows-only driver check; UnigramTrainerSpec
+    // proves the full trajectory identical to an independent reference.
+    QueryDef("q_c39_unigram_train", None) { (s, d) =>
+      UnigramTrainer.vocabDf(s, d)
+    },
+
+    // ---- q_c40: trained-unigram corpus encoding --------------------------
+    // Inference side of q_c39: per-document Viterbi token counts through
+    // the codegen'd [[graft.functions.UnigramCountTokens]] expression —
+    // one map-side projection; joins against q_c34 for the BPE-vs-unigram
+    // fertility comparison. Model state ⇒ rows-only.
+    QueryDef("q_c40_unigram_encode", None) { (s, d) =>
+      UnigramTrainer.encodedCounts(s, d)
     }
   )
 

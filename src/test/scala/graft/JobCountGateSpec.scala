@@ -57,7 +57,10 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c31_rules_filter" -> 5,      // measured 4
     "q_c33_bpe_train" -> 24,        // measured 19 (15 argmax rounds + init, AQE off in-loop)
     "q_c34_bpe_encode" -> 25,       // measured 20 (training + one encode projection)
-    "q_c35_bpe_dropout" -> 25       // measured 20 (training + one two-encoder projection)
+    "q_c35_bpe_dropout" -> 25,      // measured 20 (training + one two-encoder projection)
+    "q_c36_dsir_resample" -> 21,    // measured 17 (tfb build + λ aggregates + top-k)
+    "q_c39_unigram_train" -> 13,    // measured 10 (wf + seed collects + 3 EM rounds)
+    "q_c40_unigram_encode" -> 14    // measured 11 (cold training + one encode projection)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
@@ -77,6 +80,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.core.SessionMemo.evict(Some(spark))
         graft.core.CachedRdds.drain()
         graft.operators.BpeTrainer.clearModelCache()
+        graft.operators.UnigramTrainer.clearModelCache()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
