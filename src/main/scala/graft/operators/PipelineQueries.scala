@@ -959,15 +959,23 @@ object PipelineQueries {
              |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L)
-            .as("bucket"))
-        .select(col("doc_id"), col("source"), col("bucket"),
-          when(col("bucket") < 800, "train")
-            .when(col("bucket") < 900, "val")
-            .otherwise("test").as("split"))
-        .orderBy(col("doc_id"))
+      splitProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
     }
   )
+
+  /** q_c37's split as a pure projection over a (doc_id, source) frame —
+    * shared verbatim by the batch query (plus its presentation sort) and
+    * the stateless streaming twin ([[graft.streaming.StreamingOps
+    * .splitAssignments]]): assignment depends only on doc_id, so the SAME
+    * plan labels a live ingestion stream in append mode with zero state.
+    */
+  private[graft] def splitProjection(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L)
+          .as("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test").as("split"))
 }

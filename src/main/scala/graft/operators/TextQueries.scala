@@ -612,22 +612,7 @@ object TextQueries {
              |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      graft.functions.CharBigramStats.register(s)
-      Tables(s, d, "documents")
-        .select(col("doc_id"), expr("char_bigram_stats(text)").as("st"))
-        .select(
-          col("doc_id"),
-          col("st.n_bigrams").as("n_bigrams"),
-          col("st.n_distinct").as("n_distinct"),
-          // ent_s is Σ micros(DECIMAL(18,6) terms): exact decimal at 10⁻⁶
-          dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000")).as("sm"))
-        .select(
-          col("doc_id"), col("n_bigrams"), col("n_distinct"),
-          emit(
-            when(col("n_bigrams") === 0, lit(0).cast(D38))
-              .otherwise((col("sm") / dec(col("n_bigrams"))).cast(D38)))
-            .as("entropy"))
-        .orderBy(col("doc_id"))
+      entropyProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
     },
 
     // ---- q_c39: unigram-LM tokenizer TRAINING (SentencePiece family) -----
@@ -656,6 +641,31 @@ object TextQueries {
     * .classifierScores]]): the model-based filter applies per-document,
     * so the SAME plan scores a stream in append mode with zero state.
     */
+  /** q_c38's entropy signal as a pure projection over a (doc_id, text)
+    * frame — shared by the batch query (plus its presentation sort) and
+    * the stateless streaming twin ([[graft.streaming.StreamingOps
+    * .entropyStats]]): the native kernel applies per document, so the
+    * SAME plan scores a stream in append mode with zero state.
+    */
+  private[graft] def entropyProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.CharBigramStats.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("char_bigram_stats(text)").as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        // ent_s is Σ micros(DECIMAL(18,6) terms): exact decimal at 10⁻⁶
+        dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000")).as("sm"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        emit(
+          when(col("n_bigrams") === 0, lit(0).cast(D38))
+            .otherwise((col("sm") / dec(col("n_bigrams"))).cast(D38)))
+          .as("entropy"))
+  }
+
   private[graft] def classifierProjection(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"

@@ -241,6 +241,22 @@ object StreamingOps {
   def classifierScores(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.classifierProjection(docs)
 
+  /** Stateless streaming twin of q_c37: label a live ingestion stream
+    * with its train/val/test assignment — the hash split's stability
+    * property (assignment is a pure function of doc_id) is exactly what
+    * makes it streamable with zero state; batch backfill and live stream
+    * cannot disagree (StreamingOpsSpec proves row equality).
+    */
+  def splitAssignments(docs: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.splitProjection(docs)
+
+  /** Stateless streaming twin of q_c38: the char-bigram entropy quality
+    * signal per arriving document, running the identical one-pass native
+    * kernel in append mode.
+    */
+  def entropyStats(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.entropyProjection(docs)
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

@@ -304,6 +304,54 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     served.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("streaming split assignment equals batch q_c37 on real documents") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.splitAssignments(input.toDF().toDF("doc_id", "source"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_split").toString)
+      .format("memory").queryName("splits").outputMode("append").start()
+    for (chunk <- docs.grouped(docs.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("splits").orderBy("doc_id").collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c37_corpus_split")(sp, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming entropy scoring equals batch q_c38 on real documents") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.entropyStats(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_ent").toString)
+      .format("memory").queryName("entstats").outputMode("append").start()
+    for (chunk <- docs.grouped(docs.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("entstats").orderBy("doc_id").collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c38_bigram_entropy")(sp, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming classifier scoring equals batch q_c30 on real documents") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
