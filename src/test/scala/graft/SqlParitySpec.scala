@@ -46,11 +46,14 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // candidate phase is q_c1's text and the fixpoint is the iterative
     // star rewiring. q_c33: the BPE trainer's per-round argmax is
     // driver-held model state (the q_c9 class); its single-ROUND
-    // statistics query q_c32 carries the SQL text.
+    // statistics query q_c32 carries the SQL text. q_c39/q_c40: the
+    // unigram trainer's per-round EM counts are the same driver-held
+    // model-state class (UnigramTrainerSpec carries their correctness).
     assert(SparkSqlQueries.sql.keySet ==
       SparkEntry.queries.keySet
         - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained"
-        - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout")
+        - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout"
+        - "q_c39_unigram_train" - "q_c40_unigram_encode")
   }
 
   for (name <- SparkSqlQueries.sql.keys.toSeq.sorted)
