@@ -97,6 +97,24 @@ object MultimodalOps {
     def videoPixel(id: Long, fr: Int, x: Int, y: Int): Int =
       ((id * 31 + fr * 17 + x * 7 + y * 13) % 256).toInt
 
+    /** q_c41 near-dup image family: ids in the same `id div 8` block share
+      * one BASE image (identical dims and base pixels) perturbed by a
+      * per-id sparse +1 noise (~0.7 % of pixels) — byte-level different,
+      * perceptually identical. Every third block is replaced by per-id
+      * UNIQUE images (salted base, disjoint from any block base), so the
+      * fixture has both true near-dup families and singletons.
+      */
+    def ndBase(id: Long): Long =
+      if ((id / 8) % 3 == 0) id * 1000003L + 500000009L else id / 8
+    def ndDims(id: Long): (Int, Int) = {
+      val b = ndBase(id)
+      ((b % 56 + 8).toInt, (b % 40 + 8).toInt)
+    }
+    def ndPixel(id: Long, x: Int, y: Int): Int = {
+      val noise = if ((x * 31L + y * 17L + id * 13L) % 149L == 0L) 1 else 0
+      ((ndBase(id) * 31 + x * 7 + y * 13 + noise) % 256).toInt
+    }
+
     // One-shot convenience wrappers (specs, single calls). The hot
     // mapPartitions paths instantiate ONE MediaCoder per partition instead:
     // ImageIO.read/write and AudioSystem.getAudioInputStream/write each do a
@@ -204,6 +222,41 @@ object MultimodalOps {
     def encodeImage(id: Long): Array[Byte] = {
       val (w, h) = imageDims(id)
       grayPng(w, h, (x, y) => imagePixel(id, x, y))
+    }
+
+    def encodeNdImage(id: Long): Array[Byte] = {
+      val (w, h) = ndDims(id)
+      grayPng(w, h, (x, y) => ndPixel(id, x, y))
+    }
+
+    /** Perceptual average-hash of a decoded image: nearest-neighbor
+      * sample an 8×8 grid (source pixel of (x, y) is (x·w div 8,
+      * y·h div 8) — q_c18's resample rule), threshold each sample
+      * against the strict grid mean (v·64 > Σ), pack row-major into a
+      * 64-char bitstring. Pure integer arithmetic over DECODED pixels,
+      * so the oracle reproduces it in closed form from the generator.
+      */
+    def imageAHash(payload: Array[Byte]): String = {
+      val img = readPng(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      val v = new Array[Int](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val s = r.getSample(x * w / 8, y * h / 8, 0)
+          v(y * 8 + x) = s
+          sum += s
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < 64) { sb.append(if (v(i) * 64L > sum) '1' else '0'); i += 1 }
+      sb.toString
     }
 
     def encodeAudio(id: Long, sampleRate: Int): Array[Byte] = {
@@ -533,6 +586,70 @@ object MultimodalOps {
             coder.resizeImageSum(m.payload, 16, 12)))
         }
         .toDF("media_id", "out_w", "out_h", "resized_sum")
+        .orderBy(col("media_id"))
+    },
+
+    // ---- q_c41: perceptual-hash media near-dup ---------------------------
+    // Near-duplicate detection for the IMAGE modality — the q_b5/q_c1
+    // dedup story extended past text: byte-identity (md5) misses
+    // re-encoded/perturbed copies, so the pipeline hashes DECODED pixels
+    // with a perceptual average-hash (NN 8×8 resample → threshold at the
+    // grid mean → 64-bit signature) and groups exact signature matches.
+    // The fixture plants real families (same base image, per-id sparse
+    // pixel noise — byte-different, perceptually identical) next to
+    // unique singletons, so the operator fires non-vacuously both ways.
+    //
+    // 100 TB shape: encode→decode→hash is ONE mapPartitions pass with a
+    // per-partition codec (payload bytes never shuffle, never reach the
+    // driver); the only exchange is (media_id, 64-bit hash) rows — 16
+    // bytes each — into a signature-keyed window whose partitions are
+    // family-sized. The oracle replicates the hash in closed form from
+    // the pixel generator, so a match proves the whole decode+resample+
+    // threshold chain, not the arithmetic.
+    QueryDef(
+      "q_c41_media_neardup",
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id,
+             |    CASE WHEN (doc_id // 8) % 3 = 0 THEN doc_id * 1000003 + 500000009
+             |         ELSE doc_id // 8 END AS base
+             |  FROM documents),
+             |dim AS (SELECT id, base, base % 56 + 8 AS w, base % 40 + 8 AS h FROM d),
+             |gx AS (SELECT id, base, w, h, unnest(range(8)) AS x FROM dim),
+             |gxy AS (SELECT id, base, w, h, x, unnest(range(8)) AS y FROM gx),
+             |smp AS (
+             |  SELECT id, x, y,
+             |    (base * 31 + (x * w // 8) * 7 + (y * h // 8) * 13
+             |     + CASE WHEN ((x * w // 8) * 31 + (y * h // 8) * 17 + id * 13) % 149 = 0
+             |            THEN 1 ELSE 0 END) % 256 AS v
+             |  FROM gxy),
+             |tot AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s FROM smp GROUP BY 1),
+             |bits AS (
+             |  SELECT smp.id,
+             |    string_agg(CASE WHEN smp.v * 64 > t.s THEN '1' ELSE '0' END, ''
+             |               ORDER BY smp.y * 8 + smp.x) AS ahash
+             |  FROM smp JOIN tot t ON smp.id = t.id GROUP BY smp.id),
+             |cl AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |              MIN(id) AS rep_id
+             |       FROM bits GROUP BY 1)
+             |SELECT b.id AS media_id, b.ahash, c.n_members, c.rep_id,
+             |  CAST(CASE WHEN c.n_members > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+             |FROM bits b JOIN cl c USING (ahash)
+             |ORDER BY media_id""".stripMargin)
+    ) { (s, d) =>
+      import s.implicits._
+      val hashes = Tables(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val coder = new MediaCoder()
+          it.map(id => (id, coder.imageAHash(coder.encodeNdImage(id))))
+        }
+        .toDF("media_id", "ahash")
+      val fam = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+      hashes
+        .select(col("media_id"), col("ahash"),
+          count(lit(1)).over(fam).as("n_members"),
+          min(col("media_id")).over(fam).as("rep_id"))
+        .withColumn("is_neardup", when(col("n_members") > 1, 1L).otherwise(0L))
         .orderBy(col("media_id"))
     }
   )

@@ -1040,6 +1040,38 @@ object SparkSqlQueries {
         |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // q_c41's twin is the CLOSED-FORM generator arithmetic (the
+    // q_c11/q_c18 convention): the DataFrame plan hashes real decoded
+    // PNG pixels, so parity here re-proves the codec round-trip
+    "q_c41_media_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN (doc_id DIV 8) % 3 = 0 THEN doc_id * 1000003L + 500000009L
+        |         ELSE doc_id DIV 8 END AS base
+        |  FROM documents),
+        |dim AS (SELECT id, base, base % 56 + 8 AS w, base % 40 + 8 AS h FROM d),
+        |gxy AS (SELECT id, base, w, h, x, explode(sequence(0, 7)) AS y
+        |        FROM (SELECT id, base, w, h, explode(sequence(0, 7)) AS x FROM dim)),
+        |smp AS (
+        |  SELECT id, x, y,
+        |    (base * 31 + ((x * w) DIV 8) * 7 + ((y * h) DIV 8) * 13
+        |     + CASE WHEN (((x * w) DIV 8) * 31 + ((y * h) DIV 8) * 17 + id * 13) % 149 = 0
+        |            THEN 1 ELSE 0 END) % 256 AS v
+        |  FROM gxy),
+        |tot AS (SELECT id, SUM(v) AS s FROM smp GROUP BY id),
+        |bits AS (
+        |  SELECT smp.id,
+        |    array_join(transform(array_sort(collect_list(named_struct(
+        |      'p', smp.y * 8 + smp.x,
+        |      'b', CASE WHEN smp.v * 64 > t.s THEN '1' ELSE '0' END))), e -> e.b), '') AS ahash
+        |  FROM smp JOIN tot t ON smp.id = t.id GROUP BY smp.id),
+        |cl AS (SELECT ahash, COUNT(*) AS n_members, MIN(id) AS rep_id
+        |       FROM bits GROUP BY ahash)
+        |SELECT b.id AS media_id, b.ahash, c.n_members, c.rep_id,
+        |  CAST(CASE WHEN c.n_members > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+        |FROM bits b JOIN cl c USING (ahash)
+        |ORDER BY media_id""".stripMargin,
+
     "q_c37_corpus_split" ->
       """WITH h AS (
         |  SELECT doc_id, source,
