@@ -36,10 +36,14 @@ object BpeTrainer {
   final case class Merge(rank: Int, left: String, right: String,
                          merged: String, n_occurrences: Long)
 
-  /** Greedy non-overlapping application of merge (x, y) to a symbol
-    * array, as a single fold expression (no UDF).
+  /** Greedy non-overlapping application of merge (x, y) → `merged` to a
+    * symbol array, as a single fold expression (no UDF). `merged`
+    * defaults to plain concatenation (BPE); WordPiece passes the
+    * continuation-stripped form.
     */
-  private def applyMerge(syms: Column, x: String, y: String): Column = {
+  private[operators] def applyMerge(syms: Column, x: String, y: String,
+      merged: String = null): Column = {
+    val m = if (merged == null) x + y else merged
     val init = struct(
       array().cast("array<string>").as("out"),
       lit(null).cast("string").as("prev"))
@@ -49,7 +53,7 @@ object BpeTrainer {
       (acc, s) =>
         when(acc("prev") === lit(x) && s === lit(y),
           struct(
-            array_append(acc("out"), lit(x + y)).as("out"),
+            array_append(acc("out"), lit(m)).as("out"),
             lit(null).cast("string").as("prev")))
           .otherwise(struct(
             when(acc("prev").isNull, acc("out"))

@@ -632,6 +632,25 @@ object TextQueries {
     // fertility comparison. Model state ⇒ rows-only.
     QueryDef("q_c40_unigram_encode", None) { (s, d) =>
       UnigramTrainer.encodedCounts(s, d)
+    },
+
+    // ---- q_c42: WordPiece tokenizer TRAINING (likelihood-scored) ---------
+    // The third public vocabulary-induction family (BERT's WordPiece) —
+    // see [[WordPieceTrainer]]: merge-based like q_c33 but argmaxing
+    // likelihood gain count(l,r)/(count(l)·count(r)) with ## continuation
+    // symbols. Model state ⇒ rows-only; WordPieceTrainerSpec proves the
+    // trajectory identical to an independent reference.
+    QueryDef("q_c42_wordpiece_train", None) { (s, d) =>
+      WordPieceTrainer.mergesDf(s, d, nMerges = 15)
+    },
+
+    // ---- q_c43: trained-WordPiece corpus encoding ------------------------
+    // BERT's greedy longest-match inference over the learned vocabulary
+    // (the published train/infer asymmetry — not merge replay); completes
+    // the BPE/unigram/WordPiece fertility comparison. Model state ⇒
+    // rows-only.
+    QueryDef("q_c43_wordpiece_encode", None) { (s, d) =>
+      WordPieceTrainer.encodedCounts(s, d, nMerges = 15)
     }
   )
 

@@ -60,7 +60,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c35_bpe_dropout" -> 25,      // measured 20 (training + one two-encoder projection)
     "q_c36_dsir_resample" -> 21,    // measured 17 (tfb build + λ aggregates + top-k)
     "q_c39_unigram_train" -> 13,    // measured 10 (wf + seed collects + 3 EM rounds)
-    "q_c40_unigram_encode" -> 14    // measured 11 (cold training + one encode projection)
+    "q_c40_unigram_encode" -> 14,   // measured 11 (cold training + one encode projection)
+    "q_c42_wordpiece_train" -> 45,  // measured 36 (15 rounds x ~2.4: argmax + executeTake rescan)
+    "q_c43_wordpiece_encode" -> 50  // measured 40 (cold training + one encode projection)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
@@ -81,6 +83,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.core.CachedRdds.drain()
         graft.operators.BpeTrainer.clearModelCache()
         graft.operators.UnigramTrainer.clearModelCache()
+        graft.operators.WordPieceTrainer.clearModelCache()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
