@@ -1040,6 +1040,35 @@ object SparkSqlQueries {
         |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_c44_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |t1 AS (SELECT doc_id, explode(ts) AS term FROM toks),
+        |tf1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM t1 GROUP BY doc_id, term),
+        |c1 AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n1 FROM tf1 GROUP BY term),
+        |tot AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t FROM c1),
+        |prs AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        |  FROM (SELECT doc_id, explode(transform(sequence(1, size(ts) - 1),
+        |          i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))) AS p
+        |        FROM toks WHERE size(ts) >= 2)),
+        |tf2 AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM prs GROUP BY doc_id, w1, w2),
+        |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS n2 FROM tf2 GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT f.doc_id,
+        |    CAST(f.k * -ln(0.9D * (CAST(c2.n2 AS DOUBLE) / CAST(a.n1 AS DOUBLE))
+        |                 + 0.1D * (CAST(b.n1 AS DOUBLE) / s.t)) AS DECIMAL(18,6)) AS term
+        |  FROM tf2 f JOIN c2 USING (w1, w2)
+        |  JOIN c1 a ON f.w1 = a.term JOIN c1 b ON f.w2 = b.term
+        |  CROSS JOIN tot s),
+        |agg AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS nll FROM sc GROUP BY doc_id),
+        |np AS (SELECT doc_id, CAST(size(ts) AS BIGINT) AS n_tokens,
+        |              CAST(GREATEST(size(ts) - 1, 0) AS BIGINT) AS n_pairs FROM toks)
+        |SELECT np.doc_id, np.n_tokens, np.n_pairs,
+        |  CAST(CASE WHEN np.n_pairs = 0 OR agg.nll IS NULL THEN CAST(0 AS DECIMAL(38,6))
+        |       ELSE CAST(agg.nll / CAST(np.n_pairs AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS avg_nll
+        |FROM np LEFT JOIN agg USING (doc_id)
+        |ORDER BY np.doc_id""".stripMargin,
+
     // q_c41's twin is the CLOSED-FORM generator arithmetic (the
     // q_c11/q_c18 convention): the DataFrame plan hashes real decoded
     // PNG pixels, so parity here re-proves the codec round-trip

@@ -651,6 +651,99 @@ object TextQueries {
     // rows-only.
     QueryDef("q_c43_wordpiece_encode", None) { (s, d) =>
       WordPieceTrainer.encodedCounts(s, d, nMerges = 15)
+    },
+
+    // ---- q_c44: interpolated bigram-LM perplexity scoring ----------------
+    // The n-gram upgrade of q_c26's unigram filter — the CCNet recipe
+    // scores documents under an n-gram LM; here the model is the corpus
+    // bigram table with Jelinek-Mercer interpolation against the unigram
+    // distribution: p(w2|w1) = 0.9·c(w1,w2)/c(w1) + 0.1·c(w2)/T, per-doc
+    // nll = Σ_pairs tf·(−ln p), reported per pair.
+    //
+    // 100 TB shape: the corpus tokenizes into TWO memoized frames — the
+    // (doc, term) tf (SHARED with q_c26: same SessionMemo key, so a
+    // session running both scores pays the tokenize once) and the
+    // (doc, w1, w2) pair tf. The bigram model c2 derives from the pair
+    // frame by one Heaps-bounded aggregation; scoring joins are declared
+    // pair-keyed and term-keyed SHUFFLES (an n-gram table is corpus-sized
+    // state — never broadcast), the per-doc reduce shuffles on doc_id.
+    // Float discipline: the interpolated probability is a fixed double
+    // expression evaluated identically by both engines, each per-pair
+    // term quantizes through DECIMAL(18,6), sums are exact decimal.
+    QueryDef(
+      "q_c44_bigram_logprob",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |t1 AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+             |tf1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM t1 GROUP BY 1, 2),
+             |c1 AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n1 FROM tf1 GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t FROM c1),
+             |prs AS (
+             |  SELECT doc_id, ts[k+1] AS w1, ts[k+2] AS w2
+             |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS k
+             |        FROM toks WHERE len(ts) >= 2)),
+             |tf2 AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM prs GROUP BY 1, 2, 3),
+             |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS n2 FROM tf2 GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT f.doc_id,
+             |    CAST(f.k * -ln(0.9 * (CAST(c2.n2 AS DOUBLE) / CAST(a.n1 AS DOUBLE))
+             |                 + 0.1 * (CAST(b.n1 AS DOUBLE) / s.t)) AS DECIMAL(18,6)) AS term
+             |  FROM tf2 f JOIN c2 USING (w1, w2)
+             |  JOIN c1 a ON f.w1 = a.term JOIN c1 b ON f.w2 = b.term
+             |  CROSS JOIN tot s),
+             |agg AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS nll FROM sc GROUP BY 1),
+             |np AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |              CAST(GREATEST(len(ts) - 1, 0) AS BIGINT) AS n_pairs FROM toks)
+             |SELECT np.doc_id, np.n_tokens, np.n_pairs,
+             |  CAST(CASE WHEN np.n_pairs = 0 OR agg.nll IS NULL THEN CAST(0 AS DECIMAL(38,6))
+             |       ELSE CAST(agg.nll / CAST(np.n_pairs AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS avg_nll
+             |FROM np LEFT JOIN agg USING (doc_id)
+             |ORDER BY np.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      // unigram model: the SAME memoized frame q_c26 uses
+      val tf1 = graft.core.SessionMemo.getOrBuild(
+        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      }
+      val c1 = tf1.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("n1"))
+      val tot = c1.agg(sum(col("n1")).cast("double").as("t"))
+      val tf2 = graft.core.SessionMemo.getOrBuild(
+        s, "tf2_bigram", d, Seq(s"$d/documents.parquet")) {
+        toks.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1)," +
+              " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+            .as("p"))
+          .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("k"))
+      }
+      val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("k")).cast("long").as("n2"))
+      val sc = tf2
+        .join(c2, Seq("w1", "w2")) // pair-keyed shuffle: bigram table is corpus-sized state
+        .join(c1.select(col("term").as("w1"), col("n1").as("n1a")), Seq("w1"))
+        .join(c1.select(col("term").as("w2"), col("n1").as("n1b")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          dec(col("k") * -log(
+            lit(0.9) * (col("n2").cast("double") / col("n1a").cast("double"))
+              + lit(0.1) * (col("n1b").cast("double") / col("t")))).as("term"))
+      val agg = sc.groupBy(col("doc_id")).agg(dec(sum(col("term"))).as("nll"))
+      toks
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          greatest(size(col("ts")) - 1, lit(0)).cast("long").as("n_pairs"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_pairs"),
+          emit(
+            when(col("n_pairs") === 0 || col("nll").isNull, lit(0).cast(D38))
+              .otherwise((col("nll") / dec(col("n_pairs"))).cast(D38)))
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
     }
   )
 
