@@ -1119,5 +1119,9 @@ object SparkSqlQueries {
     */
   val sql: Map[String, String] = base ++ Map(
     "q_b3_sessionize_salted" -> base("q_b3_sessionize"),
-    "q_b4_asof_salted" -> base("q_b4_asof_join"))
+    "q_b4_asof_salted" -> base("q_b4_asof_join"),
+    // the stored-index search is an execution-strategy rewrite of q_c12:
+    // identical user-facing semantics, same SQL text (parity proves the
+    // index round-trip preserves every score)
+    "q_c45_bm25_stored" -> base("q_c12_bm25"))
 }

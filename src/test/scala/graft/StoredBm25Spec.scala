@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c45 stored-postings BM25: the stored search must be row-identical to
+  * the derived q_c12 plan, the postings scan must push the term predicate
+  * into parquet (queries cost O(matching postings), not O(corpus)), and
+  * the index must be reused — not rebuilt — across calls within one
+  * corpus snapshot.
+  */
+class StoredBm25Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-storedbm25-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stored search is row-identical to the derived q_c12 plan") {
+    val stored = SparkEntry.queries("q_c45_bm25_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val derived = SparkEntry.queries("q_c12_bm25")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == derived)
+  }
+
+  test("term predicate pushes into the postings parquet scan") {
+    val path = graft.operators.TextQueries.postingsIndex(spark, sf)
+    val plan = graft.operators.TextQueries
+      .bm25SearchStored(spark, path, Seq("hash", "join", "filter"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term") || plan.contains("PushedFilters: [IsNotNull(term), In(term"),
+      s"term filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("index is built once per corpus snapshot, then reused") {
+    val p1 = graft.operators.TextQueries.postingsIndex(spark, sf)
+    val p2 = graft.operators.TextQueries.postingsIndex(spark, sf)
+    assert(p1 == p2, "index rebuilt within an unchanged snapshot")
+    // the postings table carries complete per-term postings: df computed
+    // from a term's fetched rows equals the corpus document frequency
+    val post = spark.read.parquet(s"$p1/postings")
+    val dfStored = post.filter(org.apache.spark.sql.functions.col("term") === "hash").count()
+    val dfCorpus = graft.core.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term")
+      .filter("term = 'hash'").select("doc_id").distinct().count()
+    assert(dfStored == dfCorpus)
+  }
+}
