@@ -1040,6 +1040,30 @@ object SparkSqlQueries {
         |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_c46_heaps_curve" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 10L AS bkt,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts
+        |  FROM documents),
+        |docs AS (SELECT bkt, COUNT(*) AS n_docs,
+        |                CAST(SUM(size(ts)) AS BIGINT) AS n_tokens
+        |         FROM b GROUP BY bkt),
+        |t AS (SELECT bkt, explode(ts) AS term FROM b),
+        |fb AS (SELECT term, MIN(bkt) AS first_bkt FROM t GROUP BY term),
+        |nv AS (SELECT first_bkt AS bkt, COUNT(*) AS new_terms FROM fb GROUP BY first_bkt),
+        |lv AS (
+        |  SELECT d.bkt AS level, d.n_docs, d.n_tokens, COALESCE(nv.new_terms, 0L) AS new_terms
+        |  FROM docs d LEFT JOIN nv ON d.bkt = nv.bkt)
+        |SELECT level,
+        |  CAST(SUM(n_docs) OVER w AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens,
+        |  CAST(SUM(new_terms) OVER w AS BIGINT) AS vocab_size,
+        |  CAST(new_terms AS BIGINT) AS new_terms
+        |FROM lv
+        |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY level""".stripMargin,
+
     "q_c44_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
         |t1 AS (SELECT doc_id, explode(ts) AS term FROM toks),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.{Decimals, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents` (north-star ops + Q-B8):
@@ -683,6 +684,70 @@ object TextQueries {
              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
     ) { (s, d) =>
       bm25SearchStored(s, postingsIndex(s, d), Seq("hash", "join", "filter"))
+    },
+
+    // ---- q_c46: vocabulary-scaling (Heaps) curve -------------------------
+    // The dataset-card diagnostic behind every "how does vocabulary grow
+    // with data" decision (tokenizer sizing, dedup need, Heaps-law
+    // exponent estimation): vocabulary and token counts over NESTED
+    // deterministic subsamples — docs hash into 10 buckets (q_c37's LCG,
+    // so subsample membership is stable under corpus growth) and level d
+    // is the union of buckets 0..d, exactly how scaling curves are drawn
+    // in practice. new_terms per level is the marginal vocabulary the
+    // extra 10 % of data buys.
+    //
+    // 100 TB shape: one corpus tokenize → per-term MIN first-bucket
+    // (term-keyed shuffle with map-side combine) → a 10-ROW frame that
+    // the cumulative windows run over; per-bucket doc/token counts are a
+    // second 10-row aggregate. Nothing beyond the Heaps-bounded term
+    // aggregation ever shuffles; all arithmetic integer.
+    QueryDef(
+      "q_c46_heaps_curve",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 % 10 AS bkt,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             |  FROM documents),
+             |docs AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |                CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+             |         FROM b GROUP BY 1),
+             |t AS (SELECT bkt, unnest(ts) AS term FROM b),
+             |fb AS (SELECT term, MIN(bkt) AS first_bkt FROM t GROUP BY 1),
+             |nv AS (SELECT first_bkt AS bkt, CAST(COUNT(*) AS BIGINT) AS new_terms FROM fb GROUP BY 1),
+             |lv AS (
+             |  SELECT d.bkt AS level, d.n_docs, d.n_tokens, COALESCE(nv.new_terms, 0) AS new_terms
+             |  FROM docs d LEFT JOIN nv ON d.bkt = nv.bkt)
+             |SELECT level,
+             |  CAST(SUM(n_docs) OVER w AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens,
+             |  CAST(SUM(new_terms) OVER w AS BIGINT) AS vocab_size,
+             |  CAST(new_terms AS BIGINT) AS new_terms
+             |FROM lv
+             |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY level""".stripMargin)
+    ) { (s, d) =>
+      val b = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 10L)
+            .as("bkt"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      val docs = b.groupBy(col("bkt")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("ts"))).cast("long").as("n_tokens"))
+      val fb = b.select(col("bkt"), explode(col("ts")).as("term"))
+        .groupBy(col("term")).agg(min(col("bkt")).as("first_bkt"))
+      val nv = fb.groupBy(col("first_bkt").as("bkt")).agg(count(lit(1)).as("new_terms"))
+      val w = Window.orderBy(col("level"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(nv, Seq("bkt"), "left")
+        .select(col("bkt").as("level"), col("n_docs"), col("n_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .select(col("level"),
+          sum(col("n_docs")).over(w).cast("long").as("n_docs"),
+          sum(col("n_tokens")).over(w).cast("long").as("n_tokens"),
+          sum(col("new_terms")).over(w).cast("long").as("vocab_size"),
+          col("new_terms").cast("long").as("new_terms"))
+        .orderBy(col("level"))
     },
 
     // ---- q_c44: interpolated bigram-LM perplexity scoring ----------------
