@@ -409,6 +409,66 @@ object StreamingOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  // ---- streaming heavy hitters (sharded Misra-Gries) ---------------------
+
+  final case class HhState(counts: Map[String, Long], n: Long, ver: Long)
+  final case class HhOut(shard: Int, term: String, est: Long, shard_n: Long, ver: Long)
+
+  /** Streaming top-term tracking with BOUNDED state: the Misra-Gries
+    * frequent-items summary (Misra & Gries 1982), sharded by term hash so
+    * no single task carries the stream. Each shard keeps at most `k`
+    * candidate counters; an arriving term increments its counter, opens
+    * one if a slot is free, else decrements ALL counters (dropping
+    * zeros) — the classic guarantee: every term with shard-local true
+    * count > n_shard/(k+1) is retained, and each estimate e satisfies
+    * true − n_shard/(k+1) ≤ e ≤ true. Because a term hashes to exactly
+    * one shard, serving needs no cross-shard merge — the global
+    * candidate set is the union (≤ shards·k rows of state, regardless of
+    * stream length — the property that makes this a STREAMING operator
+    * rather than a windowed aggregate).
+    */
+  def heavyHitterUpdates(terms: Dataset[String], shards: Int = 8,
+      k: Int = 16): Dataset[HhOut] = {
+    import terms.sparkSession.implicits._
+    terms
+      .groupByKey(t => (t.hashCode % shards + shards) % shards)
+      .flatMapGroupsWithState[HhState, HhOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[String], state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(Map.empty, 0L, 0L))
+          val m = scala.collection.mutable.Map[String, Long](st.counts.toSeq: _*)
+          var n = st.n
+          for (t <- batch) {
+            n += 1
+            m.get(t) match {
+              case Some(c) => m(t) = c + 1
+              case None if m.size < k => m(t) = 1L
+              case None =>
+                // decrement-all, drop zeros (the MG eviction step)
+                for ((w, c) <- m.toSeq) {
+                  if (c == 1L) m.remove(w) else m(w) = c - 1
+                }
+            }
+          }
+          val ver = st.ver + 1
+          state.update(HhState(m.toMap, n, ver))
+          m.iterator.map { case (t, c) => HhOut(shard, t, c, n, ver) }
+      }
+  }
+
+  /** Serve the current candidates from a memory-sink updates table:
+    * latest version per shard (a shard-keyed window over the ≤ shards·k
+    * state rows — no self-join), top rows by estimate. */
+  def heavyHitterServe(updates: DataFrame, topN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    updates
+      .withColumn("mver", max(col("ver")).over(w))
+      .filter(col("ver") === col("mver"))
+      .select(col("term"), col("est"), col("shard"), col("shard_n"))
+      .orderBy(col("est").desc, col("term"))
+      .limit(topN)
+  }
+
   /** Wire any of the above to a memory sink for tests/demos; returns the
     * query name to poll with `spark.sql(s"select * from $name")`.
     */

@@ -352,6 +352,60 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming Misra-Gries heavy hitters: bounds hold vs exact batch counts") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val shards = 8
+    val k = 16
+    val terms = graft.core.Tables(sp, dir, "documents")
+      .selectExpr("explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t")
+      .as[String].collect()
+    val input = MemoryStream[String]
+    val q = StreamingOps.heavyHitterUpdates(input.toDS(), shards, k).toDF()
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_hh").toString)
+      .format("memory").queryName("hh_updates").outputMode("update").start()
+    for (chunk <- terms.grouped(terms.length / 4 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val cands = sp.table("hh_updates")
+      .withColumn("mver", org.apache.spark.sql.functions.max(col("ver")).over(w))
+      .filter(col("ver") === col("mver"))
+      .select("shard", "term", "est", "shard_n").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+
+    // exact shard-local truth
+    val shardOf = (t: String) => (t.hashCode % shards + shards) % shards
+    val exact = terms.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val shardN = terms.groupBy(shardOf).view.mapValues(_.length.toLong).toMap
+
+    // bounded state
+    val perShard = cands.groupBy(_._1).view.mapValues(_.length)
+    assert(perShard.values.forall(_ <= k), s"state exceeded k: $perShard")
+    // every true heavy hitter retained
+    for ((t, c) <- exact) {
+      val s = shardOf(t)
+      if (c > shardN(s) / (k + 1))
+        assert(cands.exists(r => r._2 == t), s"heavy term '$t' ($c) dropped")
+    }
+    // estimates within the MG envelope, and shard_n exact
+    for ((s, t, est, n) <- cands) {
+      assert(n == shardN(s))
+      val c = exact(t)
+      assert(est <= c && c - est <= n / (k + 1),
+        s"'$t': est $est vs true $c outside envelope (n=$n)")
+    }
+    // serve path returns the global top candidates
+    val served = StreamingOps.heavyHitterServe(sp.table("hh_updates")).collect()
+    assert(served.nonEmpty && served.length <= 20)
+  }
+
   test("streaming classifier scoring equals batch q_c30 on real documents") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
