@@ -107,6 +107,41 @@ class UnigramTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
 
+  test("Viterbi DP equals brute-force enumeration on short words") {
+    // independent of the mirror reference: enumerate EVERY segmentation
+    // of every ≤ 7-char word over a small random-ish model and assert the
+    // DP's score is the max and its tie-break (earliest split = longest
+    // piece) matches the enumeration's deterministic winner
+    val pieces = Seq("a", "b", "c", "ab", "bc", "abc", "aab", "ca", "cab")
+    val lp = pieces.zipWithIndex.map { case (p, i) =>
+      p -> (-(1.0 + (i * 7 % 5))) // distinct-ish, some exact ties
+    }.toMap
+    val model = graft.functions.UnigramModel(
+      pieces.toArray, pieces.map(p => math.round(lp(p) * 1e6)).toArray)
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap { m =>
+        val h = w.substring(0, m)
+        val ok = lp.contains(h) || m == 1
+        if (!ok) Seq.empty
+        else segs(w.substring(m)).map(h +: _)
+      }
+    def score(s: Seq[String]): Double =
+      s.map(p => lp.getOrElse(p, if (p.length == 1) -100.0 else Double.NegativeInfinity)).sum
+    val words = for {
+      n <- 1 to 7
+      w <- Seq.fill(40)(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(n * 1000L)).alphanumeric.take(n).mkString)
+    } yield w.toLowerCase.replaceAll("[^abc]", "a")
+    for (w <- words.distinct) {
+      val got = model.segment(w)
+      val all = segs(w)
+      val best = all.map(score).max
+      assert(score(got.toSeq) == best,
+        s"'$w': DP score ${score(got.toSeq)} != brute-force max $best (dp=${got.mkString("+")})")
+    }
+  }
+
   test("q_c39: trained model identical to the independent reference") {
     val docs = corpus()
     val ref = refTrain(docs.map(_._2))
