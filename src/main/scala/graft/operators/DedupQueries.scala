@@ -468,6 +468,99 @@ object DedupQueries {
         tau10 = 6)
         .select(col("doc_a"), col("doc_b"), col("shared"), col("uni"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q_c47: fuzzy (MinHash) benchmark decontamination ----------------
+    // The near-duplicate complement of q_c24's exact 13-gram overlap:
+    // paraphrased or lightly-edited benchmark leakage shares most of a
+    // document's shingle set without sharing any exact 13-gram, so
+    // decontamination pipelines ALSO run a fuzzy pass — corpus docs whose
+    // whole-document shingle Jaccard against any held-out doc clears a
+    // low τ = 0.3. Candidates come from the SAME 3-band MinHash pipeline
+    // as q_c1, but cross-set: the held-out side (doc_id % 17 = 3) is
+    // tiny, so its band keys and its shingle set both BROADCAST — the
+    // corpus never shuffles on shingle or band key (the q_c24/q_c27
+    // asymmetry), only matched rows reach the per-pair count. Exact
+    // verification (integer shared/uni algebra) keeps the oracle
+    // hash-exact; the LSH stage only gates which pairs are REPORTED,
+    // mirroring q_c1's contract.
+    QueryDef(
+      "q_c47_fuzzy_decontaminate",
+      Some({
+        val mhCols = minhashParams.zipWithIndex
+          .map { case ((a, b), i) => s"MIN(($a * th + $b) % 1000000007) AS mh$i" }
+          .mkString(", ")
+        s"""WITH $duckShingles,
+           |h AS (SELECT doc_id, ${duckRollingHash("shingle")} AS th FROM sh),
+           |sig AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+           |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+           |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+           |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+           |shr AS (
+           |  SELECT a.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS shared
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+           |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT c.doc_id, c.bench_id, s.shared,
+           |         ca.n_sh + cb.n_sh - s.shared AS uni
+           |  FROM cand c
+           |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
+           |  JOIN cnt ca ON c.doc_id = ca.doc_id
+           |  JOIN cnt cb ON c.bench_id = cb.doc_id)
+           |SELECT doc_id, bench_id, shared, CAST(uni AS BIGINT) AS uni,
+           |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+           |FROM j WHERE shared * 10 >= uni * 3
+           |ORDER BY doc_id, bench_id""".stripMargin
+      })
+    ) { (s, d) =>
+      val isBench = col("doc_id") % 17 === 3
+      val sh = shingles(s, d)
+      val h = sh.select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
+      val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
+      }
+      val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = (0 until 3)
+        .map { bandIdx =>
+          sig.select(
+            col("doc_id"),
+            lit(bandIdx).as("band"),
+            concat_ws("_", col(s"mh${2 * bandIdx}"), col(s"mh${2 * bandIdx + 1}")).as("key"))
+        }
+        .reduce(_ unionByName _)
+      val cand = bands.filter(!isBench)
+        .join(
+          broadcast(bands.filter(isBench)
+            .select(col("doc_id").as("bench_id"), col("band"), col("key"))),
+          Seq("band", "key"))
+        .select(col("doc_id"), col("bench_id"))
+        .distinct()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val shr = sh.filter(!isBench)
+        .join(
+          broadcast(sh.filter(isBench)
+            .select(col("doc_id").as("bench_id"), col("shingle"))),
+          Seq("shingle"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("shared"))
+      cand
+        .join(shr, Seq("doc_id", "bench_id"))
+        .join(cnt, Seq("doc_id"))
+        .join(broadcast(cnt.select(col("doc_id").as("bench_id"), col("n_sh").as("n_b"))
+          .filter(col("bench_id") % 17 === 3)), Seq("bench_id"))
+        .select(col("doc_id"), col("bench_id"), col("shared"),
+          (col("n_sh") + col("n_b") - col("shared")).as("uni"))
+        .filter(col("shared") * 10 >= col("uni") * 3)
+        .select(col("doc_id"), col("bench_id"), col("shared"), col("uni"),
+          emit((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("jaccard"))
+        .orderBy(col("doc_id"), col("bench_id"))
     }
   )
 }

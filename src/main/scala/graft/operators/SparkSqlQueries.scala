@@ -1064,6 +1064,48 @@ object SparkSqlQueries {
         |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY level""".stripMargin,
 
+    "q_c47_fuzzy_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[k], t[k+1], t[k+2]) AS shingle
+        |       FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS k
+        |             FROM toks WHERE size(t) >= 3)),
+        |h AS (SELECT doc_id,
+        |        aggregate(split(shingle, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L) AS th
+        |      FROM sh),
+        |sig AS (SELECT doc_id,
+        |  MIN((487198041 * th + 259200101) % 1000000007L) AS mh0,
+        |  MIN((741932517 * th + 373587883) % 1000000007L) AS mh1,
+        |  MIN((268435399 * th + 608135813) % 1000000007L) AS mh2,
+        |  MIN((104395303 * th + 36028797) % 1000000007L) AS mh3,
+        |  MIN((655360001 * th + 177777773) % 1000000007L) AS mh4,
+        |  MIN((920419813 * th + 51218317) % 1000000007L) AS mh5
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shr AS (
+        |  SELECT a.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT c.doc_id, c.bench_id, s.shared,
+        |         ca.n_sh + cb.n_sh - s.shared AS uni
+        |  FROM cand c
+        |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
+        |  JOIN cnt ca ON c.doc_id = ca.doc_id
+        |  JOIN cnt cb ON c.bench_id = cb.doc_id)
+        |SELECT doc_id, bench_id, shared, uni,
+        |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+        |FROM j WHERE shared * 10 >= uni * 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
     "q_c44_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
         |t1 AS (SELECT doc_id, explode(ts) AS term FROM toks),
