@@ -561,6 +561,80 @@ object DedupQueries {
         .select(col("doc_id"), col("bench_id"), col("shared"), col("uni"),
           emit((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("jaccard"))
         .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // ---- q_c48: exact-substring duplication coverage ---------------------
+    // The arbitrary-offset exact-substring dedup signal (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): a
+    // duplicated span of ≥ L tokens exists at a position iff some L-gram
+    // through that position occurs ≥ 2 times corpus-wide — so per
+    // document we report how many token positions are COVERED by a
+    // duplicated-≥L span (the fraction ExactSubstr would cut), which
+    // none of the existing passes see (q_b5 is whole-doc, q_c20 fixed
+    // 8-token chunks, q_c24/q_c27 benchmark-relative).
+    //
+    // Shape: positional L-grams (NOT distinct — positions matter) →
+    // corpus-wide gram counts (one Heaps-ish gram-keyed shuffle, the
+    // q_c24 class) → duplicated positions per doc (small: only grams
+    // occurring twice anywhere) → coverage = |union of [k, k+L-1]| via a
+    // doc-keyed join of token positions against the per-doc duplicated
+    // ks with a range predicate (the dup side is sparse; at corpus scale
+    // a per-doc sorted fold computes the same union map-side — the
+    // relational form is kept for oracle parity). Integer throughout.
+    QueryDef(
+      "q_c48_substr_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |g AS (
+             |  SELECT doc_id, k, array_to_string(ts[k+1 : k+15], ' ') AS gram
+             |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 14)) AS k
+             |        FROM t WHERE len(ts) >= 15)),
+             |gc AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+             |dupk AS (SELECT g.doc_id, g.k FROM g JOIN gc USING (gram) WHERE gc.cnt >= 2),
+             |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams FROM dupk GROUP BY 1),
+             |pos AS (SELECT doc_id, unnest(range(len(ts))) AS p FROM t),
+             |cov AS (
+             |  SELECT DISTINCT pos.doc_id, pos.p
+             |  FROM pos JOIN dupk ON pos.doc_id = dupk.doc_id
+             |    AND dupk.k <= pos.p AND pos.p <= dupk.k + 14),
+             |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov_tokens FROM cov GROUP BY 1)
+             |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+             |  COALESCE(nd.n_dup_grams, 0) AS n_dup_grams,
+             |  COALESCE(nc.n_cov_tokens, 0) AS n_cov_tokens,
+             |  CAST(CASE WHEN len(t.ts) = 0 THEN CAST(0 AS DECIMAL(38,6))
+             |       ELSE CAST(CAST(COALESCE(nc.n_cov_tokens, 0) AS DECIMAL(18,6))
+             |            / CAST(len(t.ts) AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS cov_ratio
+             |FROM t LEFT JOIN nd ON t.doc_id = nd.doc_id
+             |LEFT JOIN nc ON t.doc_id = nc.doc_id
+             |ORDER BY t.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val L = 15
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      val g = t.filter(size(col("ts")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(ts) - $L), k -> " +
+            s"struct(k, array_join(slice(ts, k + 1, $L), ' ') AS gram))")).as("x"))
+        .select(col("doc_id"), col("x.k").as("k"), col("x.gram").as("gram"))
+      val gc = g.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      val dupk = g.join(gc.filter(col("cnt") >= 2), Seq("gram"))
+        .select(col("doc_id"), col("k"))
+      val nd = dupk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+      val pos = t.select(col("doc_id"), explode(expr("sequence(0, size(ts) - 1)")).as("p"))
+      val nc = pos.join(dupk, Seq("doc_id"))
+        .filter(col("k") <= col("p") && col("p") <= col("k") + (L - 1))
+        .select(col("doc_id"), col("p")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov_tokens"))
+      t.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+        .join(nd, Seq("doc_id"), "left")
+        .join(nc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"),
+          emit(
+            when(col("n_tokens") === 0, lit(0).cast(D38))
+              .otherwise((dec(coalesce(col("n_cov_tokens"), lit(0L))) / dec(col("n_tokens"))).cast(D38)))
+            .as("cov_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }

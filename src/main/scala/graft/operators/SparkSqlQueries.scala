@@ -1064,6 +1064,32 @@ object SparkSqlQueries {
         |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY level""".stripMargin,
 
+    "q_c48_substr_dedup" ->
+      """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, x.k AS k, x.gram AS gram
+        |  FROM (SELECT doc_id, explode(transform(sequence(0, size(ts) - 15),
+        |          k -> struct(k, array_join(slice(ts, k + 1, 15), ' ') AS gram))) AS x
+        |        FROM t WHERE size(ts) >= 15)),
+        |gc AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+        |dupk AS (SELECT g.doc_id, g.k FROM g JOIN gc USING (gram) WHERE gc.cnt >= 2),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dupk GROUP BY doc_id),
+        |pos AS (SELECT doc_id, explode(sequence(0, size(ts) - 1)) AS p FROM t),
+        |cov AS (
+        |  SELECT DISTINCT pos.doc_id, pos.p
+        |  FROM pos JOIN dupk ON pos.doc_id = dupk.doc_id
+        |    AND dupk.k <= pos.p AND pos.p <= dupk.k + 14),
+        |nc AS (SELECT doc_id, COUNT(*) AS n_cov_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(size(t.ts) AS BIGINT) AS n_tokens,
+        |  COALESCE(nd.n_dup_grams, 0L) AS n_dup_grams,
+        |  COALESCE(nc.n_cov_tokens, 0L) AS n_cov_tokens,
+        |  CAST(CASE WHEN size(t.ts) = 0 THEN CAST(0 AS DECIMAL(38,6))
+        |       ELSE CAST(CAST(COALESCE(nc.n_cov_tokens, 0L) AS DECIMAL(18,6))
+        |            / CAST(size(t.ts) AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS cov_ratio
+        |FROM t LEFT JOIN nd ON t.doc_id = nd.doc_id
+        |LEFT JOIN nc ON t.doc_id = nc.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_c47_fuzzy_decontaminate" ->
       """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[k], t[k+1], t[k+2]) AS shingle

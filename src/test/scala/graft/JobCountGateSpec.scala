@@ -64,7 +64,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c42_wordpiece_train" -> 45,  // measured 36 (15 rounds x ~2.4: argmax + executeTake rescan)
     "q_c43_wordpiece_encode" -> 50, // measured 40 (cold training + one encode projection)
     "q_c44_bigram_logprob" -> 25,   // measured 20 (two memo builds + 4-join scoring)
-    "q_c47_fuzzy_decontaminate" -> 24 // measured 19 (sig pipeline + broadcast bench sides)
+    "q_c47_fuzzy_decontaminate" -> 24, // measured 19 (sig pipeline + broadcast bench sides)
+    "q_c48_substr_dedup" -> 18      // measured 14 (gram count + dup positions + coverage join)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
