@@ -960,6 +960,143 @@ object PipelineQueries {
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
       splitProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
+    },
+
+    // ---- q_c49: quality-filter ensemble ----------------------------------
+    // The agreement step production pipelines run over their individual
+    // filters (FineWeb-class recipes stack rules + model filters and keep
+    // docs most filters agree on): the four document-quality signals this
+    // engine already computes — Gopher rules (q_c31), the hashed linear
+    // classifier (q_c30), unigram perplexity (q_c26), char-bigram entropy
+    // (q_c38) — vote per document; keep = ≥ 3 of 4. Thresholds are fixed
+    // constants measured to split the driver corpus near its medians
+    // (nll ≤ 3.45, entropy ≥ 4.0), so the vote is non-vacuous in BOTH
+    // directions on every signal.
+    //
+    // 100 TB shape — the composition is the point: the three map-side
+    // signals (rules, classifier, entropy — the last through the
+    // codegen'd char_bigram_stats kernel) are FUSED into ONE projection
+    // over a single corpus scan (running the three queries separately
+    // would scan three times; Catalyst cannot fuse separate scans), and
+    // only the perplexity branch — which needs corpus-global term
+    // statistics — joins in from the SessionMemo-shared tf frame
+    // (zero extra tokenize when q_c26/q_c44 ran in the session).
+    QueryDef(
+      "q_c49_quality_ensemble",
+      Some("""WITH t AS (
+             |  SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             |         lower(text) AS lt
+             |  FROM documents),
+             |rules AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ws) >= 50 AND 3 * len(ws) <= list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(ws, w -> CAST(len(w) AS BIGINT))), (a, x) -> a + x)
+             |      AND 2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(ws, w -> CAST(len(w) AS BIGINT))), (a, x) -> a + x) <= 9 * len(ws)
+             |      AND len(list_intersect(ws, ['the','of','and','to','in'])) >= 1
+             |      AND 5 * len(list_distinct(ws)) >= 2 * len(ws)
+             |    THEN 1 ELSE 0 END AS v_rules
+             |  FROM t),
+             |cls AS (
+             |  SELECT doc_id,
+             |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+             |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
+             |       * 1103515245 + 12345) % 2048 - 1024)),
+             |      (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS v_cls
+             |  FROM t),
+             |gr AS (
+             |  SELECT doc_id, substring(lt, CAST(i AS INT), 2) AS gm
+             |  FROM (SELECT doc_id, lt, unnest(range(1, length(lt))) AS i
+             |        FROM t WHERE length(lt) >= 2)),
+             |gc AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS c FROM gr GROUP BY 1, 2),
+             |gn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM gc GROUP BY 1),
+             |gt AS (SELECT gc.doc_id,
+             |         CAST(gc.c * (ln(CAST(gn.n AS DOUBLE)) - ln(CAST(gc.c AS DOUBLE))) AS DECIMAL(18,6)) AS term
+             |       FROM gc JOIN gn USING (doc_id)),
+             |ga AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS sm FROM gt GROUP BY 1),
+             |ent AS (
+             |  SELECT t.doc_id,
+             |    CASE WHEN gn.n IS NULL THEN 0
+             |         WHEN CAST(CAST(ga.sm / CAST(gn.n AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) >= 4.0
+             |         THEN 1 ELSE 0 END AS v_ent
+             |  FROM t LEFT JOIN gn ON t.doc_id = gn.doc_id LEFT JOIN ga ON t.doc_id = ga.doc_id),
+             |ptoks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ptoks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+             |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    CAST(tf.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+             |  FROM tf JOIN vocab v USING (term) CROSS JOIN tot s),
+             |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1),
+             |ppl AS (
+             |  SELECT t.doc_id,
+             |    CASE WHEN dl.n_tokens IS NULL THEN 0
+             |         WHEN CAST(CAST(agg.nll / CAST(dl.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) <= 3.45
+             |         THEN 1 ELSE 0 END AS v_ppl
+             |  FROM t LEFT JOIN dl ON t.doc_id = dl.doc_id LEFT JOIN agg ON t.doc_id = agg.doc_id)
+             |SELECT r.doc_id,
+             |  CAST(r.v_rules AS INT) AS v_rules, CAST(c.v_cls AS INT) AS v_cls,
+             |  CAST(p.v_ppl AS INT) AS v_ppl, CAST(e.v_ent AS INT) AS v_ent,
+             |  CAST(r.v_rules + c.v_cls + p.v_ppl + e.v_ent AS INT) AS n_pass,
+             |  CAST(CASE WHEN r.v_rules + c.v_cls + p.v_ppl + e.v_ent >= 3 THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
+             |ORDER BY r.doc_id""".stripMargin)
+    ) { (s, d) =>
+      graft.functions.CharBigramStats.register(s)
+      val tokHash =
+        "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+      // ONE corpus scan computes all three map-side signals
+      val mapSide = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"),
+          expr("char_bigram_stats(text)").as("st"))
+        .select(col("doc_id"),
+          // q_c31's four integer rules, conjoined
+          when(size(col("ws")) >= 50
+            && lit(3) * size(col("ws")) <= expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
+            && lit(2) * expr("aggregate(ws, 0L, (a, w) -> a + length(w))") <= lit(9) * size(col("ws"))
+            && expr("size(array_intersect(ws, array('the','of','and','to','in')))") >= 1
+            && lit(5) * expr("size(array_distinct(ws))") >= lit(2) * size(col("ws")),
+            1).otherwise(0).as("v_rules"),
+          // q_c30's sign verdict
+          when(expr(s"""aggregate(toks, 0L, (acc, w) ->
+                       |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin) > 0,
+            1).otherwise(0).as("v_cls"),
+          // q_c38's entropy ≥ 4.0 (exact decimal division, q_c38's form)
+          when(col("st.n_bigrams") > 0
+            && emit((dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000"))
+              / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
+            1).otherwise(0).as("v_ent"))
+      // the corpus-global branch: q_c26's scoring off the SHARED tf memo
+      val tf = graft.core.SessionMemo.getOrBuild(
+        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      }
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+      val agg = tf.join(vocab, Seq("term")).crossJoin(broadcast(tot))
+        .withColumn("tscore", dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
+        .groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
+      val ppl = dl.join(agg, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(emit((col("nll") / dec(col("n_tokens"))).cast(D38)) <= 3.45, 1)
+            .otherwise(0).as("v_ppl"))
+      mapSide.join(ppl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("v_rules"), col("v_cls"),
+          coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"))
+        .withColumn("n_pass", col("v_rules") + col("v_cls") + col("v_ppl") + col("v_ent"))
+        .withColumn("keep", when(col("n_pass") >= 3, 1).otherwise(0))
+        .orderBy(col("doc_id"))
     }
   )
 
