@@ -1040,6 +1040,32 @@ object SparkSqlQueries {
         |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_c50_zipf_fit" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+        |top AS (SELECT term, cnt FROM c1 ORDER BY cnt DESC, term LIMIT 100),
+        |r AS (SELECT term, cnt,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+        |      FROM top),
+        |q AS (SELECT term, cnt, rnk,
+        |        CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+        |        CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS y,
+        |        CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS xy,
+        |        CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS xx
+        |      FROM r),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+        |      FROM q),
+        |fit AS (SELECT
+        |          CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+        |          CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+        |          CAST(s.n AS BIGINT) AS n_terms
+        |        FROM s)
+        |SELECT q.rnk, q.term, q.cnt, f.n_terms, f.slope, f.intercept
+        |FROM q CROSS JOIN fit f WHERE q.rnk <= 10
+        |ORDER BY q.rnk""".stripMargin,
+
     "q_c46_heaps_curve" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -750,6 +750,81 @@ object TextQueries {
         .orderBy(col("level"))
     },
 
+    // ---- q_c50: Zipf rank-frequency fit ----------------------------------
+    // q_c46's companion dataset-card diagnostic: the OLS fit of
+    // ln(freq) on ln(rank) over the top-100 vocabulary — the Zipf
+    // exponent every corpus characterization reports (natural text sits
+    // near slope −1; a far-off slope flags synthetic/repetitive data).
+    // Emits the head of the curve (rank ≤ 10) carrying the global fit.
+    //
+    // Shape: term counts reuse the SHARED tf memo (zero extra tokenize
+    // when any LM scorer ran); the top-100 is TakeOrdered; ranking and
+    // the fit run over a 100-row frame (the single-partition window is
+    // bounded by the LIMIT, not the corpus). Float discipline: ln terms
+    // quantize through DECIMAL(18,6) per row, sums are exact decimal,
+    // and the closed-form OLS arithmetic runs on exact doubles derived
+    // from those sums — identical IEEE sequences in both engines —
+    // before the final quantize.
+    QueryDef(
+      "q_c50_zipf_fit",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+             |top AS (SELECT term, cnt FROM c1 ORDER BY cnt DESC, term LIMIT 100),
+             |r AS (SELECT term, cnt,
+             |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+             |      FROM top),
+             |q AS (SELECT term, cnt, rnk,
+             |        CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+             |        CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS y,
+             |        CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS xy,
+             |        CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS xx
+             |      FROM r),
+             |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+             |      FROM q),
+             |fit AS (SELECT
+             |          CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+             |          CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+             |          CAST(s.n AS BIGINT) AS n_terms
+             |        FROM s)
+             |SELECT q.rnk, q.term, q.cnt, f.n_terms, f.slope, f.intercept
+             |FROM q CROSS JOIN fit f WHERE q.rnk <= 10
+             |ORDER BY q.rnk""".stripMargin)
+    ) { (s, d) =>
+      val tf = graft.core.SessionMemo.getOrBuild(
+        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      }
+      val c1 = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+      val top = c1.orderBy(col("cnt").desc, col("term")).limit(100)
+      val q = top
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+        .withColumn("x", dec(log(col("rnk").cast("double"))))
+        .withColumn("y", dec(log(col("cnt").cast("double"))))
+        .withColumn("xy", dec(log(col("rnk").cast("double")) * log(col("cnt").cast("double"))))
+        .withColumn("xx", dec(log(col("rnk").cast("double")) * log(col("rnk").cast("double"))))
+      val st = q.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"), sum(col("xx")).cast("double").as("sxx"))
+      val fit = st.select(
+        emitQ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        emitQ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("intercept"),
+        col("n").cast("long").as("n_terms"))
+      q.filter(col("rnk") <= 10)
+        .crossJoin(broadcast(fit))
+        .select(col("rnk"), col("term"), col("cnt"), col("n_terms"),
+          col("slope"), col("intercept"))
+        .orderBy(col("rnk"))
+    },
+
     // ---- q_c44: interpolated bigram-LM perplexity scoring ----------------
     // The n-gram upgrade of q_c26's unigram filter — the CCNet recipe
     // scores documents under an n-gram LM; here the model is the corpus

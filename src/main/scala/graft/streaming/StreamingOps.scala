@@ -409,6 +409,21 @@ object StreamingOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Stateless streaming twin of q_c41's signature stage: perceptual-hash
+    * arriving media at INGEST time (decode → aHash in a per-partition
+    * codec, append mode, zero state) so the near-dup family grouping
+    * downstream only ever sees 16-byte (id, signature) rows — the
+    * stream-side half of the image dedup pipeline. Batch/stream
+    * signature equality is spec-proven.
+    */
+  def mediaSignatures(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val coder = new graft.operators.MultimodalOps.MediaCoder()
+      it.map(id => (id, coder.imageAHash(coder.encodeNdImage(id))))
+    }.toDF("media_id", "ahash")
+  }
+
   // ---- streaming heavy hitters (sharded Misra-Gries) ---------------------
 
   final case class HhState(counts: Map[String, Long], n: Long, ver: Long)

@@ -352,6 +352,32 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming media signatures equal batch q_c41 hashes on real payloads") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val input = MemoryStream[Long]
+    val q = StreamingOps.mediaSignatures(input.toDS())
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sig").toString)
+      .format("memory").queryName("sigs").outputMode("append").start()
+    for (chunk <- ids.grouped(ids.length / 3 + 1)) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("sigs").orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c41_media_neardup")(sp, dir)
+      .select("media_id", "ahash").orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming Misra-Gries heavy hitters: bounds hold vs exact batch counts") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
