@@ -41,6 +41,18 @@ object GraftSession {
       // codegen'd at 20k vectors, no janino blowout at 770 fields —
       // generated methods split fine). 1024 covers dim-768 with margin.
       .config("spark.sql.codegen.maxFields", "1024")
+      // Partition sizing for the local harness (the builder-brief knob:
+      // size maxPartitionBytes so the target SF actually parallelizes):
+      // the driver tables are SINGLE parquet files of 1-50 MB, all under
+      // the 128 MB default — so every scan-bound query was ONE task on a
+      // 32-core session (measured: q_c38 at a 41 MB corpus ran the
+      // kernel single-threaded, 6.3 s where 32-way splitting gives
+      // ~0.9 s). 4 MB splits the sf0.1 corpus ~4-10 ways and a 10×
+      // fixture ~10-30 ways; openCostInBytes still coalesces the tiny
+      // dimension tables into single tasks. At production scale this is
+      // workload-tuned; the default here serves the harness's file
+      // sizes.
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

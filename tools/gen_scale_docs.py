@@ -90,8 +90,16 @@ def main():
     rng = np.random.default_rng(SEED)
     docs = gen_documents(5000 * scale, rng, scale)
     emb = gen_embeddings(2000 * scale, rng)
-    pq.write_table(docs, os.path.join(outdir, "documents.parquet"))
-    pq.write_table(emb, os.path.join(outdir, "embeddings.parquet"))
+    # row_group_size: a single-row-group parquet file is UNSPLITTABLE for
+    # Spark (a task reads the row groups whose midpoint lands in its byte
+    # range), so the original single-group layout serialized every
+    # map-only stage onto ONE task regardless of maxPartitionBytes —
+    # scale-sweep walls measured single-thread scaling. 8k-row groups
+    # make the fixtures splittable like any real multi-file corpus.
+    pq.write_table(docs, os.path.join(outdir, "documents.parquet"),
+                   row_group_size=8192)
+    pq.write_table(emb, os.path.join(outdir, "embeddings.parquet"),
+                   row_group_size=8192)
     print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings to {outdir}")
 
 
