@@ -43,16 +43,19 @@ object GraftSession {
       .config("spark.sql.codegen.maxFields", "1024")
       // Partition sizing for the local harness (the builder-brief knob:
       // size maxPartitionBytes so the target SF actually parallelizes):
-      // the driver tables are SINGLE parquet files of 1-50 MB, all under
-      // the 128 MB default — so every scan-bound query was ONE task on a
-      // 32-core session (measured: q_c38 at a 41 MB corpus ran the
-      // kernel single-threaded, 6.3 s where 32-way splitting gives
-      // ~0.9 s). 4 MB splits the sf0.1 corpus ~4-10 ways and a 10×
-      // fixture ~10-30 ways; openCostInBytes still coalesces the tiny
-      // dimension tables into single tasks. At production scale this is
-      // workload-tuned; the default here serves the harness's file
-      // sizes.
-      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      // the corpus tables are SINGLE parquet files of 1-50 MB, all under
+      // the 128 MB default, so scan-bound map stages ran as ONE task on
+      // a 32-core session (single-row-group files are additionally
+      // unsplittable — see gen_scale_docs). 16 MB is the measured sweet
+      // spot between two failure modes (scale10/30 fixtures, clean
+      // windows): smaller splits parallelize the scan kernels (q_c38 at
+      // 30×: 19.8 s unsplit → 2.8 s) but DEGRADE map-side combine on
+      // high-expansion explode→groupBy pipelines (q_c3 cold at 10×:
+      // 67 s @16 MB vs 89 s @128 MB vs 170 s @4 MB — tiny tasks flush
+      // tiny partial-agg maps and the gram shuffle balloons). At
+      // production scale this is workload-tuned; 16 MB serves the
+      // harness's file sizes on both poles.
+      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
