@@ -962,6 +962,43 @@ object PipelineQueries {
       splitProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
     },
 
+    // ---- q_c51: JSONL corpus round-trip integrity ------------------------
+    // JSONL (gzip) is the de-facto interchange format LLM corpora ship
+    // in; an engine claiming the pipeline surface must read and write it
+    // LOSSLESSLY — including multi-byte text, quotes, and whatever JSON
+    // escaping does to documents. This query EXPORTS the corpus to
+    // gzip'd JSONL (once per corpus version, snapshot-guarded), reads it
+    // back with an explicit schema (never schema inference at scale —
+    // one inference pass over 100 TB is a full extra scan), and emits
+    // per-source integrity aggregates computed FROM THE JSONL SIDE:
+    // doc counts, total text chars, and an order-independent rolling-
+    // hash checksum Σ md5-derived per-doc hashes mod p. The oracle
+    // computes the same aggregates from the PARQUET side — hash-equality
+    // proves every document survived the round trip byte-for-byte.
+    QueryDef(
+      "q_c51_jsonl_roundtrip",
+      Some("""SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum,
+             |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || lang), 1, 14)) AS BIGINT) % 1000000007) AS BIGINT) AS meta_checksum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ) { (s, d) =>
+      val path = jsonlExport(s, d)
+      val schema = Tables(s, d, "documents").schema
+      s.read.schema(schema).json(path)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(expr("conv(substring(md5(text), 1, 14), 16, 10)").cast("long") % 1000000007L)
+            .cast("long").as("checksum"),
+          sum(expr("conv(substring(md5(concat(CAST(doc_id AS STRING), lang)), 1, 14), 16, 10)")
+            .cast("long") % 1000000007L)
+            .cast("long").as("meta_checksum"))
+        .orderBy(col("source"))
+    },
+
     // ---- q_c49: quality-filter ensemble ----------------------------------
     // The agreement step production pipelines run over their individual
     // filters (FineWeb-class recipes stack rules + model filters and keep
@@ -1099,6 +1136,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q_c51's session-scoped JSONL export location (content-snapshot
+    * guarded like the BM25 postings index): the corpus is exported once
+    * per corpus version and re-read by every repeat invocation.
+    */
+  private val jsonlBuilt =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def jsonlExport(s: SparkSession, d: String): String = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    jsonlBuilt.synchronized(jsonlBuilt.get(d).filter(_._1 == snap).map(_._2))
+      .getOrElse {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-docs-jsonl").toString
+        Tables(s, d, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(path)
+        jsonlBuilt.synchronized { jsonlBuilt(d) = (snap, path) }
+        path
+      }
+  }
 
   /** q_c37's split as a pure projection over a (doc_id, source) frame —
     * shared verbatim by the batch query (plus its presentation sort) and

@@ -1090,6 +1090,16 @@ object SparkSqlQueries {
         |WINDOW w AS (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY level""".stripMargin,
 
+    // q_c51's twin aggregates the PARQUET side in Spark SQL; the DataFrame
+    // plan aggregates the JSONL re-read — parity IS the round-trip proof
+    "q_c51_jsonl_roundtrip" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT) % 1000000007L) AS BIGINT) AS checksum,
+        |  CAST(SUM(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), lang)), 1, 14), 16, 10) AS BIGINT) % 1000000007L) AS BIGINT) AS meta_checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_c49_quality_ensemble" ->
       """WITH t AS (
         |  SELECT doc_id, filter(split(lower(text), ' '), w -> length(w) > 0) AS ws,
