@@ -424,6 +424,30 @@ object StreamingOps {
     }.toDF("media_id", "ahash")
   }
 
+  /** End-to-end streaming IMAGE dedup: [[mediaSignatures]] chained into
+    * watermarked first-arrival-per-signature retention — a perturbed or
+    * re-encoded copy of an image arriving within the horizon is dropped
+    * at ingest, byte-identity not required (the q_c41 signature family
+    * rule, streaming). Decode+hash is stateless map-side work; the only
+    * state is the dedup store keyed by the 64-bit signature, watermark-
+    * bounded like [[dedupStream]].
+    */
+  def mediaDedupStream(media: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media.select(col("media_id").as("id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val coder = new graft.operators.MultimodalOps.MediaCoder()
+        it.map { case (id, ts) =>
+          (id, ts, coder.imageAHash(coder.encodeNdImage(id)))
+        }
+      }
+      .toDF("media_id", "ts", "ahash")
+    sigs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("ahash"))
+  }
+
   // ---- streaming heavy hitters (sharded Misra-Gries) ---------------------
 
   final case class HhState(counts: Map[String, Long], n: Long, ver: Long)

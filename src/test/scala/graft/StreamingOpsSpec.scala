@@ -378,6 +378,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming image dedup keeps exactly the batch q_c41 family representatives") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.mediaDedupStream(
+      input.toDF().toDF("media_id", "ts"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_mdd").toString)
+      .format("memory").queryName("mdedup").outputMode("append").start()
+    // arrival in id order with increasing event time, well inside one
+    // watermark horizon — the first arrival per signature family is the
+    // family's min id
+    for (chunk <- ids.grouped(ids.length / 3 + 1)) {
+      input.addData(chunk.toSeq.map(id =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 1000L))))
+      q.processAllAvailable()
+    }
+    val kept = sp.table("mdedup").select("media_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    val reps = SparkEntry.queries("q_c41_media_neardup")(sp, dir)
+      .select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept == reps,
+      s"kept ${kept.size} vs batch representatives ${reps.size}")
+    assert(kept.size < ids.length, "dedup dropped nothing")
+  }
+
   test("streaming Misra-Gries heavy hitters: bounds hold vs exact batch counts") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
