@@ -3,6 +3,7 @@ package graft.operators
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import graft.core.{QueryDef, Tables}
+import graft.core.Decimals.emitQ
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -651,6 +652,102 @@ object MultimodalOps {
           min(col("media_id")).over(fam).as("rep_id"))
         .withColumn("is_neardup", when(col("n_members") > 1, 1L).otherwise(0L))
         .orderBy(col("media_id"))
+    },
+
+    // ---- q_c52: multimodal training-sample assembly ----------------------
+    // The step that feeds a multimodal dataloader: per id, join the TEXT
+    // record (token/char stats), the EMBEDDING record (q_c17's int8
+    // footprint — dim, exact-decimal scale, integer checksums), and the
+    // MEDIA record (REAL javax decode of the id's PNG/WAV/video payload:
+    // unit count + decoded-value checksum) into one training row.
+    //
+    // 100 TB shape: each modality is its own map-side branch — text a
+    // projection, embeddings per-row array folds, media a mapPartitions
+    // decode with the per-partition codec (payload bytes never survive
+    // the branch) — and the assembly is two id-keyed joins of slim
+    // feature rows; with the three tables bucketed by id the joins are
+    // co-partitioned shuffles. The oracle assembles the same record from
+    // the q_c17 quantization CTEs and q_c11's closed-form decode
+    // generators, so a match re-proves the real codec path inside the
+    // joined result.
+    QueryDef(
+      "q_c52_sample_assembly",
+      Some("""WITH txt AS (
+             |  SELECT doc_id, source,
+             |         CAST(len([w for w in string_split(lower(text), ' ') if len(w) > 0]) AS BIGINT) AS n_tokens,
+             |         CAST(length(text) AS BIGINT) AS n_chars
+             |  FROM documents),
+             |m AS (
+             |  SELECT vec_id,
+             |         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS mx,
+             |         len(embedding) AS dim
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT m.vec_id, m.mx, m.dim, unnest(emb.embedding) AS x
+             |  FROM m JOIN embeddings emb ON m.vec_id = emb.vec_id),
+             |q AS (
+             |  SELECT vec_id, mx, dim,
+             |         CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT) AS qi
+             |  FROM e WHERE mx > 0),
+             |emb AS (
+             |  SELECT vec_id, CAST(dim AS BIGINT) AS emb_dim,
+             |         CAST(CAST(mx / 127 AS DECIMAL(18,6)) AS DOUBLE) AS emb_scale,
+             |         CAST(SUM(qi) AS BIGINT) AS emb_qsum
+             |  FROM q GROUP BY vec_id, dim, mx),
+             |img_d AS (SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
+             |          FROM documents WHERE doc_id % 3 = 0),
+             |img_x AS (SELECT doc_id, h, unnest(range(w)) AS x FROM img_d),
+             |img_xy AS (SELECT doc_id, x, unnest(range(h)) AS y FROM img_x),
+             |img AS (SELECT doc_id AS media_id, 'image' AS kind, COUNT(*) AS n_units,
+             |               CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+             |        FROM img_xy GROUP BY doc_id),
+             |aud_d AS (SELECT doc_id, doc_id % 800 + 100 AS n FROM documents WHERE doc_id % 3 = 1),
+             |aud_i AS (SELECT doc_id, unnest(range(n)) AS i FROM aud_d),
+             |aud AS (SELECT doc_id AS media_id, 'audio' AS kind, COUNT(*) AS n_units,
+             |               CAST(SUM((doc_id * 7919 + i * 104729) % 65536 - 32768) AS BIGINT) AS value_sum
+             |        FROM aud_i GROUP BY doc_id),
+             |vid_d AS (SELECT doc_id, doc_id % 4 + 2 AS f FROM documents WHERE doc_id % 3 = 2),
+             |vid_f AS (SELECT doc_id, f, unnest(range(f)) AS fr FROM vid_d),
+             |vid_fx AS (SELECT doc_id, f, fr, unnest(range(16)) AS x FROM vid_f WHERE fr % 2 = 0),
+             |vid_fxy AS (SELECT doc_id, f, fr, x, unnest(range(12)) AS y FROM vid_fx),
+             |vid AS (SELECT doc_id AS media_id, 'video' AS kind, CAST(MAX(f) AS BIGINT) AS n_units,
+             |               CAST(SUM((doc_id * 31 + fr * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS value_sum
+             |        FROM vid_fxy GROUP BY doc_id),
+             |med AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+             |SELECT t.doc_id, t.source, t.n_tokens, t.n_chars,
+             |       e.emb_dim, e.emb_scale, e.emb_qsum,
+             |       md.kind, CAST(md.n_units AS BIGINT) AS n_units, md.value_sum
+             |FROM txt t
+             |JOIN emb e ON t.doc_id = e.vec_id
+             |JOIN med md ON t.doc_id = md.media_id
+             |ORDER BY t.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val txt = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
+            .cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("mx"),
+          size(col("embedding")).cast("long").as("emb_dim"),
+          col("embedding"))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), col("emb_dim"),
+          emitQ(col("mx") / 127d).as("emb_scale"),
+          expr("aggregate(embedding, 0L, (a, x) -> a + CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))")
+            .as("emb_qsum"))
+      val med = decodeFeatures(encodedMedia(s, d)).toDF()
+        .select(col("media_id"), col("kind"),
+          col("n_units").cast("long").as("n_units"),
+          col("value_sum").cast("long").as("value_sum"))
+      txt
+        .join(emb, txt("doc_id") === emb("vec_id"))
+        .join(med, txt("doc_id") === med("media_id"))
+        .select(txt("doc_id"), col("source"), col("n_tokens"), col("n_chars"),
+          col("emb_dim"), col("emb_scale"), col("emb_qsum"),
+          col("kind"), col("n_units"), col("value_sum"))
+        .orderBy(col("doc_id"))
     }
   )
 }

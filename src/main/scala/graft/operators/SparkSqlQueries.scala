@@ -1257,6 +1257,54 @@ object SparkSqlQueries {
         |FROM np LEFT JOIN agg USING (doc_id)
         |ORDER BY np.doc_id""".stripMargin,
 
+    // q_c52's twin assembles the same record with the media branch in
+    // CLOSED FORM (the q_c11 convention) — parity re-proves the real
+    // decode inside the joined result
+    "q_c52_sample_assembly" ->
+      """WITH txt AS (
+        |  SELECT doc_id, source,
+        |         CAST(size(filter(split(lower(text), ' '), w -> length(w) > 0)) AS BIGINT) AS n_tokens,
+        |         CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |emb AS (
+        |  SELECT vec_id,
+        |         CAST(size(embedding) AS BIGINT) AS emb_dim,
+        |         CAST(CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127D AS DECIMAL(18,6)) AS DOUBLE) AS emb_scale,
+        |         aggregate(embedding, 0L, (a, x) -> a + CAST(round(CAST(x AS DOUBLE) * 127 /
+        |           array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT)) AS emb_qsum
+        |  FROM embeddings
+        |  WHERE array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0),
+        |img AS (
+        |  SELECT doc_id AS media_id, 'image' AS kind,
+        |         CAST((doc_id % 56 + 8) * (doc_id % 40 + 8) AS BIGINT) AS n_units,
+        |         aggregate(flatten(transform(sequence(0, CAST(doc_id % 56 + 8 AS INT) - 1),
+        |           x -> transform(sequence(0, CAST(doc_id % 40 + 8 AS INT) - 1),
+        |             y -> (doc_id * 31 + x * 7 + y * 13) % 256))), 0L, (a, v) -> a + v) AS value_sum
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |aud AS (
+        |  SELECT doc_id AS media_id, 'audio' AS kind,
+        |         CAST(doc_id % 800 + 100 AS BIGINT) AS n_units,
+        |         aggregate(transform(sequence(0, CAST(doc_id % 800 + 100 AS INT) - 1),
+        |           i -> (doc_id * 7919 + i * 104729L) % 65536 - 32768), 0L, (a, v) -> a + v) AS value_sum
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |vid AS (
+        |  SELECT doc_id AS media_id, 'video' AS kind,
+        |         CAST(doc_id % 4 + 2 AS BIGINT) AS n_units,
+        |         aggregate(flatten(flatten(transform(
+        |           filter(sequence(0, CAST(doc_id % 4 + 2 AS INT) - 1), fr -> fr % 2 = 0),
+        |           fr -> transform(sequence(0, 15), x -> transform(sequence(0, 11),
+        |             y -> (doc_id * 31 + fr * 17 + x * 7 + y * 13) % 256))))),
+        |           0L, (a, v) -> a + v) AS value_sum
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |med AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+        |SELECT t.doc_id, t.source, t.n_tokens, t.n_chars,
+        |       e.emb_dim, e.emb_scale, e.emb_qsum,
+        |       md.kind, md.n_units, md.value_sum
+        |FROM txt t
+        |JOIN emb e ON t.doc_id = e.vec_id
+        |JOIN med md ON t.doc_id = md.media_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // q_c41's twin is the CLOSED-FORM generator arithmetic (the
     // q_c11/q_c18 convention): the DataFrame plan hashes real decoded
     // PNG pixels, so parity here re-proves the codec round-trip
