@@ -109,6 +109,20 @@ object Tables {
   * the usual "large dim table" ceiling at which a shuffle join's extra
   * exchange beats per-executor rebroadcast cost).
   */
+/** Local-filesystem cleanup for session-scoped derived artifacts (JSONL
+  * exports, postings indexes): best-effort recursive delete, used when a
+  * content-snapshot change abandons the previous build.
+  */
+object LocalArtifacts {
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try rm(new java.io.File(path))
+    catch { case _: Throwable => () }
+  }
+}
+
 object Sizing {
   /** Total on-disk bytes under `path` — driver-side FS metadata listing
     * only (O(files) RPCs, no data read), same discipline as

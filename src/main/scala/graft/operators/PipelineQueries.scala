@@ -1152,7 +1152,13 @@ object PipelineQueries {
           .createTempDirectory("graft-docs-jsonl").toString
         Tables(s, d, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(path)
-        jsonlBuilt.synchronized { jsonlBuilt(d) = (snap, path) }
+        // a regenerated corpus abandons the previous export — delete it
+        // rather than leak a directory per regeneration
+        jsonlBuilt.synchronized {
+          jsonlBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+            graft.core.LocalArtifacts.deleteRecursively(old)
+          }
+        }
         path
       }
   }

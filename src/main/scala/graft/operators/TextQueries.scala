@@ -966,7 +966,13 @@ object TextQueries {
         val path = java.nio.file.Files
           .createTempDirectory("graft-bm25-index").toString
         buildPostingsIndex(s, d, path)
-        postingsBuilt.synchronized { postingsBuilt(d) = (snap, path) }
+        // a regenerated corpus abandons the previous index — delete it
+        // rather than leak a directory per regeneration
+        postingsBuilt.synchronized {
+          postingsBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+            graft.core.LocalArtifacts.deleteRecursively(old)
+          }
+        }
         path
       }
   }
