@@ -109,20 +109,6 @@ object Tables {
   * the usual "large dim table" ceiling at which a shuffle join's extra
   * exchange beats per-executor rebroadcast cost).
   */
-/** Local-filesystem cleanup for session-scoped derived artifacts (JSONL
-  * exports, postings indexes): best-effort recursive delete, used when a
-  * content-snapshot change abandons the previous build.
-  */
-object LocalArtifacts {
-  def deleteRecursively(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    try rm(new java.io.File(path))
-    catch { case _: Throwable => () }
-  }
-}
-
 object Sizing {
   /** Total on-disk bytes under `path` — driver-side FS metadata listing
     * only (O(files) RPCs, no data read), same discipline as
@@ -154,6 +140,20 @@ object Sizing {
   def broadcastIfUnder(spark: SparkSession, df: DataFrame,
       estimatedBytes: Long): DataFrame =
     if (estimatedBytes <= broadcastBytes(spark)) broadcast(df) else df
+}
+
+/** Local-filesystem cleanup for session-scoped derived artifacts (JSONL
+  * exports, postings indexes): best-effort recursive delete, used when a
+  * content-snapshot change abandons the previous build.
+  */
+object LocalArtifacts {
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try rm(new java.io.File(path))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
 }
 
 /** Schema-adaptive event-time canonicalization.
@@ -227,6 +227,18 @@ object Decimals {
     * then emit as float64. Oracle twin: CAST(CAST(x AS DECIMAL(18,6)) AS DOUBLE).
     */
   def emitQ(c: Column): Column = dec(c).cast(DoubleType)
+
+  /** Driver/kernel-side analog of the DECIMAL(18,6) quantization, as
+    * unscaled 10⁻⁶ units: uses Spark's OWN Decimal cast machinery so the
+    * "identical rounding" guarantee has ONE definition shared by the
+    * native expressions (CharBigramStats) and the trainers
+    * (UnigramTrainer).
+    */
+  def micros6(d: Double): Long = {
+    val dec = org.apache.spark.sql.types.Decimal(d)
+    dec.changePrecision(18, 6)
+    dec.toUnscaledLong
+  }
 
   /** CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DECIMAL(38,6)) :: DOUBLE */
   def sumMoney(c: Column): Column = sum(dec(c)).cast(D38).cast(DoubleType)

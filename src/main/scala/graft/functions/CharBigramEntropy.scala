@@ -64,14 +64,10 @@ object CharBigramStats {
     StructField("n_distinct", LongType, nullable = false),
     StructField("ent_s", LongType, nullable = false)))
 
-  /** micros(CAST(d AS DECIMAL(18,6))) via Spark's own Decimal machinery —
-    * identical rounding to the Cast the SQL twin evaluates.
+  /** micros(CAST(d AS DECIMAL(18,6))) — the engine-wide quantization,
+    * single-sourced in [[graft.core.Decimals.micros6]].
     */
-  private def q6micros(d: Double): Long = {
-    val dec = Decimal(d)
-    dec.changePrecision(18, 6)
-    dec.toUnscaledLong
-  }
+  private def q6micros(d: Double): Long = graft.core.Decimals.micros6(d)
 
   /** One pass over the lowered text; called from interpreted eval and
     * generated code (one monomorphic static call per row).

@@ -89,6 +89,15 @@ object UnigramModel {
     * segmentation total and deterministic on out-of-domain input.
     */
   val UnkLogp: Double = -100.0
+
+  /** Content hash for per-model function names — ONE definition for both
+    * registered expression families (a fork between them would break the
+    * "same model ⇒ same name" idempotence contract).
+    */
+  def contentHash(model: UnigramModel): String =
+    Integer.toHexString(
+      (scala.util.hashing.MurmurHash3.arrayHash(model.pieces) * 31
+        + scala.util.hashing.MurmurHash3.arrayHash(model.logpMicros)) & 0x7fffffff)
 }
 
 /** `STRING word → ARRAY<STRING>` best segmentation — the trainer's E-step
@@ -168,10 +177,7 @@ object UnigramSegmentPieces {
     * re-registration is idempotent). Returns the function name.
     */
   def register(spark: org.apache.spark.sql.SparkSession, model: UnigramModel): String = {
-    val h = Integer.toHexString(
-      (scala.util.hashing.MurmurHash3.arrayHash(model.pieces) * 31
-        + scala.util.hashing.MurmurHash3.arrayHash(model.logpMicros)) & 0x7fffffff)
-    val name = s"unigram_seg_$h"
+    val name = s"unigram_seg_${UnigramModel.contentHash(model)}"
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -186,10 +192,7 @@ object UnigramSegmentPieces {
 
 object UnigramCountTokens {
   def register(spark: org.apache.spark.sql.SparkSession, model: UnigramModel): String = {
-    val h = Integer.toHexString(
-      (scala.util.hashing.MurmurHash3.arrayHash(model.pieces) * 31
-        + scala.util.hashing.MurmurHash3.arrayHash(model.logpMicros)) & 0x7fffffff)
-    val name = s"unigram_count_$h"
+    val name = s"unigram_count_${UnigramModel.contentHash(model)}"
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

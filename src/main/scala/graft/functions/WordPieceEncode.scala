@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Native trained-WordPiece encoder: total token count of an
   * ARRAY<STRING> of words under a LEARNED vocabulary, using the published
   * BERT inference rule — GREEDY LONGEST-MATCH per position, continuation
-  * positions matching against `##`-prefixed pieces, unmatchable positions
-  * emitting one UNK token and advancing one character. (WordPiece
-  * inference is longest-match against the final vocabulary, not a replay
-  * of the training merges — the documented asymmetry vs BPE.)
+  * positions matching against `##`-prefixed pieces, and a word with ANY
+  * unmatchable position mapping to a SINGLE [UNK] token (BERT's
+  * WordpieceTokenizer replaces the whole word, it does not skip
+  * characters). (WordPiece inference is longest-match against the final
+  * vocabulary, not a replay of the training merges — the documented
+  * asymmetry vs BPE.)
   *
   * The vocabulary is driver-held model state carried as a constructor
   * parameter (the [[BpeEncodeTokens]] pattern); the hot loop probes a
@@ -44,6 +46,7 @@ case class WordPieceCountTokens(child: Expression, vocab: Seq[String])
 
   def countWord(word: String): Long = {
     val n = word.length
+    if (n == 0) return 0L
     var i = 0
     var cnt = 0L
     while (i < n) {
@@ -54,7 +57,7 @@ case class WordPieceCountTokens(child: Expression, vocab: Seq[String])
         if (table.contains(prefix + word.substring(i, i + m))) adv = m
         else m -= 1
       }
-      if (adv == 0) adv = 1 // UNK: emit one token, advance one char
+      if (adv == 0) return 1L // BERT rule: the WHOLE word becomes one [UNK]
       cnt += 1L
       i += adv
     }

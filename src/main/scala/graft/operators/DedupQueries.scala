@@ -576,11 +576,14 @@ object DedupQueries {
     // Shape: positional L-grams (NOT distinct — positions matter) →
     // corpus-wide gram counts (one Heaps-ish gram-keyed shuffle, the
     // q_c24 class) → duplicated positions per doc (small: only grams
-    // occurring twice anywhere) → coverage = |union of [k, k+L-1]| via a
-    // doc-keyed join of token positions against the per-doc duplicated
-    // ks with a range predicate (the dup side is sparse; at corpus scale
-    // a per-doc sorted fold computes the same union map-side — the
-    // relational form is kept for oracle parity). Integer throughout.
+    // occurring twice anywhere) → coverage = |union of [k, k+L-1]|
+    // computed by a PER-DOC SORTED FOLD over the duplicated starts
+    // (sort_array + one interval-union aggregate — O(dup positions) per
+    // doc; the first version joined every token position against every
+    // dup start with a range predicate, which is |pos|·|dupk| rows per
+    // doc BEFORE filtering — quadratic on heavily-duplicated documents,
+    // the exact docs this query exists to flag). The oracle keeps the
+    // relational range-join form (same values). Integer throughout.
     QueryDef(
       "q_c48_substr_dedup",
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
@@ -619,11 +622,18 @@ object DedupQueries {
       val dupk = g.join(gc.filter(col("cnt") >= 2), Seq("gram"))
         .select(col("doc_id"), col("k"))
       val nd = dupk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
-      val pos = t.select(col("doc_id"), explode(expr("sequence(0, size(ts) - 1)")).as("p"))
-      val nc = pos.join(dupk, Seq("doc_id"))
-        .filter(col("k") <= col("p") && col("p") <= col("k") + (L - 1))
-        .select(col("doc_id"), col("p")).distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov_tokens"))
+      // interval union over the SORTED dup starts: each start k covers
+      // [k, k+L-1]; with ascending ks, the new coverage a start adds is
+      // (k + L - 1) - max(prevEnd, k - 1) — a single integer fold
+      val nc = dupk.groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(k))").as("ks"))
+        .select(col("doc_id"), expr(
+          s"""aggregate(ks,
+             |  named_struct('cov', CAST(0 AS BIGINT), 'pe', CAST(-1 AS BIGINT)),
+             |  (a, k) -> named_struct(
+             |    'cov', a.cov + (k + ${L - 1} - greatest(a.pe, k - 1)),
+             |    'pe', k + CAST(${L - 1} AS BIGINT)),
+             |  a -> a.cov)""".stripMargin).as("n_cov_tokens"))
       t.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
         .join(nd, Seq("doc_id"), "left")
         .join(nc, Seq("doc_id"), "left")

@@ -1111,13 +1111,7 @@ object PipelineQueries {
               / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
             1).otherwise(0).as("v_ent"))
       // the corpus-global branch: q_c26's scoring off the SHARED tf memo
-      val tf = graft.core.SessionMemo.getOrBuild(
-        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
-        Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      }
+      val tf = TextQueries.tfUnigram(s, d)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
       val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
       val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
@@ -1146,21 +1140,22 @@ object PipelineQueries {
 
   private def jsonlExport(s: SparkSession, d: String): String = {
     val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    jsonlBuilt.synchronized(jsonlBuilt.get(d).filter(_._1 == snap).map(_._2))
-      .getOrElse {
+    // lock spans the build (the postingsIndex discipline): no double
+    // export, no deleting a directory a concurrent builder just returned
+    jsonlBuilt.synchronized {
+      jsonlBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
         val path = java.nio.file.Files
           .createTempDirectory("graft-docs-jsonl").toString
         Tables(s, d, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(path)
         // a regenerated corpus abandons the previous export — delete it
         // rather than leak a directory per regeneration
-        jsonlBuilt.synchronized {
-          jsonlBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-            graft.core.LocalArtifacts.deleteRecursively(old)
-          }
+        jsonlBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteRecursively(old)
         }
         path
       }
+    }
   }
 
   /** q_c37's split as a pure projection over a (doc_id, source) frame —

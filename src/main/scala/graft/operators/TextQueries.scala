@@ -387,14 +387,7 @@ object TextQueries {
       // invocations (and any future tf consumer) skip the tokenize scan
       // and the (doc, term) shuffle entirely; the memo measures the frame
       // and degrades to per-query drain/disk tier if it outgrows budget
-      val tf = graft.core.SessionMemo.getOrBuild(
-        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
-        Tables(s, d, "documents")
-          .select(
-            col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      }
+      val tf = tfUnigram(s, d)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
       val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
       val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
@@ -792,13 +785,7 @@ object TextQueries {
              |FROM q CROSS JOIN fit f WHERE q.rnk <= 10
              |ORDER BY q.rnk""".stripMargin)
     ) { (s, d) =>
-      val tf = graft.core.SessionMemo.getOrBuild(
-        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
-        Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      }
+      val tf = tfUnigram(s, d)
       val c1 = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
       val top = c1.orderBy(col("cnt").desc, col("term")).limit(100)
       val q = top
@@ -875,14 +862,7 @@ object TextQueries {
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       // unigram model: the SAME memoized frame q_c26 uses
-      val tf1 = graft.core.SessionMemo.getOrBuild(
-        s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
-        Tables(s, d, "documents")
-          .select(
-            col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      }
+      val tf1 = tfUnigram(s, d)
       val c1 = tf1.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("n1"))
       val tot = c1.agg(sum(col("n1")).cast("double").as("t"))
       val tf2 = graft.core.SessionMemo.getOrBuild(
@@ -925,6 +905,24 @@ object TextQueries {
     * .classifierScores]]): the model-based filter applies per-document,
     * so the SAME plan scores a stream in append mode with zero state.
     */
+  /** SINGLE definition of the session-memoized (doc_id, term, tf) frame
+    * under the shared `tf_unigram` key — the corpus tokenize consumed by
+    * q_c26, q_c44, q_c49 and q_c50. One definition matters beyond tidiness:
+    * `SessionMemo.getOrBuild` ignores the builder on a warm hit, so
+    * divergent inline copies under one key would be a first-run-wins
+    * semantic fork with no test signal.
+    */
+  private[graft] def tfUnigram(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.core.SessionMemo.getOrBuild(
+      s, "tf_unigram", d, Seq(s"$d/documents.parquet")) {
+      Tables(s, d, "documents")
+        .select(
+          col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+
   /** Build the persistent BM25 postings index under `path`: postings
     * (term, doc_id, tf, dl) RANGE-PARTITIONED and sorted by term — so
     * every parquet row group covers a narrow term interval and a term
@@ -961,20 +959,24 @@ object TextQueries {
   private[graft] def postingsIndex(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    postingsBuilt.synchronized(postingsBuilt.get(d).filter(_._1 == snap).map(_._2))
-      .getOrElse {
+    // the lock spans the build: two concurrent first callers must not
+    // each build a directory and then delete the other's (check-then-act
+    // race); builds are rare, so serializing them is the simple safe form
+    postingsBuilt.synchronized {
+      postingsBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
         val path = java.nio.file.Files
           .createTempDirectory("graft-bm25-index").toString
         buildPostingsIndex(s, d, path)
         // a regenerated corpus abandons the previous index — delete it
-        // rather than leak a directory per regeneration
-        postingsBuilt.synchronized {
-          postingsBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-            graft.core.LocalArtifacts.deleteRecursively(old)
-          }
+        // rather than leak a directory per regeneration (a DataFrame
+        // built against the OLD path before the regeneration is dead
+        // anyway: its content no longer matches the corpus)
+        postingsBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteRecursively(old)
         }
         path
       }
+    }
   }
 
   /** BM25 top-20 served from the stored index: the scan reads ONLY the

@@ -43,12 +43,10 @@ object UnigramTrainer {
 
   final case class PieceRow(piece: String, count: Long, logpMicros: Long)
 
-  /** micros(CAST(d AS DECIMAL(18,6))) — the engine-wide quantization. */
-  private def q6micros(d: Double): Long = {
-    val dec = org.apache.spark.sql.types.Decimal(d)
-    dec.changePrecision(18, 6)
-    dec.toUnscaledLong
-  }
+  /** micros(CAST(d AS DECIMAL(18,6))) — the engine-wide quantization,
+    * single-sourced in [[graft.core.Decimals.micros6]].
+    */
+  private def q6micros(d: Double): Long = graft.core.Decimals.micros6(d)
 
   /** Add-one-smoothed log-prob table over the current counts. */
   private def logps(counts: Seq[(String, Long)]): Seq[PieceRow] = {

@@ -491,7 +491,12 @@ object StreamingOps {
           }
           val ver = st.ver + 1
           state.update(HhState(m.toMap, n, ver))
-          m.iterator.map { case (t, c) => HhOut(shard, t, c, n, ver) }
+          // a decrement-all can empty the map; the version must still
+          // advance in the sink or the serve filter would keep showing
+          // the dropped candidates — emit a tombstone row (empty term,
+          // est 0) that heavyHitterServe filters out
+          if (m.isEmpty) Iterator(HhOut(shard, "", 0L, n, ver))
+          else m.iterator.map { case (t, c) => HhOut(shard, t, c, n, ver) }
       }
   }
 
@@ -503,6 +508,7 @@ object StreamingOps {
     updates
       .withColumn("mver", max(col("ver")).over(w))
       .filter(col("ver") === col("mver"))
+      .filter(length(col("term")) > 0) // drop empty-state tombstones
       .select(col("term"), col("est"), col("shard"), col("shard_n"))
       .orderBy(col("est").desc, col("term"))
       .limit(topN)

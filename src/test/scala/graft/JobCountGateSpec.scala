@@ -65,7 +65,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c43_wordpiece_encode" -> 50, // measured 40 (cold training + one encode projection)
     "q_c44_bigram_logprob" -> 25,   // measured 20 (two memo builds + 4-join scoring)
     "q_c47_fuzzy_decontaminate" -> 24, // measured 19 (sig pipeline + broadcast bench sides)
-    "q_c48_substr_dedup" -> 18,     // measured 14 (gram count + dup positions + coverage join)
+    "q_c48_substr_dedup" -> 13,     // measured 10 (gram count + per-doc interval-union fold)
     "q_c49_quality_ensemble" -> 23  // measured 18 (fused map-side scan + memoized ppl branch)
   )
 

@@ -378,6 +378,29 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("heavy-hitter serve drops emptied shards instead of serving stale candidates") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val k = 4
+    val input = MemoryStream[String]
+    // 1 shard: fill k distinct counters at count 1, then a (k+1)-th
+    // distinct term triggers decrement-all → state EMPTIES
+    val q = StreamingOps.heavyHitterUpdates(input.toDS(), shards = 1, k = k).toDF()
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_hh2").toString)
+      .format("memory").queryName("hh_empty").outputMode("update").start()
+    input.addData((1 to k).map(i => s"t$i"))
+    q.processAllAvailable()
+    input.addData(Seq("t_overflow"))
+    q.processAllAvailable()
+    val served = StreamingOps.heavyHitterServe(sp.table("hh_empty")).collect()
+    q.stop()
+    assert(served.isEmpty,
+      s"stale candidates served after eviction-to-empty: ${served.mkString(",")}")
+  }
+
   test("streaming image dedup keeps exactly the batch q_c41 family representatives") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
@@ -433,6 +456,7 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cands = sp.table("hh_updates")
       .withColumn("mver", org.apache.spark.sql.functions.max(col("ver")).over(w))
       .filter(col("ver") === col("mver"))
+      .filter(org.apache.spark.sql.functions.length(col("term")) > 0)
       .select("shard", "term", "est", "shard_n").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     q.stop()

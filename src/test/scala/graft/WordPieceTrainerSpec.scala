@@ -84,6 +84,7 @@ class WordPieceTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     var i = 0
     var cnt = 0L
     val n = word.length
+    if (n == 0) return 0L
     while (i < n) {
       val prefix = if (i == 0) "" else "##"
       var m = math.min(maxBody, n - i)
@@ -91,7 +92,7 @@ class WordPieceTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
       while (adv == 0 && m >= 1) {
         if (vocab.contains(prefix + word.substring(i, i + m))) adv = m else m -= 1
       }
-      if (adv == 0) adv = 1
+      if (adv == 0) return 1L // BERT whole-word [UNK]
       cnt += 1L
       i += adv
     }
@@ -102,6 +103,20 @@ class WordPieceTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("encoder maps a word with any unmatchable position to ONE [UNK] token") {
+    // out-of-fixture case (the corpus alphabet always covers itself, so
+    // the mirror reference can't exercise it): BERT's WordpieceTokenizer
+    // replaces the WHOLE word, it does not skip characters
+    val enc = graft.functions.WordPieceCountTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      Seq("a", "b", "##a", "##b", "ab"))
+    assert(enc.countWord("ab") == 1L)    // one matched piece
+    assert(enc.countWord("aba") == 2L)   // ab + ##a
+    assert(enc.countWord("abz") == 1L)   // z unmatchable -> whole word UNK
+    assert(enc.countWord("zab") == 1L)   // unmatchable at word start
+    assert(enc.countWord("") == 0L)
+  }
 
   test("q_c42: merge trajectory identical to the independent reference") {
     val docs = corpus()
