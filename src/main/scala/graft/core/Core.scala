@@ -154,6 +154,56 @@ object LocalArtifacts {
     try rm(new java.io.File(path))
     catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Deferred delete for an ABANDONED snapshot directory: a query planned
+    * against the old path may still be executing, and deleting now would
+    * fail it mid-run with FileNotFound instead of letting it complete on
+    * the old (internally consistent) snapshot. The directory is reclaimed
+    * at JVM exit; the leak window is bounded by corpus regenerations per
+    * session (rare — the caches exist because rebuilds are rare).
+    */
+  def deleteOnExit(path: String): Unit =
+    deferred.synchronized { deferred += path; () }
+
+  private lazy val deferred: scala.collection.mutable.ArrayBuffer[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    sys.addShutdownHook { buf.synchronized(buf.foreach(deleteRecursively)) }
+    buf
+  }
+}
+
+/** 64-bit hex content id for per-model registered-function names
+  * (`bpe_count_<id>`, `unigram_seg_<id>`, `wordpiece_count_<id>`, ...):
+  * two independent-seed 32-bit murmur passes over the model content.
+  * The previous 31-bit id had a SILENT failure mode — registerFunction
+  * overwrites on name collision, so two different vocabularies hashing
+  * alike in one session would rebind later-resolved plans to the wrong
+  * model. 64 bits puts same-session collision odds past concern.
+  */
+object ContentId {
+  val SeedA = 0x9747b28c
+  val SeedB = 0x1b873593
+  def hex64(a: Int, b: Int): String =
+    java.lang.Long.toHexString((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL))
+}
+
+/** Build-once session cache keyed by (key, content snapshot). The lock
+  * spans the build (the postingsIndex/jsonlExport discipline): two
+  * concurrent first callers share ONE build instead of both running the
+  * full multi-job training/export. Each cache instance serializes only
+  * its own builds — independent caches (BPE vs unigram vs WordPiece)
+  * still overlap. Entries for a stale snapshot are replaced in place.
+  */
+final class BuildOnceCache[K, V] {
+  private val m = scala.collection.mutable.Map.empty[K, (String, V)]
+  def clear(): Unit = m.synchronized { m.clear() }
+  def getOrBuild(key: K, snap: String)(build: => V): V = m.synchronized {
+    m.get(key).filter(_._1 == snap).map(_._2).getOrElse {
+      val v = build
+      m(key) = (snap, v)
+      v
+    }
+  }
 }
 
 /** Schema-adaptive event-time canonicalization.

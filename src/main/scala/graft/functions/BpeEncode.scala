@@ -114,9 +114,13 @@ object BpeEncodeTokens {
   def register(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(String, String)],
       dropoutPermille: Int = 0, seed: Long = 0L): String = {
-    val h = Integer.toHexString(
-      (scala.util.hashing.MurmurHash3.seqHash(merges) * 31
-        + dropoutPermille * 7919 + seed.toInt) & 0x7fffffff)
+    import scala.util.hashing.MurmurHash3
+    import graft.core.ContentId
+    val h = ContentId.hex64(
+      MurmurHash3.orderedHash(merges, ContentId.SeedA) * 31
+        + dropoutPermille * 7919 + seed.toInt,
+      MurmurHash3.orderedHash(merges, ContentId.SeedB) * 31
+        + dropoutPermille * 104729 + (seed >>> 32).toInt)
     val name = s"bpe_count_$h"
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),

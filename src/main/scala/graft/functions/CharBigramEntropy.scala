@@ -88,9 +88,17 @@ object CharBigramStats {
       i += Character.charCount(cp)
     }
     val n = nChars - 1
-    // open-addressed long->long map; capacity > 2n keeps load factor < 0.5
-    var cap = java.lang.Integer.highestOneBit(n * 4 - 1) << 1
-    if (cap < 8) cap = 8
+    // open-addressed long->long map; capacity > 2n keeps load factor < 0.5.
+    // Capacity math in Long: `n * 4 - 1` overflows Int at n >= 2^29, which
+    // would collapse the table to capacity 8 and turn the probe loop into
+    // an executor hang. A single document that large (>2^28 bigrams needs
+    // a >=16 GiB table) is outside this per-row kernel's envelope — fail
+    // fast with a clear error instead.
+    if (n > (1 << 28)) throw new IllegalArgumentException(
+      s"char_bigram_stats: document with $n bigrams exceeds the supported " +
+        "2^28 per-document limit")
+    val capL = java.lang.Long.highestOneBit(n.toLong * 4 - 1) << 1
+    val cap = if (capL < 8) 8 else capL.toInt
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val cnts = new Array[Long](cap)

@@ -98,11 +98,11 @@ object NearestCells {
     * harmless.
     */
   def register(spark: SparkSession, centroids: Array[Double], dim: Int): String = {
-    val h = {
-      var acc = scala.util.hashing.MurmurHash3.arrayHash(centroids)
-      acc = scala.util.hashing.MurmurHash3.mix(acc, dim)
-      java.lang.Integer.toHexString(acc)
-    }
+    import scala.util.hashing.MurmurHash3
+    import graft.core.ContentId
+    val h = ContentId.hex64(
+      MurmurHash3.mix(MurmurHash3.arrayHash(centroids, ContentId.SeedA), dim),
+      MurmurHash3.mix(MurmurHash3.arrayHash(centroids, ContentId.SeedB), dim))
     val name = s"nearest_cells_$h"
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),

@@ -94,10 +94,15 @@ object UnigramModel {
     * registered expression families (a fork between them would break the
     * "same model ⇒ same name" idempotence contract).
     */
-  def contentHash(model: UnigramModel): String =
-    Integer.toHexString(
-      (scala.util.hashing.MurmurHash3.arrayHash(model.pieces) * 31
-        + scala.util.hashing.MurmurHash3.arrayHash(model.logpMicros)) & 0x7fffffff)
+  def contentHash(model: UnigramModel): String = {
+    import scala.util.hashing.MurmurHash3
+    import graft.core.ContentId
+    ContentId.hex64(
+      MurmurHash3.arrayHash(model.pieces, ContentId.SeedA) * 31
+        + MurmurHash3.arrayHash(model.logpMicros, ContentId.SeedA),
+      MurmurHash3.arrayHash(model.pieces, ContentId.SeedB) * 31
+        + MurmurHash3.arrayHash(model.logpMicros, ContentId.SeedB))
+  }
 }
 
 /** `STRING word → ARRAY<STRING>` best segmentation — the trainer's E-step

@@ -92,8 +92,11 @@ object WordPieceCountTokens {
     * registered function name.
     */
   def register(spark: org.apache.spark.sql.SparkSession, vocab: Seq[String]): String = {
-    val h = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.seqHash(vocab) & 0x7fffffff)
+    import scala.util.hashing.MurmurHash3
+    import graft.core.ContentId
+    val h = ContentId.hex64(
+      MurmurHash3.orderedHash(vocab, ContentId.SeedA),
+      MurmurHash3.orderedHash(vocab, ContentId.SeedB))
     val name = s"wordpiece_count_$h"
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -76,11 +76,12 @@ object BpeTrainer {
   // (dir, nMerges) instead of each retraining identical merges; the
   // content snapshot (metadata-only listing, the SessionMemo discipline)
   // invalidates on regeneration. Test hook: [[clearModelCache]].
+  // BuildOnceCache holds the lock ACROSS the build so two concurrent
+  // first callers share one training run instead of duplicating it.
   private val modelCache =
-    scala.collection.mutable.Map.empty[(String, Int), (String, Seq[Merge])]
+    new graft.core.BuildOnceCache[(String, Int), Seq[Merge]]
 
-  private[graft] def clearModelCache(): Unit =
-    modelCache.synchronized(modelCache.clear())
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
 
   /** Learn `nMerges` merges (cached per (dir, nMerges) + content
     * snapshot). Each round materializes one 1-row argmax on the driver;
@@ -89,13 +90,7 @@ object BpeTrainer {
     */
   def train(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {
     val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    modelCache.synchronized(
-      modelCache.get((d, nMerges)).filter(_._1 == snap).map(_._2))
-      .getOrElse {
-        val learned = trainUncached(s, d, nMerges)
-        modelCache.synchronized { modelCache((d, nMerges)) = (snap, learned) }
-        learned
-      }
+    modelCache.getOrBuild((d, nMerges), snap)(trainUncached(s, d, nMerges))
   }
 
   private def trainUncached(s: SparkSession, d: String, nMerges: Int): Seq[Merge] = {

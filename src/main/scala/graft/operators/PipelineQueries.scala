@@ -1148,10 +1148,12 @@ object PipelineQueries {
           .createTempDirectory("graft-docs-jsonl").toString
         Tables(s, d, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(path)
-        // a regenerated corpus abandons the previous export — delete it
-        // rather than leak a directory per regeneration
+        // a regenerated corpus abandons the previous export — reclaim at
+        // JVM exit (deleteOnExit), not eagerly: a query planned against
+        // the old path may still be executing and must complete on the
+        // old consistent snapshot rather than die with FileNotFound
         jsonlBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteRecursively(old)
+          graft.core.LocalArtifacts.deleteOnExit(old)
         }
         path
       }

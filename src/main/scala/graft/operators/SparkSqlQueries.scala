@@ -1058,8 +1058,8 @@ object SparkSqlQueries {
         |             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
         |      FROM q),
         |fit AS (SELECT
-        |          CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) AS slope,
-        |          CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+        |          CASE WHEN s.n >= 2 THEN CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) END AS slope,
+        |          CASE WHEN s.n >= 2 THEN CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) END AS intercept,
         |          CAST(s.n AS BIGINT) AS n_terms
         |        FROM s)
         |SELECT q.rnk, q.term, q.cnt, f.n_terms, f.slope, f.intercept

@@ -777,8 +777,8 @@ object TextQueries {
              |             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
              |      FROM q),
              |fit AS (SELECT
-             |          CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) AS slope,
-             |          CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+             |          CASE WHEN s.n >= 2 THEN CAST(CAST((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS DECIMAL(18,6)) AS DOUBLE) END AS slope,
+             |          CASE WHEN s.n >= 2 THEN CAST(CAST((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS DECIMAL(18,6)) AS DOUBLE) END AS intercept,
              |          CAST(s.n AS BIGINT) AS n_terms
              |        FROM s)
              |SELECT q.rnk, q.term, q.cnt, f.n_terms, f.slope, f.intercept
@@ -799,11 +799,19 @@ object TextQueries {
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
         sum(col("xy")).cast("double").as("sxy"), sum(col("xx")).cast("double").as("sxx"))
+      // degenerate-corpus guard (mirrored in both SQL twins): with <= 1
+      // distinct term the denominator n*sxx - sx² is exactly 0 and the
+      // fit is undefined — emit explicit NULL columns rather than the
+      // engine-dependent NaN/NULL a 0/0 would produce. n >= 2 suffices
+      // because rnk (hence x = ln rnk) is distinct by construction.
       val fit = st.select(
-        emitQ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-        emitQ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("intercept"),
+        when(col("n") >= 2,
+          emitQ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")))).as("slope"),
+        when(col("n") >= 2,
+          emitQ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")))
+          .as("intercept"),
         col("n").cast("long").as("n_terms"))
       q.filter(col("rnk") <= 10)
         .crossJoin(broadcast(fit))
@@ -967,12 +975,13 @@ object TextQueries {
         val path = java.nio.file.Files
           .createTempDirectory("graft-bm25-index").toString
         buildPostingsIndex(s, d, path)
-        // a regenerated corpus abandons the previous index — delete it
-        // rather than leak a directory per regeneration (a DataFrame
-        // built against the OLD path before the regeneration is dead
-        // anyway: its content no longer matches the corpus)
+        // a regenerated corpus abandons the previous index — reclaim it
+        // at JVM exit rather than leak it forever. NOT deleted eagerly:
+        // a query planned against the old path may still be executing,
+        // and an immediate delete fails it mid-run with FileNotFound
+        // instead of letting it finish on the old consistent snapshot
         postingsBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteRecursively(old)
+          graft.core.LocalArtifacts.deleteOnExit(old)
         }
         path
       }

@@ -62,22 +62,19 @@ object UnigramTrainer {
 
   // learned vocab is pure model data — shared across q_c39/q_c40 per
   // (dir, params) under a content snapshot, the BpeTrainer discipline
+  // lock spans the build (BuildOnceCache): concurrent first callers
+  // share one EM run. Test hook: [[clearModelCache]].
   private val modelCache =
-    scala.collection.mutable.Map.empty[(String, (Int, Int, Int, Int)), (String, Seq[PieceRow])]
+    new graft.core.BuildOnceCache[(String, (Int, Int, Int, Int)), Seq[PieceRow]]
 
-  private[graft] def clearModelCache(): Unit =
-    modelCache.synchronized(modelCache.clear())
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
 
   def train(s: SparkSession, d: String, maxLen: Int = 4, seedMulti: Int = 150,
       emRounds: Int = 3, multiKeep: Int = 60): Seq[PieceRow] = {
     val key = (d, (maxLen, seedMulti, emRounds, multiKeep))
     val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    modelCache.synchronized(modelCache.get(key).filter(_._1 == snap).map(_._2))
-      .getOrElse {
-        val learned = trainUncached(s, d, maxLen, seedMulti, emRounds, multiKeep)
-        modelCache.synchronized { modelCache(key) = (snap, learned) }
-        learned
-      }
+    modelCache.getOrBuild(key, snap)(
+      trainUncached(s, d, maxLen, seedMulti, emRounds, multiKeep))
   }
 
   private def trainUncached(s: SparkSession, d: String, maxLen: Int,

@@ -34,11 +34,12 @@ object WordPieceTrainer {
   final case class WpMerge(rank: Int, left: String, right: String,
                            merged: String, score: Double)
 
+  // lock spans the build (BuildOnceCache): concurrent first callers
+  // share one training run. Test hook: [[clearModelCache]].
   private val modelCache =
-    scala.collection.mutable.Map.empty[(String, Int), (String, (Seq[WpMerge], Seq[String]))]
+    new graft.core.BuildOnceCache[(String, Int), (Seq[WpMerge], Seq[String])]
 
-  private[graft] def clearModelCache(): Unit =
-    modelCache.synchronized(modelCache.clear())
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
 
   /** Word symbols with the ## continuation convention: first char plain,
     * every later char `##`-prefixed.
@@ -52,13 +53,7 @@ object WordPieceTrainer {
     */
   def train(s: SparkSession, d: String, nMerges: Int): (Seq[WpMerge], Seq[String]) = {
     val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    modelCache.synchronized(
-      modelCache.get((d, nMerges)).filter(_._1 == snap).map(_._2))
-      .getOrElse {
-        val learned = trainUncached(s, d, nMerges)
-        modelCache.synchronized { modelCache((d, nMerges)) = (snap, learned) }
-        learned
-      }
+    modelCache.getOrBuild((d, nMerges), snap)(trainUncached(s, d, nMerges))
   }
 
   private def trainUncached(s: SparkSession, d: String,
