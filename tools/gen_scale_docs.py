@@ -26,7 +26,8 @@ import sys
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from pq_write import write_split
 
 VOCAB = ("spark window merge table column vector stream value data small "
          "join filter big group hash customer sort order slow line part "
@@ -90,16 +91,11 @@ def main():
     rng = np.random.default_rng(SEED)
     docs = gen_documents(5000 * scale, rng, scale)
     emb = gen_embeddings(2000 * scale, rng)
-    # row_group_size: a single-row-group parquet file is UNSPLITTABLE for
-    # Spark (a task reads the row groups whose midpoint lands in its byte
-    # range), so the original single-group layout serialized every
-    # map-only stage onto ONE task regardless of maxPartitionBytes —
-    # scale-sweep walls measured single-thread scaling. 8k-row groups
-    # make the fixtures splittable like any real multi-file corpus.
-    pq.write_table(docs, os.path.join(outdir, "documents.parquet"),
-                   row_group_size=8192)
-    pq.write_table(emb, os.path.join(outdir, "embeddings.parquet"),
-                   row_group_size=8192)
+    # write_split (shared helper, pq_write.py) bounds the row groups and
+    # asserts the layout is splittable — the unsplittable single-group
+    # trap that serialized every map-only sweep stage onto one task
+    write_split(docs, os.path.join(outdir, "documents.parquet"))
+    write_split(emb, os.path.join(outdir, "embeddings.parquet"))
     print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings to {outdir}")
 
 
