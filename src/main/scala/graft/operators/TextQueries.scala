@@ -904,6 +904,23 @@ object TextQueries {
               .otherwise((col("nll") / dec(col("n_pairs"))).cast(D38)))
             .as("avg_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c53: streaming heavy hitters, deterministic batch replay -----
+    // The sharded Misra-Gries operator (StreamingOps.heavyHitterUpdates /
+    // heavyHitterServe) served through its canonical bounded replay: each
+    // shard's corpus tokens in (doc_id, pos) order, folded with the SAME
+    // mgUpdate the stream uses, served by the SAME heavyHitterServe.
+    // Rows-only by design (driver-held state machine, not SQL); the MG
+    // retention/envelope guarantees are spec-asserted against exact batch
+    // counts in HeavyHitterReplaySpec, and streaming ≡ replay is pinned
+    // on a multi-batch MemoryStream of the same sequence.
+    QueryDef("q_c53_heavy_hitters", None) { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+        .withColumnRenamed("col", "term")
+      graft.streaming.StreamingOps.heavyHitterReplay(toks)
     }
   )
 

@@ -466,11 +466,35 @@ object StreamingOps {
     * stream length — the property that makes this a STREAMING operator
     * rather than a windowed aggregate).
     */
+  /** Term → shard assignment, shared by the streaming operator and the
+    * batch replay ([[heavyHitterReplay]]) — the two paths MUST agree or
+    * the replay would model a different operator (the shared-helper-fork
+    * bug class from the round-13 review).
+    */
+  private[graft] def hhShard(t: String, shards: Int): Int =
+    (t.hashCode % shards + shards) % shards
+
+  /** One Misra-Gries update step over mutable candidate state — the
+    * SINGLE definition both the streaming operator and the batch replay
+    * fold with.
+    */
+  private[graft] def mgUpdate(
+      m: scala.collection.mutable.Map[String, Long], k: Int, t: String): Unit =
+    m.get(t) match {
+      case Some(c) => m(t) = c + 1
+      case None if m.size < k => m(t) = 1L
+      case None =>
+        // decrement-all, drop zeros (the MG eviction step)
+        for ((w, c) <- m.toSeq) {
+          if (c == 1L) m.remove(w) else m(w) = c - 1
+        }
+    }
+
   def heavyHitterUpdates(terms: Dataset[String], shards: Int = 8,
       k: Int = 16): Dataset[HhOut] = {
     import terms.sparkSession.implicits._
     terms
-      .groupByKey(t => (t.hashCode % shards + shards) % shards)
+      .groupByKey(hhShard(_, shards))
       .flatMapGroupsWithState[HhState, HhOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (shard: Int, batch: Iterator[String], state: GroupState[HhState]) =>
@@ -479,15 +503,7 @@ object StreamingOps {
           var n = st.n
           for (t <- batch) {
             n += 1
-            m.get(t) match {
-              case Some(c) => m(t) = c + 1
-              case None if m.size < k => m(t) = 1L
-              case None =>
-                // decrement-all, drop zeros (the MG eviction step)
-                for ((w, c) <- m.toSeq) {
-                  if (c == 1L) m.remove(w) else m(w) = c - 1
-                }
-            }
+            mgUpdate(m, k, t)
           }
           val ver = st.ver + 1
           state.update(HhState(m.toMap, n, ver))
@@ -512,6 +528,75 @@ object StreamingOps {
       .select(col("term"), col("est"), col("shard"), col("shard_n"))
       .orderBy(col("est").desc, col("term"))
       .limit(topN)
+  }
+
+  /** Deterministic BOUNDED replay of the sharded Misra-Gries operator
+    * over a batch (doc_id, pos, term) token table — the registration
+    * vehicle that puts the one previously registry-less streaming
+    * operator under the driver's correctness gate (q_c53, rows-only:
+    * the MG state machine is not SQL-expressible).
+    *
+    * Replay sequence: each shard's tokens ordered by (doc_id, pos).
+    * Micro-batch boundaries are STATE-TRANSPARENT for MG (the update is
+    * a sequential fold; chunking the same sequence into any batching
+    * yields identical state), so this canonical ordering IS the
+    * deterministic replay of every chunking of the corpus — the serve
+    * output is a pure function of the table.
+    *
+    * Shard routing must equal the streaming operator's
+    * `String.hashCode`-based [[hhShard]]: the SQL fold below reproduces
+    * Java's 31-ary hash with explicit 32-bit wrap (ANSI-safe Long
+    * arithmetic; terms are `[a-z0-9]+` so `ascii(ch)` equals the UTF-16
+    * unit Java folds). HeavyHitterReplaySpec pins SQL ≡ JVM over the
+    * whole corpus vocabulary, and the update itself is the shared
+    * [[mgUpdate]] — neither path can fork.
+    *
+    * 100 TB posture: one shuffle of (shard, doc_id, pos, term) rows
+    * routes every shard to one task — MG is inherently sequential per
+    * shard, so `shards` bounds the fold parallelism AND the state
+    * (shards·k counters); widen shards for wider clusters. The serve is
+    * the real [[heavyHitterServe]] over ≤ shards·k rows.
+    */
+  def heavyHitterReplay(toks: DataFrame, shards: Int = 8,
+      k: Int = 16): DataFrame = {
+    import toks.sparkSession.implicits._
+    // Java String.hashCode in ANSI-safe SQL: fold h = wrap32(h*31 + c)
+    // where wrap32(v) = pmod(v + 2^31, 2^32) - 2^31 keeps the Long
+    // accumulator exactly on Java's wrapping-int trajectory
+    val hashExpr =
+      """aggregate(split(term, ''), CAST(0 AS BIGINT),
+        |  (a, ch) -> pmod(a * 31 + ascii(ch) + 2147483648, 4294967296)
+        |             - 2147483648)""".stripMargin
+    val sharded = toks
+      .withColumn("shard", pmod(expr(hashExpr), lit(shards.toLong)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("pos"))
+      .select(col("shard"), col("term"))
+      .as[(Int, String)]
+    val updates = sharded.mapPartitions { it =>
+      // rows arrive whole-shard-per-partition (hash repartition on the
+      // shard id) and (doc_id, pos)-sorted: fold the shared MG update
+      // per shard run, emitting each shard's final state once (ver 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HhOut]
+      var cur = -1
+      var m = scala.collection.mutable.Map.empty[String, Long]
+      var n = 0L
+      def flush(): Unit = if (cur >= 0) {
+        if (m.isEmpty) out += HhOut(cur, "", 0L, n, 1L)
+        else m.foreach { case (t, c) => out += HhOut(cur, t, c, n, 1L) }
+      }
+      for ((sh, t) <- it) {
+        if (sh != cur) {
+          flush(); cur = sh
+          m = scala.collection.mutable.Map.empty[String, Long]; n = 0L
+        }
+        n += 1
+        mgUpdate(m, k, t)
+      }
+      flush()
+      out.iterator
+    }
+    heavyHitterServe(updates.toDF())
   }
 
   /** Wire any of the above to a memory sink for tests/demos; returns the
