@@ -10,37 +10,80 @@ import org.apache.spark.sql.types._
   * TPC-H-ish dims (region/nation/supplier/customer at test SF) broadcast.
   */
 object GraftSession {
+  /** Confs shared by EVERY graft session (local harness or cluster) —
+    * one definition so the two profiles cannot fork on the semantics-
+    * bearing settings.
+    *
+    *   - `nanosAsLong`: dual-layout contract for events.ts (see
+    *     [[EventTime]]) — a TIMESTAMP(NANOS) generation loads as BIGINT
+    *     nanos instead of failing the scan; inert for µs layouts.
+    *   - `codegen.cache.maxEntries` 2000: the 90-query surface exceeds
+    *     the default 100 cached codegen units, so a multi-query session
+    *     recompiled every plan on revisit — janino time is fixed engine
+    *     overhead, not a plan property. Static conf (pre-first-session).
+    *   - `codegen.maxFields` 1024: whole-stage codegen self-disables
+    *     above 100 plan fields, which wide aggregations (q_c9 Lloyd
+    *     partial sums carry dim+2 columns) cross routinely; measured
+    *     dim-384 Lloyd 4.0 s interpreted vs 3.5 s codegen'd, no janino
+    *     blowout at 770 fields. 1024 covers dim-768 with margin.
+    */
+  private[graft] val baseConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.codegen.cache.maxEntries" -> "2000",
+    "spark.sql.codegen.maxFields" -> "1024")
+
+  /** Conf deltas for a real multi-executor cluster — the measured
+    * "right locally, different at scale" knowledge shipped as code
+    * rather than prose (the three scoped negatives in PERF.md):
+    *
+    *   - `shuffle.partitions` (default 2048 here vs 32 locally): at
+    *     corpus scale the 32-partition shuffles overfill and spill;
+    *     this is the first knob to raise — the measured q_c3-class
+    *     gain was ~25 %.
+    *   - AQE `initialPartitionNum` = 4× shuffle partitions: lets AQE
+    *     re-plan heavy shuffles UP. Measured locally: q_c3 cold
+    *     93.1 → 71.2 s at scale10, but +24-33 % on every sf0.1-sized
+    *     query from many-small-block overhead under the sandbox's
+    *     syscall floor — so it ships in the cluster profile ONLY.
+    *   - `maxPartitionBytes` back at Spark's 128 MB default: the local
+    *     16 MB exists because the harness tables are single small
+    *     files; a real multi-file corpus splits naturally and 16 MB
+    *     would tax map-side combine (the measured 4 MB failure mode).
+    *   - `spark.graft.broadcastBytes` stays 64 MB: past ~64 MB a
+    *     shuffle join's extra exchange beats per-executor rebroadcast
+    *     (the declared-intent ceiling [[Sizing]] enforces).
+    */
+  def clusterConfs(shufflePartitions: Int = 2048): Map[String, String] =
+    baseConfs ++ Map(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+        (shufflePartitions * 4).toString,
+      "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+      "spark.graft.broadcastBytes" -> (64L * 1024 * 1024).toString)
+
+  /** Cluster-profile session: applies [[clusterConfs]] and leaves the
+    * master/deploy settings to spark-submit.
+    */
+  def cluster(shufflePartitions: Int = 2048): SparkSession = {
+    val b = SparkSession.builder().appName("graft")
+    clusterConfs(shufflePartitions).foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Dual-layout contract for events.ts (see EventTime): if a data
-      // generation ships TIMESTAMP(NANOS) — which Spark 4 cannot represent
-      // as a timestamp — this reads it as BIGINT nanos instead of failing
-      // the scan; EventTime then canonicalizes per the LOADED type, so the
-      // setting is inert (harmless) for µs-timestamp generations.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the 54-query surface generates far more than the default 100
-      // cached codegen units, so a multi-query session recompiled every
-      // plan on each revisit — janino compilation is a fixed engine
-      // overhead (and pathologically slow under syscall-intercepting
-      // sandboxes), not a property of any plan. Static conf: must be set
-      // before the first session is created.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // whole-stage codegen turns itself off above 100 plan fields, which
-      // a wide-aggregation pipeline crosses routinely: the q_c9 Lloyd
-      // partial sums carry dim+2 columns, so real embedding dims
-      // (384/768) would silently drop the training aggregation out of
-      // codegen (measured: dim-384 Lloyd 4.0 s interpreted vs 3.5 s
-      // codegen'd at 20k vectors, no janino blowout at 770 fields —
-      // generated methods split fine). 1024 covers dim-768 with margin.
-      .config("spark.sql.codegen.maxFields", "1024")
+    baseConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       // Partition sizing for the local harness (the builder-brief knob:
       // size maxPartitionBytes so the target SF actually parallelizes):
       // the corpus tables are SINGLE parquet files of 1-50 MB, all under
