@@ -33,7 +33,11 @@ import org.apache.spark.storage.StorageLevel
   * spilled once to session-local parquet, its storage blocks freed
   * immediately, reuse served by columnar scans of the spill file.
   * When the TOTAL across in-memory entries exceeds the budget the
-  * oldest entries are evicted first. Under-budget entries keep the round-9 semantics
+  * oldest entries are evicted first — DEMOTED to the disk tier when it
+  * is available (round 15: the spill writes once from the still-
+  * persisted blocks and later reuses serve columnar scans, measured
+  * 5.5× cheaper than the full-pipeline rebuild the old drop forced),
+  * dropped only when it isn't. Under-budget entries keep the round-9 semantics
   * exactly: they survive per-query `drain()`, unpersist on replacement, on
   * snapshot mismatch, and eagerly when the owning session stops
   * (listener), so a long-lived multi-tenant process never carries a dead
@@ -139,12 +143,17 @@ object SessionMemo {
     dead.foreach { case (k, e) => unpersistEntry(e); slots.remove(k) }
   }
 
-  /** Evict oldest-first until the total across entries fits the budget.
-    * `keep` (the entry just admitted) is never evicted — by construction it
-    * fits the budget alone, and evicting the newest view to protect older
-    * ones would invert the reuse odds.
+  /** Oldest-first victims to bring the memory-tier total under budget.
+    * `keep` (the entry just admitted) is never selected — by construction
+    * it fits the budget alone, and evicting the newest view to protect
+    * older ones would invert the reuse odds. Must be called under the
+    * global lock; victims are REMOVED from the table so no caller serves
+    * them mid-transition, and the caller completes the transition with
+    * [[demoteOrDrop]] OUTSIDE the lock (a spill runs a full Spark job —
+    * the ADVICE-r11 rule that the global lock never spans a job).
     */
-  private def enforceTotal(s: SparkSession, keep: (String, String)): Unit = {
+  private def selectVictims(
+      s: SparkSession, keep: (String, String)): Seq[((String, String), Entry)] = {
     val budget = maxBytes(s)
     // disk-tier entries hold no storage-region blocks; their footprint is
     // bounded separately (one spill file per (kind, dir), deleted on
@@ -152,14 +161,69 @@ object SessionMemo {
     var total = slots.valuesIterator.collect {
       case e if e.store.isLeft => e.bytes
     }.sum
+    val out = scala.collection.mutable.ArrayBuffer.empty[((String, String), Entry)]
     val victims = slots.toSeq
       .filter { case (k, e) => k != keep && e.store.isLeft }.sortBy(_._2.seq)
     val it = victims.iterator
     while (total > budget && it.hasNext) {
       val (k, e) = it.next()
-      unpersistEntry(e)
       slots.remove(k)
+      out += ((k, e))
       total -= e.bytes
+    }
+    out.toSeq
+  }
+
+  /** Round-15 eviction upgrade (VERDICT r13 lead 5): a memory-tier
+    * victim is DEMOTED to the disk tier instead of dropped. The scale30
+    * admission log attributed the q_c36/q_c44 10→30× knees to exactly
+    * this path — oldest-first eviction forcing full pipeline rebuilds
+    * while the (default-on, measured 5.5× faster than rebuild) disk tier
+    * sat idle for memory-tier evictees. The spill writes from the
+    * still-persisted blocks (one columnar write, no pipeline re-run),
+    * then frees them; serves are columnar scans like any disk-tier
+    * entry. Falls back to the old drop-and-rebuild when the tier is off
+    * or no shared spill root exists (non-local master without
+    * `spark.graft.memo.diskRoot`).
+    */
+  private def demoteOrDrop(
+      s: SparkSession, k: (String, String), e: Entry): Unit = {
+    val root = if (diskTierEnabled(s)) spillRoot(s) else None
+    (root, e.store) match {
+      case (Some(r), Left(rdd)) if !s.sparkContext.isStopped =>
+        val path = s"$r/${k._1}-evict-${e.seq}"
+        try {
+          // write BEFORE unpersist: the spill scans the persisted blocks,
+          // not the upstream pipeline
+          e.df.write.mode("overwrite").parquet(path)
+          rdd.unpersist(blocking = false)
+          val diskDf = s.read.parquet(path)
+          val inserted = synchronized {
+            if (slots.contains(k)) false // a concurrent rebuild won the slot
+            else {
+              slots(k) = Entry(s, e.snapshot, diskDf, Right(path), e.bytes, e.seq)
+              true
+            }
+          }
+          if (inserted) {
+            System.err.println(
+              s"[memo] ${k._1}: memory-tier eviction -> DEMOTED to disk tier " +
+                s"(${e.bytes} B spilled; spill-serve measured 5.5x over rebuild)")
+          } else {
+            unpersistEntry(Entry(s, e.snapshot, diskDf, Right(path), e.bytes, e.seq))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            unpersistEntry(e)
+            deleteLocal(path)
+            System.err.println(
+              s"[memo] ${k._1}: memory-tier eviction -> dropped (spill failed)")
+        }
+      case _ =>
+        unpersistEntry(e)
+        System.err.println(
+          s"[memo] ${k._1}: memory-tier eviction -> dropped " +
+            "(disk tier unavailable; next access rebuilds)")
     }
   }
 
@@ -282,7 +346,10 @@ object SessionMemo {
                 df.write.mode("overwrite").parquet(path)
                 rdd.unpersist(blocking = false)
                 val diskDf = s.read.parquet(path)
-                synchronized { slots(key) = Entry(s, snap, diskDf, Right(path), bytes, seq) }
+                synchronized {
+                  slots.put(key, Entry(s, snap, diskDf, Right(path), bytes, seq))
+                    .foreach(unpersistEntry)
+                }
                 hookEviction(s)
                 diskDf
               case None =>
@@ -294,10 +361,14 @@ object SessionMemo {
             }
           } else {
             val seq = nextSeq()
-            synchronized {
-              slots(key) = Entry(s, snap, df, Left(rdd), bytes, seq)
-              enforceTotal(s, key)
+            val victims = synchronized {
+              // put (not update) so a racing demotion's re-insert can't
+              // be silently clobbered without releasing its spill
+              slots.put(key, Entry(s, snap, df, Left(rdd), bytes, seq))
+                .foreach(unpersistEntry)
+              selectVictims(s, key)
             }
+            victims.foreach { case (k, e) => demoteOrDrop(s, k, e) }
             hookEviction(s)
             df
           }

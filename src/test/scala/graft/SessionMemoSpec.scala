@@ -204,28 +204,64 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("size budget: total across entries evicts oldest first") {
+  test("size budget: oldest memory-tier entry is DEMOTED to the disk tier, not dropped") {
     val sp = spark
     import sp.implicits._
     writeDocs(baseDocs)
     try {
       // each entry ~tens of KB; budget sized to hold roughly one of them
-      val one = {
-        val df = SessionMemo.getOrBuild(spark, "budget_a", dir, Seq(s"$dir/documents.parquet")) {
-          spark.range(2000).select(col("id"), concat_ws("-", lit("y" * 16), col("id")).as("t"))
-        }
-        df.count()
-        SessionMemo.heldBytes("budget_a").get
+      val dfA = SessionMemo.getOrBuild(spark, "budget_a", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(2000).select(col("id"), concat_ws("-", lit("y" * 16), col("id")).as("t"))
       }
+      val rowsA = dfA.collect().map(_.toString).sorted.toSeq
+      val one = SessionMemo.heldBytes("budget_a").get
       spark.conf.set("spark.graft.memo.maxBytes", (one + one / 2).toString)
       SessionMemo.getOrBuild(spark, "budget_b", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(2000).select(col("id"), concat_ws("-", lit("z" * 16), col("id")).as("t"))
       }.count()
       assert(SessionMemo.occupied("budget_b"), "the newest entry must be kept")
-      assert(!SessionMemo.occupied("budget_a"),
-        "the oldest entry must be evicted when the total exceeds the budget")
+      assert(SessionMemo.heldOnDisk("budget_b").isEmpty,
+        "the under-budget newest entry stays on the memory tier")
+      // round 15 (VERDICT r13 lead 5): the evicted oldest entry demotes
+      // to the disk tier — spilled once, blocks freed, still served
+      val spill = SessionMemo.heldOnDisk("budget_a")
+      assert(spill.isDefined,
+        "the evicted oldest entry must DEMOTE to the disk tier, not drop")
+      assert(new java.io.File(spill.get).exists(), "demotion spill must be on disk")
+      val builds0 = SessionMemo.buildCount("budget_a")
+      val served = SessionMemo.getOrBuild(spark, "budget_a", dir, Seq(s"$dir/documents.parquet")) {
+        fail("a demoted entry must serve from the spill, not rebuild")
+      }
+      assert(served.collect().map(_.toString).sorted.toSeq === rowsA,
+        "spill-served rows must be identical to the original build")
+      assert(SessionMemo.buildCount("budget_a") === builds0)
     } finally {
       spark.conf.unset("spark.graft.memo.maxBytes")
+      graft.core.CachedRdds.drain()
+      SessionMemo.evict(Some(spark))
+    }
+  }
+
+  test("size budget with disk tier OFF: eviction drops and the next access rebuilds") {
+    val sp = spark
+    import sp.implicits._
+    writeDocs(baseDocs)
+    try {
+      spark.conf.set("spark.graft.memo.diskTier", "false")
+      SessionMemo.getOrBuild(spark, "nodisk_a", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(2000).select(col("id"), concat_ws("-", lit("y" * 16), col("id")).as("t"))
+      }.count()
+      val one = SessionMemo.heldBytes("nodisk_a").get
+      spark.conf.set("spark.graft.memo.maxBytes", (one + one / 2).toString)
+      SessionMemo.getOrBuild(spark, "nodisk_b", dir, Seq(s"$dir/documents.parquet")) {
+        spark.range(2000).select(col("id"), concat_ws("-", lit("z" * 16), col("id")).as("t"))
+      }.count()
+      assert(SessionMemo.occupied("nodisk_b"), "the newest entry must be kept")
+      assert(!SessionMemo.occupied("nodisk_a"),
+        "with the tier opted out, eviction keeps the old drop-and-rebuild contract")
+    } finally {
+      spark.conf.unset("spark.graft.memo.maxBytes")
+      spark.conf.unset("spark.graft.memo.diskTier")
       graft.core.CachedRdds.drain()
       SessionMemo.evict(Some(spark))
     }
