@@ -645,6 +645,76 @@ object DedupQueries {
               .otherwise((dec(coalesce(col("n_cov_tokens"), lit(0L))) / dec(col("n_tokens"))).cast(D38)))
             .as("cov_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c55: n-gram novelty / memorization scoring --------------------
+    // The ingestion-order novelty signal (the memorization-risk side of
+    // the Lee et al. duplication coin): per document, the fraction of its
+    // positional 8-grams whose corpus-wide FIRST occurrence (minimum
+    // doc_id — ingestion order on this corpus) is this document. A
+    // near-zero novelty score marks a document assembled almost entirely
+    // from text already seen earlier in the corpus — the dedup-aware
+    // sampling signal that q_c48's coverage (position-duplication,
+    // order-blind) does not provide. Docs under 8 tokens score 0 with
+    // n_grams = 0.
+    //
+    // 100 TB shape: the same positional-gram machinery as q_c48 — one
+    // Heaps-ish gram-keyed shuffle with map-side combine for the
+    // first-occurrence MIN, then the gram→first_doc table joins back to
+    // the per-doc gram counts (second gram-keyed shuffle; both sides
+    // pre-aggregated to distinct grams per doc side, so no positional
+    // amplification). Integer counts, one decimal ratio — hash-exact.
+    QueryDef(
+      "q_c55_ngram_novelty",
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |g AS (
+             |  SELECT doc_id, array_to_string(ts[k+1 : k+8], ' ') AS gram
+             |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS k
+             |        FROM t WHERE len(ts) >= 8)),
+             |fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+             |pg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT pg.doc_id,
+             |    CAST(SUM(pg.cnt) AS BIGINT) AS n_grams,
+             |    CAST(SUM(CASE WHEN fo.first_doc = pg.doc_id THEN pg.cnt ELSE 0 END) AS BIGINT) AS n_novel
+             |  FROM pg JOIN fo USING (gram) GROUP BY 1)
+             |SELECT t.doc_id,
+             |  COALESCE(agg.n_grams, 0) AS n_grams,
+             |  COALESCE(agg.n_novel, 0) AS n_novel,
+             |  CAST(CASE WHEN COALESCE(agg.n_grams, 0) = 0 THEN CAST(0 AS DECIMAL(38,6))
+             |       ELSE CAST(CAST(agg.n_novel AS DECIMAL(18,6))
+             |            / CAST(agg.n_grams AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS novelty
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+             |ORDER BY t.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val L = 8
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      val g = t.filter(size(col("ts")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(ts) - $L), k -> " +
+            s"array_join(slice(ts, k + 1, $L), ' '))")).as("gram"))
+      // per-doc distinct-gram counts FIRST: the join back to the
+      // first-occurrence table then carries one row per (doc, gram),
+      // not one per position
+      val pg = g.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      val fo = pg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      val agg = pg.join(fo, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).cast("long").as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), col("cnt")).otherwise(0L))
+            .cast("long").as("n_novel"))
+      t.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          emit(
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0).cast(D38))
+              .otherwise((dec(col("n_novel")) / dec(col("n_grams"))).cast(D38)))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
     }
   )
 }

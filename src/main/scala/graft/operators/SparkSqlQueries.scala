@@ -1160,6 +1160,56 @@ object SparkSqlQueries {
         |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    "q_c54_tfidf_similarity" ->
+      """WITH t1 AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t1 GROUP BY doc_id, term),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, df, ln(CAST((SELECT n FROM nn) AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+        |        FROM df WHERE df < (SELECT n FROM nn)),
+        |nrm AS (SELECT tf.doc_id,
+        |          sqrt(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+        |        FROM tf JOIN idf USING (term) GROUP BY tf.doc_id),
+        |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0),
+        |dots AS (SELECT q.q_doc, tf.doc_id,
+        |           CAST(SUM(CAST(CAST(q.qtf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE) AS dot
+        |         FROM q JOIN idf USING (term) JOIN tf USING (term)
+        |         WHERE tf.doc_id <> q.q_doc
+        |         GROUP BY q.q_doc, tf.doc_id),
+        |sim AS (SELECT d.q_doc, d.doc_id,
+        |          CAST(CAST(d.dot / (nq.nrm * nd.nrm) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+        |        FROM dots d
+        |        JOIN nrm nq ON nq.doc_id = d.q_doc
+        |        JOIN nrm nd ON nd.doc_id = d.doc_id
+        |        WHERE nq.nrm > 0 AND nd.nrm > 0),
+        |rk AS (SELECT q_doc, doc_id, sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_doc ORDER BY sim DESC, doc_id) AS BIGINT) AS rnk
+        |       FROM sim)
+        |SELECT q_doc, doc_id, sim, rnk FROM rk WHERE rnk <= 10
+        |ORDER BY q_doc, rnk""".stripMargin,
+
+    "q_c55_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_join(slice(ts, k + 1, 8), ' ') AS gram
+        |  FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 8)) AS k
+        |        FROM t WHERE size(ts) >= 8)),
+        |fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        |pg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY doc_id, gram),
+        |agg AS (
+        |  SELECT pg.doc_id,
+        |    CAST(SUM(pg.cnt) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN fo.first_doc = pg.doc_id THEN pg.cnt ELSE 0L END) AS BIGINT) AS n_novel
+        |  FROM pg JOIN fo USING (gram) GROUP BY pg.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(agg.n_grams, 0L) AS n_grams,
+        |  COALESCE(agg.n_novel, 0L) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(agg.n_grams, 0L) = 0 THEN CAST(0 AS DECIMAL(38,6))
+        |       ELSE CAST(CAST(agg.n_novel AS DECIMAL(18,6))
+        |            / CAST(agg.n_grams AS DECIMAL(18,6)) AS DECIMAL(38,6)) END AS DOUBLE) AS novelty
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_c48_substr_dedup" ->
       """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
         |g AS (

@@ -906,6 +906,92 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c54: tf-idf document-similarity top-k -------------------------
+    // Sparse doc-to-doc retrieval, the classic companion to q_c12's
+    // query-to-doc BM25: for a fixed panel of query documents
+    // (doc_id % 500 == 0), the top-10 most similar corpus documents under
+    // tf-idf-weighted cosine. w(d,t) = tf·ln(N/df); per-term products and
+    // squared norms quantize through DECIMAL(18,6) (the q_c50 ln
+    // discipline), sums are exact decimal, the final ratio emits through
+    // one quantize. Terms with df = N are pruned — their idf is exactly
+    // 0, so the prune is value-preserving (identical results) while at
+    // corpus scale it removes precisely the stop terms whose postings
+    // would dominate the term join.
+    //
+    // 100 TB shape: the corpus tf frame is the SHARED tf_unigram memo
+    // (one tokenize per session across q_c12/q_c26/q_c44/q_c54); the
+    // query panel's weighted terms are a bounded small frame joined
+    // term-keyed against corpus tf (the only corpus-sized shuffle is the
+    // (q_doc, doc) product aggregation, whose rows are bounded by the
+    // query terms' document frequencies); per-doc norms are one more
+    // aggregation over the memoized tf. Nothing is all-pairs.
+    QueryDef(
+      "q_c54_tfidf_similarity",
+      Some("""WITH t1 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t1 GROUP BY 1, 2),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |idf AS (SELECT term, df, ln(CAST((SELECT n FROM nn) AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+             |        FROM df WHERE df < (SELECT n FROM nn)),
+             |nrm AS (SELECT tf.doc_id,
+             |          sqrt(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+             |        FROM tf JOIN idf USING (term) GROUP BY 1),
+             |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0),
+             |dots AS (SELECT q.q_doc, tf.doc_id,
+             |           CAST(SUM(CAST(CAST(q.qtf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE) AS dot
+             |         FROM q JOIN idf USING (term) JOIN tf USING (term)
+             |         WHERE tf.doc_id <> q.q_doc
+             |         GROUP BY 1, 2),
+             |sim AS (SELECT d.q_doc, d.doc_id,
+             |          CAST(CAST(d.dot / (nq.nrm * nd.nrm) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+             |        FROM dots d
+             |        JOIN nrm nq ON nq.doc_id = d.q_doc
+             |        JOIN nrm nd ON nd.doc_id = d.doc_id
+             |        WHERE nq.nrm > 0 AND nd.nrm > 0),
+             |rk AS (SELECT q_doc, doc_id, sim,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY q_doc ORDER BY sim DESC, doc_id) AS BIGINT) AS rnk
+             |       FROM sim)
+             |SELECT q_doc, doc_id, sim, rnk FROM rk WHERE rnk <= 10
+             |ORDER BY q_doc, rnk""".stripMargin)
+    ) { (s, d) =>
+      val tf = tfUnigram(s, d)
+      val n = Tables(s, d, "documents").count()
+      val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") < n)
+        .withColumn("idf", log(lit(n.toDouble) / col("df").cast("double")))
+      val wtf = tf.join(idf, Seq("term"))
+      val nrm = wtf
+        .groupBy(col("doc_id"))
+        .agg(sqrt(sum(dec(col("tf").cast("double") * col("tf").cast("double")
+          * col("idf") * col("idf"))).cast("double")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val q = wtf.filter(col("doc_id") % 500 === 0)
+        .select(col("term"), col("doc_id").as("q_doc"), col("tf").as("qtf"))
+      // declared-intent broadcast (Sizing discipline): the panel is
+      // 1/500th of the corpus tf — small at harness SFs, but at corpus
+      // scale a fixed fraction is NOT broadcastable, so the hint flips
+      // to a term-keyed shuffle join past the ceiling instead of
+      // promising a broadcast that would OOM the executors. Estimate:
+      // documents bytes/500 × ~4 (tokenize + row-object heap expansion).
+      val qEst = graft.core.Sizing.onDiskBytes(s, s"$d/documents.parquet") / 500 * 4
+      val dots = wtf
+        .join(graft.core.Sizing.broadcastIfUnder(s, q, qEst), Seq("term"))
+        .filter(col("doc_id") =!= col("q_doc"))
+        .groupBy(col("q_doc"), col("doc_id"))
+        .agg(sum(dec(col("qtf").cast("double") * col("tf").cast("double")
+          * col("idf") * col("idf"))).cast("double").as("dot"))
+      val w = Window.partitionBy(col("q_doc")).orderBy(col("sim").desc, col("doc_id"))
+      dots
+        .join(nrm.select(col("doc_id").as("q_doc"), col("nrm").as("qn")), Seq("q_doc"))
+        .join(nrm.select(col("doc_id"), col("nrm").as("dn")), Seq("doc_id"))
+        .select(col("q_doc"), col("doc_id"),
+          emitQ(col("dot") / (col("qn") * col("dn"))).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("q_doc"), col("doc_id"), col("sim"), col("rnk"))
+        .orderBy(col("q_doc"), col("rnk"))
+    },
+
     // ---- q_c53: streaming heavy hitters, deterministic batch replay -----
     // The sharded Misra-Gries operator (StreamingOps.heavyHitterUpdates /
     // heavyHitterServe) served through its canonical bounded replay: each

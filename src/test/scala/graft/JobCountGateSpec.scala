@@ -66,7 +66,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c44_bigram_logprob" -> 25,   // measured 20 (two memo builds + 4-join scoring)
     "q_c47_fuzzy_decontaminate" -> 24, // measured 19 (sig pipeline + broadcast bench sides)
     "q_c48_substr_dedup" -> 13,     // measured 10 (gram count + per-doc interval-union fold)
-    "q_c49_quality_ensemble" -> 23  // measured 18 (fused map-side scan + memoized ppl branch)
+    "q_c49_quality_ensemble" -> 23, // measured 18 (fused map-side scan + memoized ppl branch)
+    "q_c54_tfidf_similarity" -> 26, // measured 21 (tf memo + idf/norm aggs + panel join + top-k)
+    "q_c55_ngram_novelty" -> 12     // measured 9 (gram count + first-occurrence join)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
