@@ -1170,7 +1170,7 @@ object SparkSqlQueries {
         |nrm AS (SELECT tf.doc_id,
         |          sqrt(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
         |        FROM tf JOIN idf USING (term) GROUP BY tf.doc_id),
-        |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0),
+        |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0 AND doc_id < 10000),
         |dots AS (SELECT q.q_doc, tf.doc_id,
         |           CAST(SUM(CAST(CAST(q.qtf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE) AS dot
         |         FROM q JOIN idf USING (term) JOIN tf USING (term)

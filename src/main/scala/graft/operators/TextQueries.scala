@@ -909,7 +909,8 @@ object TextQueries {
     // ---- q_c54: tf-idf document-similarity top-k -------------------------
     // Sparse doc-to-doc retrieval, the classic companion to q_c12's
     // query-to-doc BM25: for a fixed panel of query documents
-    // (doc_id % 500 == 0), the top-10 most similar corpus documents under
+    // (doc_id % 500 == 0, capped below 10000 — a bounded set on every
+    // SF), the top-10 most similar corpus documents under
     // tf-idf-weighted cosine. w(d,t) = tf·ln(N/df); per-term products and
     // squared norms quantize through DECIMAL(18,6) (the q_c50 ln
     // discipline), sums are exact decimal, the final ratio emits through
@@ -936,7 +937,7 @@ object TextQueries {
              |nrm AS (SELECT tf.doc_id,
              |          sqrt(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
              |        FROM tf JOIN idf USING (term) GROUP BY 1),
-             |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0),
+             |q AS (SELECT doc_id AS q_doc, term, tf AS qtf FROM tf WHERE doc_id % 500 = 0 AND doc_id < 10000),
              |dots AS (SELECT q.q_doc, tf.doc_id,
              |           CAST(SUM(CAST(CAST(q.qtf AS DOUBLE) * CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf AS DECIMAL(18,6))) AS DOUBLE) AS dot
              |         FROM q JOIN idf USING (term) JOIN tf USING (term)
@@ -965,7 +966,12 @@ object TextQueries {
         .agg(sqrt(sum(dec(col("tf").cast("double") * col("tf").cast("double")
           * col("idf") * col("idf"))).cast("double")).as("nrm"))
         .filter(col("nrm") > 0)
-      val q = wtf.filter(col("doc_id") % 500 === 0)
+      // the panel is a FIXED set (doc_id < 10000 caps it at 20 docs on
+      // every SF): a fraction-of-corpus panel would grow the (panel ×
+      // postings) product superlinearly with N — measured exponent 1.13
+      // on the sweep fixtures — while real similarity workloads query a
+      // bounded set against a growing corpus
+      val q = wtf.filter(col("doc_id") % 500 === 0 && col("doc_id") < 10000)
         .select(col("term"), col("doc_id").as("q_doc"), col("tf").as("qtf"))
       // declared-intent broadcast (Sizing discipline): the panel is
       // 1/500th of the corpus tf — small at harness SFs, but at corpus
