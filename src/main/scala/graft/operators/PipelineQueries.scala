@@ -1128,6 +1128,46 @@ object PipelineQueries {
         .withColumn("n_pass", col("v_rules") + col("v_cls") + col("v_ppl") + col("v_ent"))
         .withColumn("keep", when(col("n_pass") >= 3, 1).otherwise(0))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c56: deterministic epoch shuffle (hash-bucketed) --------------
+    // The per-epoch reshuffle a training loader needs: each document gets
+    // a new pseudo-random position every epoch, reproducible from
+    // (doc_id, epoch) alone. Scale-correct form: NO global sort and NO
+    // per-epoch window over the whole corpus — the epoch key (the
+    // established overflow-safe LCG, epoch-salted) assigns each doc to
+    // one of 64 batches map-side (hash-bucket pseudo-shuffle, the way
+    // petabyte loaders actually shuffle), and ranks order documents only
+    // WITHIN an (epoch, batch) partition — 128 fine-grained windows
+    // instead of 2 epoch-wide ones. Integer arithmetic throughout —
+    // hash-exact. Properties spec-pinned: each doc appears exactly once
+    // per epoch, and the two epochs' batch assignments genuinely differ.
+    QueryDef(
+      "q_c56_epoch_shuffle",
+      Some("""WITH e AS (SELECT UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch),
+             |k AS (
+             |  SELECT e.epoch, d.doc_id,
+             |    ((d.doc_id % 1000000007) * 1103515245 + 12345 + e.epoch * 987654321) % 1000000007 AS skey
+             |  FROM documents d CROSS JOIN e),
+             |b AS (SELECT epoch, doc_id, skey, skey % 64 AS batch_id FROM k),
+             |r AS (SELECT epoch, batch_id, doc_id, skey,
+             |        CAST(ROW_NUMBER() OVER (PARTITION BY epoch, batch_id ORDER BY skey, doc_id) AS BIGINT) AS pos
+             |      FROM b)
+             |SELECT epoch, batch_id, pos, doc_id, skey FROM r
+             |ORDER BY epoch, batch_id, pos""".stripMargin)
+    ) { (s, d) =>
+      val epochs = s.range(0, 2).select(col("id").as("epoch"))
+      val k = Tables(s, d, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("skey",
+          (col("doc_id") % 1000000007L * 1103515245L + 12345L
+            + col("epoch") * 987654321L) % 1000000007L)
+      val w = Window.partitionBy(col("epoch"), col("batch_id"))
+        .orderBy(col("skey"), col("doc_id"))
+      k.withColumn("batch_id", col("skey") % 64)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("batch_id"), col("pos"), col("doc_id"), col("skey"))
+        .orderBy(col("epoch"), col("batch_id"), col("pos"))
     }
   )
 

@@ -1160,6 +1160,19 @@ object SparkSqlQueries {
         |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    "q_c56_epoch_shuffle" ->
+      """WITH e AS (SELECT explode(array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) AS epoch),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    ((d.doc_id % 1000000007L) * 1103515245L + 12345L + e.epoch * 987654321L) % 1000000007L AS skey
+        |  FROM documents d CROSS JOIN e),
+        |b AS (SELECT epoch, doc_id, skey, skey % 64L AS batch_id FROM k),
+        |r AS (SELECT epoch, batch_id, doc_id, skey,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY epoch, batch_id ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |      FROM b)
+        |SELECT epoch, batch_id, pos, doc_id, skey FROM r
+        |ORDER BY epoch, batch_id, pos""".stripMargin,
+
     "q_c54_tfidf_similarity" ->
       """WITH t1 AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t1 GROUP BY doc_id, term),
