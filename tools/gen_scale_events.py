@@ -39,10 +39,13 @@ T0_US = 1_700_000_000_000_000
 
 
 def user_ids(rng, n, mode):
+    # both modes consume IDENTICAL rng draws so every other column
+    # (ts, types, values) is byte-identical between the two fixtures —
+    # the "identical except user distribution" claim is literal
     cold = rng.integers(2, 2 + N_USERS, size=n, dtype=np.int64)
+    hot = rng.random(n) < HOT_SHARE
     if mode == "uniform":
         return cold
-    hot = rng.random(n) < HOT_SHARE
     return np.where(hot, np.int64(1), cold)
 
 
