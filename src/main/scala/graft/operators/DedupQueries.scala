@@ -694,12 +694,16 @@ object DedupQueries {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(ts) - $L), k -> " +
             s"array_join(slice(ts, k + 1, $L), ' '))")).as("gram"))
-      // per-doc distinct-gram counts FIRST: the join back to the
-      // first-occurrence table then carries one row per (doc, gram),
-      // not one per position
+      // per-doc distinct-gram counts FIRST (positions never amplify),
+      // then first_doc as a WINDOW MIN over the gram partition rather
+      // than an aggregate + self-join: the join form makes Catalyst
+      // duplicate the whole explode subtree (plan sharing can't dedupe
+      // branches with different pruning — the q_c26 lesson), tokenizing
+      // the corpus TWICE; the window form explodes once and shuffles on
+      // gram once (PlanShapeSpec pins the single Generate)
       val pg = g.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-      val fo = pg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-      val agg = pg.join(fo, Seq("gram"))
+      val agg = pg
+        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("gram"))))
         .groupBy(col("doc_id"))
         .agg(
           sum(col("cnt")).cast("long").as("n_grams"),

@@ -966,8 +966,8 @@ object TextQueries {
         .agg(sqrt(sum(dec(col("tf").cast("double") * col("tf").cast("double")
           * col("idf") * col("idf"))).cast("double")).as("nrm"))
         .filter(col("nrm") > 0)
-      // the panel is a FIXED set (doc_id < 10000 caps it at 20 docs on
-      // every SF): a fraction-of-corpus panel would grow the (panel ×
+      // the panel is a FIXED set (doc_id < 10000 caps it at ≤ 20 docs
+      // on every SF): a fraction-of-corpus panel would grow the (panel ×
       // postings) product superlinearly with N — measured exponent 1.13
       // on the sweep fixtures — while real similarity workloads query a
       // bounded set against a growing corpus

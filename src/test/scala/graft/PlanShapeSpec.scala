@@ -187,4 +187,40 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fileScans == 0,
       s"a consumer re-tokenized from the parquet source:\n$plan")
   }
+
+  test("q_c54 declares the panel broadcast and flips to a shuffle past the ceiling") {
+    // the Sizing discipline (the q_c27 class): the bounded query panel is
+    // the declared broadcast side of the term join; at ceiling 0 the
+    // declaration must drop rather than promise an OOM
+    val plan0 = optimized("q_c54_tfidf_similarity")
+    assert(plan0.contains("strategy=broadcast"),
+      s"default ceiling: the panel join must declare broadcast:\n$plan0")
+    spark.conf.set("spark.graft.broadcastBytes", "0")
+    try {
+      val plan1 = optimized("q_c54_tfidf_similarity")
+      assert(!plan1.contains("strategy=broadcast"),
+        s"ceiling 0: no declared broadcast may remain:\n$plan1")
+    } finally spark.conf.unset("spark.graft.broadcastBytes")
+    graft.core.SessionMemo.evict(Some(spark))
+  }
+
+  test("q_c55 has exactly one Generate (the gram explode)") {
+    // novelty computes over per-doc DISTINCT grams after one explode; a
+    // second Generate would mean positional amplification leaked back in
+    val plan = optimized("q_c55_ngram_novelty")
+    assert(generates(plan) == 1, s"expected exactly 1 Generate:\n$plan")
+  }
+
+  test("q_c56 windows partition by (epoch, batch_id), never epoch-wide") {
+    // the scale-correct shuffle: ranks run in 128 fine-grained windows;
+    // an epoch-wide window (2 partitions for the whole corpus) is the
+    // regression this pins against
+    val plan = optimized("q_c56_epoch_shuffle")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected a Window node:\n$plan")
+    windowLines.foreach { l =>
+      assert(l.contains("batch_id"),
+        s"window must partition by (epoch, batch_id), not epoch alone:\n$l")
+    }
+  }
 }
