@@ -183,6 +183,29 @@ object Sizing {
   def broadcastIfUnder(spark: SparkSession, df: DataFrame,
       estimatedBytes: Long): DataFrame =
     if (estimatedBytes <= broadcastBytes(spark)) broadcast(df) else df
+
+  /** Total row count under `path` from parquet FILE FOOTERS — driver-side
+    * metadata only (no data read, no Spark job), the [[onDiskBytes]]
+    * discipline. For size models that need an average row size without
+    * paying a count() action.
+    */
+  def parquetRows(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      else Array(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }.sum
+  }
 }
 
 /** Local-filesystem cleanup for session-scoped derived artifacts (JSONL
@@ -230,21 +253,31 @@ object ContentId {
     java.lang.Long.toHexString((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL))
 }
 
-/** Build-once session cache keyed by (key, content snapshot). The lock
-  * spans the build (the postingsIndex/jsonlExport discipline): two
-  * concurrent first callers share ONE build instead of both running the
-  * full multi-job training/export. Each cache instance serializes only
-  * its own builds — independent caches (BPE vs unigram vs WordPiece)
-  * still overlap. Entries for a stale snapshot are replaced in place.
+/** Build-once session cache keyed by (key, content snapshot): two
+  * concurrent first callers of the SAME key share ONE build instead of
+  * both running the full multi-job training/export. The build runs under
+  * a PER-KEY latch, not the map monitor (the SessionMemo `inFlight`
+  * discipline): a lock spanning a Spark job must never serialize
+  * unrelated keys — concurrent trainings of different (dir, params)
+  * proceed in parallel. Entries for a stale snapshot are replaced.
   */
 final class BuildOnceCache[K, V] {
   private val m = scala.collection.mutable.Map.empty[K, (String, V)]
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[K, Object]()
   def clear(): Unit = m.synchronized { m.clear() }
-  def getOrBuild(key: K, snap: String)(build: => V): V = m.synchronized {
-    m.get(key).filter(_._1 == snap).map(_._2).getOrElse {
-      val v = build
-      m(key) = (snap, v)
-      v
+  def getOrBuild(key: K, snap: String)(build: => V): V = {
+    def lookup(): Option[V] =
+      m.synchronized(m.get(key).filter(_._1 == snap).map(_._2))
+    lookup().getOrElse {
+      val keyLock = inFlight.computeIfAbsent(key, _ => new Object)
+      keyLock.synchronized {
+        // a concurrent caller may have finished while we waited
+        lookup().getOrElse {
+          val v = build
+          m.synchronized { m(key) = (snap, v) }
+          v
+        }
+      }
     }
   }
 }

@@ -106,19 +106,21 @@ object SessionMemo {
         try rdd.unpersist(blocking = false)
         catch { case _: Throwable => () }
       }
-    case Right(path) =>
-      // spill under a configured shared-FS root must be deleted through the
-      // Hadoop FS (it may be hdfs:///s3a://); the default local-temp root is
-      // a plain directory
-      if (!e.session.sparkContext.isStopped) {
-        try {
-          val p = new org.apache.hadoop.fs.Path(path)
-          p.getFileSystem(e.session.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-          ()
-        } catch { case _: Throwable => deleteLocal(path) }
-      } else deleteLocal(path)
+    case Right(path) => deleteSpill(e.session, path)
   }
+
+  /** Delete a spill directory. A spill under a configured shared-FS root
+    * must be deleted through the Hadoop FS (it may be hdfs:///s3a://);
+    * the default local-temp root is a plain directory.
+    */
+  private def deleteSpill(owner: SparkSession, path: String): Unit =
+    if (!owner.sparkContext.isStopped) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(owner.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => deleteLocal(path) }
+    } else deleteLocal(path)
 
   /** Per-JVM root for disk-tier spills; entries are deleted on evict/
     * replacement/session stop, the root on JVM exit.
@@ -137,11 +139,19 @@ object SessionMemo {
     catch { case _: Throwable => () }
   }
 
-  /** Drop every entry owned by `owner` (or all when None). Idempotent. */
+  /** Drop every entry owned by `owner` (or all when None). Idempotent.
+    * Advancing the eviction epoch also cancels any in-flight demotion
+    * ([[demoteOrDrop]]): a victim selected before this call must not
+    * resurrect itself (entry + spill file) after evict() returned.
+    */
   def evict(owner: Option[SparkSession]): Unit = synchronized {
+    evictEpoch += 1L
     val dead = slots.filter { case (_, e) => owner.forall(_ eq e.session) }
     dead.foreach { case (k, e) => unpersistEntry(e); slots.remove(k) }
   }
+
+  // bumped by evict(); demotions re-check it before re-inserting
+  private var evictEpoch: Long = 0L
 
   /** Oldest-first victims to bring the memory-tier total under budget.
     * `keep` (the entry just admitted) is never selected — by construction
@@ -153,7 +163,7 @@ object SessionMemo {
     * the ADVICE-r11 rule that the global lock never spans a job).
     */
   private def selectVictims(
-      s: SparkSession, keep: (String, String)): Seq[((String, String), Entry)] = {
+      s: SparkSession, keep: (String, String)): (Seq[((String, String), Entry)], Long) = {
     val budget = maxBytes(s)
     // disk-tier entries hold no storage-region blocks; their footprint is
     // bounded separately (one spill file per (kind, dir), deleted on
@@ -171,7 +181,7 @@ object SessionMemo {
       out += ((k, e))
       total -= e.bytes
     }
-    out.toSeq
+    (out.toSeq, evictEpoch)
   }
 
   /** Round-15 eviction upgrade (VERDICT r13 lead 5): a memory-tier
@@ -187,35 +197,44 @@ object SessionMemo {
     * `spark.graft.memo.diskRoot`).
     */
   private def demoteOrDrop(
-      s: SparkSession, k: (String, String), e: Entry): Unit = {
-    val root = if (diskTierEnabled(s)) spillRoot(s) else None
+      k: (String, String), e: Entry, epochAtSelect: Long): Unit = {
+    // everything here runs under the VICTIM's owning session — the
+    // admitting session that triggered the eviction may be a different
+    // tenant: the spill job, the tier/root confs, and the re-inserted
+    // entry's ownership must all stay with e.session or the true owner's
+    // next lookup fails the `session eq` check and rebuilds anyway
+    val owner = e.session
+    val root = if (diskTierEnabled(owner)) spillRoot(owner) else None
     (root, e.store) match {
-      case (Some(r), Left(rdd)) if !s.sparkContext.isStopped =>
+      case (Some(r), Left(rdd)) if !owner.sparkContext.isStopped =>
         val path = s"$r/${k._1}-evict-${e.seq}"
         try {
           // write BEFORE unpersist: the spill scans the persisted blocks,
           // not the upstream pipeline
           e.df.write.mode("overwrite").parquet(path)
           rdd.unpersist(blocking = false)
-          val diskDf = s.read.parquet(path)
+          val diskDf = owner.read.parquet(path)
+          val demoted = Entry(owner, e.snapshot, diskDf, Right(path), e.bytes, e.seq)
           val inserted = synchronized {
-            if (slots.contains(k)) false // a concurrent rebuild won the slot
-            else {
-              slots(k) = Entry(s, e.snapshot, diskDf, Right(path), e.bytes, e.seq)
-              true
-            }
+            // a concurrent rebuild may have won the slot, or an evict()
+            // may have run while we spilled — either way the demotion
+            // must NOT resurrect state; release the spill instead
+            if (slots.contains(k) || evictEpoch != epochAtSelect) false
+            else { slots(k) = demoted; true }
           }
           if (inserted) {
             System.err.println(
               s"[memo] ${k._1}: memory-tier eviction -> DEMOTED to disk tier " +
                 s"(${e.bytes} B spilled; spill-serve measured 5.5x over rebuild)")
           } else {
-            unpersistEntry(Entry(s, e.snapshot, diskDf, Right(path), e.bytes, e.seq))
+            unpersistEntry(demoted)
           }
         } catch {
           case scala.util.control.NonFatal(_) =>
             unpersistEntry(e)
-            deleteLocal(path)
+            // the partial spill may live on a REMOTE shared root
+            // (spark.graft.memo.diskRoot = hdfs/s3a)
+            deleteSpill(owner, path)
             System.err.println(
               s"[memo] ${k._1}: memory-tier eviction -> dropped (spill failed)")
         }
@@ -361,14 +380,14 @@ object SessionMemo {
             }
           } else {
             val seq = nextSeq()
-            val victims = synchronized {
+            val (victims, epoch) = synchronized {
               // put (not update) so a racing demotion's re-insert can't
               // be silently clobbered without releasing its spill
               slots.put(key, Entry(s, snap, df, Left(rdd), bytes, seq))
                 .foreach(unpersistEntry)
               selectVictims(s, key)
             }
-            victims.foreach { case (k, e) => demoteOrDrop(s, k, e) }
+            victims.foreach { case (k, e) => demoteOrDrop(k, e, epoch) }
             hookEviction(s)
             df
           }

@@ -1147,7 +1147,7 @@ object PipelineQueries {
       Some("""WITH e AS (SELECT UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch),
              |k AS (
              |  SELECT e.epoch, d.doc_id,
-             |    ((d.doc_id % 1000000007) * 1103515245 + 12345 + e.epoch * 987654321) % 1000000007 AS skey
+             |    ((CAST(d.doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345 + e.epoch * 987654321) % 1000000007 AS skey
              |  FROM documents d CROSS JOIN e),
              |b AS (SELECT epoch, doc_id, skey, skey % 64 AS batch_id FROM k),
              |r AS (SELECT epoch, batch_id, doc_id, skey,

@@ -956,10 +956,15 @@ object TextQueries {
              |ORDER BY q_doc, rnk""".stripMargin)
     ) { (s, d) =>
       val tf = tfUnigram(s, d)
-      val n = Tables(s, d, "documents").count()
+      // N computed IN-PLAN (1-row broadcast cross join, the q_c26
+      // pattern) — an eager count() here would launch a Spark job at
+      // plan-construction time on every invocation/EXPLAIN
+      val nn = Tables(s, d, "documents")
+        .agg(count(lit(1)).cast("long").as("n"))
       val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .filter(col("df") < n)
-        .withColumn("idf", log(lit(n.toDouble) / col("df").cast("double")))
+        .crossJoin(broadcast(nn))
+        .filter(col("df") < col("n"))
+        .withColumn("idf", log(col("n").cast("double") / col("df").cast("double")))
       val wtf = tf.join(idf, Seq("term"))
       val nrm = wtf
         .groupBy(col("doc_id"))
@@ -973,13 +978,14 @@ object TextQueries {
       // bounded set against a growing corpus
       val q = wtf.filter(col("doc_id") % 500 === 0 && col("doc_id") < 10000)
         .select(col("term"), col("doc_id").as("q_doc"), col("tf").as("qtf"))
-      // declared-intent broadcast (Sizing discipline): the panel is
-      // 1/500th of the corpus tf — small at harness SFs, but at corpus
-      // scale a fixed fraction is NOT broadcastable, so the hint flips
-      // to a term-keyed shuffle join past the ceiling instead of
-      // promising a broadcast that would OOM the executors. Estimate:
-      // documents bytes/500 × ~4 (tokenize + row-object heap expansion).
-      val qEst = graft.core.Sizing.onDiskBytes(s, s"$d/documents.parquet") / 500 * 4
+      // declared-intent broadcast (Sizing discipline): the estimate must
+      // match the CAPPED panel — ≤ 20 docs × average doc bytes × ~4
+      // tokenize/heap expansion (metadata-only: bytes and row count both
+      // from footers). A corpus-proportional estimate here would drop
+      // the hint at scale for a side that stays 20 docs forever.
+      val docBytes = graft.core.Sizing.onDiskBytes(s, s"$d/documents.parquet")
+      val docRows = math.max(1L, graft.core.Sizing.parquetRows(s, s"$d/documents.parquet"))
+      val qEst = docBytes / docRows * 20 * 4
       val dots = wtf
         .join(graft.core.Sizing.broadcastIfUnder(s, q, qEst), Seq("term"))
         .filter(col("doc_id") =!= col("q_doc"))

@@ -87,7 +87,11 @@ class TableLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // q_b5: md5 over text bytes; q_c6: length/punct/stopword arithmetic;
     // q_c15: the LCG hash — the in-expression BIGINT widening under test
-    for (q <- Seq("q_b5_dedup_exact", "q_c6_quality", "q_c15_stratified_sample")) {
+    // q_c56 joined in round 15: the epoch-shuffle skey is the same LCG
+    // class (its DuckDB oracle needed the CAST(doc_id AS BIGINT) every
+    // other LCG oracle carries — this pins the Spark side's widening)
+    for (q <- Seq("q_b5_dedup_exact", "q_c6_quality", "q_c15_stratified_sample",
+        "q_c56_epoch_shuffle")) {
       val ref = runQ(q, sf)
       assert(ref == runQ(q, dNarrow), s"$q drifts under int32 doc_id")
       assert(ref == runQ(q, dBinary), s"$q drifts under binary-encoded text")
