@@ -69,6 +69,16 @@ object GraftSession {
     * master/deploy settings to spark-submit.
     */
   def cluster(shufflePartitions: Int = 2048): SparkSession = {
+    // getOrCreate IGNORES builder confs when any session already exists
+    // (SPARK-31532 demoted that to a log warning) — the whole profile
+    // would silently not apply. Fail loud instead of shipping a no-op.
+    if (SparkSession.getActiveSession.isDefined ||
+        SparkSession.getDefaultSession.isDefined)
+      throw new IllegalStateException(
+        "GraftSession.cluster() must create the FIRST session of the JVM: " +
+          "an existing SparkSession makes getOrCreate ignore the profile " +
+          "confs. Stop the existing session (or apply clusterConfs() to " +
+          "spark-submit --conf) instead.")
     val b = SparkSession.builder().appName("graft")
     clusterConfs(shufflePartitions).foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -141,17 +141,28 @@ object SessionMemo {
 
   /** Drop every entry owned by `owner` (or all when None). Idempotent.
     * Advancing the eviction epoch also cancels any in-flight demotion
-    * ([[demoteOrDrop]]): a victim selected before this call must not
-    * resurrect itself (entry + spill file) after evict() returned.
+    * ([[demoteOrDrop]]) of the SAME owner: a victim selected before this
+    * call must not resurrect itself (entry + spill file) after evict()
+    * returned. Epochs are per-owner (plus a global one for evict(None))
+    * so an unrelated tenant's eviction — e.g. another session's stop
+    * listener — cannot cancel this owner's demotion and silently degrade
+    * it to a rebuild-forcing drop.
     */
   def evict(owner: Option[SparkSession]): Unit = synchronized {
-    evictEpoch += 1L
+    owner match {
+      case Some(s) => ownerEpochs.put(s, java.lang.Long.valueOf(ownerEpochLocked(s) + 1L))
+      case None => globalEvictEpoch += 1L
+    }
     val dead = slots.filter { case (_, e) => owner.forall(_ eq e.session) }
     dead.foreach { case (k, e) => unpersistEntry(e); slots.remove(k) }
   }
 
-  // bumped by evict(); demotions re-check it before re-inserting
-  private var evictEpoch: Long = 0L
+  // demotions re-check these before re-inserting (read/written under the
+  // global lock; weak keys so the map never pins a stopped session)
+  private var globalEvictEpoch: Long = 0L
+  private val ownerEpochs = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private def ownerEpochLocked(s: SparkSession): Long =
+    Option(ownerEpochs.get(s)).map(_.longValue).getOrElse(0L)
 
   /** Oldest-first victims to bring the memory-tier total under budget.
     * `keep` (the entry just admitted) is never selected — by construction
@@ -162,8 +173,29 @@ object SessionMemo {
     * [[demoteOrDrop]] OUTSIDE the lock (a spill runs a full Spark job —
     * the ADVICE-r11 rule that the global lock never spans a job).
     */
+  private final case class Demotion(
+      key: (String, String), e: Entry, ownerEpoch: Long, globalEpoch: Long)
+
+  private lazy val demotionPool = java.util.concurrent.Executors
+    .newSingleThreadExecutor((r: Runnable) => {
+      val t = new Thread(r, "graft-memo-demotion"); t.setDaemon(true); t
+    })
+  private val pendingDemotions = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def enqueueDemotion(d: Demotion): Unit = {
+    pendingDemotions.incrementAndGet()
+    demotionPool.execute(() =>
+      try demoteOrDrop(d)
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally { pendingDemotions.decrementAndGet(); () })
+  }
+
+  /** Test hook: block until every queued demotion completed. */
+  private[graft] def awaitDemotions(): Unit =
+    while (pendingDemotions.get() > 0) Thread.sleep(10)
+
   private def selectVictims(
-      s: SparkSession, keep: (String, String)): (Seq[((String, String), Entry)], Long) = {
+      s: SparkSession, keep: (String, String)): Seq[Demotion] = {
     val budget = maxBytes(s)
     // disk-tier entries hold no storage-region blocks; their footprint is
     // bounded separately (one spill file per (kind, dir), deleted on
@@ -171,17 +203,17 @@ object SessionMemo {
     var total = slots.valuesIterator.collect {
       case e if e.store.isLeft => e.bytes
     }.sum
-    val out = scala.collection.mutable.ArrayBuffer.empty[((String, String), Entry)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Demotion]
     val victims = slots.toSeq
       .filter { case (k, e) => k != keep && e.store.isLeft }.sortBy(_._2.seq)
     val it = victims.iterator
     while (total > budget && it.hasNext) {
       val (k, e) = it.next()
       slots.remove(k)
-      out += ((k, e))
+      out += Demotion(k, e, ownerEpochLocked(e.session), globalEvictEpoch)
       total -= e.bytes
     }
-    (out.toSeq, evictEpoch)
+    out.toSeq
   }
 
   /** Round-15 eviction upgrade (VERDICT r13 lead 5): a memory-tier
@@ -196,8 +228,8 @@ object SessionMemo {
     * or no shared spill root exists (non-local master without
     * `spark.graft.memo.diskRoot`).
     */
-  private def demoteOrDrop(
-      k: (String, String), e: Entry, epochAtSelect: Long): Unit = {
+  private def demoteOrDrop(d: Demotion): Unit = {
+    val Demotion(k, e, ownerEpochAtSelect, globalEpochAtSelect) = d
     // everything here runs under the VICTIM's owning session — the
     // admitting session that triggered the eviction may be a different
     // tenant: the spill job, the tier/root confs, and the re-inserted
@@ -217,9 +249,12 @@ object SessionMemo {
           val demoted = Entry(owner, e.snapshot, diskDf, Right(path), e.bytes, e.seq)
           val inserted = synchronized {
             // a concurrent rebuild may have won the slot, or an evict()
-            // may have run while we spilled — either way the demotion
-            // must NOT resurrect state; release the spill instead
-            if (slots.contains(k) || evictEpoch != epochAtSelect) false
+            // of THIS owner (or a global evict) may have run while we
+            // spilled — either way the demotion must NOT resurrect
+            // state; release the spill instead
+            if (slots.contains(k)
+                || ownerEpochLocked(owner) != ownerEpochAtSelect
+                || globalEvictEpoch != globalEpochAtSelect) false
             else { slots(k) = demoted; true }
           }
           if (inserted) {
@@ -380,14 +415,21 @@ object SessionMemo {
             }
           } else {
             val seq = nextSeq()
-            val (victims, epoch) = synchronized {
+            val victims = synchronized {
               // put (not update) so a racing demotion's re-insert can't
               // be silently clobbered without releasing its spill
               slots.put(key, Entry(s, snap, df, Left(rdd), bytes, seq))
                 .foreach(unpersistEntry)
               selectVictims(s, key)
             }
-            victims.foreach { case (k, e) => demoteOrDrop(k, e, epoch) }
+            // demotions run ASYNC on the single demotion thread: the
+            // admitting query (possibly a tiny frame of another tenant)
+            // must not block on a victim's whole-frame parquet write.
+            // The victim is already out of the table, so late completion
+            // is safe (the epoch/slot checks handle every interleaving);
+            // the only cost is the victim's blocks staying persisted for
+            // the spill's duration.
+            victims.foreach(enqueueDemotion)
             hookEviction(s)
             df
           }

@@ -94,7 +94,7 @@ object CharBigramStats {
     // an executor hang. A single document that large (>2^28 bigrams needs
     // a >=16 GiB table) is outside this per-row kernel's envelope — fail
     // fast with a clear error instead.
-    if (n > (1 << 28)) throw new IllegalArgumentException(
+    if (n >= (1 << 28)) throw new IllegalArgumentException(
       s"char_bigram_stats: document with $n bigrams exceeds the supported " +
         "2^28 per-document limit")
     val capL = java.lang.Long.highestOneBit(n.toLong * 4 - 1) << 1

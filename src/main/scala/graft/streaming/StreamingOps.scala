@@ -557,19 +557,30 @@ object StreamingOps {
     * (shards·k counters); widen shards for wider clusters. The serve is
     * the real [[heavyHitterServe]] over ≤ shards·k rows.
     */
+  /** Java `String.hashCode` over a `term` column in ANSI-safe SQL: fold
+    * h = wrap32(h·31 + c) where wrap32(v) = pmod(v + 2³¹, 2³²) − 2³¹
+    * keeps the Long accumulator exactly on Java's wrapping-int
+    * trajectory. SHARED with HeavyHitterReplaySpec's whole-vocabulary
+    * parity pin — a private spec copy would let the shipped fold drift
+    * untested (the shared-helper-fork class).
+    */
+  private[graft] val HhShardSqlFold: String =
+    """aggregate(split(term, ''), CAST(0 AS BIGINT),
+      |  (a, ch) -> pmod(a * 31 + ascii(ch) + 2147483648, 4294967296)
+      |             - 2147483648)""".stripMargin
+
   def heavyHitterReplay(toks: DataFrame, shards: Int = 8,
       k: Int = 16): DataFrame = {
     import toks.sparkSession.implicits._
-    // Java String.hashCode in ANSI-safe SQL: fold h = wrap32(h*31 + c)
-    // where wrap32(v) = pmod(v + 2^31, 2^32) - 2^31 keeps the Long
-    // accumulator exactly on Java's wrapping-int trajectory
-    val hashExpr =
-      """aggregate(split(term, ''), CAST(0 AS BIGINT),
-        |  (a, ch) -> pmod(a * 31 + ascii(ch) + 2147483648, 4294967296)
-        |             - 2147483648)""".stripMargin
     val sharded = toks
-      .withColumn("shard", pmod(expr(hashExpr), lit(shards.toLong)).cast("int"))
-      .repartition(shards, col("shard"))
+      .withColumn("shard", pmod(expr(HhShardSqlFold), lit(shards.toLong)).cast("int"))
+      // RANGE-partition the shard id: `repartition(shards, col)` would
+      // HASH it, colliding several of the `shards` distinct ids onto one
+      // task (the fold stays correct, but the slowest task then runs 2-3
+      // sequential shard folds while others idle). Range boundaries over
+      // exactly `shards` distinct values give the 1:1 shard-per-task
+      // mapping the parallelism bound claims.
+      .repartitionByRange(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"), col("pos"))
       .select(col("shard"), col("term"))
       .as[(Int, String)]

@@ -31,6 +31,15 @@ class GraftSessionProfileSpec extends AnyFunSuite {
     assert(w("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt === 32768)
   }
 
+  test("cluster() fails loud instead of silently no-opping against an existing session") {
+    // getOrCreate ignores builder confs when a session exists
+    // (SPARK-31532): the profile must refuse rather than not apply
+    val existing = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").appName("graft-profile-guard").getOrCreate()
+    try intercept[IllegalStateException](GraftSession.cluster())
+    finally existing.stop()
+  }
+
   test("cluster profile inherits every shared base conf (no profile fork)") {
     val c = GraftSession.clusterConfs()
     GraftSession.baseConfs.foreach { case (k, v) =>

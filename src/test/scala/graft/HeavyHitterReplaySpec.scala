@@ -49,12 +49,11 @@ class HeavyHitterReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumnRenamed("col", "term")
 
   test("SQL shard fold equals the streaming String.hashCode shard on every corpus term") {
-    val hashExpr =
-      """aggregate(split(term, ''), CAST(0 AS BIGINT),
-        |  (a, ch) -> pmod(a * 31 + ascii(ch) + 2147483648, 4294967296)
-        |             - 2147483648)""".stripMargin
+    // the SHIPPED fold, not a spec copy — a fork here would let the
+    // production routing drift while this pin kept passing
     val got = toks(sf).select(col("term")).distinct()
-      .withColumn("shard", pmod(expr(hashExpr), lit(shards.toLong)).cast("int"))
+      .withColumn("shard",
+        pmod(expr(StreamingOps.HhShardSqlFold), lit(shards.toLong)).cast("int"))
       .collect()
     assert(got.length > 20) // sf0.001's vocabulary is ~31 terms
     got.foreach { r =>

@@ -219,6 +219,7 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       SessionMemo.getOrBuild(spark, "budget_b", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(2000).select(col("id"), concat_ws("-", lit("z" * 16), col("id")).as("t"))
       }.count()
+      SessionMemo.awaitDemotions() // demotion spills run async off the admit path
       assert(SessionMemo.occupied("budget_b"), "the newest entry must be kept")
       assert(SessionMemo.heldOnDisk("budget_b").isEmpty,
         "the under-budget newest entry stays on the memory tier")
@@ -256,6 +257,7 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       SessionMemo.getOrBuild(spark, "nodisk_b", dir, Seq(s"$dir/documents.parquet")) {
         spark.range(2000).select(col("id"), concat_ws("-", lit("z" * 16), col("id")).as("t"))
       }.count()
+      SessionMemo.awaitDemotions() // the async path also carries drops
       assert(SessionMemo.occupied("nodisk_b"), "the newest entry must be kept")
       assert(!SessionMemo.occupied("nodisk_a"),
         "with the tier opted out, eviction keeps the old drop-and-rebuild contract")
