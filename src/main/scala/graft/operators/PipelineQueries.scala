@@ -1168,6 +1168,74 @@ object PipelineQueries {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("epoch"), col("batch_id"), col("pos"), col("doc_id"), col("skey"))
         .orderBy(col("epoch"), col("batch_id"), col("pos"))
+    },
+
+    // ---- q_c57: per-source corpus report ---------------------------------
+    // The ingestion dashboard every pipeline run emits: per source, how
+    // many documents, how many tokens, what exact-duplicate burden, the
+    // dominant language, and mean document length. One corpus scan
+    // produces the per-doc signals (tokens via the regexp tokenizer,
+    // exact-dup membership via the q_b5 md5 family rule: a doc is
+    // "duplicated" iff its text hash occurs more than once corpus-wide),
+    // then one source-keyed aggregation; the dominant language is a
+    // rank-1 window over the (source, lang) counts — all fine-grained
+    // keys, nothing corpus-wide. Integer counts + one decimal ratio.
+    QueryDef(
+      "q_c57_source_report",
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, length(text) AS n_chars,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             |    md5(text) AS h
+             |  FROM documents),
+             |hc AS (SELECT h, COUNT(*) AS c FROM d GROUP BY 1),
+             |per AS (SELECT d.*, CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup
+             |        FROM d JOIN hc USING (h)),
+             |agg AS (
+             |  SELECT source,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |  FROM per GROUP BY 1),
+             |lc AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY 1, 2),
+             |tl AS (SELECT source, lang AS top_lang FROM (
+             |         SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS r
+             |         FROM lc) WHERE r = 1)
+             |SELECT a.source, a.n_docs, a.n_tokens, a.n_dup_docs,
+             |  CAST(CAST(CAST(a.n_dup_docs AS DECIMAL(18,6))
+             |       / CAST(a.n_docs AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_ratio,
+             |  CAST(CAST(CAST(a.n_chars AS DECIMAL(18,6))
+             |       / CAST(a.n_docs AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_chars,
+             |  tl.top_lang
+             |FROM agg a JOIN tl USING (source)
+             |ORDER BY a.source""".stripMargin)
+    ) { (s, d) =>
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+      val hc = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val per = base.join(hc, Seq("h"))
+        .withColumn("is_dup", when(col("c") > 1, 1L).otherwise(0L))
+      val agg = per.groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("is_dup")).cast("long").as("n_dup_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      val wl = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang"))
+      val tl = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wl))
+        .filter(col("r") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      agg.join(tl, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+          emit((dec(col("n_dup_docs")) / dec(col("n_docs"))).cast(D38)).as("dup_ratio"),
+          emit((dec(col("n_chars")) / dec(col("n_docs"))).cast(D38)).as("mean_chars"),
+          col("top_lang"))
+        .orderBy(col("source"))
     }
   )
 

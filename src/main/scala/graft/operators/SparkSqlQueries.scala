@@ -1160,6 +1160,35 @@ object SparkSqlQueries {
         |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    "q_c57_source_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |hc AS (SELECT h, COUNT(*) AS c FROM d GROUP BY h),
+        |per AS (SELECT d.*, CASE WHEN hc.c > 1 THEN 1L ELSE 0L END AS is_dup
+        |        FROM d JOIN hc USING (h)),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM per GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY source, lang),
+        |tl AS (SELECT source, lang AS top_lang FROM (
+        |         SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS r
+        |         FROM lc) WHERE r = 1)
+        |SELECT a.source, a.n_docs, a.n_tokens, a.n_dup_docs,
+        |  CAST(CAST(CAST(a.n_dup_docs AS DECIMAL(18,6))
+        |       / CAST(a.n_docs AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS dup_ratio,
+        |  CAST(CAST(CAST(a.n_chars AS DECIMAL(18,6))
+        |       / CAST(a.n_docs AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_chars,
+        |  tl.top_lang
+        |FROM agg a JOIN tl USING (source)
+        |ORDER BY a.source""".stripMargin,
+
     "q_c56_epoch_shuffle" ->
       """WITH e AS (SELECT explode(array(CAST(0 AS BIGINT), CAST(1 AS BIGINT))) AS epoch),
         |k AS (
