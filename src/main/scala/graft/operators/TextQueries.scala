@@ -84,6 +84,29 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // ---- q_c58: approximate percentiles — q_b8's 100 TB scale path -------
+    // Exact per-group percentiles (q_b8) hold every group's values for a
+    // sort — fine per-lang locally, unusable when a group spans TBs. The
+    // scale path is a mergeable quantile sketch: Spark's built-in
+    // approx_percentile (Greenwald-Khanna, accuracy parameter 10 000 ⇒
+    // rank error ≤ 1/10 000) aggregates map-side partial sketches and
+    // merges them — bounded memory per group regardless of group size,
+    // the same partial/final shape as any hash aggregate. No DuckDB twin
+    // by design (sketch state is engine-specific): rows-only here, with
+    // ApproxPercentileSpec gating the sketch against q_b8's EXACT answers
+    // (per-group rank error within the sketch's published bound) — a
+    // stronger check than value-hashing an approximation would be.
+    QueryDef("q_c58_percentiles_approx", None) { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("CAST(approx_percentile(n_chars, 0.25, 10000) AS DOUBLE)").as("p25"),
+          expr("CAST(approx_percentile(n_chars, 0.50, 10000) AS DOUBLE)").as("p50"),
+          expr("CAST(approx_percentile(n_chars, 0.75, 10000) AS DOUBLE)").as("p75"))
+        .orderBy(col("lang"))
+    },
+
     // ---- language-ID: stopword-profile overlap, argmax with name tiebreak
     QueryDef(
       "q_c5_langid",

@@ -51,14 +51,16 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // model-state class (UnigramTrainerSpec carries their correctness).
     // q_c53: the Misra-Gries state machine is a sequential fold, not
     // SQL; HeavyHitterReplaySpec asserts its guarantees vs exact counts
-    // and streaming ≡ replay.
+    // and streaming ≡ replay. q_c58: Greenwald-Khanna sketch state is
+    // engine-specific (no DuckDB twin by design); ApproxPercentileSpec
+    // gates it against q_b8's exact answers within the GK rank bound.
     assert(SparkSqlQueries.sql.keySet ==
       SparkEntry.queries.keySet
         - "q_c9_ann_ivf" - "q_c13_dup_clusters" - "q_c19_neardup_retained"
         - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout"
         - "q_c39_unigram_train" - "q_c40_unigram_encode"
         - "q_c42_wordpiece_train" - "q_c43_wordpiece_encode"
-        - "q_c53_heavy_hitters")
+        - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }
 
   for (name <- SparkSqlQueries.sql.keys.toSeq.sorted)
