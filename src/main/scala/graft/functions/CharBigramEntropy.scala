@@ -127,12 +127,20 @@ object CharBigramStats {
     InternalRow(n.toLong, distinct, entS)
   }
 
+  /** One (name, info, builder) triple shared by [[register]] and
+    * [[GraftExtensions]] — a fork between them would let the session
+    * path and the pure-SQL extension path diverge.
+    */
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_bigram_stats"),
+    new ExpressionInfo(classOf[CharBigramStats].getName, "char_bigram_stats"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "char_bigram_stats takes 1 argument")
+      CharBigramStats(children.head)
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("char_bigram_stats"),
-      new ExpressionInfo(classOf[CharBigramStats].getName, "char_bigram_stats"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "char_bigram_stats takes 1 argument")
-        CharBigramStats(children.head)
-      })
+      injection._1, injection._2, injection._3)
 }

@@ -90,25 +90,39 @@ object CosineSimilarity {
   private val info = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_similarity")
 
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    info,
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_similarity takes 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
   /** Register `cosine_similarity` into a live session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_similarity"),
-      info,
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "cosine_similarity takes 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      })
+      injection._1, injection._2, injection._3)
 }
 
 /** Session-extension hook: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes `cosine_similarity` available to every session, including pure
-  * `spark.sql` users (SURVEY §2.3 extension point).
+  * makes every fixed-name graft kernel available to every session,
+  * including pure `spark.sql` users (SURVEY §2.3 extension point) — the
+  * SAME injection triples the per-session `register()` helpers use, so
+  * the two paths cannot fork. Model-bound families (`bpe_count_<id>`,
+  * `unigram_seg_<id>`, `wordpiece_count_<id>`, `nearest_cells_<id>`) are
+  * inherently per-model and keep their content-hashed session
+  * registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val all = Seq(
+      CosineSimilarity.injection,
+      CharBigramStats.injection,
+      HyperplaneSignature.injection,
+      IntersectCountSorted.injection,
+      SubwordCount.injection,
+      VectorSum.injection) ++ Int8Ops.injections
+    all.foreach(ext.injectFunction)
+  }
 }

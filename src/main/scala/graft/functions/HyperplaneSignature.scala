@@ -86,14 +86,18 @@ object HyperplaneSignature {
   /** Register `hyperplane_sig(vec, bits, seed)` (idempotent); bits/seed
     * must be literals.
     */
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_sig"),
+    info,
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "hyperplane_sig takes (vec, bits, seed)")
+      val bits = children(1).eval().asInstanceOf[Number].intValue()
+      val seed = children(2).eval().asInstanceOf[Number].longValue()
+      HyperplaneSignature(children.head, bits, seed)
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("hyperplane_sig"),
-      info,
-      (children: Seq[Expression]) => {
-        require(children.length == 3, "hyperplane_sig takes (vec, bits, seed)")
-        val bits = children(1).eval().asInstanceOf[Number].intValue()
-        val seed = children(2).eval().asInstanceOf[Number].longValue()
-        HyperplaneSignature(children.head, bits, seed)
-      })
+      injection._1, injection._2, injection._3)
 }

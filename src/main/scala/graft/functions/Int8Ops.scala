@@ -209,28 +209,30 @@ case class Int8CosineQQ(left: Expression, right: Expression)
 }
 
 object Int8Ops {
-  /** Register `pack_int8` and `int8_cos_q` into a live session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("pack_int8"),
+  private[graft] val injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("pack_int8"),
       new ExpressionInfo(classOf[PackInt8].getName, "pack_int8"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "pack_int8 takes 1 argument")
         PackInt8(children.head)
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("int8_cos_q"),
+      }),
+    (FunctionIdentifier("int8_cos_q"),
       new ExpressionInfo(classOf[Int8CosineQ].getName, "int8_cos_q"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "int8_cos_q takes 2 arguments")
         Int8CosineQ(children.head, children(1))
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("int8_cos_qq"),
+      }),
+    (FunctionIdentifier("int8_cos_qq"),
       new ExpressionInfo(classOf[Int8CosineQQ].getName, "int8_cos_qq"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "int8_cos_qq takes 2 arguments")
         Int8CosineQQ(children.head, children(1))
-      })
-  }
+      }))
+
+  /** Register `pack_int8`, `int8_cos_q`, `int8_cos_qq` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
 }

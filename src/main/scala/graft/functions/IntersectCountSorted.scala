@@ -92,12 +92,16 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 }
 
 object IntersectCountSorted {
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("intersect_count_sorted"),
+    new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "intersect_count_sorted takes 2 arguments")
+      IntersectCountSorted(children.head, children(1))
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("intersect_count_sorted"),
-      new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "intersect_count_sorted takes 2 arguments")
-        IntersectCountSorted(children.head, children(1))
-      })
+      injection._1, injection._2, injection._3)
 }

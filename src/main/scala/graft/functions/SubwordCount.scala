@@ -123,12 +123,16 @@ object SubwordCount {
     cnt
   }
 
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("subword_count"),
+    new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "subword_count takes 1 argument")
+      SubwordCount(children.head)
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("subword_count"),
-      new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "subword_count takes 1 argument")
-        SubwordCount(children.head)
-      })
+      injection._1, injection._2, injection._3)
 }

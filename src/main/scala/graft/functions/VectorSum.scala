@@ -104,12 +104,16 @@ case class VectorSum(
 object VectorSum {
   private val info = new ExpressionInfo(classOf[VectorSum].getName, "vector_sum")
 
+  private[graft] val injection
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_sum"),
+    info,
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "vector_sum takes 1 argument")
+      VectorSum(children.head)
+    })
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vector_sum"),
-      info,
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "vector_sum takes 1 argument")
-        VectorSum(children.head)
-      })
+      injection._1, injection._2, injection._3)
 }
