@@ -1236,6 +1236,85 @@ object PipelineQueries {
           emit((dec(col("n_chars")) / dec(col("n_docs"))).cast(D38)).as("mean_chars"),
           col("top_lang"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_c59: sliding-window document chunking --------------------------
+    // The tokenize-and-chunk step every training loader runs before
+    // packing: each document's token stream splits into max-128-token
+    // chunks on a 112-token stride (16-token overlap, the BERT-style
+    // context carry), last partial chunk kept. Pure map-side projection
+    // + one explode per doc — the chunk table is the unit q_c25's
+    // sequence packing and q_c52's sample assembly consume downstream.
+    // Integer arithmetic only; chunk grid identical in both engines.
+    QueryDef(
+      "q_c59_doc_chunking",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n, UNNEST(range(0, n, 112)) AS t_start
+             |  FROM t WHERE n >= 1)
+             |SELECT doc_id,
+             |  CAST(t_start / 112 AS BIGINT) AS chunk_id,
+             |  CAST(t_start AS BIGINT) AS t_start,
+             |  CAST(LEAST(128, n - t_start) AS BIGINT) AS n_chunk_tokens,
+             |  CASE WHEN t_start + 128 >= n THEN 1 ELSE 0 END AS is_last
+             |FROM c
+             |ORDER BY doc_id, chunk_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .cast("long").as("n"))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("n"),
+          explode(expr("sequence(0L, n - 1, 112L)")).as("t_start"))
+        .select(col("doc_id"),
+          (col("t_start") / 112).cast("long").as("chunk_id"),
+          col("t_start").cast("long").as("t_start"),
+          least(lit(128L), col("n") - col("t_start")).cast("long").as("n_chunk_tokens"),
+          when(col("t_start") + 128 >= col("n"), 1).otherwise(0).as("is_last"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- q_c60: cross-source duplicate-overlap matrix ---------------------
+    // Which sources copy from each other: for every unordered source
+    // pair, the number of exact-duplicate text families (the q_b5 md5
+    // rule) with at least one member in BOTH sources — the
+    // between-source contamination signal a mixture designer reads
+    // before weighting sources (a source pair sharing many families is
+    // double-counting the same content). Families are a vanishing
+    // fraction of the corpus, so the pair join runs on a tiny
+    // hash-keyed frame; everything upstream is one corpus scan.
+    QueryDef(
+      "q_c60_source_overlap",
+      Some("""WITH d AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+             |f AS (SELECT h FROM (SELECT md5(text) AS h FROM documents)
+             |      GROUP BY h HAVING COUNT(*) > 1),
+             |p AS (
+             |  SELECT a.h, a.source AS source_a, b.source AS source_b
+             |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+             |  WHERE a.h IN (SELECT h FROM f))
+             |SELECT source_a, source_b,
+             |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_families
+             |FROM p GROUP BY 1, 2
+             |ORDER BY source_a, source_b""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val dh = docs.select(md5(col("text")).as("h"), col("source")).distinct()
+      val fams = docs.select(md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("h"))
+      val shared = dh.join(fams, Seq("h"))
+      shared.as("a")
+        .join(shared.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .select(col("a.h").as("h"),
+          col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(countDistinct(col("h")).cast("long").as("n_shared_families"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 

@@ -1160,6 +1160,34 @@ object SparkSqlQueries {
         |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    "q_c59_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, explode(sequence(0L, n - 1, 112L)) AS t_start
+        |  FROM t WHERE n >= 1)
+        |SELECT doc_id,
+        |  CAST(t_start / 112 AS BIGINT) AS chunk_id,
+        |  CAST(t_start AS BIGINT) AS t_start,
+        |  CAST(LEAST(128, n - t_start) AS BIGINT) AS n_chunk_tokens,
+        |  CASE WHEN t_start + 128 >= n THEN 1 ELSE 0 END AS is_last
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_c60_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+        |f AS (SELECT h FROM (SELECT md5(text) AS h FROM documents)
+        |      GROUP BY h HAVING COUNT(*) > 1),
+        |s AS (SELECT d.h, d.source FROM d JOIN f USING (h)),
+        |p AS (
+        |  SELECT a.h, a.source AS source_a, b.source AS source_b
+        |  FROM s a JOIN s b ON a.h = b.h AND a.source < b.source)
+        |SELECT source_a, source_b,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_families
+        |FROM p GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q_c57_source_report" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS n_chars,
