@@ -1315,6 +1315,264 @@ object PipelineQueries {
         .groupBy(col("source_a"), col("source_b"))
         .agg(countDistinct(col("h")).cast("long").as("n_shared_families"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- q_c62: temperature-sampled source mixture (α = 1/2) -------------
+    // The multilingual/multi-source alpha-sampling recipe (mT5 / XLM-R):
+    // source s is drawn ∝ n_s^α instead of n_s, upweighting small sources
+    // without q_c28's hard quotas. α = 1/2 keeps the weight exact:
+    // FLOOR(SQRT(n_tokens)) is bit-identical in both engines (IEEE-754
+    // sqrt is correctly rounded, floor of it has no boundary risk), so
+    // the per-source per-doc sampling threshold stays in pure integer
+    // arithmetic and the per-doc epoch draw is the house LCG applied
+    // twice (decorrelated from q_c37's split stream) — hash-exact end to
+    // end. The epoch budget is DATA-DEPENDENT (a quarter of the corpus's
+    // tokens) so the thresholds stay scale-free: a fixed budget
+    // saturates the 1.0-probability clamp the moment the corpus shrinks
+    // below it and the query degenerates to "sample everything".
+    // Distributed shape: one tiny per-source aggregate, thresholds
+    // broadcast back into a map-side projection — the corpus never
+    // shuffles. Threshold products stay under 2^63 through corpus sizes
+    // of ~10^11 tokens; past that the same math widens to DECIMAL(38,0)
+    // in both engines.
+    QueryDef(
+      "q_c62_temperature_mix",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |s AS (
+             |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+             |         CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+             |  FROM t GROUP BY source),
+             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+             |               CAST(SUM(src_tokens) // 4 AS BIGINT) AS budget FROM s),
+             |thr AS (
+             |  SELECT source, src_tokens, w,
+             |         LEAST(1000000, (1000000 * budget * w) // (tw * src_tokens)) AS thr_micro
+             |  FROM s CROSS JOIN tot),
+             |h AS (
+             |  SELECT doc_id, source,
+             |    (((((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007)
+             |       * 1103515245 + 12345) % 1000000007) % 1000000 AS draw
+             |  FROM t)
+             |SELECT h.doc_id, h.source, r.src_tokens, r.w,
+             |  CAST(r.thr_micro AS BIGINT) AS thr_micro,
+             |  CAST(CASE WHEN h.draw < r.thr_micro THEN 1 ELSE 0 END AS BIGINT) AS sampled
+             |FROM h JOIN thr r ON h.source = r.source
+             |ORDER BY h.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val src = t.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("src_tokens"))
+        .withColumn("w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+      val tot = src.agg(sum(col("w")).cast("long").as("tw"),
+        expr("CAST(SUM(src_tokens) DIV 4 AS BIGINT)").as("budget"))
+      val thr = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tokens"), col("w"),
+          least(lit(1000000L),
+            expr("(1000000L * budget * w) DIV (tw * src_tokens)")).as("thr_micro"))
+      val h1 = (col("doc_id") % 1000000007L) * 1103515245L + 12345L
+      val draw = ((h1 % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000000L
+      t.select(col("doc_id"), col("source"), draw.as("draw"))
+        .join(broadcast(thr), Seq("source"))
+        .select(col("doc_id"), col("source"), col("src_tokens"), col("w"),
+          col("thr_micro"),
+          when(col("draw") < col("thr_micro"), 1L).otherwise(0L).as("sampled"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c63: padding-waste / length-bucket loader report --------------
+    // The loader-design companion to q_c25's packing: if sequences are
+    // PADDED into power-of-two length buckets (16/32/64/128, long docs
+    // split at 128 like q_c59) instead of packed, how many slots does
+    // each bucket burn? Per doc: the full 128-token chunks land in the
+    // 128 bucket with zero waste; the residual chunk lands in the
+    // smallest covering bucket. Pure integer arithmetic, one map-side
+    // projection + a 4-row aggregate — runs at scan speed on 100 TB.
+    QueryDef(
+      "q_c63_padding_waste",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, (n + 127) // 128 - 1 AS nfull,
+             |         n - ((n + 127) // 128 - 1) * 128 AS r
+             |  FROM t),
+             |seqs AS (
+             |  SELECT CAST(128 AS BIGINT) AS bucket, nfull AS n_seqs, nfull * 128 AS used
+             |  FROM c WHERE nfull > 0
+             |  UNION ALL
+             |  SELECT CAST(CASE WHEN r <= 16 THEN 16 WHEN r <= 32 THEN 32
+             |                   WHEN r <= 64 THEN 64 ELSE 128 END AS BIGINT),
+             |         CAST(1 AS BIGINT), r
+             |  FROM c)
+             |SELECT bucket,
+             |  CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+             |  CAST(SUM(used) AS BIGINT) AS used_tokens,
+             |  CAST(bucket * SUM(n_seqs) AS BIGINT) AS slots,
+             |  CAST(bucket * SUM(n_seqs) - SUM(used) AS BIGINT) AS padded_slots,
+             |  CAST(CAST(CAST(bucket * SUM(n_seqs) - SUM(used) AS DECIMAL(18,6))
+             |    / CAST(bucket * SUM(n_seqs) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE)
+             |    AS waste_ratio
+             |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .select(col("n"),
+          expr("(n + 127) DIV 128 - 1").as("full"))
+        .withColumn("r", col("n") - col("full") * 128L)
+      val fullRows = t.filter(col("full") > 0)
+        .select(lit(128L).as("bucket"), col("full").as("n_seqs"),
+          (col("full") * 128L).as("used"))
+      val lastRows = t.select(
+        when(col("r") <= 16, 16L).when(col("r") <= 32, 32L)
+          .when(col("r") <= 64, 64L).otherwise(128L).as("bucket"),
+        lit(1L).as("n_seqs"), col("r").as("used"))
+      fullRows.union(lastRows)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_seqs")).cast("long").as("n_seqs"),
+          sum(col("used")).cast("long").as("used_tokens"))
+        .withColumn("slots", col("bucket") * col("n_seqs"))
+        .withColumn("padded_slots", col("slots") - col("used_tokens"))
+        .select(col("bucket"), col("n_seqs"), col("used_tokens"), col("slots"),
+          col("padded_slots"),
+          emit((dec(col("padded_slots")) / dec(col("slots"))).cast(D38)).as("waste_ratio"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q_c64: leakage-safe train/val/test split -------------------------
+    // q_c37's hash split applied naively leaks: two NEAR-DUPLICATE
+    // documents can land in train and test, so held-out loss measures
+    // memorized copies (the Lee et al. 2022 dedup paper's eval warning).
+    // The published fix is family-consistent assignment — split by the
+    // duplicate-family representative (q_c13's connected-component
+    // minimum over the banded-MinHash candidate graph; docs outside any
+    // family are their own representative), so every member of a family
+    // shares a split. Output pins both the repaired and the naive
+    // assignment plus the leak flag, NON-VACUOUS on this corpus (26
+    // nontrivial near-dup clusters at sf0.01, 10 of them split-straddling
+    // under the naive rule). Cost on top of q_c13 (whose candidate frame
+    // and CC output this shares via the session memo): one left join +
+    // a map-side LCG; the same growth-stability argument as q_c37
+    // applies per family as long as the family representative is stable.
+    QueryDef(
+      "q_c64_leakage_split",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |nodes AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM cand
+              |    UNION ALL SELECT doc_b FROM cand)),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM cand
+              |  UNION ALL SELECT doc_b, doc_a FROM cand),
+              |reach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+              |fam AS (SELECT doc_id, MIN(lbl) AS family_rep FROM reach GROUP BY doc_id),
+              |b AS (
+              |  SELECT d.doc_id,
+              |    CAST(COALESCE(f.family_rep, d.doc_id) AS BIGINT) AS family_rep
+              |  FROM documents d LEFT JOIN fam f ON d.doc_id = f.doc_id),
+              |k AS (
+              |  SELECT doc_id, family_rep,
+              |    ((family_rep % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS fb,
+              |    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS nb
+              |  FROM b)
+              |SELECT doc_id, family_rep,
+              |  CASE WHEN fb < 800 THEN 'train' WHEN fb < 900 THEN 'val' ELSE 'test' END AS split,
+              |  CASE WHEN nb < 800 THEN 'train' WHEN nb < 900 THEN 'val' ELSE 'test' END AS naive_split,
+              |  CAST(CASE WHEN (CASE WHEN fb < 800 THEN 0 WHEN fb < 900 THEN 1 ELSE 2 END)
+              |         <> (CASE WHEN nb < 800 THEN 0 WHEN nb < 900 THEN 1 ELSE 2 END)
+              |       THEN 1 ELSE 0 END AS BIGINT) AS leaked
+              |FROM k ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      def bucketOf(id: org.apache.spark.sql.Column) =
+        ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L
+      def splitOf(b: org.apache.spark.sql.Column) =
+        when(b < 800, "train").when(b < 900, "val").otherwise("test")
+      val cand = DedupQueries.minhashCandidatesShared(s, d)
+      val fam = connectedComponentsStar(s, cand)
+      Tables(s, d, "documents").select(col("doc_id"))
+        .join(fam, Seq("doc_id"), "left")
+        .withColumn("family_rep", coalesce(col("cluster_id"), col("doc_id")).cast("long"))
+        .withColumn("fb", bucketOf(col("family_rep")))
+        .withColumn("nb", bucketOf(col("doc_id")))
+        .select(col("doc_id"), col("family_rep"),
+          splitOf(col("fb")).as("split"),
+          splitOf(col("nb")).as("naive_split"),
+          when(splitOf(col("fb")) =!= splitOf(col("nb")), 1L).otherwise(0L).as("leaked"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c65: quality-curriculum schedule -------------------------------
+    // Order the corpus best-first by the q_c30 classifier signal and cut
+    // the token stream into four curriculum phases (the quality-ordered
+    // data-schedule step). The ordering key is the raw INTEGER signal
+    // qkey = ((wsum + 1024·n)·1000) div (2048·n) ∈ [0, 999] — a
+    // per-mille quality quantile, identical in both engines with no
+    // float comparison. The prefix sum is q_c25's BLOCK-STRUCTURED
+    // shape: per-qkey token sums are a ≤1000-row frame whose offsets are
+    // a window over that tiny frame; the within-key window partitions by
+    // qkey — no global single-partition window at any corpus size (a
+    // finer qkey quantization bounds within-key width if a key ever
+    // concentrates).
+    QueryDef(
+      "q_c65_curriculum",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+             |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
+             |       * 1103515245 + 12345) % 2048 - 1024)),
+             |      (a, x) -> a + x) AS wsum
+             |  FROM t),
+             |q AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE WHEN n_tokens = 0 THEN 500
+             |         ELSE ((wsum + 1024 * n_tokens) * 1000) // (2048 * n_tokens) END AS qkey
+             |  FROM h),
+             |c AS (
+             |  SELECT doc_id, n_tokens, qkey,
+             |    COALESCE(SUM(n_tokens) OVER (ORDER BY qkey DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start,
+             |    SUM(n_tokens) OVER () AS total
+             |  FROM q)
+             |SELECT doc_id, CAST(qkey AS BIGINT) AS qkey, n_tokens,
+             |  CAST(cum_start AS BIGINT) AS cum_start,
+             |  CAST(CASE WHEN total > 0 THEN LEAST(3, (cum_start * 4) // total)
+             |       ELSE 0 END AS BIGINT) AS phase
+             |FROM c ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val q = TextQueries.classifierRaw(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") === 0, 500L)
+            .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))
+            .as("qkey"))
+      val wBlk = Window.orderBy(col("qkey").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkOff = q.groupBy(col("qkey"))
+        .agg(sum(col("n_tokens")).as("bsum"))
+        .withColumn("boff", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
+        .drop("bsum")
+      val total = q.agg(sum(col("n_tokens")).cast("long").as("total"))
+      val wIn = Window.partitionBy(col("qkey")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      q.join(broadcast(blkOff), Seq("qkey"))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_start",
+          col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("qkey"), col("n_tokens"), col("cum_start"),
+          when(col("total") > 0,
+            least(lit(3L), expr("(cum_start * 4) DIV total"))).otherwise(0L).as("phase"))
+        .orderBy(col("doc_id"))
     }
   )
 

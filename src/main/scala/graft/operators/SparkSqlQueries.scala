@@ -1465,7 +1465,86 @@ object SparkSqlQueries {
         |SELECT doc_id, source, bucket,
         |  CASE WHEN bucket < 800 THEN 'train'
         |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_c62_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+        |         CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+        |               CAST(SUM(src_tokens) DIV 4 AS BIGINT) AS budget FROM s),
+        |thr AS (
+        |  SELECT source, src_tokens, w,
+        |         LEAST(1000000L, (1000000L * budget * w) DIV (tw * src_tokens)) AS thr_micro
+        |  FROM s CROSS JOIN tot),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    (((((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
+        |       * 1103515245L + 12345L) % 1000000007L) % 1000000L AS draw
+        |  FROM t)
+        |SELECT h.doc_id, h.source, r.src_tokens, r.w,
+        |  CAST(r.thr_micro AS BIGINT) AS thr_micro,
+        |  CAST(CASE WHEN h.draw < r.thr_micro THEN 1 ELSE 0 END AS BIGINT) AS sampled
+        |FROM h JOIN thr r ON h.source = r.source
+        |ORDER BY h.doc_id""".stripMargin,
+
+    "q_c63_padding_waste" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (n + 127) DIV 128 - 1 AS nfull,
+        |         n - ((n + 127) DIV 128 - 1) * 128 AS r
+        |  FROM t),
+        |seqs AS (
+        |  SELECT CAST(128 AS BIGINT) AS bucket, nfull AS n_seqs, nfull * 128 AS used
+        |  FROM c WHERE nfull > 0
+        |  UNION ALL
+        |  SELECT CAST(CASE WHEN r <= 16 THEN 16 WHEN r <= 32 THEN 32
+        |                   WHEN r <= 64 THEN 64 ELSE 128 END AS BIGINT),
+        |         CAST(1 AS BIGINT), r
+        |  FROM c)
+        |SELECT bucket,
+        |  CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(used) AS BIGINT) AS used_tokens,
+        |  CAST(bucket * SUM(n_seqs) AS BIGINT) AS slots,
+        |  CAST(bucket * SUM(n_seqs) - SUM(used) AS BIGINT) AS padded_slots,
+        |  CAST(CAST(CAST(bucket * SUM(n_seqs) - SUM(used) AS DECIMAL(18,6))
+        |    / CAST(bucket * SUM(n_seqs) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE)
+        |    AS waste_ratio
+        |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_c65_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens,
+        |    aggregate(toks, 0L, (acc, w) ->
+        |      acc + ((aggregate(split(w, ''), 0L,
+        |               (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64)
+        |             * 1103515245L + 12345L) % 2048L - 1024L) AS wsum
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 500L
+        |         ELSE ((wsum + 1024L * n_tokens) * 1000L) DIV (2048L * n_tokens) END AS qkey
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, n_tokens, qkey,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY qkey DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cum_start,
+        |    SUM(n_tokens) OVER () AS total
+        |  FROM q)
+        |SELECT doc_id, CAST(qkey AS BIGINT) AS qkey, n_tokens,
+        |  CAST(cum_start AS BIGINT) AS cum_start,
+        |  CAST(CASE WHEN total > 0 THEN LEAST(3L, (cum_start * 4L) DIV total)
+        |       ELSE 0L END AS BIGINT) AS phase
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

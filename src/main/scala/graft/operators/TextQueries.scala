@@ -1176,7 +1176,13 @@ object TextQueries {
           .as("entropy"))
   }
 
-  private[graft] def classifierProjection(
+  /** The classifier's integer core — (doc_id, n_tokens, wsum) before the
+    * score emission. Shared by [[classifierProjection]] (q_c30 / q_c49 /
+    * the streaming twin) and PipelineQueries' quality-curriculum schedule
+    * (q_c65), which needs the raw integer signal for a deterministic
+    * ordering key rather than the emitted double score.
+    */
+  private[graft] def classifierRaw(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
     docs
@@ -1189,6 +1195,11 @@ object TextQueries {
         expr(s"""aggregate(toks, 0L, (acc, w) ->
                 |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
           .as("wsum"))
+  }
+
+  private[graft] def classifierProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    classifierRaw(docs)
       .select(
         col("doc_id"),
         col("n_tokens"),

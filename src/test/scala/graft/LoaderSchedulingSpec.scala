@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c62–q_c65 — the loader/scheduling family's semantic properties that
+  * the oracles' value-hashes can't express as intent:
+  *
+  *  - q_c62 temperature sampling upweights SMALL sources (thresholds
+  *    anti-monotone in source size) and lands the expected sampled-token
+  *    mass near the α-weighted budget share;
+  *  - q_c63's bucket report conserves the corpus token count exactly and
+  *    every residual lands in the smallest covering bucket;
+  *  - q_c64 is leakage-SAFE: every near-dup family is entirely inside
+  *    one split, and the leak flag marks exactly the members the naive
+  *    rule would have strayed;
+  *  - q_c65's schedule is a permutation ordered best-first with an exact
+  *    token prefix sum and monotone phases.
+  */
+class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-loader-sched-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def splitOf(id: Long): Int = {
+    val b = ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L
+    if (b < 800) 0 else if (b < 900) 1 else 2
+  }
+
+  test("q_c62: thresholds anti-monotone in source size; sampled mass tracks the α-share") {
+    val rows = SparkEntry.queries("q_c62_temperature_mix")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(1)).map { case (src, rs) =>
+      (src, rs.head.getLong(2), rs.head.getLong(3), rs.head.getLong(4))
+    }.toSeq
+    assert(bySrc.size > 1, "needs multiple sources to be non-vacuous")
+    // the threshold is exactly its integer formula
+    val tw = bySrc.map(_._3).sum
+    val budget = bySrc.map(_._2).sum / 4
+    bySrc.foreach { case (src, n, w, thr) =>
+      assert(w === math.sqrt(n.toDouble).toLong, s"$src: w = floor(sqrt(n))")
+      assert(thr === math.min(1000000L, 1000000L * budget * w / (tw * n)),
+        s"$src: threshold must be the exact integer formula")
+    }
+    // α = 1/2 ⇒ per-token inclusion probability ∝ 1/sqrt(n_s). The
+    // FLOOR(SQRT) quantization can reorder near-equal sources by < 1/w
+    // relative, so pin anti-monotonicity where quantization cannot flip
+    // it: na(1 + 3/w_a) < nb guarantees thr_a >= thr_b.
+    for {
+      (_, na, wa, ta) <- bySrc
+      (_, nb, _, tb) <- bySrc
+      if na * (wa + 3) < nb * wa
+    } assert(ta >= tb, s"clearly smaller source ($na tok) must sample at >= rate of larger ($nb tok)")
+    // thresholds are probabilities in micros
+    bySrc.foreach { case (_, _, w, thr) =>
+      assert(thr >= 0 && thr <= 1000000)
+      assert(w >= 1)
+    }
+    // expected sampled tokens = Σ_s thr_s/1e6 · n_s ≈ budget = total/4
+    // (exact up to the per-source floor, which loses < 1 token-rate each)
+    val total = bySrc.map(_._2).sum
+    val expected = bySrc.map { case (_, n, _, thr) => thr.toDouble / 1e6 * n }.sum
+    assert(math.abs(expected - total / 4.0) <= bySrc.size.toDouble,
+      s"expected sampled mass $expected must track budget ${total / 4.0}")
+    // the draw is non-vacuous: both outcomes occur
+    val sampled = rows.map(_.getLong(5)).toSet
+    assert(sampled == Set(0L, 1L))
+  }
+
+  test("q_c63: token conservation and minimal covering buckets") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_c63_padding_waste")(spark, sf).collect()
+    val buckets = rows.map(_.getLong(0)).toSet
+    assert(buckets.subsetOf(Set(16L, 32L, 64L, 128L)))
+    // conservation: used tokens across buckets == corpus tokens
+    val corpusTokens = graft.core.Tables(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum === corpusTokens)
+    rows.foreach { r =>
+      val (bucket, nSeqs, used, slots, padded) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(slots === bucket * nSeqs)
+      assert(padded === slots - used)
+      assert(used <= slots)
+      // minimal covering: a bucket's residuals must not all fit the next
+      // bucket down, so per-seq mean use exceeds half the bucket… only
+      // guaranteed per SEQUENCE, so check the invariant that waste per
+      // sequence is < bucket/2 + 128-bucket full chunks exception
+      val wastePerSeq = padded.toDouble / nSeqs
+      if (bucket > 16) assert(wastePerSeq < bucket / 2.0 + 1e-9,
+        s"bucket $bucket: residuals of <= ${bucket / 2} tokens belong one bucket down")
+    }
+  }
+
+  test("q_c64: families never straddle splits; leak flag exact vs the naive rule") {
+    val rows = SparkEntry.queries("q_c64_leakage_split")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    val splits = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    // family-consistency: every member's split == its family_rep's rule
+    rows.foreach { r =>
+      val (doc, rep, split, naive, leaked) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))
+      assert(splits(split) === splitOf(rep), s"doc $doc must follow family $rep")
+      assert(splits(naive) === splitOf(doc))
+      assert(leaked === (if (split != naive) 1L else 0L))
+      assert(rep <= doc, "representative is the family minimum")
+    }
+    // grouped view: one split per family
+    rows.groupBy(_.getLong(1)).foreach { case (rep, members) =>
+      assert(members.map(_.getString(2)).toSet.size === 1,
+        s"family $rep must land in exactly one split")
+    }
+    // non-vacuous on this corpus: the naive rule strays somewhere
+    assert(rows.map(_.getLong(4)).sum > 0, "fixture must exercise the leak repair")
+    // representatives keep their own (naive == family) assignment
+    rows.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getLong(4) === 0L))
+  }
+
+  test("q_c65: exact best-first prefix sum with monotone phases") {
+    val rows = SparkEntry.queries("q_c65_curriculum")(spark, sf).collect()
+    val docs = graft.core.Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong === docs, "the schedule is a permutation of the corpus")
+    // replay the schedule in its declared order and re-derive the prefix sum
+    val ordered = rows.sortBy(r => (-r.getLong(1), r.getLong(0)))
+    var cum = 0L
+    val total = rows.map(_.getLong(2)).sum
+    var lastPhase = 0L
+    ordered.foreach { r =>
+      assert(r.getLong(3) === cum, s"doc ${r.getLong(0)}: cum_start must be the exact prefix sum")
+      val phase = r.getLong(4)
+      assert(phase === math.min(3L, cum * 4 / total))
+      assert(phase >= lastPhase, "phases never decrease along the schedule")
+      lastPhase = phase
+      cum += r.getLong(2)
+    }
+    assert(cum === total)
+    // all four phases are populated and quality strictly falls across them
+    val byPhase = rows.groupBy(_.getLong(4))
+    assert(byPhase.keySet === Set(0L, 1L, 2L, 3L))
+    val meanQ = (p: Long) => {
+      val rs = byPhase(p); rs.map(_.getLong(1)).sum.toDouble / rs.size
+    }
+    assert(meanQ(0L) > meanQ(3L), "phase 0 must hold higher-quality docs than phase 3")
+  }
+}
