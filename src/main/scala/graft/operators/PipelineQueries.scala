@@ -789,6 +789,80 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c61: Bloom-prefiltered re-ingestion dedup ----------------------
+    // q_c27's mirror image for the LARGE-batch case: a re-crawl batch
+    // (every odd doc_id — deliberately OVERLAPPING the retained corpus,
+    // the realistic re-ingestion shape) is checked for already-ingested
+    // documents. Broadcasting the batch's grams (q_c27's trick) stops
+    // working when the batch is half the corpus; the scale pattern is a
+    // BLOOM SUMMARY of the retained corpus's md5 set: m = 2^20 bits
+    // built once by a treeAggregate of per-partition bitmaps (driver
+    // state bounded by m, NOT by corpus size; the corpus never
+    // shuffles), then a map-side membership test on the batch. No false
+    // negatives ⇒ bloom-negative rows are PROVABLY new and skip the
+    // confirm join entirely; only the surviving sliver broadcasts into
+    // the streaming retained side for exact confirmation, so the final
+    // verdict is exact — the filter buys the plan, not the answer. The
+    // hash family is double-hashing over the digest's two 48-bit words,
+    // derivable in plain SQL, so even bloom_positive (false positives
+    // included) is ORACLE-CHECKED rather than trusted. At the deployed
+    // m the FP mass is ~(nk/m)^k; sizing m is the one knob, and the
+    // admission verdict is immune to it by construction.
+    QueryDef(
+      "q_c61_bloom_ingest",
+      Some("""WITH r AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+             |rh AS (SELECT DISTINCT h,
+             |         CAST(('0x' || substr(h, 1, 12)) AS BIGINT) AS h1,
+             |         CAST(('0x' || substr(h, 13, 12)) AS BIGINT) AS h2 FROM r),
+             |rp AS (SELECT DISTINCT (h1 + t.i * h2) % 1048576 AS pos
+             |       FROM rh, (SELECT unnest(range(5)) AS i) t),
+             |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+             |ih AS (SELECT doc_id,
+             |         CAST(('0x' || substr(h, 1, 12)) AS BIGINT) AS h1,
+             |         CAST(('0x' || substr(h, 13, 12)) AS BIGINT) AS h2 FROM inc),
+             |ip AS (SELECT doc_id, (h1 + t.i * h2) % 1048576 AS pos
+             |       FROM ih, (SELECT unnest(range(5)) AS i) t),
+             |np AS (SELECT doc_id, COUNT(DISTINCT pos) AS n FROM ip GROUP BY doc_id),
+             |mp AS (SELECT ip.doc_id, COUNT(DISTINCT ip.pos) AS nm
+             |       FROM ip JOIN rp USING (pos) GROUP BY ip.doc_id),
+             |bp AS (SELECT np.doc_id FROM np JOIN mp USING (doc_id) WHERE np.n = mp.nm),
+             |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN r ON i.h = r.h)
+             |SELECT i.doc_id,
+             |  CAST(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS bloom_positive,
+             |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+             |  CAST(CASE WHEN ex.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+             |FROM inc i
+             |LEFT JOIN bp ON i.doc_id = bp.doc_id
+             |LEFT JOIN ex ON i.doc_id = ex.doc_id
+             |ORDER BY i.doc_id""".stripMargin)
+    ) { (s, d) =>
+      import graft.functions.BloomFilterOps
+      val docs = Tables(s, d, "documents")
+      val retained = docs.filter(col("doc_id") % 10 =!= 3).select(md5(col("text")).as("h"))
+      val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+      val bits = bloomBuilt.getOrBuild(d, snap)(
+        BloomFilterOps.build(retained, BloomM, BloomK))
+      val fn = BloomFilterOps.register(s, bits, BloomM, BloomK)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("bloom_positive", when(expr(s"$fn(h)"), 1L).otherwise(0L))
+      // only bloom-positive keys exist past this filter — the provably-new
+      // majority never reaches any join
+      val survivors = incoming.filter(col("bloom_positive") === 1L)
+        .select(col("h")).distinct()
+      // hash frame ≈ 48 B/doc vs ~8× that of raw text on disk
+      val docBytes = graft.core.Sizing.onDiskBytes(s, s"$d/documents.parquet")
+      val hits = retained
+        .join(graft.core.Sizing.broadcastIfUnder(s, survivors, docBytes / 8), Seq("h"))
+        .select(col("h")).distinct()
+        .withColumn("exact_dup", lit(1L))
+      incoming.join(hits, Seq("h"), "left")
+        .select(col("doc_id"), col("bloom_positive"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+          when(col("exact_dup").isNull, 1L).otherwise(0L).as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q_c25: sequence packing (concat-and-chunk) ----------------------
     // Map each document to the fixed-length training sequences it lands in
     // when the per-source token stream is concatenated in doc_id order and
@@ -1575,6 +1649,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q_c61's Bloom geometry: m = 2^20 bits (128 KiB driver/executor
+    * footprint), k = 5 hashes. FP rate ~(nk/m)^k — effectively zero at
+    * the harness corpus sizes; at 10^9 retained keys a deployment sizes
+    * m to ~10 bits/key the same way (the bits build is corpus-size-free
+    * in memory either way). The build is content-snapshot memoized.
+    */
+  private val BloomM = 1 << 20
+  private val BloomK = 5
+  private val bloomBuilt = new graft.core.BuildOnceCache[String, Array[Long]]
+
+  /** Test hook (JobCountGateSpec cold-state discipline): drop the memoized
+    * Bloom summary so a gated q_c61 run pays its build jobs.
+    */
+  def clearBloomCache(): Unit = bloomBuilt.clear()
 
   /** q_c51's session-scoped JSONL export location (content-snapshot
     * guarded like the BM25 postings index): the corpus is exported once

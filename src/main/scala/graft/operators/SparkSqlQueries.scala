@@ -1467,6 +1467,37 @@ object SparkSqlQueries {
         |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // q_c61's twin derives the Bloom test RELATIONALLY (position-set
+    // containment) — parity with the DataFrame plan therefore validates
+    // the codegen'd BloomMaybeContains expression against a pure-SQL
+    // derivation of the same double-hashing family.
+    "q_c61_bloom_ingest" ->
+      """WITH r AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+        |rh AS (SELECT DISTINCT h,
+        |         CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT) AS h1,
+        |         CAST(conv(substr(h, 13, 12), 16, 10) AS BIGINT) AS h2 FROM r),
+        |rp AS (SELECT DISTINCT (h1 + i * h2) % 1048576 AS pos
+        |       FROM rh LATERAL VIEW explode(sequence(0L, 4L)) t AS i),
+        |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+        |ih AS (SELECT doc_id,
+        |         CAST(conv(substr(h, 1, 12), 16, 10) AS BIGINT) AS h1,
+        |         CAST(conv(substr(h, 13, 12), 16, 10) AS BIGINT) AS h2 FROM inc),
+        |ip AS (SELECT doc_id, (h1 + i * h2) % 1048576 AS pos
+        |       FROM ih LATERAL VIEW explode(sequence(0L, 4L)) t AS i),
+        |np AS (SELECT doc_id, COUNT(DISTINCT pos) AS n FROM ip GROUP BY doc_id),
+        |mp AS (SELECT ip.doc_id, COUNT(DISTINCT ip.pos) AS nm
+        |       FROM ip JOIN rp USING (pos) GROUP BY ip.doc_id),
+        |bp AS (SELECT np.doc_id FROM np JOIN mp USING (doc_id) WHERE np.n = mp.nm),
+        |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN r ON i.h = r.h)
+        |SELECT i.doc_id,
+        |  CAST(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS bloom_positive,
+        |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+        |  CAST(CASE WHEN ex.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM inc i
+        |LEFT JOIN bp ON i.doc_id = bp.doc_id
+        |LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
+
     "q_c62_temperature_mix" ->
       """WITH t AS (
         |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok

@@ -68,7 +68,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c48_substr_dedup" -> 13,     // measured 10 (gram count + per-doc interval-union fold)
     "q_c49_quality_ensemble" -> 23, // measured 18 (fused map-side scan + memoized ppl branch)
     "q_c54_tfidf_similarity" -> 26, // measured 21 (tf memo + idf/norm aggs + panel join + top-k)
-    "q_c55_ngram_novelty" -> 12     // measured 9 (gram count + first-occurrence join)
+    "q_c55_ngram_novelty" -> 12,    // measured 9 (gram count + first-occurrence join)
+    "q_c61_bloom_ingest" -> 12,     // measured 9 (bloom treeAggregate + survivor broadcast + confirm)
+    "q_c64_leakage_split" -> 41     // measured 33 (shared minhash frame + star-CC + split join)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
@@ -90,6 +92,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.operators.BpeTrainer.clearModelCache()
         graft.operators.UnigramTrainer.clearModelCache()
         graft.operators.WordPieceTrainer.clearModelCache()
+        graft.operators.PipelineQueries.clearBloomCache()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
