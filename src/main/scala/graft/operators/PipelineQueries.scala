@@ -1625,7 +1625,7 @@ object PipelineQueries {
              |       ELSE 0 END AS BIGINT) AS phase
              |FROM c ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val q = TextQueries.classifierRaw(Tables(s, d, "documents"))
+      val q = TextQueries.classifierRawShared(s, d)
         .select(col("doc_id"), col("n_tokens"),
           when(col("n_tokens") === 0, 500L)
             .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))

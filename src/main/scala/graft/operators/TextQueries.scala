@@ -463,7 +463,7 @@ object TextQueries {
              |  CASE WHEN wsum > 0 THEN 'keep' ELSE 'drop' END AS cls
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      classifierProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
+      classifierFinal(classifierRawShared(s, d)).orderBy(col("doc_id"))
     },
 
     // ---- q_c31: rules-based quality filter (Gopher-style) ----------------
@@ -1197,9 +1197,27 @@ object TextQueries {
           .as("wsum"))
   }
 
+  /** Session-memoized [[classifierRaw]] over the corpus: q_c30 and
+    * q_c65 (PipelineQueries' curriculum) both consume the identical
+    * integer signal, so per Verify/Bench session the nested
+    * token-hash fold runs once (the tf_unigram / minhash_cand
+    * discipline). Streaming stays on the per-batch projection —
+    * a memo has no meaning across micro-batches.
+    */
+  private[graft] def classifierRawShared(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.core.SessionMemo.getOrBuild(
+      s, "cls_raw", d, Seq(s"$d/documents.parquet"))(
+      classifierRaw(Tables(s, d, "documents")))
+
   private[graft] def classifierProjection(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    classifierRaw(docs)
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    classifierFinal(classifierRaw(docs))
+
+  /** The score emission over an already-computed raw signal frame. */
+  private[graft] def classifierFinal(
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    raw
       .select(
         col("doc_id"),
         col("n_tokens"),
