@@ -257,6 +257,22 @@ object StreamingOps {
   def entropyStats(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.entropyProjection(docs)
 
+  /** Streaming twin of q_c61's Bloom prefilter: the retained corpus's
+    * m-bit summary (built batch-side via `BloomFilterOps.build` and
+    * registered under its content-id name — 128 KiB of broadcastable
+    * model state) applies to a live ingestion stream as a STATELESS
+    * map-side projection. Bloom-negative documents are provably new and
+    * admit immediately — no state, no watermark, no join; bloom-positive
+    * ones carry the flag to the exact confirm path (q_c61's batch side).
+    * The projection is the same expression tree as batch, so the two
+    * paths cannot disagree (BloomIngestSpec asserts row equality across
+    * uneven micro-batches).
+    */
+  def bloomPrefilter(docs: DataFrame, bloomFn: String): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("bloom_positive",
+        when(expr(s"$bloomFn(h)"), 1L).otherwise(0L))
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

@@ -96,6 +96,42 @@ class BloomIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked.map(_.getBoolean(1)).toSet === Set(true, false))
   }
 
+  test("streaming prefilter == batch q_c61 bloom flags across uneven micro-batches") {
+    import graft.functions.BloomFilterOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val docs = graft.core.Tables(sp, sf, "documents")
+    val retained = docs.filter(col("doc_id") % 10 =!= 3).select(md5(col("text")).as("h"))
+    val bits = BloomFilterOps.build(retained, 1 << 20, 5)
+    val fn = BloomFilterOps.register(sp, bits, 1 << 20, 5)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .bloomPrefilter(input.toDF().toDF("doc_id", "text"), fn)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_bloom").toString)
+      .format("memory").queryName("bloomflags").outputMode("append").start()
+    // deliberately uneven batches: 1, then the bulk, then the tail
+    for (chunk <- Seq(incoming.take(1), incoming.slice(1, incoming.length - 7),
+        incoming.takeRight(7))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("bloomflags")
+      .select(col("doc_id"), col("bloom_positive"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = SparkEntry.queries("q_c61_bloom_ingest")(sp, sf)
+      .select(col("doc_id"), col("bloom_positive"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("hexWord parses upper/lower hex and rejects garbage loudly") {
     import graft.functions.BloomFilterOps
     assert(BloomFilterOps.hexWord(UTF8String.fromString("0000000000ff"), 0, 12) === 255L)
