@@ -245,12 +245,26 @@ object DedupQueries {
     * the duplicate-cluster op (q_c13 in PipelineQueries): 3-word shingles
     * → 6 permutations → 3 bands of 2 rows → docs sharing any band key.
     */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    candidatesFromSigs(minhashSignatures(s, d))
+
+  /** The per-doc 6-permutation signature frame (doc_id, mh0..mh5) — the
+    * artifact worth STORING: 48 bytes/doc computed once at ingest, vs
+    * re-shingling the raw text on every dedup run (see q_c66).
+    */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val h = shingles(s, d).select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
     val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
     }
-    val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** Banded candidate generation over a signature frame — shared verbatim
+    * by the derived path ([[minhashCandidates]]) and the stored-index
+    * path ([[minhashSearchStored]]), so the two can never drift.
+    */
+  private def candidatesFromSigs(sig: DataFrame): DataFrame = {
     val bands = (0 until 3)
       .map { bandIdx =>
         sig.select(
@@ -270,6 +284,48 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Write the stored MinHash signature index: one row per doc, six
+    * BIGINT minhashes, range-partitioned and sorted by doc_id (doc-keyed
+    * point lookups and merge joins prune on parquet min/max). The third
+    * stored index after int8-IVF and BM25 postings — at ingest scale the
+    * signature column is ~48 B/doc vs re-reading and re-shingling the
+    * full text (the dominant dedup cost) on every run.
+    */
+  private[graft] def buildMinhashIndex(
+      s: SparkSession, d: String, path: String): Unit =
+    minhashSignatures(s, d)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+
+  /** Session-stable index location (the postingsIndex discipline:
+    * content-snapshot guard, build under the lock, deferred deletion of
+    * an abandoned snapshot's directory).
+    */
+  private val minhashIdxBuilt =
+    scala.collection.mutable.Map.empty[String, (String, String)] // dir -> (snap, path)
+
+  private[graft] def minhashIndex(s: SparkSession, d: String): String = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    minhashIdxBuilt.synchronized {
+      minhashIdxBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-minhash-index").toString
+        buildMinhashIndex(s, d, path)
+        minhashIdxBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteOnExit(old)
+        }
+        path
+      }
+    }
+  }
+
+  /** Candidate pairs served from the STORED signatures: the corpus text
+    * is never read — the scan is the 48 B/doc signature table.
+    */
+  private[graft] def minhashSearchStored(s: SparkSession, path: String): DataFrame =
+    candidatesFromSigs(s.read.parquet(s"$path/sigs"))
 
   /** Session-scoped memo of [[minhashCandidates]] (see
     * [[graft.core.SessionMemo]] for keying, snapshot invalidation, and
@@ -719,6 +775,23 @@ object DedupQueries {
               .otherwise((dec(col("n_novel")) / dec(col("n_grams"))).cast(D38)))
             .as("novelty"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c66: LSH candidates from the STORED signature index -----------
+    // q_c1's execution-strategy rewrite (the q_c45/int8 index-lifecycle
+    // class): per-doc MinHash signatures are computed ONCE at ingest and
+    // stored (48 B/doc, range-partitioned by doc_id); every subsequent
+    // dedup run serves candidate generation from the signature table
+    // without touching the corpus text — at 100 TB the re-shingling scan
+    // is the dominant dedup cost and it disappears from the steady
+    // state. Same oracle as q_c1; StoredMinhashSpec pins stored ≡
+    // derived ≡ oracle and that a warm session reuses the index.
+    QueryDef(
+      "q_c66_minhash_stored",
+      Some(s"""WITH $duckMinhashCand
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
+    ) { (s, d) =>
+      minhashSearchStored(s, minhashIndex(s, d)).orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

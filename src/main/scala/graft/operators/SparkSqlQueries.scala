@@ -1589,5 +1589,8 @@ object SparkSqlQueries {
     // the stored-index search is an execution-strategy rewrite of q_c12:
     // identical user-facing semantics, same SQL text (parity proves the
     // index round-trip preserves every score)
-    "q_c45_bm25_stored" -> base("q_c12_bm25"))
+    "q_c45_bm25_stored" -> base("q_c12_bm25"),
+    // same class: q_c66 serves q_c1's candidates from the stored
+    // signature index — parity proves the signature round-trip is exact
+    "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"))
 }

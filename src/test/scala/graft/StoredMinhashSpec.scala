@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c66 — the stored MinHash signature index (the q_c45/int8
+  * index-lifecycle class): stored-search candidates are bit-identical to
+  * the derived pipeline, the signature table is a small fraction of the
+  * corpus text bytes, and a warm session serves repeat searches from the
+  * SAME on-disk index instead of rebuilding.
+  */
+class StoredMinhashSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-stored-minhash-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stored-index candidates == derived pipeline == q_c1") {
+    import graft.operators.DedupQueries
+    val stored = SparkEntry.queries("q_c66_minhash_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val derived = SparkEntry.queries("q_c1_minhash_lsh")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty, "fixture must produce candidate pairs")
+    assert(stored === derived)
+    // signatures round-trip exactly through parquet
+    val path = DedupQueries.minhashIndex(spark, sf)
+    val sigStored = spark.read.parquet(s"$path/sigs")
+      .collect().map(_.toString).sorted.toSeq
+    val sigDerived = DedupQueries.minhashSignatures(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sigStored === sigDerived)
+  }
+
+  test("a warm session reuses the index; the signature table is small") {
+    import graft.operators.DedupQueries
+    val p1 = DedupQueries.minhashIndex(spark, sf)
+    val p2 = DedupQueries.minhashIndex(spark, sf)
+    assert(p1 === p2, "unchanged corpus snapshot must serve the same index")
+    val sigBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(p1, "sigs"))
+      .filter(f => f.toString.endsWith(".parquet"))
+      .mapToLong(f => java.nio.file.Files.size(f)).sum()
+    val docBytes = graft.core.Sizing.onDiskBytes(spark, s"$sf/documents.parquet")
+    assert(sigBytes > 0)
+    assert(sigBytes < docBytes / 2,
+      s"signature index ($sigBytes B) must be far under the corpus text ($docBytes B)")
+  }
+}
