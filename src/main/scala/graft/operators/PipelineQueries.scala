@@ -1647,6 +1647,62 @@ object PipelineQueries {
           when(col("total") > 0,
             least(lit(3L), expr("(cum_start * 4) DIV total"))).otherwise(0L).as("phase"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c67: soft-dedup sampling weights --------------------------------
+    // The third duplicate TREATMENT, completing the family: q_c19 DROPS
+    // non-representatives, q_c64 co-assigns them to a split, and this
+    // query DOWNWEIGHTS them — every member of a near-dup family gets
+    // sampling weight 1/|family| so the family contributes one
+    // document's worth of expected gradient mass instead of |family|
+    // (the soft-dedup alternative for corpora where hard dropping loses
+    // coverage). Singletons keep weight 1. Shares q_c13's memoized
+    // candidate frame and star-CC output; on top of that one count per
+    // family (tiny frame) + a broadcast-back join. Weight division is
+    // the house exact-decimal emit.
+    QueryDef(
+      "q_c67_softdedup_weights",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |nodes AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM cand
+              |    UNION ALL SELECT doc_b FROM cand)),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM cand
+              |  UNION ALL SELECT doc_b, doc_a FROM cand),
+              |reach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+              |fam AS (SELECT doc_id, MIN(lbl) AS family_rep FROM reach GROUP BY doc_id),
+              |b AS (
+              |  SELECT d.doc_id,
+              |    CAST(COALESCE(f.family_rep, d.doc_id) AS BIGINT) AS family_rep
+              |  FROM documents d LEFT JOIN fam f ON d.doc_id = f.doc_id),
+              |fs AS (SELECT family_rep, CAST(COUNT(*) AS BIGINT) AS fam_size
+              |       FROM b GROUP BY family_rep)
+              |SELECT b.doc_id, b.family_rep, fs.fam_size,
+              |  CAST(CAST(CAST(1 AS DECIMAL(18,6)) / CAST(fs.fam_size AS DECIMAL(18,6))
+              |    AS DECIMAL(38,6)) AS DOUBLE) AS weight
+              |FROM b JOIN fs ON b.family_rep = fs.family_rep
+              |ORDER BY b.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val cand = DedupQueries.minhashCandidatesShared(s, d)
+      val fam = connectedComponentsStar(s, cand)
+      val b = Tables(s, d, "documents").select(col("doc_id"))
+        .join(fam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).cast("long").as("family_rep"))
+      // NO broadcast hint: fs is one row per family — degenerately all
+      // singletons ⇒ |fs| = |corpus|. Both sides are already keyed by
+      // family_rep, so the shuffle join co-partitions (AQE may still
+      // broadcast from real stats when families are few).
+      val fs = b.groupBy(col("family_rep"))
+        .agg(count(lit(1)).cast("long").as("fam_size"))
+      b.join(fs, Seq("family_rep"))
+        .select(col("doc_id"), col("family_rep"), col("fam_size"),
+          emit((dec(lit(1)) / dec(col("fam_size"))).cast(D38)).as("weight"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -131,6 +131,33 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(r => assert(r.getLong(4) === 0L))
   }
 
+  test("q_c67: family weight mass is 1 per family; singletons keep weight 1") {
+    val rows = SparkEntry.queries("q_c67_softdedup_weights")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    val docs = graft.core.Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong === docs)
+    rows.groupBy(_.getLong(1)).foreach { case (rep, members) =>
+      val n = members.head.getLong(2)
+      assert(members.length.toLong === n, s"family $rep: fam_size must be the member count")
+      members.foreach { r =>
+        assert(math.abs(r.getDouble(3) - 1.0 / n) < 1e-6, s"family $rep: weight = 1/n")
+      }
+      // a family's total sampling mass is one document's worth (up to the
+      // 1e-6 decimal quantization per member)
+      assert(math.abs(members.map(_.getDouble(3)).sum - 1.0) <= n * 1e-6)
+      if (n == 1) assert(members.head.getDouble(3) === 1.0)
+    }
+    // non-vacuous: downweighting shrinks the effective corpus
+    val effective = rows.map(_.getDouble(3)).sum
+    assert(effective < docs.toDouble - 1.0, "near-dup families must exist on this corpus")
+    // treatment consistency: q_c67's families are exactly q_c64's
+    val famSplit = SparkEntry.queries("q_c64_leakage_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CachedRdds.drain()
+    rows.foreach(r => assert(r.getLong(1) === famSplit(r.getLong(0)),
+      "the two treatments must agree on the family structure"))
+  }
+
   test("q_c65: exact best-first prefix sum with monotone phases") {
     val rows = SparkEntry.queries("q_c65_curriculum")(spark, sf).collect()
     val docs = graft.core.Tables(spark, sf, "documents").count()
