@@ -112,7 +112,12 @@ object BloomFilterOps {
   def build(keys: DataFrame, mBits: Int, k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"m must be a multiple of 64, got $mBits")
     val words = mBits / 64
-    keys.select(keys.columns.head).rdd
+    // NULL keys (md5 of a NULL document) carry no membership information:
+    // the expression side returns NULL for them too, so dropping them
+    // here keeps build and probe consistent instead of NPE-ing the fold
+    keys.select(keys.columns.head)
+      .where(org.apache.spark.sql.functions.col(keys.columns.head).isNotNull)
+      .rdd
       .treeAggregate(new Array[Long](words))(
         seqOp = (acc, row) => {
           val key = UTF8String.fromString(row.getString(0))
