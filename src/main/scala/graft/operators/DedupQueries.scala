@@ -792,6 +792,54 @@ object DedupQueries {
               |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
     ) { (s, d) =>
       minhashSearchStored(s, minhashIndex(s, d)).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q_c68: incremental signature-index append ------------------------
+    // The ingest-lifecycle step q_c66 presumes: when a batch arrives
+    // (doc_id % 10 = 3 here), its signatures are computed from the BATCH
+    // TEXT ONLY and unioned with the stored base index — the base corpus
+    // text is never re-read and the index is never rebuilt. MinHash
+    // signatures are per-document (no cross-document state), so
+    // append ≡ rebuild EXACTLY, and the oracle is the full-corpus q_c1
+    // CTE — the hash match IS the proof that incremental maintenance
+    // loses nothing. Candidate generation over the union reuses the same
+    // banded join as q_c1/q_c66.
+    QueryDef(
+      "q_c68_minhash_append",
+      Some(s"""WITH $duckMinhashCand
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
+    ) { (s, d) =>
+      val baseSigs = s.read.parquet(s"${minhashBaseIndex(s, d)}/sigs")
+      val batchSigs = minhashSignatures(s, d)
+        .filter(col("doc_id") % 10 === 3)
+      candidatesFromSigs(baseSigs.unionByName(batchSigs))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** The BASE-corpus (doc_id % 10 <> 3) signature index for q_c68's
+    * append scenario — same lifecycle discipline as [[minhashIndex]],
+    * cached under its own key.
+    */
+  private val minhashBaseBuilt =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private[graft] def minhashBaseIndex(s: SparkSession, d: String): String = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    minhashBaseBuilt.synchronized {
+      minhashBaseBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-minhash-base").toString
+        minhashSignatures(s, d)
+          .filter(col("doc_id") % 10 =!= 3)
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$path/sigs")
+        minhashBaseBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteOnExit(old)
+        }
+        path
+      }
+    }
+  }
 }

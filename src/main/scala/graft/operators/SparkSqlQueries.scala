@@ -1591,6 +1591,9 @@ object SparkSqlQueries {
     // index round-trip preserves every score)
     "q_c45_bm25_stored" -> base("q_c12_bm25"),
     // same class: q_c66 serves q_c1's candidates from the stored
-    // signature index — parity proves the signature round-trip is exact
-    "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"))
+    // signature index, and q_c68 from the base index + appended batch
+    // signatures — parity proves round-trip and incremental maintenance
+    // are both exact
+    "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
+    "q_c68_minhash_append" -> base("q_c1_minhash_lsh"))
 }

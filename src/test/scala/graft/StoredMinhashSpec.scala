@@ -45,6 +45,22 @@ class StoredMinhashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigStored === sigDerived)
   }
 
+  test("q_c68: base index + appended batch signatures == full rebuild == q_c1") {
+    import graft.operators.DedupQueries
+    import org.apache.spark.sql.functions._
+    val appended = SparkEntry.queries("q_c68_minhash_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val full = SparkEntry.queries("q_c1_minhash_lsh")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(appended.nonEmpty && appended === full,
+      "incremental maintenance must lose nothing vs a rebuild")
+    // the stored base index genuinely excludes the batch — the append
+    // path cannot be serving a secretly-full index
+    val baseIds = spark.read.parquet(s"${DedupQueries.minhashBaseIndex(spark, sf)}/sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(baseIds.nonEmpty && baseIds.forall(_ % 10 != 3))
+  }
+
   test("a warm session reuses the index; the signature table is small") {
     import graft.operators.DedupQueries
     val p1 = DedupQueries.minhashIndex(spark, sf)
