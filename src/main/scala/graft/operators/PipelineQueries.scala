@@ -197,11 +197,10 @@ object PipelineQueries {
               |SELECT doc_id, MIN(lbl) AS cluster_id
               |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      // session-shared, persisted candidate frame (see
-      // DedupQueries.minhashCandidatesShared) — q_c1/q_c13/q_c19 build the
-      // banded-minhash pipeline once per session
-      val cand = DedupQueries.minhashCandidatesShared(s, d)
-      connectedComponentsStar(s, cand).orderBy(col("doc_id"))
+      // session-shared family structure (ccFamiliesShared): the candidate
+      // frame AND the CC fixpoint each build once per corpus snapshot for
+      // the whole q_c13/q_c19/q_c64/q_c67 family
+      ccFamiliesShared(s, d).orderBy(col("doc_id"))
     },
 
     // ---- q_c14: repetition quality metrics (Gopher-style) ----------------
@@ -323,8 +322,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
               |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      val cand = DedupQueries.minhashCandidatesShared(s, d)
-      val dropIds = connectedComponentsStar(s, cand)
+      val dropIds = ccFamiliesShared(s, d)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       Tables(s, d, "documents")
@@ -1568,8 +1566,7 @@ object PipelineQueries {
         ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L
       def splitOf(b: org.apache.spark.sql.Column) =
         when(b < 800, "train").when(b < 900, "val").otherwise("test")
-      val cand = DedupQueries.minhashCandidatesShared(s, d)
-      val fam = connectedComponentsStar(s, cand)
+      val fam = ccFamiliesShared(s, d)
       Tables(s, d, "documents").select(col("doc_id"))
         .join(fam, Seq("doc_id"), "left")
         .withColumn("family_rep", coalesce(col("cluster_id"), col("doc_id")).cast("long"))
@@ -1687,8 +1684,7 @@ object PipelineQueries {
               |FROM b JOIN fs ON b.family_rep = fs.family_rep
               |ORDER BY b.doc_id""".stripMargin)
     ) { (s, d) =>
-      val cand = DedupQueries.minhashCandidatesShared(s, d)
-      val fam = connectedComponentsStar(s, cand)
+      val fam = ccFamiliesShared(s, d)
       val b = Tables(s, d, "documents").select(col("doc_id"))
         .join(fam, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1705,6 +1701,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Session-stable materialization of the near-dup FAMILY structure
+    * (doc_id, cluster_id) over the shared MinHash candidate graph:
+    * q_c13, q_c19, q_c64 and q_c67 all consume the SAME fixpoint, and
+    * the star-CC iteration is by far its expensive part — one build per
+    * corpus snapshot. Served as session-local PARQUET (the stored-index
+    * discipline of postingsIndex/minhashIndex) rather than through the
+    * block-level SessionMemo deliberately: the CC output's lineage ends
+    * in localCheckpoint leaves that `CachedRdds.drain()` releases
+    * between queries, so a persisted-block serve could face an
+    * unrecomputable parent on block loss — a parquet read is
+    * lineage-free. The frame is O(graph nodes): tiny, bytes not
+    * corpus-sized.
+    */
+  private val ccFamBuilt =
+    scala.collection.mutable.Map.empty[String, (String, String)] // dir -> (snap, path)
+
+  def ccFamiliesShared(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    val path = ccFamBuilt.synchronized {
+      ccFamBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-cc-fam").toString
+        connectedComponentsStar(s, DedupQueries.minhashCandidatesShared(s, d))
+          .write.mode("overwrite").parquet(s"$p/fam")
+        ccFamBuilt.put(d, (snap, p)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteOnExit(old)
+        }
+        p
+      }
+    }
+    s.read.parquet(s"$path/fam")
+  }
+
+  /** Test hook (JobCountGateSpec cold-state discipline). */
+  def clearCcFamilies(): Unit = ccFamBuilt.synchronized(ccFamBuilt.clear())
 
   /** q_c61's Bloom geometry: m = 2^20 bits (128 KiB driver/executor
     * footprint), k = 5 hashes. FP rate ~(nk/m)^k — effectively zero at

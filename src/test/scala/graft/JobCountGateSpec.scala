@@ -93,6 +93,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.operators.UnigramTrainer.clearModelCache()
         graft.operators.WordPieceTrainer.clearModelCache()
         graft.operators.PipelineQueries.clearBloomCache()
+        graft.operators.PipelineQueries.clearCcFamilies()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)
