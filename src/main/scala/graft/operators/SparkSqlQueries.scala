@@ -1498,6 +1498,30 @@ object SparkSqlQueries {
         |LEFT JOIN ex ON i.doc_id = ex.doc_id
         |ORDER BY i.doc_id""".stripMargin,
 
+    "q_c69_source_kl" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |src AS (SELECT doc_id, source FROM documents),
+        |st AS (SELECT s.source, t.term, CAST(SUM(t.tf) AS BIGINT) AS cst
+        |       FROM tf t JOIN src s USING (doc_id) GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |nc AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nc FROM ct),
+        |k AS (
+        |  SELECT st.source,
+        |    CAST((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+        |         ln((CAST(st.cst AS DOUBLE) * nc.nc)
+        |            / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS kterm
+        |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nc),
+        |agg AS (SELECT source, CAST(SUM(kterm) AS DECIMAL(18,6)) AS klsum,
+        |               CAST(COUNT(*) AS BIGINT) AS n_terms
+        |        FROM k GROUP BY 1)
+        |SELECT a.source, ns.ns AS src_tokens, a.n_terms,
+        |  CAST(CAST(a.klsum AS DECIMAL(38,6)) AS DOUBLE) AS kl
+        |FROM agg a JOIN ns USING (source)
+        |ORDER BY a.source""".stripMargin,
+
     "q_c62_temperature_mix" ->
       """WITH t AS (
         |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok

@@ -1042,6 +1042,68 @@ object TextQueries {
           posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
         .withColumnRenamed("col", "term")
       graft.streaming.StreamingOps.heavyHitterReplay(toks)
+    },
+
+    // ---- q_c69: per-source KL divergence from the corpus ------------------
+    // The mixture-drift / domain-shift diagnostic: KL(P_s ‖ P_corpus)
+    // over unigram token distributions, per source — the number a
+    // mixture designer watches to see which source is an outlier (and
+    // the quantity DSIR's importance weights are built from, reported
+    // here as the per-source aggregate). No smoothing is needed: every
+    // source term exists in the corpus distribution by construction, so
+    // each log ratio is finite and KL ≥ 0. ln() is the only
+    // engine-sensitive operation; each TERM's contribution quantizes
+    // through DECIMAL(18,6) before the exact sum (the q_c26/q_c54
+    // discipline), so a last-ulp libm difference cannot reach the hash.
+    // Shape: the memoized (doc, term) tf frame joins the doc→source map
+    // once, then two term/source-keyed aggregations with map-side
+    // combine; per-source totals broadcast; output is O(#sources).
+    QueryDef(
+      "q_c69_source_kl",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |src AS (SELECT doc_id, source FROM documents),
+             |st AS (SELECT s.source, t.term, CAST(SUM(t.tf) AS BIGINT) AS cst
+             |       FROM tf t JOIN src s USING (doc_id) GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+             |ct AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+             |nc AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nc FROM ct),
+             |k AS (
+             |  SELECT st.source,
+             |    CAST((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+             |         ln((CAST(st.cst AS DOUBLE) * nc.nc)
+             |            / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+             |      AS DECIMAL(18,6)) AS kterm
+             |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nc),
+             |agg AS (SELECT source, CAST(SUM(kterm) AS DECIMAL(18,6)) AS klsum,
+             |               CAST(COUNT(*) AS BIGINT) AS n_terms
+             |        FROM k GROUP BY 1)
+             |SELECT a.source, ns.ns AS src_tokens, a.n_terms,
+             |  CAST(CAST(a.klsum AS DECIMAL(38,6)) AS DOUBLE) AS kl
+             |FROM agg a JOIN ns USING (source)
+             |ORDER BY a.source""".stripMargin)
+    ) { (s, d) =>
+      val tf = tfUnigram(s, d)
+      val srcOf = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val st = tf.join(srcOf, Seq("doc_id"))
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("tf")).cast("long").as("cst"))
+      val ns = st.groupBy(col("source")).agg(sum(col("cst")).cast("long").as("ns"))
+      val ct = st.groupBy(col("term")).agg(sum(col("cst")).cast("long").as("ct"))
+      val nc = ct.agg(sum(col("ct")).cast("double").as("nc"))
+      val k = st.join(broadcast(ns), Seq("source"))
+        .join(ct, Seq("term")) // term-keyed shuffle: ct is corpus-sized state
+        .crossJoin(broadcast(nc))
+        .withColumn("kterm",
+          dec((col("cst").cast("double") / col("ns").cast("double")) *
+            log((col("cst").cast("double") * col("nc"))
+              / (col("ns").cast("double") * col("ct").cast("double")))))
+      k.groupBy(col("source"))
+        .agg(dec(sum(col("kterm"))).as("klsum"), count(lit(1)).cast("long").as("n_terms"))
+        .join(broadcast(ns), Seq("source"))
+        .select(col("source"), col("ns").as("src_tokens"), col("n_terms"),
+          emit(col("klsum").cast(D38)).as("kl"))
+        .orderBy(col("source"))
     }
   )
 

@@ -131,6 +131,42 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(r => assert(r.getLong(4) === 0L))
   }
 
+  test("q_c69: KL >= 0 per source and matches an independent driver-side computation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_c69_source_kl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent reference from raw text
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+    val tok = "[a-z0-9]+".r
+    val bySrc = docs.groupBy(_.getString(0)).map { case (src, ds) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach(r => tok.findAllIn(r.getString(1).toLowerCase)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+      src -> counts.toMap
+    }
+    val corpus = scala.collection.mutable.Map.empty[String, Long]
+    bySrc.values.foreach(_.foreach { case (t, c) =>
+      corpus(t) = corpus.getOrElse(t, 0L) + c
+    })
+    val nc = corpus.values.sum.toDouble
+    rows.foreach { r =>
+      val (src, srcTokens, nTerms, kl) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val cs = bySrc(src)
+      val ns = cs.values.sum
+      assert(srcTokens === ns)
+      assert(nTerms === cs.size.toLong)
+      assert(kl >= 0.0, s"$src: KL divergence is non-negative")
+      val ref = cs.map { case (t, c) =>
+        c.toDouble / ns * math.log(c.toDouble * nc / (ns.toDouble * corpus(t)))
+      }.sum
+      // the engine quantizes each term's contribution at 1e-6
+      assert(math.abs(kl - ref) <= nTerms * 1e-6 + 1e-9,
+        s"$src: engine KL $kl vs reference $ref")
+    }
+  }
+
   test("q_c67: family weight mass is 1 per family; singletons keep weight 1") {
     val rows = SparkEntry.queries("q_c67_softdedup_weights")(spark, sf).collect()
     graft.core.CachedRdds.drain()
