@@ -1619,5 +1619,6 @@ object SparkSqlQueries {
     // signatures — parity proves round-trip and incremental maintenance
     // are both exact
     "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
-    "q_c68_minhash_append" -> base("q_c1_minhash_lsh"))
+    "q_c68_minhash_append" -> base("q_c1_minhash_lsh"),
+    "q_c70_bm25_append" -> base("q_c12_bm25"))
 }

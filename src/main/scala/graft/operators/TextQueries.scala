@@ -1104,6 +1104,49 @@ object TextQueries {
         .select(col("source"), col("ns").as("src_tokens"), col("n_terms"),
           emit(col("klsum").cast(D38)).as("kl"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_c70: incremental postings-index append (q_c68 for BM25) --------
+    // The retrieval-side incremental-maintenance twin of q_c68: a batch
+    // (doc_id % 10 = 3) arrives, its postings and (n_docs, tot) stats
+    // are computed from the BATCH TEXT ONLY and unioned/added onto the
+    // stored base index — the base corpus is never re-read and the index
+    // is never rebuilt. This works because the stored search derives df
+    // at query time from the term-pruned postings scan, and the only
+    // whole-corpus statistics are the ADDITIVE (n_docs, tot) pair — so
+    // append ≡ rebuild exactly, proven by scoring against the
+    // full-corpus q_c45 oracle. Scoring tail shared verbatim with q_c45
+    // ([[bm25Score]]).
+    QueryDef(
+      "q_c70_bm25_append",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |       WHERE term IN ('hash','join','filter') GROUP BY 1, 2),
+             |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+             |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
+             |      AS DECIMAL(18,6)) AS tscore
+             |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+             |FROM scored GROUP BY 1
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+    ) { (s, d) =>
+      val basePath = postingsBaseIndex(s, d)
+      val basePost = s.read.parquet(s"$basePath/postings")
+      val baseStats = s.read.parquet(s"$basePath/stats")
+      val (batchPost, batchStats) = postingsOf(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 === 3))
+      val stats = baseStats
+        .crossJoin(batchStats
+          .select(col("n_docs").as("bn"), col("tot").as("bt")))
+        .select((col("n_docs") + col("bn")).as("n_docs"),
+          (col("tot") + col("bt")).as("tot"))
+      bm25Score(basePost.unionByName(batchPost), stats,
+        Seq("hash", "join", "filter"))
     }
   )
 
@@ -1138,22 +1181,33 @@ object TextQueries {
     * corpus stats table. One corpus tokenize, run once per corpus
     * version (the buildInt8Index lifecycle).
     */
-  private[graft] def buildPostingsIndex(
-      s: org.apache.spark.sql.SparkSession, d: String, path: String): Unit = {
-    val toks = Tables(s, d, "documents").select(
+  /** The (postings, stats) pair for a documents frame — shared by the
+    * full-corpus index build, the base-corpus build (q_c70's append
+    * scenario), and the in-flight batch side of the append itself.
+    */
+  private def postingsOf(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = docs.select(
       col("doc_id"),
       explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    tf.join(dl, Seq("doc_id"))
+    val post = tf.join(dl, Seq("doc_id"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("tot"))
+    (post, stats)
+  }
+
+  private[graft] def buildPostingsIndex(
+      s: org.apache.spark.sql.SparkSession, d: String, path: String): Unit = {
+    val (post, stats) = postingsOf(Tables(s, d, "documents"))
+    post
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/postings")
-    dl.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).cast("double").as("tot"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Session-stable index location for a corpus dir, built lazily and
@@ -1188,6 +1242,34 @@ object TextQueries {
     }
   }
 
+  /** The BASE-corpus (doc_id % 10 <> 3) postings index for q_c70's
+    * append scenario — same lifecycle discipline, its own cache key.
+    */
+  private val postingsBaseBuilt =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private[graft] def postingsBaseIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    postingsBaseBuilt.synchronized {
+      postingsBaseBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bm25-base").toString
+        val (post, stats) = postingsOf(
+          Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3))
+        post
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$path/postings")
+        stats.write.mode("overwrite").parquet(s"$path/stats")
+        postingsBaseBuilt.put(d, (snap, path)).foreach { case (_, old) =>
+          graft.core.LocalArtifacts.deleteOnExit(old)
+        }
+        path
+      }
+    }
+  }
+
   /** BM25 top-20 served from the stored index: the scan reads ONLY the
     * query terms' postings (term IN (...) pushes into parquet; row-group
     * stats prune the rest), df comes from the fetched postings themselves
@@ -1196,9 +1278,23 @@ object TextQueries {
     */
   private[graft] def bm25SearchStored(
       s: org.apache.spark.sql.SparkSession, path: String,
+      query: Seq[String]): org.apache.spark.sql.DataFrame =
+    bm25Score(
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/stats"), query)
+
+  /** The BM25 scoring tail over a postings frame + a 1-row stats frame —
+    * shared verbatim by the stored search (q_c45) and the incremental
+    * append path (q_c70), so the two can never drift. df is derived at
+    * query time from the (term-pruned) postings scan, which is what
+    * makes postings APPEND-ONLY maintainable: no stored statistic except
+    * the additive (n_docs, tot) pair depends on the corpus as a whole.
+    */
+  private[graft] def bm25Score(
+      postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
       query: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val post = s.read.parquet(s"$path/postings").filter(col("term").isin(query: _*))
-    val stats = s.read.parquet(s"$path/stats")
+    val post = postings.filter(col("term").isin(query: _*))
     val dfq = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     post
       .join(broadcast(dfq), Seq("term"))

@@ -36,6 +36,25 @@ class StoredBm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored.nonEmpty && stored == derived)
   }
 
+  test("q_c70: base index + appended batch postings == full stored search == q_c12") {
+    import org.apache.spark.sql.functions._
+    val appended = SparkEntry.queries("q_c70_bm25_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c45_bm25_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(appended.nonEmpty && appended == stored,
+      "incremental postings maintenance must lose nothing vs a rebuild")
+    // the base index genuinely excludes the batch, and its stats are the
+    // base corpus's — the append path cannot be serving a full index
+    val basePath = graft.operators.TextQueries.postingsBaseIndex(spark, sf)
+    val baseDocs = spark.read.parquet(s"$basePath/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+    assert(baseDocs.nonEmpty && baseDocs.forall(_ % 10 != 3))
+    val baseN = spark.read.parquet(s"$basePath/stats").collect()(0).getDouble(0)
+    val fullN = graft.core.Tables(spark, sf, "documents").count().toDouble
+    assert(baseN < fullN, "base stats must cover only the base corpus")
+  }
+
   test("term predicate pushes into the postings parquet scan") {
     val path = graft.operators.TextQueries.postingsIndex(spark, sf)
     val plan = graft.operators.TextQueries
