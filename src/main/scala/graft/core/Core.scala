@@ -292,6 +292,57 @@ final class BuildOnceCache[K, V] {
   }
 }
 
+/** Build-once-per-content-snapshot ON-DISK artifact lifecycle — the
+  * shared discipline behind every stored index and export (BM25
+  * postings + base, MinHash signatures + base, CC family frame, JSONL
+  * export). One policy, single-sourced:
+  *   - keyed by corpus dir, guarded by the SessionMemo content snapshot
+  *     (a regenerated corpus rebuilds; a warm session serves from disk);
+  *   - the build runs under a PER-KEY latch (the [[BuildOnceCache]]
+  *     discipline): concurrent first callers of the same key share one
+  *     build, different keys build in parallel;
+  *   - a superseded snapshot's directory is reclaimed at JVM exit via
+  *     [[LocalArtifacts.deleteOnExit]], never eagerly — a query planned
+  *     against the old path may still be executing and must complete on
+  *     the old (internally consistent) snapshot rather than die with
+  *     FileNotFound mid-run.
+  */
+final class StoredArtifact(tmpPrefix: String) {
+  private val m = scala.collection.mutable.Map.empty[String, (String, String)]
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Test hook (JobCountGateSpec cold-state discipline): forget the
+    * mapping so the next caller pays its build jobs. The directories
+    * themselves stay until exit (the deferred-deletion rationale).
+    */
+  def clear(): Unit = m.synchronized {
+    m.values.foreach { case (_, path) => LocalArtifacts.deleteOnExit(path) }
+    m.clear()
+  }
+
+  /** The artifact directory for `key` at content snapshot `snap`,
+    * building via `build(path)` on first call / snapshot change.
+    */
+  def getOrBuild(key: String, snap: String)(build: String => Unit): String = {
+    def lookup(): Option[String] =
+      m.synchronized(m.get(key).filter(_._1 == snap).map(_._2))
+    lookup().getOrElse {
+      val keyLock = inFlight.computeIfAbsent(key, _ => new Object)
+      keyLock.synchronized {
+        lookup().getOrElse {
+          val path =
+            java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+          build(path)
+          m.synchronized(m.put(key, (snap, path))).foreach { case (_, old) =>
+            LocalArtifacts.deleteOnExit(old)
+          }
+          path
+        }
+      }
+    }
+  }
+}
+
 /** Schema-adaptive event-time canonicalization.
   *
   * The physical parquet layout of `events.ts` has already changed once

@@ -299,27 +299,18 @@ object DedupQueries {
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/sigs")
 
-  /** Session-stable index location (the postingsIndex discipline:
-    * content-snapshot guard, build under the lock, deferred deletion of
-    * an abandoned snapshot's directory).
+  /** Session-stable index location — the shared
+    * [[graft.core.StoredArtifact]] lifecycle (content-snapshot guard,
+    * per-key build latch, deferred deletion of abandoned snapshots).
     */
   private val minhashIdxBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)] // dir -> (snap, path)
+    new graft.core.StoredArtifact("graft-minhash-index")
 
-  private[graft] def minhashIndex(s: SparkSession, d: String): String = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    minhashIdxBuilt.synchronized {
-      minhashIdxBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-minhash-index").toString
-        buildMinhashIndex(s, d, path)
-        minhashIdxBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        path
-      }
+  private[graft] def minhashIndex(s: SparkSession, d: String): String =
+    minhashIdxBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      path => buildMinhashIndex(s, d, path)
     }
-  }
 
   /** Candidate pairs served from the STORED signatures: the corpus text
     * is never read — the scan is the 48 B/doc signature table.
@@ -818,28 +809,19 @@ object DedupQueries {
   )
 
   /** The BASE-corpus (doc_id % 10 <> 3) signature index for q_c68's
-    * append scenario — same lifecycle discipline as [[minhashIndex]],
-    * cached under its own key.
+    * append scenario — same lifecycle as [[minhashIndex]], cached under
+    * its own key.
     */
   private val minhashBaseBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+    new graft.core.StoredArtifact("graft-minhash-base")
 
-  private[graft] def minhashBaseIndex(s: SparkSession, d: String): String = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    minhashBaseBuilt.synchronized {
-      minhashBaseBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-minhash-base").toString
-        minhashSignatures(s, d)
-          .filter(col("doc_id") % 10 =!= 3)
-          .repartitionByRange(col("doc_id"))
-          .sortWithinPartitions(col("doc_id"))
-          .write.mode("overwrite").parquet(s"$path/sigs")
-        minhashBaseBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        path
-      }
+  private[graft] def minhashBaseIndex(s: SparkSession, d: String): String =
+    minhashBaseBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      minhashSignatures(s, d)
+        .filter(col("doc_id") % 10 =!= 3)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/sigs")
     }
-  }
 }

@@ -1715,28 +1715,20 @@ object PipelineQueries {
     * lineage-free. The frame is O(graph nodes): tiny, bytes not
     * corpus-sized.
     */
-  private val ccFamBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)] // dir -> (snap, path)
+  private val ccFamBuilt = new graft.core.StoredArtifact("graft-cc-fam")
 
   def ccFamiliesShared(s: SparkSession, d: String): DataFrame = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    val path = ccFamBuilt.synchronized {
-      ccFamBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-cc-fam").toString
+    val path = ccFamBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      p =>
         connectedComponentsStar(s, DedupQueries.minhashCandidatesShared(s, d))
           .write.mode("overwrite").parquet(s"$p/fam")
-        ccFamBuilt.put(d, (snap, p)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        p
-      }
     }
     s.read.parquet(s"$path/fam")
   }
 
   /** Test hook (JobCountGateSpec cold-state discipline). */
-  def clearCcFamilies(): Unit = ccFamBuilt.synchronized(ccFamBuilt.clear())
+  def clearCcFamilies(): Unit = ccFamBuilt.clear()
 
   /** q_c61's Bloom geometry: m = 2^20 bits (128 KiB driver/executor
     * footprint), k = 5 hashes. FP rate ~(nk/m)^k — effectively zero at
@@ -1753,34 +1745,19 @@ object PipelineQueries {
     */
   def clearBloomCache(): Unit = bloomBuilt.clear()
 
-  /** q_c51's session-scoped JSONL export location (content-snapshot
-    * guarded like the BM25 postings index): the corpus is exported once
-    * per corpus version and re-read by every repeat invocation.
+  /** q_c51's session-scoped JSONL export location — the shared
+    * [[graft.core.StoredArtifact]] lifecycle: the corpus is exported
+    * once per corpus version and re-read by every repeat invocation.
     */
-  private val jsonlBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+  private val jsonlBuilt = new graft.core.StoredArtifact("graft-docs-jsonl")
 
-  private def jsonlExport(s: SparkSession, d: String): String = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    // lock spans the build (the postingsIndex discipline): no double
-    // export, no deleting a directory a concurrent builder just returned
-    jsonlBuilt.synchronized {
-      jsonlBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-docs-jsonl").toString
+  private def jsonlExport(s: SparkSession, d: String): String =
+    jsonlBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      path =>
         Tables(s, d, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(path)
-        // a regenerated corpus abandons the previous export — reclaim at
-        // JVM exit (deleteOnExit), not eagerly: a query planned against
-        // the old path may still be executing and must complete on the
-        // old consistent snapshot rather than die with FileNotFound
-        jsonlBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        path
-      }
     }
-  }
 
   /** q_c37's split as a pure projection over a (doc_id, source) frame —
     * shared verbatim by the batch query (plus its presentation sort) and

@@ -1210,65 +1210,38 @@ object TextQueries {
     stats.write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Session-stable index location for a corpus dir, built lazily and
-    * guarded by the SessionMemo content snapshot (a regenerated corpus
-    * rebuilds; a warm session reuses the on-disk index across queries —
-    * the whole point of the stored form).
+  /** Session-stable index location for a corpus dir — the shared
+    * [[graft.core.StoredArtifact]] lifecycle (content-snapshot guard,
+    * per-key build latch, deferred deletion of abandoned snapshots): a
+    * warm session reuses the on-disk index across queries — the whole
+    * point of the stored form.
     */
-  private val postingsBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)] // dir -> (snap, path)
+  private val postingsBuilt = new graft.core.StoredArtifact("graft-bm25-index")
 
   private[graft] def postingsIndex(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    // the lock spans the build: two concurrent first callers must not
-    // each build a directory and then delete the other's (check-then-act
-    // race); builds are rare, so serializing them is the simple safe form
-    postingsBuilt.synchronized {
-      postingsBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-bm25-index").toString
-        buildPostingsIndex(s, d, path)
-        // a regenerated corpus abandons the previous index — reclaim it
-        // at JVM exit rather than leak it forever. NOT deleted eagerly:
-        // a query planned against the old path may still be executing,
-        // and an immediate delete fails it mid-run with FileNotFound
-        // instead of letting it finish on the old consistent snapshot
-        postingsBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        path
-      }
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    postingsBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      path => buildPostingsIndex(s, d, path)
     }
-  }
 
   /** The BASE-corpus (doc_id % 10 <> 3) postings index for q_c70's
-    * append scenario — same lifecycle discipline, its own cache key.
+    * append scenario — same lifecycle, its own cache key.
     */
-  private val postingsBaseBuilt =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+  private val postingsBaseBuilt = new graft.core.StoredArtifact("graft-bm25-base")
 
   private[graft] def postingsBaseIndex(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
-    postingsBaseBuilt.synchronized {
-      postingsBaseBuilt.get(d).filter(_._1 == snap).map(_._2).getOrElse {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-bm25-base").toString
-        val (post, stats) = postingsOf(
-          Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3))
-        post
-          .repartitionByRange(col("term"))
-          .sortWithinPartitions(col("term"), col("doc_id"))
-          .write.mode("overwrite").parquet(s"$path/postings")
-        stats.write.mode("overwrite").parquet(s"$path/stats")
-        postingsBaseBuilt.put(d, (snap, path)).foreach { case (_, old) =>
-          graft.core.LocalArtifacts.deleteOnExit(old)
-        }
-        path
-      }
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    postingsBaseBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val (post, stats) = postingsOf(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3))
+      post
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      stats.write.mode("overwrite").parquet(s"$path/stats")
     }
-  }
 
   /** BM25 top-20 served from the stored index: the scan reads ONLY the
     * query terms' postings (term IN (...) pushes into parquet; row-group
