@@ -312,8 +312,147 @@ object SimilarityQueries {
         embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (fnFinal, nprobe) = trainIvf(s, e)
       ivfSearch(e, fnFinal, nprobe)
+    },
+
+    // ---- q_c71: incremental int8-IVF append under the FROZEN quantizer ----
+    // The third stored index gains the lifecycle step q_c68/q_c70 gave the
+    // other two — with the honest difference the ANN literature forces:
+    // appends are indexed under the base index's FROZEN coarse quantizer
+    // (no retrain — retraining would re-code the whole corpus, the thing
+    // incremental maintenance exists to avoid), so append ≡ rebuild holds
+    // EXACTLY only relative to that frozen model (assignment and int8
+    // packing are per-vector, no cross-vector state — Int8AppendSpec pins
+    // the frame equality). The price of freezing is drift: a batch whose
+    // cell-assignment distribution diverges from the base degrades probe
+    // locality, which is q_c72's monitor. Batch-side-only computation:
+    // the base corpus floats are never re-read — stage 1 scans the stored
+    // codes ∪ the batch's freshly-coded rows.
+    QueryDef("q_c71_ivf_append", None) { (s, d) =>
+      val path = int8BaseIndex(s, d)
+      val (fn, nprobe, _) = frozenQuantizer(s, path)
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.Int8Ops.register(s)
+      val e = graft.core.CachedRdds.registerDf(
+        embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val batchCodes = e.filter(col("vec_id") % 10 === 3)
+        .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+        .select(col("vec_id"), col("cell"), expr("pack_int8(v)").as("q8"))
+      ivfSearchCodes(
+        s, s.read.parquet(s"$path/codes").unionByName(batchCodes), e, fn, nprobe)
+    },
+
+    // ---- q_c72: cell-assignment drift monitor (rebuild-on-threshold) ------
+    // The decision rule the frozen-quantizer lifecycle needs: KL(batch
+    // cell histogram ‖ base cell histogram) over the FROZEN quantizer's
+    // cells, Laplace-smoothed so a cell unseen on either side stays
+    // finite. The base histogram comes from the stored codes table's
+    // `cell` column alone (column-pruned scan — the floats are never
+    // touched); the batch histogram is one tiny aggregation of the
+    // batch's assignments. Output: per-cell contributions plus the
+    // corpus-level verdict. The decision rule must be SAMPLE-SIZE AWARE:
+    // an in-distribution batch of n vectors over k cells shows
+    // KL ≈ (k−1)/(2n) of pure sampling noise (0.33 nats at the sf0.001
+    // fixture — a fixed nat threshold false-alarms on every small
+    // batch), so the monitor uses the classical G-test null
+    // 2·n·KL ~ χ²(k−1) and flags rebuild only when the statistic
+    // exceeds the null mean by 4σ: drift_stat > (k−1) + 4·√(2(k−1)).
+    // At production batch sizes the null shrinks toward zero and any
+    // real shift trips the gate — the rule is scale-correct, not tuned.
+    // Cells are learned driver-side state ⇒ rows-only driver check (the
+    // q_c9 class); Int8AppendSpec pins the discriminating behavior
+    // (in-distribution batch → no rebuild, shifted batch → rebuild).
+    QueryDef("q_c72_ivf_drift", None) { (s, d) =>
+      val path = int8BaseIndex(s, d)
+      val (fn, _, k) = frozenQuantizer(s, path)
+      val batchCells = embDouble(s, d).filter(col("vec_id") % 10 === 3)
+        .select(expr(s"element_at($fn(v, 1), 1)").as("cell"))
+      ivfDrift(s, s"$path/codes", batchCells, k)
     }
   )
+
+  /** q_c72's monitor over an arbitrary batch-assignment frame (one `cell`
+    * column) — factored out so Int8AppendSpec can feed a deliberately
+    * SHIFTED batch through the identical plan.
+    */
+  private[graft] def ivfDrift(
+      s: SparkSession, codesPath: String, batchCells: DataFrame,
+      k: Int): DataFrame = {
+    val base = s.read.parquet(codesPath)
+      .groupBy(col("cell")).agg(count(lit(1)).as("base_cnt"))
+    val batch = batchCells
+      .groupBy(col("cell")).agg(count(lit(1)).as("batch_cnt"))
+    val joined = base.join(batch, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        coalesce(col("batch_cnt"), lit(0L)).as("batch_cnt"))
+    val tot = joined.agg(
+      sum(col("base_cnt")).as("base_n"), sum(col("batch_cnt")).as("batch_n"))
+    val contrib = joined.crossJoin(broadcast(tot))
+      .withColumn("p",
+        (col("batch_cnt") + lit(0.5)) / (col("batch_n") + lit(0.5) * k))
+      .withColumn("q",
+        (col("base_cnt") + lit(0.5)) / (col("base_n") + lit(0.5) * k))
+      .select(col("cell"), col("base_cnt"), col("batch_cnt"),
+        emitQ(col("p") * log(col("p") / col("q"))).as("kl_contrib"))
+    val total = contrib.agg(sum(col("kl_contrib")).as("kl_total"))
+      .crossJoin(broadcast(tot.select(col("batch_n"))))
+      .select(col("kl_total"),
+        (lit(2.0) * col("batch_n") * col("kl_total")).as("drift_stat"))
+    val gate = (k - 1).toDouble + 4.0 * math.sqrt(2.0 * (k - 1))
+    contrib.crossJoin(broadcast(total))
+      .select(col("cell"), col("base_cnt"), col("batch_cnt"),
+        col("kl_contrib"), emitQ(col("kl_total")).as("kl_total"),
+        emitQ(col("drift_stat")).as("drift_stat"),
+        (col("drift_stat") > gate).as("rebuild"))
+      .orderBy(col("cell"))
+  }
+
+  /** BASE-corpus (vec_id % 10 <> 3) stored int8-IVF index for q_c71's
+    * append scenario — the shared [[graft.core.StoredArtifact]]
+    * lifecycle. Unlike the MinHash/BM25 base indexes, this one persists
+    * its MODEL with its codes: the Lloyd-trained centroid matrix (`cents`)
+    * and the (dim, nprobe, k) triple (`model`), so a warm serve — or the
+    * append path — re-binds the FROZEN quantizer deterministically
+    * without retraining. k·dim doubles ≤ 50 MB by the trainIvf cap: model
+    * parameters, not data.
+    */
+  private val int8BaseBuilt = new graft.core.StoredArtifact("graft-int8-base")
+
+  private[graft] def int8BaseIndex(s: SparkSession, d: String): String =
+    int8BaseBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/embeddings.parquet"))) { path =>
+      val eb = graft.core.CachedRdds.registerDf(
+        embDouble(s, d).filter(col("vec_id") % 10 =!= 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val (cents, dim, nprobe) = trainIvfCents(s, eb)
+      val fn = graft.functions.NearestCells.register(s, cents, dim)
+      buildInt8Index(s, eb, fn, s"$path/codes")
+      import s.implicits._
+      cents.grouped(dim).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "ctr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+      Seq((dim, nprobe, cents.length / dim)).toDF("dim", "nprobe", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    }
+
+  /** Re-bind the frozen quantizer persisted with a stored base index:
+    * (registered assignment-function name, nprobe, k).
+    */
+  private[graft] def frozenQuantizer(
+      s: SparkSession, path: String): (String, Int, Int) = {
+    val meta = s.read.parquet(s"$path/model").head
+    val (dim, nprobe, k) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rows = s.read.parquet(s"$path/cents").collect()
+    val cents = new Array[Double](k * dim)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { cents(c * dim + i) = v(i); i += 1 }
+    }
+    (graft.functions.NearestCells.register(s, cents, dim), nprobe, k)
+  }
 
   /** The corpus frame q_c9 trains and searches over. */
   private[graft] def ivfCorpus(s: SparkSession, d: String): DataFrame =
@@ -333,6 +472,21 @@ object SimilarityQueries {
       e: DataFrame,
       lloydIters: Int = 2,
       nprobeOf: Int => Int = k => math.max(2, k / 2)): (String, Int) = {
+    val (cents, dim, nprobe) = trainIvfCents(s, e, lloydIters, nprobeOf)
+    (graft.functions.NearestCells.register(s, cents, dim), nprobe)
+  }
+
+  /** [[trainIvf]] returning the RAW model (flattened centroid matrix +
+    * dim) instead of a registered function name — the form the stored
+    * int8-IVF index persists alongside its codes, so a warm serve (or the
+    * q_c71 append path) re-binds the FROZEN quantizer deterministically
+    * without retraining.
+    */
+  private[graft] def trainIvfCents(
+      s: SparkSession,
+      e: DataFrame,
+      lloydIters: Int = 2,
+      nprobeOf: Int => Int = k => math.max(2, k / 2)): (Array[Double], Int, Int) = {
       val n = e.count()
       // k grows as 4·√n (the usual IVF sizing) but is CAPPED so the
       // driver-side model state stays bounded: every Lloyd iteration
@@ -430,7 +584,7 @@ object SimilarityQueries {
         }
         cents = next
       }
-      (graft.functions.NearestCells.register(s, cents, dim), nprobe)
+      (cents, dim, nprobe)
   }
 
   /** q_c9's SEARCH phase over a trained quantizer `fn`: assign each corpus
@@ -591,10 +745,20 @@ object SimilarityQueries {
     */
   private[graft] def ivfSearchStored(
       s: SparkSession, indexPath: String, e: DataFrame, fn: String,
+      nprobe: Int, overfetch: Int = 4): DataFrame =
+    ivfSearchCodes(s, s.read.parquet(indexPath), e, fn, nprobe, overfetch)
+
+  /** The stored search over an arbitrary (vec_id, cell, q8) codes frame —
+    * shared verbatim by [[ivfSearchStored]] (one parquet index) and the
+    * q_c71 append path (stored base codes ∪ batch codes), so the two
+    * serve paths can never drift.
+    */
+  private[graft] def ivfSearchCodes(
+      s: SparkSession, codes: DataFrame, e: DataFrame, fn: String,
       nprobe: Int, overfetch: Int = 4): DataFrame = {
     graft.functions.Int8Ops.register(s)
     val fetch = overfetch * 5
-    val cands = s.read.parquet(indexPath)
+    val cands = codes
       .join(broadcast(probeQueries(e, fn, nprobe)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("ascore", expr("int8_cos_q(q8, qv)"))

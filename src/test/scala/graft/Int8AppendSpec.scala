@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityQueries
+
+/** Round-14 int8-IVF incremental append (q_c71) + drift monitor (q_c72).
+  *
+  * The lifecycle claim: appending a batch's codes under the base index's
+  * FROZEN coarse quantizer is EXACTLY equivalent to rebuilding the whole
+  * index under that same quantizer — assignment and int8 packing are
+  * per-vector, so the union of base codes and batch codes IS the
+  * full-corpus code table. What freezing cannot guarantee is that the
+  * quantizer still fits the data; that is the drift monitor's job, and
+  * its χ²-null decision rule must (a) NOT fire on an in-distribution
+  * batch (whose KL is pure sampling noise ≈ (k−1)/(2n)) and (b) fire on
+  * a genuinely shifted batch.
+  */
+class Int8AppendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-int8append-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q_c71: base index + appended batch codes == rebuild under the frozen quantizer") {
+    val path = SimilarityQueries.int8BaseIndex(spark, sf)
+    val (fn, nprobe, _) = SimilarityQueries.frozenQuantizer(spark, path)
+    graft.functions.CosineSimilarity.register(spark)
+    val e = graft.core.CachedRdds.registerDf(
+      SimilarityQueries.ivfCorpus(spark, sf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // rebuild: code the FULL corpus under the same frozen quantizer
+    val full = Files.createTempDirectory("int8-full").toString + "/codes"
+    SimilarityQueries.buildInt8Index(spark, e, fn, full)
+    val rebuilt = SimilarityQueries
+      .ivfSearchStored(spark, full, e, fn, nprobe)
+      .collect().map(_.toString).toSeq
+    val appended = SparkEntry.queries("q_c71_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(rebuilt.nonEmpty && appended == rebuilt)
+    graft.core.CachedRdds.drain()
+  }
+
+  test("frozen-quantizer rebind is deterministic and retrain-free") {
+    val path = SimilarityQueries.int8BaseIndex(spark, sf)
+    val a = SimilarityQueries.frozenQuantizer(spark, path)
+    val b = SimilarityQueries.frozenQuantizer(spark, path)
+    // the registered name is a content hash of the centroid matrix: two
+    // rebinds of the same stored model must agree exactly
+    assert(a == b && a._3 > 0)
+  }
+
+  test("q_c72: an in-distribution batch does not trip the rebuild gate") {
+    val rows = SparkEntry.queries("q_c72_ivf_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the fixture batch (vec_id % 10 = 3) is drawn from the same
+    // distribution as the base: raw KL is pure sampling noise (≈ 0.33
+    // nats here), and the χ²-null gate must absorb it
+    assert(rows.forall(!_.getAs[Boolean]("rebuild")))
+  }
+
+  test("q_c72: a shifted batch trips the rebuild gate") {
+    val path = SimilarityQueries.int8BaseIndex(spark, sf)
+    val (fn, _, k) = SimilarityQueries.frozenQuantizer(spark, path)
+    // shift: collapse the batch onto 4 planted cluster directions — its
+    // assignments concentrate on ~4 of the k cells
+    val shifted = SimilarityQueries.clusteredCorpus(
+      spark,
+      SimilarityQueries.ivfCorpus(spark, sf).filter(col("vec_id") % 10 === 3),
+      nClusters = 4)
+      .select(expr(s"element_at($fn(v, 1), 1)").as("cell"))
+    val rows = SimilarityQueries.ivfDrift(spark, s"$path/codes", shifted, k).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("rebuild")))
+  }
+
+  test("q_c72's base histogram reads only the codes table's cell column") {
+    val plan = SparkEntry.queries("q_c72_ivf_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the monitor must never deserialize the q8 payload bytes: its base
+    // side is a column-pruned scan of the stored index
+    assert(!plan.contains("q8"))
+  }
+}
