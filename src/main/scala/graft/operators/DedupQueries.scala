@@ -336,6 +336,107 @@ object DedupQueries {
   private[graft] def sharedCandOccupied: Boolean =
     graft.core.SessionMemo.occupied("minhash_cand")
 
+  /** q_c47's verified cross-set pair frame (corpus doc × held-out doc,
+    * shingle Jaccard ≥ 0.3), unordered — the held-out side (doc_id %
+    * 17 = 3) is tiny, so its band keys and its shingle set both
+    * BROADCAST and the corpus never shuffles on shingle or band key;
+    * only matched rows reach the per-pair count.
+    */
+  private[graft] def fuzzyDecontamPairs(s: SparkSession, d: String): DataFrame = {
+    val isBench = col("doc_id") % 17 === 3
+    val sh = shingles(s, d)
+    val h = sh.select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
+    val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
+    }
+    val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = (0 until 3)
+      .map { bandIdx =>
+        sig.select(
+          col("doc_id"),
+          lit(bandIdx).as("band"),
+          concat_ws("_", col(s"mh${2 * bandIdx}"), col(s"mh${2 * bandIdx + 1}")).as("key"))
+      }
+      .reduce(_ unionByName _)
+    val cand = bands.filter(!isBench)
+      .join(
+        broadcast(bands.filter(isBench)
+          .select(col("doc_id").as("bench_id"), col("band"), col("key"))),
+        Seq("band", "key"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shr = sh.filter(!isBench)
+      .join(
+        broadcast(sh.filter(isBench)
+          .select(col("doc_id").as("bench_id"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(shr, Seq("doc_id", "bench_id"))
+      .join(cnt, Seq("doc_id"))
+      .join(broadcast(cnt.select(col("doc_id").as("bench_id"), col("n_sh").as("n_b"))
+        .filter(col("bench_id") % 17 === 3)), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("shared"),
+        (col("n_sh") + col("n_b") - col("shared")).as("uni"))
+      .filter(col("shared") * 10 >= col("uni") * 3)
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("uni"),
+        emit((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("jaccard"))
+  }
+
+  /** Session-scoped memo of [[fuzzyDecontamPairs]] (the
+    * minhashCandidatesShared discipline): q_c47 and q_c73 consume the
+    * SAME deterministic pair frame, so within one session the cross-set
+    * shingle → minhash → band → verify pipeline runs once and its tiny
+    * (O(matched pairs)) result is reused.
+    */
+  private[graft] def fuzzyPairsShared(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionMemo.getOrBuild(
+      s, "fuzzy_decon", d, Seq(s"$d/documents.parquet"))(fuzzyDecontamPairs(s, d))
+
+  /** Test hook: whether the memo currently holds the fuzzy pair frame. */
+  private[graft] def fuzzySharedOccupied: Boolean =
+    graft.core.SessionMemo.occupied("fuzzy_decon")
+
+  /** DuckDB CTE chain ending in `fz(doc_id, bench_id, shared, uni,
+    * jaccard)` — the oracle twin of [[fuzzyDecontamPairs]], shared by
+    * q_c47's and q_c73's oracles.
+    */
+  lazy val duckFuzzyPairs: String = {
+    val mhCols = minhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"MIN(($a * th + $b) % 1000000007) AS mh$i" }
+      .mkString(", ")
+    s"""$duckShingles,
+       |h AS (SELECT doc_id, ${duckRollingHash("shingle")} AS th FROM sh),
+       |sig AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (
+       |  SELECT a.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+       |  GROUP BY 1, 2),
+       |jf AS (
+       |  SELECT c.doc_id, c.bench_id, s.shared,
+       |         ca.n_sh + cb.n_sh - s.shared AS uni
+       |  FROM cand c
+       |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
+       |  JOIN cnt ca ON c.doc_id = ca.doc_id
+       |  JOIN cnt cb ON c.bench_id = cb.doc_id),
+       |fz AS (
+       |  SELECT doc_id, bench_id, shared, CAST(uni AS BIGINT) AS uni,
+       |    CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+       |  FROM jf WHERE shared * 10 >= uni * 3)""".stripMargin
+  }
+
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the oracle twin of
     * [[minhashCandidates]], shared by q_c1's and q_c13's oracles.
     */
@@ -533,81 +634,98 @@ object DedupQueries {
     // mirroring q_c1's contract.
     QueryDef(
       "q_c47_fuzzy_decontaminate",
-      Some({
-        val mhCols = minhashParams.zipWithIndex
-          .map { case ((a, b), i) => s"MIN(($a * th + $b) % 1000000007) AS mh$i" }
-          .mkString(", ")
-        s"""WITH $duckShingles,
-           |h AS (SELECT doc_id, ${duckRollingHash("shingle")} AS th FROM sh),
-           |sig AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
-           |  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
-           |  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-           |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
-           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-           |shr AS (
-           |  SELECT a.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS shared
-           |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-           |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
-           |  GROUP BY 1, 2),
-           |j AS (
-           |  SELECT c.doc_id, c.bench_id, s.shared,
-           |         ca.n_sh + cb.n_sh - s.shared AS uni
-           |  FROM cand c
-           |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
-           |  JOIN cnt ca ON c.doc_id = ca.doc_id
-           |  JOIN cnt cb ON c.bench_id = cb.doc_id)
-           |SELECT doc_id, bench_id, shared, CAST(uni AS BIGINT) AS uni,
-           |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-           |FROM j WHERE shared * 10 >= uni * 3
-           |ORDER BY doc_id, bench_id""".stripMargin
-      })
+      Some(s"""WITH $duckFuzzyPairs
+              |SELECT doc_id, bench_id, shared, uni, jaccard FROM fz
+              |ORDER BY doc_id, bench_id""".stripMargin)
     ) { (s, d) =>
+      fuzzyPairsShared(s, d).orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // ---- q_c73: per-held-out contamination report ------------------------
+    // The fusion artifact a decontamination pipeline actually ships: ONE
+    // row per held-out (benchmark) document, fusing the exact signal
+    // (how many of ITS distinct 13-grams occur anywhere in the corpus —
+    // q_c24's machinery pointed the other way) with the fuzzy signal
+    // (q_c47's verified Jaccard ≥ 0.3 partners, served from the shared
+    // session memo so the cross-set LSH pipeline runs once per session)
+    // into a verdict: 'exact' ≻ 'fuzzy' ≻ 'clean'. Same 100 TB
+    // asymmetry as both parents: every per-gram/per-pair structure here
+    // is keyed on the TINY held-out side and broadcast — the corpus
+    // streams through hash-probe joins, shuffling only matched rows,
+    // and the held-out frame the report is keyed on is itself O(bench).
+    QueryDef(
+      "q_c73_contamination_report",
+      Some(s"""WITH $duckFuzzyPairs,
+              |bg AS (
+              |  SELECT DISTINCT doc_id AS bench_id, array_to_string(t[k+1 : k+13], ' ') AS ng
+              |  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 12, 0))) AS k
+              |        FROM toks WHERE doc_id % 17 = 3)),
+              |bn AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM bg GROUP BY 1),
+              |cg AS (
+              |  SELECT doc_id, array_to_string(t[k+1 : k+13], ' ') AS ng
+              |  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 12, 0))) AS k
+              |        FROM toks WHERE doc_id % 17 <> 3)),
+              |hit AS (
+              |  SELECT bg.bench_id, CAST(COUNT(DISTINCT bg.ng) AS BIGINT) AS n_hit_grams,
+              |         CAST(COUNT(DISTINCT cg.doc_id) AS BIGINT) AS n_exact_partners
+              |  FROM cg JOIN bg ON cg.ng = bg.ng GROUP BY 1),
+              |fzagg AS (
+              |  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_partners,
+              |         MAX(jaccard) AS max_jaccard
+              |  FROM fz GROUP BY 1),
+              |bd AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 17 = 3)
+              |SELECT bd.bench_id,
+              |  CAST(COALESCE(bn.n_grams, 0) AS BIGINT) AS n_grams,
+              |  CAST(COALESCE(hit.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+              |  CAST(COALESCE(hit.n_exact_partners, 0) AS BIGINT) AS n_exact_partners,
+              |  CAST(COALESCE(fzagg.n_fuzzy_partners, 0) AS BIGINT) AS n_fuzzy_partners,
+              |  CAST(COALESCE(fzagg.max_jaccard, 0.0) AS DOUBLE) AS max_jaccard,
+              |  CASE WHEN COALESCE(hit.n_hit_grams, 0) > 0 THEN 'exact'
+              |       WHEN COALESCE(fzagg.n_fuzzy_partners, 0) > 0 THEN 'fuzzy'
+              |       ELSE 'clean' END AS verdict
+              |FROM bd
+              |LEFT JOIN bn ON bd.bench_id = bn.bench_id
+              |LEFT JOIN hit ON bd.bench_id = hit.bench_id
+              |LEFT JOIN fzagg ON bd.bench_id = fzagg.bench_id
+              |ORDER BY bd.bench_id""".stripMargin)
+    ) { (s, d) =>
+      val n = 13
       val isBench = col("doc_id") % 17 === 3
-      val sh = shingles(s, d)
-      val h = sh.select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
-      val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
-      }
-      val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      val bands = (0 until 3)
-        .map { bandIdx =>
-          sig.select(
-            col("doc_id"),
-            lit(bandIdx).as("band"),
-            concat_ws("_", col(s"mh${2 * bandIdx}"), col(s"mh${2 * bandIdx + 1}")).as("key"))
-        }
-        .reduce(_ unionByName _)
-      val cand = bands.filter(!isBench)
-        .join(
-          broadcast(bands.filter(isBench)
-            .select(col("doc_id").as("bench_id"), col("band"), col("key"))),
-          Seq("band", "key"))
-        .select(col("doc_id"), col("bench_id"))
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      // guarded gram generator (the q_c24 rule: short docs survive with
+      // an empty array, and the chunker stays in the Generate INPUT)
+      val grams = when(size(col("ts")) >= n, expr(
+        s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
+        .otherwise(expr("array()"))
+      val bg = toks.filter(isBench)
+        .select(col("doc_id").as("bench_id"), explode(grams).as("ng"))
         .distinct()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val shr = sh.filter(!isBench)
-        .join(
-          broadcast(sh.filter(isBench)
-            .select(col("doc_id").as("bench_id"), col("shingle"))),
-          Seq("shingle"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("shared"))
-      cand
-        .join(shr, Seq("doc_id", "bench_id"))
-        .join(cnt, Seq("doc_id"))
-        .join(broadcast(cnt.select(col("doc_id").as("bench_id"), col("n_sh").as("n_b"))
-          .filter(col("bench_id") % 17 === 3)), Seq("bench_id"))
-        .select(col("doc_id"), col("bench_id"), col("shared"),
-          (col("n_sh") + col("n_b") - col("shared")).as("uni"))
-        .filter(col("shared") * 10 >= col("uni") * 3)
-        .select(col("doc_id"), col("bench_id"), col("shared"), col("uni"),
-          emit((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("jaccard"))
-        .orderBy(col("doc_id"), col("bench_id"))
+      val bn = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_grams"))
+      val hits = toks.filter(!isBench)
+        .select(col("doc_id"), explode(grams).as("ng"))
+        .join(broadcast(bg), Seq("ng"))
+        .groupBy(col("bench_id"))
+        .agg(countDistinct(col("ng")).as("n_hit_grams"),
+          countDistinct(col("doc_id")).as("n_exact_partners"))
+      val fz = fuzzyPairsShared(s, d)
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_fuzzy_partners"), max(col("jaccard")).as("max_jaccard"))
+      Tables(s, d, "documents").filter(isBench)
+        .select(col("doc_id").as("bench_id"))
+        .join(broadcast(bn), Seq("bench_id"), "left")
+        .join(broadcast(hits), Seq("bench_id"), "left")
+        .join(broadcast(fz), Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+          coalesce(col("n_exact_partners"), lit(0L)).as("n_exact_partners"),
+          coalesce(col("n_fuzzy_partners"), lit(0L)).as("n_fuzzy_partners"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          when(coalesce(col("n_hit_grams"), lit(0L)) > 0, "exact")
+            .when(coalesce(col("n_fuzzy_partners"), lit(0L)) > 0, "fuzzy")
+            .otherwise("clean").as("verdict"))
+        .orderBy(col("bench_id"))
     },
 
     // ---- q_c48: exact-substring duplication coverage ---------------------

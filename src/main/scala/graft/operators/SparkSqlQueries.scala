@@ -122,6 +122,52 @@ object SparkSqlQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Cross-set fuzzy-decontamination CTE chain ending in
+    * `fz(doc_id, bench_id, shared, uni, jaccard)` — shared by q_c47 and
+    * q_c73 (twin of `DedupQueries.fuzzyDecontamPairs`).
+    */
+  private val fuzzyFzCtes =
+    """toks AS (SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[k], t[k+1], t[k+2]) AS shingle
+      |       FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS k
+      |             FROM toks WHERE size(t) >= 3)),
+      |h AS (SELECT doc_id,
+      |        aggregate(split(shingle, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L) AS th
+      |      FROM sh),
+      |sig AS (SELECT doc_id,
+      |  MIN((487198041 * th + 259200101) % 1000000007L) AS mh0,
+      |  MIN((741932517 * th + 373587883) % 1000000007L) AS mh1,
+      |  MIN((268435399 * th + 608135813) % 1000000007L) AS mh2,
+      |  MIN((104395303 * th + 36028797) % 1000000007L) AS mh3,
+      |  MIN((655360001 * th + 177777773) % 1000000007L) AS mh4,
+      |  MIN((920419813 * th + 51218317) % 1000000007L) AS mh5
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+      |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shr AS (
+      |  SELECT a.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+      |  GROUP BY a.doc_id, b.doc_id),
+      |j AS (
+      |  SELECT c.doc_id, c.bench_id, s.shared,
+      |         ca.n_sh + cb.n_sh - s.shared AS uni
+      |  FROM cand c
+      |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
+      |  JOIN cnt ca ON c.doc_id = ca.doc_id
+      |  JOIN cnt cb ON c.bench_id = cb.doc_id),
+      |fz AS (
+      |  SELECT doc_id, bench_id, shared, uni,
+      |    CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+      |  FROM j WHERE shared * 10 >= uni * 3)""".stripMargin
+
   private val base: Map[String, String] = Map(
     // ---- relational core -------------------------------------------------
     "q_a1_scan_filter" ->
@@ -1307,46 +1353,44 @@ object SparkSqlQueries {
         |ORDER BY t.doc_id""".stripMargin,
 
     "q_c47_fuzzy_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[k], t[k+1], t[k+2]) AS shingle
-        |       FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS k
-        |             FROM toks WHERE size(t) >= 3)),
-        |h AS (SELECT doc_id,
-        |        aggregate(split(shingle, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L) AS th
-        |      FROM sh),
-        |sig AS (SELECT doc_id,
-        |  MIN((487198041 * th + 259200101) % 1000000007L) AS mh0,
-        |  MIN((741932517 * th + 373587883) % 1000000007L) AS mh1,
-        |  MIN((268435399 * th + 608135813) % 1000000007L) AS mh2,
-        |  MIN((104395303 * th + 36028797) % 1000000007L) AS mh3,
-        |  MIN((655360001 * th + 177777773) % 1000000007L) AS mh4,
-        |  MIN((920419813 * th + 51218317) % 1000000007L) AS mh5
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
-        |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-        |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |shr AS (
-        |  SELECT a.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |  WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
-        |  GROUP BY a.doc_id, b.doc_id),
-        |j AS (
-        |  SELECT c.doc_id, c.bench_id, s.shared,
-        |         ca.n_sh + cb.n_sh - s.shared AS uni
-        |  FROM cand c
-        |  JOIN shr s ON c.doc_id = s.doc_id AND c.bench_id = s.bench_id
-        |  JOIN cnt ca ON c.doc_id = ca.doc_id
-        |  JOIN cnt cb ON c.bench_id = cb.doc_id)
-        |SELECT doc_id, bench_id, shared, uni,
-        |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-        |FROM j WHERE shared * 10 >= uni * 3
-        |ORDER BY doc_id, bench_id""".stripMargin,
+      s"""WITH $fuzzyFzCtes
+         |SELECT doc_id, bench_id, shared, uni, jaccard FROM fz
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q_c73_contamination_report" ->
+      s"""WITH $fuzzyFzCtes,
+         |bg AS (
+         |  SELECT DISTINCT doc_id AS bench_id, array_join(slice(t, k + 1, 13), ' ') AS ng
+         |  FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 13)) AS k
+         |        FROM toks WHERE size(t) >= 13 AND doc_id % 17 = 3)),
+         |bn AS (SELECT bench_id, COUNT(*) AS n_grams FROM bg GROUP BY bench_id),
+         |cg AS (
+         |  SELECT doc_id, array_join(slice(t, k + 1, 13), ' ') AS ng
+         |  FROM (SELECT doc_id, t, explode(sequence(0, size(t) - 13)) AS k
+         |        FROM toks WHERE size(t) >= 13 AND doc_id % 17 <> 3)),
+         |hit AS (
+         |  SELECT bg.bench_id, COUNT(DISTINCT bg.ng) AS n_hit_grams,
+         |         COUNT(DISTINCT cg.doc_id) AS n_exact_partners
+         |  FROM cg JOIN bg ON cg.ng = bg.ng GROUP BY bg.bench_id),
+         |fzagg AS (
+         |  SELECT bench_id, COUNT(*) AS n_fuzzy_partners,
+         |         MAX(jaccard) AS max_jaccard
+         |  FROM fz GROUP BY bench_id),
+         |bd AS (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 17 = 3)
+         |SELECT bd.bench_id,
+         |  CAST(COALESCE(bn.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(hit.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+         |  CAST(COALESCE(hit.n_exact_partners, 0) AS BIGINT) AS n_exact_partners,
+         |  CAST(COALESCE(fzagg.n_fuzzy_partners, 0) AS BIGINT) AS n_fuzzy_partners,
+         |  CAST(COALESCE(fzagg.max_jaccard, 0.0D) AS DOUBLE) AS max_jaccard,
+         |  CASE WHEN COALESCE(hit.n_hit_grams, 0) > 0 THEN 'exact'
+         |       WHEN COALESCE(fzagg.n_fuzzy_partners, 0) > 0 THEN 'fuzzy'
+         |       ELSE 'clean' END AS verdict
+         |FROM bd
+         |LEFT JOIN bn ON bd.bench_id = bn.bench_id
+         |LEFT JOIN hit ON bd.bench_id = hit.bench_id
+         |LEFT JOIN fzagg ON bd.bench_id = fzagg.bench_id
+         |ORDER BY bd.bench_id""".stripMargin,
 
     "q_c44_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),

@@ -64,4 +64,17 @@ class SharedCandidateMemoSpec extends AnyFunSuite {
       assert(rows2 == rows1, "rebuild must be bit-identical (deterministic pipeline)")
     } finally s2.stop()
   }
+
+  test("q_c47/q_c73 share one fuzzy-decontamination pair frame per session") {
+    val s = newSession()
+    try {
+      val first = DedupQueries.fuzzyPairsShared(s, sf)
+      assert(first.collect().nonEmpty,
+        "sf0.001 must yield fuzzy cross-set pairs (non-vacuous fixture)")
+      assert(DedupQueries.fuzzySharedOccupied)
+      // the report's fuzzy side must be the SAME memoized frame q_c47
+      // serves — the cross-set LSH pipeline runs once per session
+      assert(DedupQueries.fuzzyPairsShared(s, sf) eq first)
+    } finally s.stop()
+  }
 }
