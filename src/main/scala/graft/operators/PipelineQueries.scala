@@ -1585,12 +1585,12 @@ object PipelineQueries {
     // data-schedule step). The ordering key is the raw INTEGER signal
     // qkey = ((wsum + 1024·n)·1000) div (2048·n) ∈ [0, 999] — a
     // per-mille quality quantile, identical in both engines with no
-    // float comparison. The prefix sum is q_c25's BLOCK-STRUCTURED
-    // shape: per-qkey token sums are a ≤1000-row frame whose offsets are
-    // a window over that tiny frame; the within-key window partitions by
-    // qkey — no global single-partition window at any corpus size (a
-    // finer qkey quantization bounds within-key width if a key ever
-    // concentrates).
+    // float comparison. The prefix sum is HIERARCHICALLY
+    // block-structured (see [[curriculumSchedule]]): key-level offsets
+    // over a ≤1000-row frame, block-level offsets within each key, and
+    // a within-(key, block) window — so no window partition exceeds
+    // 4096 rows even if a pathological corpus concentrates the entire
+    // signal onto one qkey.
     QueryDef(
       "q_c65_curriculum",
       Some("""WITH t AS (
@@ -1627,23 +1627,7 @@ object PipelineQueries {
           when(col("n_tokens") === 0, 500L)
             .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))
             .as("qkey"))
-      val wBlk = Window.orderBy(col("qkey").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val blkOff = q.groupBy(col("qkey"))
-        .agg(sum(col("n_tokens")).as("bsum"))
-        .withColumn("boff", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
-        .drop("bsum")
-      val total = q.agg(sum(col("n_tokens")).cast("long").as("total"))
-      val wIn = Window.partitionBy(col("qkey")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      q.join(broadcast(blkOff), Seq("qkey"))
-        .crossJoin(broadcast(total))
-        .withColumn("cum_start",
-          col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .select(col("doc_id"), col("qkey"), col("n_tokens"), col("cum_start"),
-          when(col("total") > 0,
-            least(lit(3L), expr("(cum_start * 4) DIV total"))).otherwise(0L).as("phase"))
-        .orderBy(col("doc_id"))
+      curriculumSchedule(q).orderBy(col("doc_id"))
     },
 
     // ---- q_c67: soft-dedup sampling weights --------------------------------
@@ -1774,4 +1758,54 @@ object PipelineQueries {
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val")
           .otherwise("test").as("split"))
+
+  /** q_c65's curriculum prefix sum over a (doc_id, n_tokens, qkey) frame,
+    * equal by construction to the flat window
+    * `SUM(n_tokens) OVER (ORDER BY qkey DESC, doc_id ROWS UNBOUNDED
+    * PRECEDING .. 1 PRECEDING)` — the oracle's form — but HIERARCHICALLY
+    * blocked so no window partition can exceed 4096 rows:
+    *
+    *   cum_start = key offset (window over the ≤1000-row per-qkey sums)
+    *             + block offset within the key (window over per-(qkey,
+    *               doc_id DIV 4096) sums, partitioned BY qkey)
+    *             + within-block prefix (window partitioned by (qkey, blk))
+    *
+    * Equality holds because blk = doc_id DIV 4096 is monotone in doc_id,
+    * so ordering by (blk, doc_id) within a key IS ordering by doc_id.
+    * The flat within-key window was q_c65's one residual concentration
+    * hazard (NEXT r16 lead 3): a pathological corpus placing every
+    * document on one qkey would have funneled the whole corpus through a
+    * single window partition. Now the widest corpus-sized partition is a
+    * 4096-row block, the block-sum frame is corpus/4096 rows spread
+    * across its keys, and only the ≤1000-row key frame and the 1-row
+    * total ever broadcast.
+    */
+  private[graft] def curriculumSchedule(q: DataFrame): DataFrame = {
+    val qb = q.withColumn("blk", expr("doc_id DIV 4096"))
+    val wKeys = Window.orderBy(col("qkey").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyOff = qb.groupBy(col("qkey"))
+      .agg(sum(col("n_tokens")).as("ksum"))
+      .withColumn("koff", coalesce(sum(col("ksum")).over(wKeys), lit(0L)))
+      .drop("ksum")
+    // per-(qkey, blk) sums: corpus/4096 rows — joined co-partitioned, NOT
+    // broadcast (it grows with the corpus)
+    val wBlkInKey = Window.partitionBy(col("qkey")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = qb.groupBy(col("qkey"), col("blk"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wBlkInKey), lit(0L)))
+      .drop("bsum")
+    val total = q.agg(sum(col("n_tokens")).cast("long").as("total"))
+    val wIn = Window.partitionBy(col("qkey"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    qb.join(blkOff, Seq("qkey", "blk"))
+      .join(broadcast(keyOff), Seq("qkey"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_start",
+        col("koff") + col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("qkey"), col("n_tokens"), col("cum_start"),
+        when(col("total") > 0,
+          least(lit(3L), expr("(cum_start * 4) DIV total"))).otherwise(0L).as("phase"))
+  }
 }

@@ -220,4 +220,39 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(meanQ(0L) > meanQ(3L), "phase 0 must hold higher-quality docs than phase 3")
   }
+
+  test("q_c65 hierarchical prefix sum: exact on a fully CONCENTRATED key") {
+    // NEXT r16 lead 3's hazard case: every document lands on ONE qkey, so
+    // a flat within-key window would funnel the whole frame through a
+    // single partition. The hierarchical form must (a) stay exact and
+    // (b) partition its corpus-sized windows by (qkey, blk).
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val n = 20000
+    val q = (0 until n).map(i => (i.toLong, (i % 7 + 1).toLong, 42L))
+      .toDF("doc_id", "n_tokens", "qkey")
+    val out = graft.operators.PipelineQueries.curriculumSchedule(q)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === n)
+    var cum = 0L
+    out.foreach { r => // qkey constant ⇒ schedule order IS doc_id order
+      assert(r.getLong(3) === cum, s"doc ${r.getLong(0)}")
+      cum += r.getLong(2)
+    }
+    // plan shape: every corpus-sized window partitions by (qkey, blk) —
+    // the only partition-less window is over the ≤1000-row key frame
+    // (logical plan: AQE wraps the physical one, hiding WindowExec from
+    // collect)
+    val windows = graft.operators.PipelineQueries.curriculumSchedule(q)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.count(_.partitionSpec.size == 2) === 1,
+      "within-block window must partition by (qkey, blk)")
+    assert(windows.count(_.partitionSpec.size == 1) === 1,
+      "block-offset window must partition by qkey")
+    assert(windows.count(_.partitionSpec.isEmpty) === 1,
+      "exactly one global window (the ≤1000-row key-offset frame)")
+  }
 }
