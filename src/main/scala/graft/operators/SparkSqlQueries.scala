@@ -1617,6 +1617,29 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c74_cms_freq" ->
+      """WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |th AS (SELECT term, cnt,
+        |  aggregate(split(term, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L) AS th
+        |  FROM tc),
+        |sl AS (SELECT term, cnt,
+        |  ((487198041L * th + 259200101L) % 1000000007L) % 1024L AS s0,
+        |  ((741932517L * th + 373587883L) % 1000000007L) % 1024L AS s1,
+        |  ((268435399L * th + 608135813L) % 1000000007L) % 1024L AS s2 FROM th),
+        |sk AS (SELECT row_i, slot, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        |  SELECT 0 AS row_i, s0 AS slot, cnt FROM sl
+        |  UNION ALL SELECT 1, s1, cnt FROM sl
+        |  UNION ALL SELECT 2, s2, cnt FROM sl) GROUP BY 1, 2)
+        |SELECT sl.term, sl.cnt AS exact_cnt,
+        |  LEAST(k0.c, k1.c, k2.c) AS cms_est,
+        |  LEAST(k0.c, k1.c, k2.c) - sl.cnt AS overcount
+        |FROM sl
+        |JOIN sk k0 ON k0.row_i = 0 AND k0.slot = sl.s0
+        |JOIN sk k1 ON k1.row_i = 1 AND k1.slot = sl.s1
+        |JOIN sk k2 ON k2.row_i = 2 AND k2.slot = sl.s2
+        |ORDER BY exact_cnt DESC, sl.term LIMIT 100""".stripMargin,
+
     "q_c65_curriculum" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks

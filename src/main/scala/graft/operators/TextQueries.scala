@@ -1147,8 +1147,107 @@ object TextQueries {
           (col("tot") + col("bt")).as("tot"))
       bm25Score(basePost.unionByName(batchPost), stats,
         Seq("hash", "join", "filter"))
+    },
+
+    // ---- q_c74: Count-Min sketch frequency estimation ---------------------
+    // The third frequency SKETCH beside Misra-Gries (q_c53) and Bloom
+    // (q_c61), completing the streaming-summaries family (Cormode &
+    // Muthukrishnan 2005): a depth-3 × width-1024 counter grid summarizes
+    // the corpus term distribution in 3·1024 cells; a term's estimate is
+    // the MIN over its three hashed cells, which can only OVERCOUNT
+    // (collisions add, never subtract). Like q_c61's Bloom bits, the
+    // double-hashing family is pure integer arithmetic over the house
+    // rolling hash, so the sketch — including every collision — is
+    // SQL-derivable and the estimates themselves are oracle-checked, not
+    // just spec-asserted. Output: the 100 most frequent terms with exact
+    // count, CMS estimate, and overcount.
+    //
+    // 100 TB shape: term totals come off the shared tf_unigram memo (one
+    // corpus tokenize per session) via one map-side-combined agg; the
+    // sketch is a ≤3072-row frame built from the VOCABULARY (Heaps-
+    // bounded), broadcast back for the probe joins; the top-100 is
+    // TakeOrdered, not a global sort. The sketch agg is LINEAR, so the
+    // same plan merges per-shard sketches (CmsSketchSpec pins
+    // mergeability) — the property that makes it a one-pass streaming
+    // summary at any scale.
+    QueryDef(
+      "q_c74_cms_freq",
+      Some(s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+              |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+              |th AS (SELECT term, cnt,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(x) AS BIGINT) for x in string_split(term, '')]), (acc, ch) -> (acc * 31 + ch) % 1000000007) AS th
+              |  FROM tc),
+              |sl AS (SELECT term, cnt,
+              |  ((487198041 * th + 259200101) % 1000000007) % 1024 AS s0,
+              |  ((741932517 * th + 373587883) % 1000000007) % 1024 AS s1,
+              |  ((268435399 * th + 608135813) % 1000000007) % 1024 AS s2 FROM th),
+              |sk AS (SELECT row_i, slot, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+              |  SELECT 0 AS row_i, s0 AS slot, cnt FROM sl
+              |  UNION ALL SELECT 1, s1, cnt FROM sl
+              |  UNION ALL SELECT 2, s2, cnt FROM sl) GROUP BY 1, 2)
+              |SELECT sl.term, sl.cnt AS exact_cnt,
+              |  LEAST(k0.c, k1.c, k2.c) AS cms_est,
+              |  LEAST(k0.c, k1.c, k2.c) - sl.cnt AS overcount
+              |FROM sl
+              |JOIN sk k0 ON k0.row_i = 0 AND k0.slot = sl.s0
+              |JOIN sk k1 ON k1.row_i = 1 AND k1.slot = sl.s1
+              |JOIN sk k2 ON k2.row_i = 2 AND k2.slot = sl.s2
+              |ORDER BY exact_cnt DESC, sl.term LIMIT 100""".stripMargin)
+    ) { (s, d) =>
+      val sl = cmsSlots(termCounts(s, d))
+      val sk = cmsSketch(sl)
+      val probed = cmsParams.indices.foldLeft(sl) { (acc, i) =>
+        acc.join(
+          broadcast(sk.filter(col("row_i") === i)
+            .select(col("slot").as(s"s$i"), col("c").as(s"c$i"))),
+          Seq(s"s$i"))
+      }
+      probed
+        .select(col("term"), col("cnt").as("exact_cnt"),
+          least(col("c0"), col("c1"), col("c2")).as("cms_est"),
+          (least(col("c0"), col("c1"), col("c2")) - col("cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+        .limit(100)
     }
   )
+
+  /** Corpus term totals off the shared tf_unigram memo (one tokenize per
+    * session; one map-side-combined agg per call).
+    */
+  private[graft] def termCounts(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    tfUnigram(s, d).groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+
+  /** q_c74's CMS hash family: slot_i = ((a_i·th + b_i) mod p) mod width,
+    * th = the house rolling hash of the term — all integer, so DuckDB
+    * derives the identical grid.
+    */
+  private[graft] val cmsParams: Seq[(Long, Long)] =
+    Seq((487198041L, 259200101L), (741932517L, 373587883L), (268435399L, 608135813L))
+
+  private[graft] val cmsWidth = 1024
+
+  /** (term, cnt) → (term, cnt, s0, s1, s2). */
+  private[graft] def cmsSlots(tc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val th = tc.withColumn("th",
+      expr("aggregate(split(term, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"))
+    cmsParams.zipWithIndex.foldLeft(th) { case (acc, ((a, b), i)) =>
+      acc.withColumn(s"s$i", ((lit(a) * col("th") + lit(b)) % 1000000007L) % cmsWidth)
+    }
+  }
+
+  /** The depth-3 × width-1024 counter grid from a slotted term-count
+    * frame: (row_i, slot, c), ≤ 3·1024 rows. LINEAR in its input —
+    * sketch(A ∪ B) = cellwise sum of sketch(A) and sketch(B)
+    * (CmsSketchSpec pins it), which is what makes the sketch a one-pass
+    * mergeable summary across shards or stream batches.
+    */
+  private[graft] def cmsSketch(sl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cmsParams.indices
+      .map(i => sl.select(lit(i).as("row_i"), col(s"s$i").as("slot"), col("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy(col("row_i"), col("slot"))
+      .agg(sum(col("cnt")).cast("long").as("c"))
 
   /** q_c30's classifier as a pure projection over a (doc_id, text) frame —
     * shared verbatim by the batch query (plus its presentation sort) and
