@@ -923,8 +923,88 @@ object DedupQueries {
         .filter(col("doc_id") % 10 === 3)
       candidatesFromSigs(baseSigs.unionByName(batchSigs))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q_c75: winnowing fingerprint overlap (MOSS) ----------------------
+    // Robust local fingerprinting (Schleimer, Wilkerson & Aho, SIGMOD
+    // 2003 — the MOSS plagiarism detector): per document, hash every
+    // word-3-gram IN SEQUENCE, slide a window of w=4 over the hash
+    // stream, and keep the set of window MINIMA. The selection is
+    // position-robust — unlike q_c8's whole-doc fingerprint, an
+    // insertion far from a copied span cannot change the span's selected
+    // hashes — and carries winnowing's detection GUARANTEE: any shared
+    // run of ≥ w+k-1 = 6 words produces a shared fingerprint
+    // (WinnowingSpec pins it). Documents sharing ≥ 2 fingerprints are
+    // reported as overlap pairs.
+    //
+    // 100 TB shape: fingerprint selection is map-only (per-row array
+    // fold, density ≈ 2/(w+1) of grams, distinct'd per doc); the pair
+    // join keys on fingerprints AFTER a stop-fingerprint prune (df > 50
+    // — boilerplate phrases selected in thousands of docs would square
+    // the join fan-out; value-relevant near-dup fingerprints stay far
+    // under the cap), so per-key fan-out is bounded by 50²/2 and only
+    // (doc, fp) id-pairs ever shuffle.
+    QueryDef(
+      "q_c75_winnow_fingerprint",
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |g AS (SELECT doc_id,
+             |  list_transform(range(len(ts) - 2), i ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ascii(x) AS BIGINT) for x in
+             |         string_split(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3], '')]),
+             |      (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs
+             |  FROM t WHERE len(ts) >= 3),
+             |w AS (SELECT doc_id,
+             |  CASE WHEN len(hs) >= 4
+             |       THEN list_transform(range(len(hs) - 3), p -> list_min(hs[p+1:p+4]))
+             |       ELSE [list_min(hs)] END AS sel
+             |  FROM g),
+             |fp AS (SELECT DISTINCT doc_id, fp FROM
+             |        (SELECT doc_id, unnest(sel) AS fp FROM w)),
+             |kept AS (SELECT doc_id, fp FROM fp
+             |         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(COUNT(*) AS BIGINT) AS shared_fp
+             |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ) { (s, d) =>
+      val fp = winnowFingerprints(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")))
+      // stop-fingerprint prune: per-fp doc frequency over the id-pair
+      // frame, window-partitioned by fp (bounded per key by the fp's df)
+      val kept = fp
+        .withColumn("dfc",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("dfc") <= 50)
+        .drop("dfc")
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("long").as("shared_fp"))
+        .filter(col("shared_fp") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** q_c75's fingerprint selection over a (doc_id, text) frame: the set
+    * of w=4-window minima over the in-sequence word-3-gram rolling-hash
+    * stream (winnowing). Map-only; shared by the batch query and
+    * WinnowingSpec's guarantee fixtures.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(ts) - 3), i -> " +
+          "aggregate(split(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), ''), 0L," +
+          " (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L))").as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("hs")) >= 4, expr(
+          "transform(sequence(0, size(hs) - 4), p -> array_min(slice(hs, p + 1, 4)))"))
+          .otherwise(array(array_min(col("hs")))))).as("fp"))
 
   /** The BASE-corpus (doc_id % 10 <> 3) signature index for q_c68's
     * append scenario — same lifecycle as [[minhashIndex]], cached under

@@ -1617,6 +1617,28 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c75_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id,
+        |  transform(sequence(0, size(ts) - 3), i ->
+        |    aggregate(split(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), ''), 0L,
+        |      (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)) AS hs
+        |  FROM t WHERE size(ts) >= 3),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN size(hs) >= 4
+        |       THEN transform(sequence(0, size(hs) - 4), p -> array_min(slice(hs, p + 1, 4)))
+        |       ELSE array(array_min(hs)) END AS sel
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM
+        |        (SELECT doc_id, explode(sel) AS fp FROM w)),
+        |dfc AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp),
+        |kept AS (SELECT doc_id, fp FROM dfc WHERE dfc <= 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_fp
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_c74_cms_freq" ->
       """WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
