@@ -1617,6 +1617,34 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c76_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+        |  FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s),
+        |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1),
+        |ppl AS (
+        |  SELECT d.doc_id,
+        |    CAST(CAST(a.nll / CAST(d.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+        |  FROM dl d JOIN agg a USING (doc_id)),
+        |pl AS (SELECT p.doc_id, doc.lang, p.avg_nll
+        |       FROM ppl p JOIN documents doc USING (doc_id)),
+        |cuts AS (SELECT lang,
+        |    CAST(CAST(percentile(avg_nll, 1.0D/3) AS DECIMAL(18,6)) AS DOUBLE) AS c33,
+        |    CAST(CAST(percentile(avg_nll, 2.0D/3) AS DECIMAL(18,6)) AS DOUBLE) AS c66
+        |  FROM pl GROUP BY 1)
+        |SELECT pl.doc_id, pl.lang, pl.avg_nll,
+        |  CASE WHEN pl.avg_nll <= c.c33 THEN 'head'
+        |       WHEN pl.avg_nll <= c.c66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM pl JOIN cuts c USING (lang)
+        |ORDER BY pl.doc_id""".stripMargin,
+
     "q_c75_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
         |g AS (SELECT doc_id,

@@ -405,27 +405,7 @@ object TextQueries {
              |FROM dl d JOIN agg a USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      // the tf frame is deterministic per (session, documents snapshot),
-      // so it lives in the SessionMemo like the dedup garr: repeat
-      // invocations (and any future tf consumer) skip the tokenize scan
-      // and the (doc, term) shuffle entirely; the memo measures the frame
-      // and degrades to per-query drain/disk tier if it outgrows budget
-      val tf = tfUnigram(s, d)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
-      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
-      val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
-      val scored = tf
-        .join(vocab, Seq("term")) // term-keyed shuffle join: vocab is corpus-sized state
-        .crossJoin(broadcast(tot))
-        .withColumn("tscore",
-          dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
-      val agg = scored.groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
-      dl.join(agg, Seq("doc_id"))
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          emit((col("nll") / dec(col("n_tokens"))).cast(D38)).as("avg_nll"))
-        .orderBy(col("doc_id"))
+      docNll(s, d).orderBy(col("doc_id"))
     },
 
     // ---- q_c30: hashed-bag-of-words linear quality classifier ------------
@@ -1208,8 +1188,99 @@ object TextQueries {
           (least(col("c0"), col("c1"), col("c2")) - col("cnt")).as("overcount"))
         .orderBy(col("exact_cnt").desc, col("term"))
         .limit(100)
+    },
+
+    // ---- q_c76: CCNet-style perplexity buckets ----------------------------
+    // The head/middle/tail partition CCNet (Wenzek et al. 2020) ships
+    // with: per LANGUAGE, cut the corpus at the NLL terciles and label
+    // each document's bucket — head+middle is the kept training pool,
+    // tail is the drop candidate. The score is EXACTLY q_c26's per-doc
+    // unigram NLL (shared [[docNll]] pipeline — no semantic fork); the
+    // cuts are exact interpolated percentiles quantized through
+    // DECIMAL(18,6) (the q_b8 discipline, so a last-ulp interpolation
+    // wobble cannot flip a bucket), and the bucket comparison is over
+    // doubles both engines derived identically.
+    //
+    // 100 TB shape: scoring rides the memoized tf frame; the cut frame
+    // is O(#langs) rows and broadcasts back; the only corpus-sized
+    // operations are q_c26's own shuffles plus one lang-keyed broadcast
+    // join. The exact percentile collects each lang's scores into one
+    // aggregation buffer — the documented small-SF/oracle path; q_c58's
+    // Greenwald-Khanna sketch is the bounded-state scale variant of the
+    // same cut.
+    QueryDef(
+      "q_c76_ppl_buckets",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+             |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    CAST(t.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+             |  FROM tf t JOIN vocab v USING (term) CROSS JOIN tot s),
+             |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1),
+             |ppl AS (
+             |  SELECT d.doc_id,
+             |    CAST(CAST(a.nll / CAST(d.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+             |  FROM dl d JOIN agg a USING (doc_id)),
+             |pl AS (SELECT p.doc_id, doc.lang, p.avg_nll
+             |       FROM ppl p JOIN documents doc USING (doc_id)),
+             |cuts AS (SELECT lang,
+             |    CAST(CAST(quantile_cont(avg_nll, 1.0/3) AS DECIMAL(18,6)) AS DOUBLE) AS c33,
+             |    CAST(CAST(quantile_cont(avg_nll, 2.0/3) AS DECIMAL(18,6)) AS DOUBLE) AS c66
+             |  FROM pl GROUP BY 1)
+             |SELECT pl.doc_id, pl.lang, pl.avg_nll,
+             |  CASE WHEN pl.avg_nll <= c.c33 THEN 'head'
+             |       WHEN pl.avg_nll <= c.c66 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM pl JOIN cuts c USING (lang)
+             |ORDER BY pl.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val pl = docNll(s, d)
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_nll"))
+      val cuts = pl.groupBy(col("lang")).agg(
+        expr("CAST(CAST(percentile(avg_nll, 1.0D/3) AS DECIMAL(18,6)) AS DOUBLE)").as("c33"),
+        expr("CAST(CAST(percentile(avg_nll, 2.0D/3) AS DECIMAL(18,6)) AS DOUBLE)").as("c66"))
+      pl.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("avg_nll") <= col("c33"), "head")
+            .when(col("avg_nll") <= col("c66"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q_c26's per-document unigram NLL frame (doc_id, n_tokens, avg_nll) —
+    * extracted so q_c76's bucket assignment consumes the IDENTICAL score
+    * pipeline (no semantic fork). The tf frame is deterministic per
+    * (session, documents snapshot), so it lives in the SessionMemo like
+    * the dedup garr: repeat invocations (and any future tf consumer)
+    * skip the tokenize scan and the (doc, term) shuffle entirely; the
+    * memo measures the frame and degrades to per-query drain/disk tier
+    * if it outgrows budget. The vocab join shuffles on term (Heaps-law
+    * bounded but NOT broadcastable at corpus scale); only the 1-row
+    * total rides a broadcast (PlanShapeSpec pins both).
+    */
+  private[graft] def docNll(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tf = tfUnigram(s, d)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+    val scored = tf
+      .join(vocab, Seq("term")) // term-keyed shuffle join: vocab is corpus-sized state
+      .crossJoin(broadcast(tot))
+      .withColumn("tscore",
+        dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
+    val agg = scored.groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
+    dl.join(agg, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        emit((col("nll") / dec(col("n_tokens"))).cast(D38)).as("avg_nll"))
+  }
 
   /** Corpus term totals off the shared tf_unigram memo (one tokenize per
     * session; one map-side-combined agg per call).

@@ -57,4 +57,28 @@ class QualityEnsembleSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (c <- Seq("v_rules", "v_cls", "v_ppl", "v_ent", "keep"))
       assert(ens.values.map(_.getAs[Int](c)).toSet == Set(0, 1), s"$c vacuous")
   }
+
+  test("q_c76 buckets are per-lang NLL terciles of q_c26's exact scores") {
+    val buckets = SparkEntry.queries("q_c76_ppl_buckets")(spark, sf).collect()
+    val ppl = SparkEntry.queries("q_c26_unigram_logprob")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    graft.core.CachedRdds.drain()
+    assert(buckets.map(_.getLong(0)).toSet === ppl.keySet,
+      "bucket assignment covers exactly the scored documents")
+    buckets.foreach(r => assert(r.getAs[Double]("avg_nll") === ppl(r.getLong(0)),
+      "the bucket score IS q_c26's score (shared pipeline, no fork)"))
+    for ((lang, rs) <- buckets.groupBy(_.getAs[String]("lang")) if rs.length >= 10) {
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+      assert(byBucket.keySet === Set("head", "middle", "tail"),
+        s"$lang: all three buckets populated")
+      // buckets are ordered: every head score < every middle < every tail
+      // (equal scores always land in the same bucket, so max/min suffice)
+      def scores(b: String) = byBucket(b).map(_.getAs[Double]("avg_nll"))
+      assert(scores("head").max < scores("middle").min, s"$lang head/middle overlap")
+      assert(scores("middle").max < scores("tail").min, s"$lang middle/tail overlap")
+      // tercile balance: head holds between a quarter and a half of the docs
+      val h = byBucket("head").length
+      assert(h * 4 >= rs.length && h * 2 <= rs.length + 2, s"$lang head=$h of ${rs.length}")
+    }
+  }
 }
