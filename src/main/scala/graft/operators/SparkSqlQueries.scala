@@ -1617,6 +1617,28 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c77_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |p AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)
+        |  UNION ALL
+        |  SELECT ts[i], ts[i + 2]
+        |  FROM (SELECT ts, explode(sequence(0, size(ts) - 3)) AS i FROM t WHERE size(ts) >= 3)),
+        |cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |       FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM (SELECT explode(ts) AS term FROM t) GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM tc),
+        |tp AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM p)
+        |SELECT cp.w1, cp.w2, cp.pair_cnt,
+        |  CAST(CAST(ln((CAST(cp.pair_cnt AS DOUBLE) * nn.n * nn.n)
+        |    / (tp.t * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+        |FROM cp JOIN tc a ON a.term = cp.w1 JOIN tc b ON b.term = cp.w2
+        |CROSS JOIN nn CROSS JOIN tp
+        |ORDER BY pmi DESC, cp.w1, cp.w2 LIMIT 50""".stripMargin,
+
     "q_c76_ppl_buckets" ->
       """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

@@ -1249,6 +1249,74 @@ object TextQueries {
             .when(col("avg_nll") <= col("c66"), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c77: PMI collocations (windowed co-occurrence) -----------------
+    // The classic collocation extractor (Church & Hanks 1990): pointwise
+    // mutual information over ordered word pairs co-occurring within a
+    // ±2-token window, PMI = ln(c_xy·N² / (T·c_x·c_y)); the top-50
+    // strongest associations with pair count ≥ 5 (the standard
+    // low-count prune — PMI is notoriously unstable on rare pairs).
+    // The ratio is assembled in ONE double expression with identical
+    // association order in both engines, then quantized (D18,6) so the
+    // single ln call cannot leak a ulp into the hash.
+    //
+    // 100 TB shape: pair generation is MAP-ONLY (a per-row transform
+    // over the token array for gaps 1 and 2 — never a positions
+    // self-join); one (w1, w2)-keyed agg with map-side combine, pruned
+    // to frequent pairs BEFORE the two vocab joins; unigram counts ride
+    // the shared tf_unigram memo; N and T are 1-row broadcasts; top-50
+    // is TakeOrdered.
+    QueryDef(
+      "q_c77_pmi_collocations",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |p AS (
+             |  SELECT ts[i+1] AS w1, ts[i+2] AS w2
+             |  FROM (SELECT ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)
+             |  UNION ALL
+             |  SELECT ts[i+1], ts[i+3]
+             |  FROM (SELECT ts, unnest(range(len(ts) - 2)) AS i FROM t WHERE len(ts) >= 3)),
+             |cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+             |       FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |       FROM (SELECT unnest(ts) AS term FROM t) GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM tc),
+             |tp AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM p)
+             |SELECT cp.w1, cp.w2, cp.pair_cnt,
+             |  CAST(CAST(ln((CAST(cp.pair_cnt AS DOUBLE) * nn.n * nn.n)
+             |    / (tp.t * CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)))
+             |    AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+             |FROM cp JOIN tc a ON a.term = cp.w1 JOIN tc b ON b.term = cp.w2
+             |CROSS JOIN nn CROSS JOIN tp
+             |ORDER BY pmi DESC, cp.w1, cp.w2 LIMIT 50""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      def gapPairs(g: Int) = t
+        .filter(size(col("ts")) > g)
+        .select(explode(expr(
+          s"transform(sequence(0, size(ts) - 1 - $g), i -> struct(ts[i] AS w1, ts[i + $g] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val p = gapPairs(1).unionByName(gapPairs(2))
+      val cp = p.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("pair_cnt"))
+        .filter(col("pair_cnt") >= 5)
+      val tc = termCounts(s, d)
+      val nn = tc.agg(sum(col("cnt")).cast("double").as("n"))
+      val tp = p.agg(count(lit(1)).cast("double").as("t"))
+      cp
+        .join(tc.select(col("term").as("w1"), col("cnt").as("c1")), Seq("w1"))
+        .join(tc.select(col("term").as("w2"), col("cnt").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(tp))
+        .select(col("w1"), col("w2"), col("pair_cnt"),
+          emitQ(log((col("pair_cnt").cast("double") * col("n") * col("n"))
+            / (col("t") * col("c1").cast("double") * col("c2").cast("double"))))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
     }
   )
 
