@@ -985,8 +985,64 @@ object DedupQueries {
         .agg(count(lit(1)).cast("long").as("shared_fp"))
         .filter(col("shared_fp") >= 2)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q_c78: containment-based decontamination -------------------------
+    // The ASYMMETRIC overlap geometry q_c47's Jaccard misses: a long
+    // corpus document that swallows a short benchmark document whole has
+    // containment C = |A∩B| / |B| ≈ 1 but Jaccard ≈ |B|/|A| ≈ 0 — so a
+    // Jaccard-thresholded decontaminator never flags exactly the most
+    // damaging inclusion case. This query scores every (corpus,
+    // held-out) pair sharing a shingle by containment of the HELD-OUT
+    // side (same % 17 = 3 slice as q_c47, so the two geometries are
+    // comparable per benchmark doc) and keeps C ≥ 0.5 — evaluated in
+    // integer arithmetic (shared·2 ≥ n_b), never floats.
+    //
+    // 100 TB shape: the held-out side is MBs against a TB corpus, so its
+    // shingle set BROADCASTS and the corpus streams through the hash
+    // join (zero corpus shuffle on shingle); only matched (doc, bench)
+    // id-pairs reach the per-pair count; per-bench shingle counts are a
+    // tiny broadcast.
+    QueryDef(
+      "q_c78_containment_decon",
+      Some(s"""WITH $duckShingles,
+              |cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b
+              |       FROM sh WHERE doc_id % 17 = 3 GROUP BY 1),
+              |shr AS (SELECT a.doc_id, b.doc_id AS bench_id,
+              |               CAST(COUNT(*) AS BIGINT) AS shared
+              |        FROM sh a JOIN sh b ON a.shingle = b.shingle
+              |        WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+              |        GROUP BY 1, 2)
+              |SELECT s.doc_id, s.bench_id, s.shared, c.n_b,
+              |  CAST(CAST(CAST(s.shared AS DECIMAL(18,6)) / CAST(c.n_b AS DECIMAL(18,6))
+              |    AS DECIMAL(38,6)) AS DOUBLE) AS containment
+              |FROM shr s JOIN cb c ON c.doc_id = s.bench_id
+              |WHERE s.shared * 2 >= c.n_b
+              |ORDER BY s.doc_id, s.bench_id""".stripMargin)
+    ) { (s, d) =>
+      val sh = shingles(s, d)
+      val cb = sh.filter(benchSlice)
+        .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_b"))
+      sh.filter(!benchSlice)
+        .join(
+          broadcast(sh.filter(benchSlice)
+            .select(col("doc_id").as("bench_id"), col("shingle"))),
+          Seq("shingle"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).cast("long").as("shared"))
+        .join(broadcast(cb.select(col("doc_id").as("bench_id"), col("n_b"))),
+          Seq("bench_id"))
+        .filter(col("shared") * 2 >= col("n_b"))
+        .select(col("doc_id"), col("bench_id"), col("shared"), col("n_b"),
+          emit((dec(col("shared")) / dec(col("n_b"))).cast(D38)).as("containment"))
+        .orderBy(col("doc_id"), col("bench_id"))
     }
   )
+
+  /** q_c78's held-out predicate — q_c47's benchmark slice, so the two
+    * decontamination geometries are measured against the SAME set.
+    */
+  private val benchSlice = col("doc_id") % 17 === 3
 
   /** q_c75's fingerprint selection over a (doc_id, text) frame: the set
     * of w=4-window minima over the in-sequence word-3-gram rolling-hash

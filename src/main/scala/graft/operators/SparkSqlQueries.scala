@@ -1617,6 +1617,49 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c78_containment_decon" ->
+      s"""WITH $shingleCtes,
+         |cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b
+         |       FROM sh WHERE doc_id % 17 = 3 GROUP BY 1),
+         |shr AS (SELECT a.doc_id, b.doc_id AS bench_id,
+         |               CAST(COUNT(*) AS BIGINT) AS shared
+         |        FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |        WHERE a.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+         |        GROUP BY 1, 2)
+         |SELECT s.doc_id, s.bench_id, s.shared, c.n_b,
+         |  CAST(CAST(CAST(s.shared AS DECIMAL(18,6)) / CAST(c.n_b AS DECIMAL(18,6))
+         |    AS DECIMAL(38,6)) AS DOUBLE) AS containment
+         |FROM shr s JOIN cb c ON c.doc_id = s.bench_id
+         |WHERE s.shared * 2 >= c.n_b
+         |ORDER BY s.doc_id, s.bench_id""".stripMargin,
+
+    "q_c79_vocab_coverage" ->
+      """WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |ff AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nterms FROM tc GROUP BY 1),
+        |cum AS (SELECT cnt, nterms,
+        |  COALESCE(SUM(nterms) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS terms_before,
+        |  COALESCE(SUM(cnt * nterms) OVER (ORDER BY cnt DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS tokens_before
+        |  FROM ff),
+        |tot AS (SELECT CAST(SUM(cnt * nterms) AS BIGINT) AS total_tokens,
+        |               CAST(SUM(nterms) AS BIGINT) AS vocab FROM ff),
+        |ks AS (SELECT CAST(m AS BIGINT) AS m,
+        |              GREATEST((tot.vocab * m) DIV 64, 1L) AS k
+        |       FROM (SELECT explode(array(1, 4, 8, 16, 32, 48)) AS m) CROSS JOIN tot),
+        |sel AS (SELECT ks.m, ks.k,
+        |          c.tokens_before + (ks.k - c.terms_before) * c.cnt AS covered
+        |        FROM ks JOIN cum c
+        |          ON c.terms_before < ks.k AND ks.k <= c.terms_before + c.nterms)
+        |SELECT ks.m AS frac64, CAST(ks.k AS BIGINT) AS vocab_size,
+        |  CAST(COALESCE(s.covered, tot.total_tokens) AS BIGINT) AS covered_tokens,
+        |  tot.total_tokens,
+        |  CAST(CAST(CAST(tot.total_tokens - COALESCE(s.covered, tot.total_tokens) AS DECIMAL(18,6))
+        |    / CAST(tot.total_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS oov_rate
+        |FROM ks LEFT JOIN sel s ON s.m = ks.m CROSS JOIN tot
+        |ORDER BY frac64""".stripMargin,
+
     "q_c77_pmi_collocations" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
         |p AS (

@@ -1317,6 +1317,86 @@ object TextQueries {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)
+    },
+
+    // ---- q_c79: vocabulary coverage / OOV-rate curve -----------------------
+    // The tokenizer-sizing report: for candidate vocabulary budgets k =
+    // ⌈vocab·m/64⌉, m ∈ {1,4,8,16,32,48}, what fraction of corpus tokens
+    // falls outside the top-k most frequent terms (ranked cnt DESC) —
+    // the curve a trainer reads before fixing a vocab budget. Budgets
+    // are DATA-DEPENDENT fractions of the observed vocabulary (the
+    // q_c62 budget convention) so the curve discriminates at every SF —
+    // a fixed absolute k list saturates to OOV 0 the moment the corpus
+    // vocabulary falls below the smallest k. Computed WITHOUT ranking
+    // the vocabulary: the frequency-of-frequencies table F(c) = #terms
+    // with count c collapses every tie, and since all terms in a count
+    // bucket are interchangeable for coverage, covered(k) =
+    // tokens_before(c*) + (k − terms_before(c*))·c* where c* is the
+    // bucket containing rank k — tie-break-independent by construction.
+    //
+    // 100 TB shape: two map-side-combined aggs off the shared tf_unigram
+    // memo; the only window runs over the F(c) frame, whose size is the
+    // number of DISTINCT count values — O(√total_tokens) worst case
+    // (counts 1..m need m(m+1)/2 tokens), orders of magnitude below the
+    // vocabulary the naive global rank would sort; the 6-row budget
+    // frame broadcasts into the bucket-location join.
+    QueryDef(
+      "q_c79_vocab_coverage",
+      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+             |ff AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nterms FROM tc GROUP BY 1),
+             |cum AS (SELECT cnt, nterms,
+             |  COALESCE(SUM(nterms) OVER (ORDER BY cnt DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS terms_before,
+             |  COALESCE(SUM(cnt * nterms) OVER (ORDER BY cnt DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+             |  FROM ff),
+             |tot AS (SELECT CAST(SUM(cnt * nterms) AS BIGINT) AS total_tokens,
+             |               CAST(SUM(nterms) AS BIGINT) AS vocab FROM ff),
+             |ks AS (SELECT CAST(m AS BIGINT) AS m,
+             |              GREATEST((tot.vocab * m) // 64, 1) AS k
+             |       FROM (SELECT unnest([1, 4, 8, 16, 32, 48]) AS m) CROSS JOIN tot),
+             |sel AS (SELECT ks.m, ks.k,
+             |          c.tokens_before + (ks.k - c.terms_before) * c.cnt AS covered
+             |        FROM ks JOIN cum c
+             |          ON c.terms_before < ks.k AND ks.k <= c.terms_before + c.nterms)
+             |SELECT ks.m AS frac64, CAST(ks.k AS BIGINT) AS vocab_size,
+             |  CAST(COALESCE(s.covered, tot.total_tokens) AS BIGINT) AS covered_tokens,
+             |  tot.total_tokens,
+             |  CAST(CAST(CAST(tot.total_tokens - COALESCE(s.covered, tot.total_tokens) AS DECIMAL(18,6))
+             |    / CAST(tot.total_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS oov_rate
+             |FROM ks LEFT JOIN sel s ON s.m = ks.m CROSS JOIN tot
+             |ORDER BY frac64""".stripMargin)
+    ) { (s, d) =>
+      import s.implicits._
+      val ff = termCounts(s, d)
+        .groupBy(col("cnt")).agg(count(lit(1)).cast("long").as("nterms"))
+      val w = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = ff
+        .withColumn("terms_before", coalesce(sum(col("nterms")).over(w), lit(0L)))
+        .withColumn("tokens_before",
+          coalesce(sum(col("cnt") * col("nterms")).over(w), lit(0L)))
+      val tot = ff.agg(
+        sum(col("cnt") * col("nterms")).cast("long").as("total_tokens"),
+        sum(col("nterms")).cast("long").as("vocab"))
+      val ks = Seq(1L, 4L, 8L, 16L, 32L, 48L).toDF("m")
+        .crossJoin(broadcast(tot.select(col("vocab"))))
+        .select(col("m"), greatest(expr("(vocab * m) DIV 64"), lit(1L)).as("k"))
+      val sel = cum.join(broadcast(ks),
+          col("terms_before") < col("k")
+            && col("k") <= col("terms_before") + col("nterms"))
+        .select(col("m"), col("k"),
+          (col("tokens_before") + (col("k") - col("terms_before")) * col("cnt"))
+            .as("covered"))
+      ks.join(sel.drop("k"), Seq("m"), "left")
+        .crossJoin(broadcast(tot.select(col("total_tokens"))))
+        .select(col("m").as("frac64"), col("k").as("vocab_size"),
+          coalesce(col("covered"), col("total_tokens")).cast("long").as("covered_tokens"),
+          col("total_tokens"),
+          emit((dec(col("total_tokens") - coalesce(col("covered"), col("total_tokens")))
+            / dec(col("total_tokens"))).cast(D38)).as("oov_rate"))
+        .orderBy(col("frac64"))
     }
   )
 
