@@ -1617,6 +1617,31 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c80_kn_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+        |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+        |dsc AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+        |top AS (SELECT w1, w2, cnt FROM cb ORDER BY cnt DESC, w1, w2 LIMIT 100)
+        |SELECT top.w1, top.w2, top.cnt, lt.left_total, lt.left_types, ct.cont_types,
+        |  CAST(CAST(
+        |    (CAST(top.cnt AS DOUBLE)
+        |       - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |      / CAST(lt.left_total AS DOUBLE)
+        |    + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |      * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |      * CAST(ct.cont_types AS DOUBLE) / d.types
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS p_kn
+        |FROM top JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN dsc d
+        |ORDER BY top.cnt DESC, top.w1, top.w2""".stripMargin,
+
     "q_c78_containment_decon" ->
       s"""WITH $shingleCtes,
          |cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b

@@ -1397,6 +1397,86 @@ object TextQueries {
           emit((dec(col("total_tokens") - coalesce(col("covered"), col("total_tokens")))
             / dec(col("total_tokens"))).cast(D38)).as("oov_rate"))
         .orderBy(col("frac64"))
+    },
+
+    // ---- q_c80: Kneser-Ney bigram LM estimation ---------------------------
+    // The interpolated-KN statistics table (Kneser & Ney 1995; Chen &
+    // Goodman 1998) a count-based LM build distributes: per bigram the
+    // raw count, the left context's total and type fan-out N1+(w1•), the
+    // CONTINUATION count N1+(•w2) — KN's defining quantity: how many
+    // distinct contexts a word completes, not how often it occurs — the
+    // corpus-level absolute discount D = n1/(n1+2n2), and the
+    // interpolated probability
+    //   p_kn(w2|w1) = (c−D)/c(w1•) + D·N1+(w1•)/c(w1•) · N1+(•w2)/types.
+    // The whole estimate is count algebra; the one double expression is
+    // written with identical association order in both engines and
+    // quantized (D18,6) before emit. Reported for the 100 most frequent
+    // bigrams (pinned order).
+    //
+    // 100 TB shape: adjacent-pair generation is map-only (the q_c77
+    // transform); everything else is aggs over the bigram-TYPE table
+    // (vocabulary-squared-bounded in principle, Heaps-bounded in
+    // practice — the same boundedness class as the trainers' vocab
+    // state); the discount triple is a 1-row broadcast; the two
+    // fan-out joins key the broadcast top-100 against the type tables.
+    QueryDef(
+      "q_c80_kn_bigram_lm",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+             |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+             |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+             |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+             |dsc AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+             |top AS (SELECT w1, w2, cnt FROM cb ORDER BY cnt DESC, w1, w2 LIMIT 100)
+             |SELECT top.w1, top.w2, top.cnt, lt.left_total, lt.left_types, ct.cont_types,
+             |  CAST(CAST(
+             |    (CAST(top.cnt AS DOUBLE)
+             |       - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |      / CAST(lt.left_total AS DOUBLE)
+             |    + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |      * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |      * CAST(ct.cont_types AS DOUBLE) / d.types
+             |    AS DECIMAL(18,6)) AS DOUBLE) AS p_kn
+             |FROM top JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN dsc d
+             |ORDER BY top.cnt DESC, top.w1, top.w2""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      val bg = t.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val lt = cb.groupBy(col("w1")).agg(
+        sum(col("cnt")).cast("long").as("left_total"),
+        count(lit(1)).cast("long").as("left_types"))
+      val ct = cb.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("long").as("cont_types"))
+      val dsc = cb.agg(
+        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double").as("n1"),
+        sum(when(col("cnt") === 2, 1).otherwise(0)).cast("double").as("n2"),
+        count(lit(1)).cast("double").as("types"))
+      val top = cb.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(100)
+      val dd = when(col("n1") + lit(2) * col("n2") > 0,
+        col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
+      broadcast(top)
+        .join(lt, Seq("w1"))
+        .join(ct, Seq("w2"))
+        .crossJoin(broadcast(dsc))
+        .select(col("w1"), col("w2"), col("cnt"),
+          col("left_total"), col("left_types"), col("cont_types"),
+          emitQ((col("cnt").cast("double") - dd) / col("left_total").cast("double")
+            + dd * col("left_types").cast("double") / col("left_total").cast("double")
+              * col("cont_types").cast("double") / col("types")).as("p_kn"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
     }
   )
 

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c80 — Kneser-Ney's defining behavior on a planted corpus: a word
+  * that is frequent but only ever follows ONE context (the "francisco"
+  * case) must carry a minimal continuation count, while an equally
+  * frequent word completing many contexts carries a large one — and the
+  * interpolated probabilities are well-formed.
+  */
+class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-kn-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    val s = spark
+    import s.implicits._
+    // "francisco" appears 10 times, always after "san"; "common" also
+    // appears 10 times but after 10 DIFFERENT words.
+    val ctxs = Seq("red", "blue", "green", "tall", "small", "old", "new",
+      "fast", "slow", "warm")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"san francisco ${ctxs(i)} common words fill this line")
+    }
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.core.LocalArtifacts.deleteRecursively(dir)
+  }
+
+  test("q_c80: continuation counts separate one-context words from many-context words") {
+    val rows = SparkEntry.queries("q_c80_kn_bigram_lm")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val sf = byPair(("san", "francisco"))
+    val cm = byPair(("green", "common"))
+    assert(sf.getLong(2) === 10L, "san francisco count")
+    assert(sf.getAs[Long]("cont_types") === 1L,
+      "'francisco' completes exactly one context")
+    assert(cm.getAs[Long]("cont_types") === 10L,
+      "'common' completes ten distinct contexts")
+    // well-formed probabilities, and the discount shifts mass toward the
+    // versatile word within an equal-count comparison of p_cont
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_kn")
+      assert(p > 0.0 && p <= 1.0, s"p_kn in (0,1]: $r")
+    }
+    // per left context, total smoothed mass over OBSERVED continuations
+    // stays below 1 (the held-back discount mass covers the unseen tail)
+    for ((w1, rs) <- rows.groupBy(_.getString(0))) {
+      val mass = rs.map(_.getAs[Double]("p_kn")).sum
+      assert(mass <= 1.0 + 1e-9, s"observed mass for '$w1' = $mass")
+    }
+  }
+}
