@@ -70,7 +70,12 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c54_tfidf_similarity" -> 26, // measured 21 (tf memo + idf/norm aggs + panel join + top-k)
     "q_c55_ngram_novelty" -> 12,    // measured 9 (gram count + first-occurrence join)
     "q_c61_bloom_ingest" -> 12,     // measured 9 (bloom treeAggregate + survivor broadcast + confirm)
-    "q_c64_leakage_split" -> 41     // measured 33 (shared minhash frame + star-CC + split join)
+    "q_c64_leakage_split" -> 41,    // measured 33 (shared minhash frame + star-CC + split join)
+    "q_c75_winnow_fingerprint" -> 9, // measured 7 (fp fold + df prune window + pair agg)
+    "q_c76_ppl_buckets" -> 24,      // measured 19 (docNll branch + per-lang cuts + bucket join)
+    "q_c77_pmi_collocations" -> 17, // measured 13 (pair agg + 2 vocab joins + top-k)
+    "q_c78_containment_decon" -> 10, // measured 8 (bench shingle broadcasts + pair agg)
+    "q_c80_kn_bigram_lm" -> 17      // measured 13 (bigram-type aggs + fan-out joins + top-k)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
