@@ -1683,6 +1683,119 @@ object PipelineQueries {
         .select(col("doc_id"), col("family_rep"), col("fam_size"),
           emit((dec(lit(1)) / dec(col("fam_size"))).cast(D38)).as("weight"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c81: weighted sampling without replacement (A-ES) --------------
+    // Efraimidis & Spirakis (2006) exponential-key reservoir sampling,
+    // the one-pass distributed way to draw a without-replacement sample
+    // with inclusion probability proportional to a per-document weight
+    // (here n_tokens — length-proportional sampling, the token-budget
+    // view of the corpus): key_i = ln(u_i)/w_i with u_i ∈ (0,1), keep
+    // the top-k keys. u_i is the house LCG hash mapped into (0,1) by a
+    // FIXED divisor, so both engines derive the identical double; the
+    // single ln quantizes through DECIMAL(18,6) before ranking (ties
+    // broken by doc_id). Zero-weight (empty) documents are excluded —
+    // exactly the w→0 ⇒ key→−∞ limit.
+    //
+    // 100 TB shape: the key is one map-side projection; top-200 is
+    // TakeOrdered (per-partition heads, never a global sort); the rank
+    // window runs over the 200 selected rows only.
+    QueryDef(
+      "q_c81_weighted_sample",
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             |    ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, n_tokens, CAST(hv AS BIGINT) AS hv,
+             |    CAST(CAST(ln(CAST(hv + 1 AS DOUBLE) / CAST(1000000008 AS DOUBLE)) / n_tokens
+             |      AS DECIMAL(18,6)) AS DOUBLE) AS es_key
+             |  FROM h WHERE n_tokens > 0),
+             |sel AS (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 200)
+             |SELECT doc_id, n_tokens, hv, es_key,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rnk
+             |FROM sel ORDER BY rnk""".stripMargin)
+    ) { (s, d) =>
+      val k = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")
+            .as("n_tokens"),
+          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
+            .as("hv"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("hv"),
+          emitQ(log((col("hv") + 1) / lit(1000000008.0)) / col("n_tokens")).as("es_key"))
+      k.orderBy(col("es_key").desc, col("doc_id")).limit(200)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+        .orderBy(col("rnk"))
+    },
+
+    // ---- q_c82: data-constrained epoch planner ----------------------------
+    // The repeat-vs-fresh-data budgeter (Muennighoff et al. 2023, "Scaling
+    // Data-Constrained Language Models"): given a token budget B = 4×
+    // the corpus (data-dependent, the q_c62 convention) split across
+    // sources by the q_c28 weights, each source serves its quota by
+    // REPEATING its data — capped at 4 epochs, the paper's point beyond
+    // which repetition stops buying loss — and capped sources' excess
+    // quota is redistributed once, weight-proportionally, to the
+    // uncapped sources (themselves recapped; the residue is reported,
+    // not silently dropped). All arithmetic is integer (milli-epochs via
+    // DIV), so the plan is hash-exact.
+    //
+    // 100 TB shape: one map-side-combined per-source token agg; every
+    // subsequent frame is O(#sources) and rides broadcasts.
+    QueryDef(
+      "q_c82_epoch_plan",
+      Some("""WITH st AS (
+             |  SELECT source,
+             |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, toks, CAST(length(source) % 3 + 1 AS BIGINT) AS wt FROM st),
+             |tot AS (SELECT CAST(SUM(toks) AS BIGINT) * 4 AS budget,
+             |               CAST(SUM(wt) AS BIGINT) AS sumw FROM w),
+             |q AS (SELECT w.source, w.toks, w.wt,
+             |        (tot.budget * w.wt) // tot.sumw AS quota,
+             |        LEAST((tot.budget * w.wt) // tot.sumw, 4 * w.toks) AS capped
+             |      FROM w CROSS JOIN tot),
+             |ex AS (SELECT CAST(SUM(quota - capped) AS BIGINT) AS excess,
+             |              CAST(SUM(CASE WHEN quota < 4 * toks THEN wt ELSE 0 END) AS BIGINT) AS uw
+             |       FROM q)
+             |SELECT q.source, q.toks, q.wt, q.quota,
+             |  CAST(LEAST(q.capped + CASE WHEN q.quota < 4 * q.toks AND ex.uw > 0
+             |                             THEN (ex.excess * q.wt) // ex.uw ELSE 0 END,
+             |             4 * q.toks) AS BIGINT) AS served,
+             |  CAST((LEAST(q.capped + CASE WHEN q.quota < 4 * q.toks AND ex.uw > 0
+             |                              THEN (ex.excess * q.wt) // ex.uw ELSE 0 END,
+             |              4 * q.toks) * 1000) // q.toks AS BIGINT) AS epochs_milli
+             |FROM q CROSS JOIN ex
+             |ORDER BY q.source""".stripMargin)
+    ) { (s, d) =>
+      val st = Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"))
+          .cast("long").as("toks"))
+      val w = st.withColumn("wt", (length(col("source")) % 3 + 1).cast("long"))
+      val tot = w.agg((sum(col("toks")) * 4).cast("long").as("budget"),
+        sum(col("wt")).cast("long").as("sumw"))
+      val q = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"), col("wt"),
+          expr("(budget * wt) DIV sumw").as("quota"),
+          least(expr("(budget * wt) DIV sumw"), lit(4) * col("toks")).as("capped"))
+      val ex = q.agg(
+        sum(col("quota") - col("capped")).cast("long").as("excess"),
+        sum(when(col("quota") < lit(4) * col("toks"), col("wt")).otherwise(0L))
+          .cast("long").as("uw"))
+      val served = least(
+        col("capped") + when(col("quota") < lit(4) * col("toks") && col("uw") > 0,
+          expr("(excess * wt) DIV uw")).otherwise(0L),
+        lit(4) * col("toks"))
+      q.crossJoin(broadcast(ex))
+        .withColumn("served", served.cast("long"))
+        .select(col("source"), col("toks"), col("wt"), col("quota"), col("served"),
+          expr("CAST((served * 1000) DIV toks AS BIGINT)").as("epochs_milli"))
+        .orderBy(col("source"))
     }
   )
 

@@ -1617,6 +1617,47 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c81_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tokens, CAST(hv AS BIGINT) AS hv,
+        |    CAST(CAST(ln(CAST(hv + 1 AS DOUBLE) / CAST(1000000008 AS DOUBLE)) / n_tokens
+        |      AS DECIMAL(18,6)) AS DOUBLE) AS es_key
+        |  FROM h WHERE n_tokens > 0),
+        |sel AS (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, n_tokens, hv, es_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rnk
+        |FROM sel ORDER BY rnk""".stripMargin,
+
+    "q_c82_epoch_plan" ->
+      """WITH st AS (
+        |  SELECT source,
+        |    CAST(SUM(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, toks, CAST(length(source) % 3 + 1 AS BIGINT) AS wt FROM st),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) * 4 AS budget,
+        |               CAST(SUM(wt) AS BIGINT) AS sumw FROM w),
+        |q AS (SELECT w.source, w.toks, w.wt,
+        |        (tot.budget * w.wt) DIV tot.sumw AS quota,
+        |        LEAST((tot.budget * w.wt) DIV tot.sumw, 4 * w.toks) AS capped
+        |      FROM w CROSS JOIN tot),
+        |ex AS (SELECT CAST(SUM(quota - capped) AS BIGINT) AS excess,
+        |              CAST(SUM(CASE WHEN quota < 4 * toks THEN wt ELSE 0L END) AS BIGINT) AS uw
+        |       FROM q)
+        |SELECT q.source, q.toks, q.wt, q.quota,
+        |  CAST(LEAST(q.capped + CASE WHEN q.quota < 4 * q.toks AND ex.uw > 0
+        |                             THEN (ex.excess * q.wt) DIV ex.uw ELSE 0L END,
+        |             4 * q.toks) AS BIGINT) AS served,
+        |  CAST((LEAST(q.capped + CASE WHEN q.quota < 4 * q.toks AND ex.uw > 0
+        |                              THEN (ex.excess * q.wt) DIV ex.uw ELSE 0L END,
+        |              4 * q.toks) * 1000) DIV q.toks AS BIGINT) AS epochs_milli
+        |FROM q CROSS JOIN ex
+        |ORDER BY q.source""".stripMargin,
+
     "q_c80_kn_bigram_lm" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
         |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2

@@ -221,6 +221,50 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meanQ(0L) > meanQ(3L), "phase 0 must hold higher-quality docs than phase 3")
   }
 
+  test("q_c81: weighted sample prefers heavy docs, excludes zero-weight docs") {
+    val rows = SparkEntry.queries("q_c81_weighted_sample")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eligible = docs.count(_._2 > 0)
+    assert(rows.length === math.min(200, eligible), "sample size = min(k, eligible)")
+    assert(rows.forall(_.getLong(1) > 0), "zero-weight docs never sampled")
+    // A-ES inclusion bias: the sampled docs' mean weight exceeds the
+    // corpus mean (length-proportional sampling must over-represent
+    // long documents)
+    if (eligible > 400) {
+      val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+      val corpusMean = docs.values.filter(_ > 0).sum.toDouble / eligible
+      assert(sampleMean > corpusMean,
+        s"sample mean $sampleMean must exceed corpus mean $corpusMean")
+    }
+    // ranks are the pinned total order
+    val keys = rows.sortBy(_.getLong(4)).map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) }, "rank order pinned")
+  }
+
+  test("q_c82: epoch plan conserves the budget and respects the 4-epoch cap") {
+    val rows = SparkEntry.queries("q_c82_epoch_plan")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getLong(1)).sum * 4
+    val servedTotal = rows.map(_.getAs[Long]("served")).sum
+    assert(servedTotal <= budget, "redistribution never exceeds the budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs_milli") <= 4000L, s"${r.getString(0)}: cap")
+      assert(r.getAs[Long]("served") <= 4 * r.getLong(1), s"${r.getString(0)}: served cap")
+      assert(r.getAs[Long]("served") > 0L, s"${r.getString(0)}: non-vacuous")
+    }
+    // the redistribution must be non-vacuous on this corpus: some source
+    // capped at exactly 4 epochs AND some source served above its raw quota
+    assert(rows.exists(_.getAs[Long]("epochs_milli") === 4000L), "a capped source exists")
+    assert(rows.exists(r => r.getAs[Long]("served") > r.getAs[Long]("quota")),
+      "an uncapped source absorbed redistributed excess")
+  }
+
   test("q_c65 hierarchical prefix sum: exact on a fully CONCENTRATED key") {
     // NEXT r16 lead 3's hazard case: every document lands on ONE qkey, so
     // a flat within-key window would funnel the whole frame through a
