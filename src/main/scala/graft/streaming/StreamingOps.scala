@@ -273,6 +273,24 @@ object StreamingOps {
       .withColumn("bloom_positive",
         when(expr(s"$bloomFn(h)"), 1L).otherwise(0L))
 
+  /** Streaming twin of q_c74's Count-Min sketch: per-arriving-document
+    * term counts hash into the SAME depth-3 × width-1024 grid
+    * (cmsSlots/cmsSketch shared verbatim with batch) under a running
+    * groupBy in update mode. CMS is LINEAR, so the streamed grid after
+    * any prefix of batches equals the batch sketch of the union —
+    * CmsSketchSpec asserts final-grid equality across uneven
+    * micro-batches; state is bounded by depth·width cells regardless of
+    * stream length.
+    */
+  def cmsUpdates(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("term"))
+      .withColumn("cnt", lit(1L))
+    graft.operators.TextQueries.cmsSketch(
+      graft.operators.TextQueries.cmsSlots(tc))
+  }
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

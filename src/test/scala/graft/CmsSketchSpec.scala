@@ -74,4 +74,36 @@ class CmsSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(w === m, "sketch(A ∪ B) must equal the cellwise-summed shard sketches")
   }
+
+  test("q_c74 streaming twin: the streamed grid equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val docs = graft.core.Tables(sp, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .cmsUpdates(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_cms").toString)
+      .format("memory").queryName("cmsgrid").outputMode("complete").start()
+    // deliberately uneven batches: 1 doc, the bulk, then a 5-doc tail
+    for (chunk <- Seq(docs.take(1), docs.slice(1, docs.length - 5),
+        docs.takeRight(5))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("cmsgrid")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val tc = graft.operators.TextQueries.termCounts(sp, sf)
+    val batch = graft.operators.TextQueries
+      .cmsSketch(graft.operators.TextQueries.cmsSlots(tc))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.core.CachedRdds.drain()
+    assert(streamed.nonEmpty && streamed === batch,
+      "linearity makes the streamed grid identical to the batch grid")
+  }
 }
