@@ -1796,6 +1796,50 @@ object PipelineQueries {
         .select(col("source"), col("toks"), col("wt"), col("quota"), col("served"),
           expr("CAST((served * 1000) DIV toks AS BIGINT)").as("epochs_milli"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_c83: MLM masking / training-example generation ------------------
+    // The masked-LM corruption step (BERT's 15 % rule; the per-token half
+    // of T5 span corruption): each token position masks iff a
+    // deterministic per-(doc, position) hash falls under 150/1000, so
+    // both engines — and any re-run over a rebalanced corpus — derive
+    // the IDENTICAL example set (reproducible data order is a training
+    // requirement, not a convenience). Emits the corrupted text and the
+    // target sequence per document. Pure map-side projection of array
+    // folds: at 100 TB it runs at scan speed, no shuffle, and streams
+    // (the q_c30/q_c37 stateless-twin class).
+    QueryDef(
+      "q_c83_mlm_masking",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, ts,
+             |    [CASE WHEN (((doc_id % 1000000007) + i) * 1103515245 + 12345) % 1000000007 % 1000 < 150
+             |          THEN 1 ELSE 0 END
+             |     for i in range(len(ts))] AS mk
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  CAST(list_sum(mk) AS BIGINT) AS n_masked,
+             |  array_to_string([CASE WHEN mk[i+1] = 1 THEN '<mask>' ELSE ts[i+1] END
+             |                   for i in range(len(ts))], ' ') AS masked_text,
+             |  array_to_string([ts[i+1] for i in range(len(ts)) if mk[i+1] = 1], ' ') AS targets
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+        .withColumn("mk", expr(
+          "transform(ts, (w, i) -> CASE WHEN (((doc_id % 1000000007L) + i) * 1103515245L + 12345L) % 1000000007L % 1000L < 150L THEN 1 ELSE 0 END)"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr("CAST(aggregate(mk, 0L, (a, x) -> a + x) AS BIGINT)").as("n_masked"),
+          expr("array_join(zip_with(ts, mk, (w, m) -> IF(m = 1, '<mask>', w)), ' ')")
+            .as("masked_text"),
+          expr("array_join(zip_with(ts, mk, (w, m) -> IF(m = 1, w, NULL)), ' ')")
+            .as("targets"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1617,6 +1617,61 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c84_kn_heldout_ppl" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |trn AS (SELECT w1, w2 FROM bg WHERE doc_id % 17 <> 3),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM trn GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+        |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+        |dsc AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+        |vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+        |       FROM (SELECT explode(ts) AS term FROM t WHERE doc_id % 17 <> 3)),
+        |hb AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 17 = 3),
+        |sc AS (SELECT hb.doc_id,
+        |  CAST(-ln(
+        |    CASE WHEN cb.cnt IS NOT NULL THEN
+        |      (CAST(cb.cnt AS DOUBLE)
+        |         - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |        / CAST(lt.left_total AS DOUBLE)
+        |      + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |        * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |        * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |    WHEN lt.w1 IS NOT NULL THEN
+        |      (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |        * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |        * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |    ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |    END) AS DECIMAL(18,6)) AS nll
+        |  FROM hb LEFT JOIN cb ON cb.w1 = hb.w1 AND cb.w2 = hb.w2
+        |          LEFT JOIN lt ON lt.w1 = hb.w1
+        |          LEFT JOIN ct ON ct.w2 = hb.w2
+        |          CROSS JOIN dsc d CROSS JOIN vv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(CAST(SUM(nll) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_c83_mlm_masking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, ts,
+        |    transform(ts, (w, i) -> CASE WHEN (((doc_id % 1000000007L) + i) * 1103515245L + 12345L) % 1000000007L % 1000L < 150L THEN 1 ELSE 0 END) AS mk
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(size(ts) AS BIGINT) AS n_tokens,
+        |  CAST(aggregate(mk, 0L, (a, x) -> a + x) AS BIGINT) AS n_masked,
+        |  array_join(zip_with(ts, mk, (w, m) -> IF(m = 1, '<mask>', w)), ' ') AS masked_text,
+        |  array_join(zip_with(ts, mk, (w, m) -> IF(m = 1, w, NULL)), ' ') AS targets
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q_c81_weighted_sample" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -1477,6 +1477,111 @@ object TextQueries {
             + dd * col("left_types").cast("double") / col("left_total").cast("double")
               * col("cont_types").cast("double") / col("types")).as("p_kn"))
         .orderBy(col("cnt").desc, col("w1"), col("w2"))
+    },
+
+    // ---- q_c84: held-out perplexity under the KN bigram LM ----------------
+    // q_c80's missing half — EVALUATION: train the interpolated-KN
+    // bigram statistics on the training slice (doc_id % 17 ≠ 3, the
+    // q_c47/q_c78 held-out convention) and score every held-out
+    // document's average per-bigram NLL under it, with the full backoff
+    // ladder: observed bigram → interpolated KN; unseen bigram, seen
+    // context → λ(w1)·p_cont(w2); unseen context → p_cont alone, where
+    // p_cont is add-one-smoothed over (types + V) so unseen
+    // continuations keep p > 0. This is the actual train/eval LM loop a
+    // data pipeline runs to compare corpus variants. Per-token −ln(p)
+    // quantizes (D18,6), per-doc sums are exact decimal, the mean
+    // divides through D38 (the q_c26 discipline).
+    //
+    // 100 TB shape: train statistics are the q_c80 aggs (map-side
+    // combined, bigram-TYPE-bounded); the held-out side is tiny but the
+    // lookup joins shuffle the type tables on their keys (vocab-scale
+    // state, NOT broadcastable — the q_c26 vocab-join class); the
+    // discount/V scalars ride 1-row broadcasts.
+    QueryDef(
+      "q_c84_kn_heldout_ppl",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |trn AS (SELECT w1, w2 FROM bg WHERE doc_id % 17 <> 3),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM trn GROUP BY 1, 2),
+             |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+             |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+             |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+             |dsc AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+             |vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+             |       FROM (SELECT unnest(ts) AS term FROM t WHERE doc_id % 17 <> 3)),
+             |hb AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 17 = 3),
+             |sc AS (SELECT hb.doc_id,
+             |  CAST(-ln(
+             |    CASE WHEN cb.cnt IS NOT NULL THEN
+             |      (CAST(cb.cnt AS DOUBLE)
+             |         - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |        / CAST(lt.left_total AS DOUBLE)
+             |      + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |        * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |        * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |    WHEN lt.w1 IS NOT NULL THEN
+             |      (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |        * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |        * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |    ELSE ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |    END) AS DECIMAL(18,6)) AS nll
+             |  FROM hb LEFT JOIN cb ON cb.w1 = hb.w1 AND cb.w2 = hb.w2
+             |          LEFT JOIN lt ON lt.w1 = hb.w1
+             |          LEFT JOIN ct ON ct.w2 = hb.w2
+             |          CROSS JOIN dsc d CROSS JOIN vv)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(CAST(CAST(SUM(nll) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6))
+             |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+             |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      val bg = t.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
+      val cb = trn.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val lt = cb.groupBy(col("w1")).agg(
+        sum(col("cnt")).cast("long").as("left_total"),
+        count(lit(1)).cast("long").as("left_types"))
+      val ct = cb.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("long").as("cont_types"))
+      val dsc = cb.agg(
+        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double").as("n1"),
+        sum(when(col("cnt") === 2, 1).otherwise(0)).cast("double").as("n2"),
+        count(lit(1)).cast("double").as("types"))
+      val vv = t.filter(col("doc_id") % 17 =!= 3)
+        .select(explode(col("ts")).as("term"))
+        .agg(countDistinct(col("term")).cast("double").as("v"))
+      val hb = bg.filter(col("doc_id") % 17 === 3)
+      val dd = when(col("n1") + lit(2) * col("n2") > 0,
+        col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
+      val pc = (coalesce(col("cont_types"), lit(0L)).cast("double") + 1) /
+        (col("types") + col("v"))
+      val lam = dd * col("left_types").cast("double") / col("left_total").cast("double")
+      val p = when(col("cnt").isNotNull,
+        (col("cnt").cast("double") - dd) / col("left_total").cast("double") + lam * pc)
+        .when(col("left_total").isNotNull, lam * pc)
+        .otherwise(pc)
+      hb
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(lt, Seq("w1"), "left")
+        .join(ct, Seq("w2"), "left")
+        .crossJoin(broadcast(dsc))
+        .crossJoin(broadcast(vv))
+        .withColumn("nll", dec(-log(p)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          emit((dec(sum(col("nll"))) / dec(count(lit(1)))).cast(D38)).as("avg_nll"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -31,9 +31,11 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     // appears 10 times but after 10 DIFFERENT words.
     val ctxs = Seq("red", "blue", "green", "tall", "small", "old", "new",
       "fast", "slow", "warm")
+    // doc 20 (20 % 17 = 3 → held out, like doc 3) ends in a token never
+    // seen in training — the deepest q_c84 backoff rung
     val docs = (0 until 10).map { i =>
       (i.toLong, s"san francisco ${ctxs(i)} common words fill this line")
-    }
+    } :+ (20L, "common zzztail")
     docs.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
@@ -66,5 +68,22 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       val mass = rs.map(_.getAs[Double]("p_kn")).sum
       assert(mass <= 1.0 + 1e-9, s"observed mass for '$w1' = $mass")
     }
+  }
+
+  test("q_c84: every backoff rung scores finite, unseen events cost more") {
+    val rows = SparkEntry.queries("q_c84_kn_heldout_ppl")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    // exactly the held-out docs with >= 2 tokens: 3 and 20
+    assert(byDoc.keySet === Set(3L, 20L))
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0,
+        s"doc ${r.getLong(0)}: smoothing must keep every rung finite")
+    }
+    // doc 3 is mostly observed bigrams (one unseen); doc 20's single
+    // bigram falls to the unseen-continuation rung — it must cost more
+    assert(byDoc(20L).getAs[Double]("avg_nll") > byDoc(3L).getAs[Double]("avg_nll"),
+      "an unseen continuation must carry a higher NLL than observed text")
   }
 }
