@@ -475,30 +475,13 @@ object DedupQueries {
     // ---- Q-B6: word-shingle Jaccard near-dup pairs -----------------------
     QueryDef(
       "q_b6_jaccard_neardup",
-      Some(s"""WITH $duckShingles,
-              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |  GROUP BY a.doc_id, b.doc_id),
-              |j AS (
-              |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
-              |  FROM pairs
-              |  JOIN cnt ca ON doc_a = ca.doc_id
-              |  JOIN cnt cb ON doc_b = cb.doc_id)
+      Some(s"""WITH $duckJaccardPairs
               |SELECT doc_a, doc_b, shared, uni,
               |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-              |FROM j WHERE shared * 10 >= uni * 5
+              |FROM jp
               |ORDER BY doc_a, doc_b""".stripMargin)
     ) { (s, d) =>
-      // Exact AllPairs prefix filter (see allPairsJaccard) at tau = 0.5:
-      // prefix length n - ceil(n/2) + 1 in integer arithmetic. Output is
-      // bit-identical to the naive self-join the oracle runs.
-      allPairsJaccard(
-        s, d, "garr_word_shingle",
-        shingles(s, d).withColumnRenamed("shingle", "key"),
-        col("n_g") - expr("(n_g + 1) DIV 2") + 1,
-        tau10 = 5)
+      verifiedJaccardPairs(s, d)
         .select(
           col("doc_a"),
           col("doc_b"),
@@ -946,45 +929,11 @@ object DedupQueries {
     // (doc, fp) id-pairs ever shuffle.
     QueryDef(
       "q_c75_winnow_fingerprint",
-      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-             |g AS (SELECT doc_id,
-             |  list_transform(range(len(ts) - 2), i ->
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        [CAST(ascii(x) AS BIGINT) for x in
-             |         string_split(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3], '')]),
-             |      (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs
-             |  FROM t WHERE len(ts) >= 3),
-             |w AS (SELECT doc_id,
-             |  CASE WHEN len(hs) >= 4
-             |       THEN list_transform(range(len(hs) - 3), p -> list_min(hs[p+1:p+4]))
-             |       ELSE [list_min(hs)] END AS sel
-             |  FROM g),
-             |fp AS (SELECT DISTINCT doc_id, fp FROM
-             |        (SELECT doc_id, unnest(sel) AS fp FROM w)),
-             |kept AS (SELECT doc_id, fp FROM fp
-             |         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       CAST(COUNT(*) AS BIGINT) AS shared_fp
-             |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-             |ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH $duckWinnowPairs
+              |SELECT doc_a, doc_b, shared_fp FROM wp
+              |ORDER BY doc_a, doc_b""".stripMargin)
     ) { (s, d) =>
-      val fp = winnowFingerprints(
-        Tables(s, d, "documents").select(col("doc_id"), col("text")))
-      // stop-fingerprint prune: per-fp doc frequency over the id-pair
-      // frame, window-partitioned by fp (bounded per key by the fp's df)
-      val kept = fp
-        .withColumn("dfc",
-          count(lit(1)).over(Window.partitionBy(col("fp"))))
-        .filter(col("dfc") <= 50)
-        .drop("dfc")
-      kept.as("a")
-        .join(kept.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).cast("long").as("shared_fp"))
-        .filter(col("shared_fp") >= 2)
-        .orderBy(col("doc_a"), col("doc_b"))
+      winnowPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- q_c78: containment-based decontamination -------------------------
@@ -1036,6 +985,51 @@ object DedupQueries {
         .select(col("doc_id"), col("bench_id"), col("shared"), col("n_b"),
           emit((dec(col("shared")) / dec(col("n_b"))).cast(D38)).as("containment"))
         .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // ---- q_c85: candidate-generator agreement report ----------------------
+    // The engine ships THREE independent near-dup candidate generators —
+    // MinHash LSH bands (q_c1), winnowing fingerprint overlap (q_c75),
+    // and the exact AllPairs-verified τ=0.5 Jaccard pairs (q_b6). This
+    // report is the contingency table a pipeline owner reads to pick
+    // one: every pair found by any generator, bucketed by WHICH
+    // generators found it (a 7-cell presence mask). Against the exact
+    // column it reads as recall (bands are probabilistic, winnowing is
+    // positional — each misses a different geometry); between the two
+    // approximate generators it reads as complementarity.
+    //
+    // 100 TB shape: each generator already carries its own scale story
+    // (banding / fingerprint-prune / prefix-filter); the union frame
+    // holds only id-pairs + three 0/1 flags, one (doc_a, doc_b)-keyed
+    // agg, and the output is ≤ 7 rows.
+    QueryDef(
+      "q_c85_candidate_agreement",
+      Some(s"""WITH $duckMinhashCand,
+              |$duckJaccardTail,
+              |$duckWinnowPairs,
+              |u AS (
+              |  SELECT doc_a, doc_b, 1 AS f1, 0 AS f2, 0 AS f3 FROM cand
+              |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM wp
+              |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM jp),
+              |m AS (SELECT doc_a, doc_b, MAX(f1) AS f1, MAX(f2) AS f2, MAX(f3) AS f3
+              |      FROM u GROUP BY 1, 2)
+              |SELECT CAST(f1 AS INT) AS in_minhash, CAST(f2 AS INT) AS in_winnow,
+              |       CAST(f3 AS INT) AS in_jaccard, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |FROM m GROUP BY 1, 2, 3
+              |ORDER BY in_minhash, in_winnow, in_jaccard""".stripMargin)
+    ) { (s, d) =>
+      def tag(df: DataFrame, f1: Int, f2: Int, f3: Int) =
+        df.select(col("doc_a"), col("doc_b"),
+          lit(f1).as("f1"), lit(f2).as("f2"), lit(f3).as("f3"))
+      tag(minhashCandidatesShared(s, d), 1, 0, 0)
+        .unionByName(tag(winnowPairs(s, d), 0, 1, 0))
+        .unionByName(tag(verifiedJaccardPairs(s, d), 0, 0, 1))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("f1")).as("f1"), max(col("f2")).as("f2"), max(col("f3")).as("f3"))
+        .groupBy(col("f1").as("in_minhash"), col("f2").as("in_winnow"),
+          col("f3").as("in_jaccard"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy(col("in_minhash"), col("in_winnow"), col("in_jaccard"))
     }
   )
 
@@ -1043,6 +1037,89 @@ object DedupQueries {
     * decontamination geometries are measured against the SAME set.
     */
   private val benchSlice = col("doc_id") % 17 === 3
+
+  /** DuckDB CTE TAIL (assumes `sh` is already in scope — compose after
+    * [[duckShingles]] or any chain that includes it) ending in
+    * `jp(doc_a, doc_b, shared, uni)` — the τ = 0.5 verified word-shingle
+    * Jaccard pairs, the oracle twin of [[verifiedJaccardPairs]] (shared
+    * by q_b6 and q_c85).
+    */
+  lazy val duckJaccardTail: String =
+    """cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jp AS (
+      |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
+      |  FROM pairs
+      |  JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5)""".stripMargin
+
+  lazy val duckJaccardPairs: String = s"$duckShingles,\n$duckJaccardTail"
+
+  /** q_b6's verified near-dup pair frame (doc_a, doc_b, shared, uni) at
+    * τ = 0.5: the exact AllPairs prefix filter (see [[allPairsJaccard]]),
+    * prefix length n − ⌈n/2⌉ + 1 in integer arithmetic. Output is
+    * bit-identical to the naive self-join the oracle runs. Shared by
+    * q_b6 and q_c85's generator-agreement report.
+    */
+  private[graft] def verifiedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    allPairsJaccard(
+      s, d, "garr_word_shingle",
+      shingles(s, d).withColumnRenamed("shingle", "key"),
+      col("n_g") - expr("(n_g + 1) DIV 2") + 1,
+      tau10 = 5)
+
+  /** DuckDB CTE chain ending in `wp(doc_a, doc_b, shared_fp)` — the
+    * oracle twin of [[winnowPairs]], shared by q_c75's and q_c85's
+    * oracles.
+    */
+  lazy val duckWinnowPairs: String =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id,
+      |  list_transform(range(len(ts) - 2), i ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        [CAST(ascii(x) AS BIGINT) for x in
+      |         string_split(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3], '')]),
+      |      (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs
+      |  FROM t WHERE len(ts) >= 3),
+      |w AS (SELECT doc_id,
+      |  CASE WHEN len(hs) >= 4
+      |       THEN list_transform(range(len(hs) - 3), p -> list_min(hs[p+1:p+4]))
+      |       ELSE [list_min(hs)] END AS sel
+      |  FROM g),
+      |fp AS (SELECT DISTINCT doc_id, fp FROM
+      |        (SELECT doc_id, unnest(sel) AS fp FROM w)),
+      |kept AS (SELECT doc_id, fp FROM fp
+      |         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50),
+      |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(COUNT(*) AS BIGINT) AS shared_fp
+      |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** q_c75's overlap-pair frame (doc_a, doc_b, shared_fp): winnowing
+    * fingerprints, stop-fingerprint prune (df > 50), pairs sharing ≥ 2.
+    * Shared by q_c75 and q_c85's generator-agreement report.
+    */
+  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFingerprints(
+      Tables(s, d, "documents").select(col("doc_id"), col("text")))
+    // stop-fingerprint prune: per-fp doc frequency over the id-pair
+    // frame, window-partitioned by fp (bounded per key by the fp's df)
+    val kept = fp
+      .withColumn("dfc",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("dfc") <= 50)
+      .drop("dfc")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
+  }
 
   /** q_c75's fingerprint selection over a (doc_id, text) frame: the set
     * of w=4-window minima over the in-sequence word-3-gram rolling-hash

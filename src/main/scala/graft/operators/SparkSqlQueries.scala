@@ -1617,6 +1617,47 @@ object SparkSqlQueries {
         |    AS waste_ratio
         |FROM seqs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "q_c85_candidate_agreement" ->
+      s"""WITH $minhashCandCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |wg AS (SELECT doc_id,
+         |  transform(sequence(0, size(toks) - 3), i ->
+         |    aggregate(split(concat_ws(' ', toks[i], toks[i+1], toks[i+2]), ''), 0L,
+         |      (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)) AS hs
+         |  FROM t WHERE size(toks) >= 3),
+         |ww AS (SELECT doc_id,
+         |  CASE WHEN size(hs) >= 4
+         |       THEN transform(sequence(0, size(hs) - 4), p -> array_min(slice(hs, p + 1, 4)))
+         |       ELSE array(array_min(hs)) END AS sel
+         |  FROM wg),
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM
+         |        (SELECT doc_id, explode(sel) AS fp FROM ww)),
+         |wdfc AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM wfp),
+         |wkept AS (SELECT doc_id, fp FROM wdfc WHERE dfc <= 50),
+         |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |u AS (
+         |  SELECT doc_a, doc_b, 1 AS f1, 0 AS f2, 0 AS f3 FROM cand
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM wp
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM jp),
+         |m AS (SELECT doc_a, doc_b, MAX(f1) AS f1, MAX(f2) AS f2, MAX(f3) AS f3
+         |      FROM u GROUP BY 1, 2)
+         |SELECT CAST(f1 AS INT) AS in_minhash, CAST(f2 AS INT) AS in_winnow,
+         |       CAST(f3 AS INT) AS in_jaccard, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2, 3
+         |ORDER BY in_minhash, in_winnow, in_jaccard""".stripMargin,
+
     "q_c84_kn_heldout_ppl" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2

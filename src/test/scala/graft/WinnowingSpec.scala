@@ -76,4 +76,24 @@ class WinnowingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((m(1L) intersect m(2L)).nonEmpty,
       "an insertion far from the copied span must not break the match")
   }
+
+  test("q_c85 agreement table is the exact contingency of the three generators") {
+    val sf = "/root/testdata/sf0.001"
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g1 = pairSet(graft.operators.DedupQueries.minhashCandidatesShared(spark, sf))
+    val g2 = pairSet(graft.operators.DedupQueries.winnowPairs(spark, sf))
+    val g3 = pairSet(graft.operators.DedupQueries.verifiedJaccardPairs(spark, sf))
+    val expected = (g1 ++ g2 ++ g3).toSeq
+      .map(p => (if (g1(p)) 1 else 0, if (g2(p)) 1 else 0, if (g3(p)) 1 else 0))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("q_c85_candidate_agreement")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    graft.core.CachedRdds.drain()
+    assert(got === expected, "the report must be the exact mask contingency")
+    assert(got.keys.exists(k => k._3 == 1),
+      "exact-verified pairs must appear (non-vacuous fixture)")
+  }
 }
