@@ -1717,16 +1717,8 @@ object PipelineQueries {
              |  CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rnk
              |FROM sel ORDER BY rnk""".stripMargin)
     ) { (s, d) =>
-      val k = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")
-            .as("n_tokens"),
-          (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
-            .as("hv"))
-        .filter(col("n_tokens") > 0)
-        .select(col("doc_id"), col("n_tokens"), col("hv"),
-          emitQ(log((col("hv") + 1) / lit(1000000008.0)) / col("n_tokens")).as("es_key"))
-      k.orderBy(col("es_key").desc, col("doc_id")).limit(200)
+      esKeyProjection(Tables(s, d, "documents"))
+        .orderBy(col("es_key").desc, col("doc_id")).limit(200)
         .withColumn("rnk",
           row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
         .orderBy(col("rnk"))
@@ -1915,6 +1907,22 @@ object PipelineQueries {
         when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "val")
           .otherwise("test").as("split"))
+
+  /** q_c81's A-ES key as a pure projection over a (doc_id, text) frame —
+    * shared verbatim by the batch query (plus its TakeOrdered tail) and
+    * the stateful streaming twin ([[graft.streaming.StreamingOps
+    * .weightedSampleUpdates]]), so the two paths score identically.
+    */
+  private[graft] def esKeyProjection(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")
+          .as("n_tokens"),
+        (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
+          .as("hv"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("hv"),
+        emitQ(log((col("hv") + 1) / lit(1000000008.0)) / col("n_tokens")).as("es_key"))
 
   /** q_c65's curriculum prefix sum over a (doc_id, n_tokens, qkey) frame,
     * equal by construction to the flat window

@@ -482,6 +482,69 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("ahash"))
   }
 
+  // ---- streaming weighted sample (sharded A-ES top-k, q_c81 twin) --------
+
+  final case class EsState(top: Seq[(Double, Long, Long)], ver: Long)
+  final case class EsOut(shard: Int, doc_id: Long, n_tokens: Long,
+                         es_key: Double, ver: Long)
+
+  /** Stateful streaming twin of q_c81: A-ES weighted sampling without
+    * replacement over a live document stream. The key projection is the
+    * SHARED [[graft.operators.PipelineQueries.esKeyProjection]] (batch
+    * and stream score identically by construction); state is a
+    * per-shard top-k of (es_key, doc_id) — A-ES's defining property is
+    * that the sample IS the top-k keys, so a bounded top-k heap per
+    * shard (global sample ⊆ union of shard top-ks, ≤ shards·k rows of
+    * state regardless of stream length) makes the sampler streamable
+    * the same way MG makes counting streamable. Serve = latest version
+    * per shard → global top-k, proven row-identical to batch q_c81 by
+    * the spec across uneven micro-batches.
+    */
+  def weightedSampleUpdates(docs: DataFrame, shards: Int = 8,
+      k: Int = 200): Dataset[EsOut] = {
+    import docs.sparkSession.implicits._
+    val keyed = graft.operators.PipelineQueries.esKeyProjection(docs)
+      .select(col("doc_id"), col("n_tokens"), col("es_key"))
+      .as[(Long, Long, Double)]
+    keyed
+      .groupByKey { case (docId, _, _) => (docId % shards).toInt }
+      .flatMapGroupsWithState[EsState, EsOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(Long, Long, Double)],
+            state: GroupState[EsState]) =>
+          val st = state.getOption.getOrElse(EsState(Seq.empty, 0L))
+          // batch-side ordering matches q_c81's (es_key DESC, doc_id)
+          val merged = (st.top.iterator ++ batch.map { case (id, n, key) =>
+            (key, id, n)
+          }).toSeq.distinct
+            .sortBy { case (key, id, _) => (-key, id) }
+            .take(k)
+          val ver = st.ver + 1
+          state.update(EsState(merged, ver))
+          merged.iterator.map { case (key, id, n) =>
+            EsOut(shard, id, n, key, ver)
+          }
+      }
+  }
+
+  /** Serve the current sample from a memory-sink updates table: latest
+    * version per shard (shard-keyed window over ≤ shards·k state rows),
+    * then the global top-k with q_c81's exact ordering and rank.
+    */
+  def weightedSampleServe(updates: DataFrame, k: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val latest = updates
+      .withColumn("mver", max(col("ver")).over(w))
+      .filter(col("ver") === col("mver"))
+      .select(col("doc_id"), col("n_tokens"), col("es_key"))
+    latest
+      .orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
   // ---- streaming heavy hitters (sharded Misra-Gries) ---------------------
 
   final case class HhState(counts: Map[String, Long], n: Long, ver: Long)

@@ -487,6 +487,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.nonEmpty && served.length <= 20)
   }
 
+  test("streaming A-ES weighted sample (fMGWS) equals batch q_c81 on real documents") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.weightedSampleUpdates(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_es").toString)
+      .format("memory").queryName("esample").outputMode("update").start()
+    // deliberately uneven batches: 1 doc, the bulk, a 9-doc tail
+    for (chunk <- Seq(docs.take(1), docs.slice(1, docs.length - 9),
+        docs.takeRight(9))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = StreamingOps.weightedSampleServe(sp.table("esample"))
+      .select("doc_id", "n_tokens", "es_key", "rnk")
+      .collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c81_weighted_sample")(sp, dir)
+      .select("doc_id", "n_tokens", "es_key", "rnk")
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(streamed.nonEmpty && streamed == batch,
+      "the sharded top-k union must serve exactly the batch sample")
+  }
+
   test("streaming classifier scoring equals batch q_c30 on real documents") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
