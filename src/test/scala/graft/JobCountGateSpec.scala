@@ -75,7 +75,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c76_ppl_buckets" -> 24,      // measured 19 (docNll branch + per-lang cuts + bucket join)
     "q_c77_pmi_collocations" -> 17, // measured 13 (pair agg + 2 vocab joins + top-k)
     "q_c78_containment_decon" -> 10, // measured 8 (bench shingle broadcasts + pair agg)
-    "q_c80_kn_bigram_lm" -> 17      // measured 13 (bigram-type aggs + fan-out joins + top-k)
+    "q_c80_kn_bigram_lm" -> 17,     // measured 13 (bigram-type aggs + fan-out joins + top-k)
+    "q_c84_kn_heldout_ppl" -> 24,   // measured 19 (train-side type aggs + ladder joins)
+    "q_c85_candidate_agreement" -> 38 // measured 30 (three generators + mask contingency)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
