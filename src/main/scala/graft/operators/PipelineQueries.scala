@@ -1813,10 +1813,10 @@ object PipelineQueries {
              |  FROM t)
              |SELECT doc_id,
              |  CAST(len(ts) AS BIGINT) AS n_tokens,
-             |  CAST(list_sum(mk) AS BIGINT) AS n_masked,
-             |  array_to_string([CASE WHEN mk[i+1] = 1 THEN '<mask>' ELSE ts[i+1] END
-             |                   for i in range(len(ts))], ' ') AS masked_text,
-             |  array_to_string([ts[i+1] for i in range(len(ts)) if mk[i+1] = 1], ' ') AS targets
+             |  CAST(COALESCE(list_sum(mk), 0) AS BIGINT) AS n_masked,
+             |  COALESCE(array_to_string([CASE WHEN mk[i+1] = 1 THEN '<mask>' ELSE ts[i+1] END
+             |                            for i in range(len(ts))], ' '), '') AS masked_text,
+             |  COALESCE(array_to_string([ts[i+1] for i in range(len(ts)) if mk[i+1] = 1], ' '), '') AS targets
              |FROM m ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
       Tables(s, d, "documents")

@@ -1445,28 +1445,10 @@ object TextQueries {
              |FROM top JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN dsc d
              |ORDER BY top.cnt DESC, top.w1, top.w2""".stripMargin)
     ) { (s, d) =>
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-      val bg = t.filter(size(col("ts")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-          .as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val cb = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
-      val lt = cb.groupBy(col("w1")).agg(
-        sum(col("cnt")).cast("long").as("left_total"),
-        count(lit(1)).cast("long").as("left_types"))
-      val ct = cb.groupBy(col("w2"))
-        .agg(count(lit(1)).cast("long").as("cont_types"))
-      val dsc = cb.agg(
-        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double").as("n1"),
-        sum(when(col("cnt") === 2, 1).otherwise(0)).cast("double").as("n2"),
-        count(lit(1)).cast("double").as("types"))
+      val bg = knBigrams(Tables(s, d, "documents")).select(col("w1"), col("w2"))
+      val (cb, lt, ct, dsc) = knBigramStats(bg)
       val top = cb.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(100)
-      val dd = when(col("n1") + lit(2) * col("n2") > 0,
-        col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
+      val dd = knDiscount
       broadcast(top)
         .join(lt, Seq("w1"))
         .join(ct, Seq("w2"))
@@ -1538,32 +1520,17 @@ object TextQueries {
              |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
              |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-      val bg = t.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val docs = Tables(s, d, "documents")
+      val bg = knBigrams(docs)
       val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
-      val cb = trn.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
-      val lt = cb.groupBy(col("w1")).agg(
-        sum(col("cnt")).cast("long").as("left_total"),
-        count(lit(1)).cast("long").as("left_types"))
-      val ct = cb.groupBy(col("w2"))
-        .agg(count(lit(1)).cast("long").as("cont_types"))
-      val dsc = cb.agg(
-        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double").as("n1"),
-        sum(when(col("cnt") === 2, 1).otherwise(0)).cast("double").as("n2"),
-        count(lit(1)).cast("double").as("types"))
-      val vv = t.filter(col("doc_id") % 17 =!= 3)
-        .select(explode(col("ts")).as("term"))
+      val (cb, lt, ct, dsc) = knBigramStats(trn)
+      val vv = docs
+        .filter(col("doc_id") % 17 =!= 3)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("term"))
         .agg(countDistinct(col("term")).cast("double").as("v"))
       val hb = bg.filter(col("doc_id") % 17 === 3)
-      val dd = when(col("n1") + lit(2) * col("n2") > 0,
-        col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
+      val dd = knDiscount
       val pc = (coalesce(col("cont_types"), lit(0L)).cast("double") + 1) /
         (col("types") + col("v"))
       val lam = dd * col("left_types").cast("double") / col("left_total").cast("double")
@@ -1584,6 +1551,50 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Adjacent-bigram frame (doc_id, w1, w2) over `documents` — the shared
+    * generator for q_c80's estimation and q_c84's evaluation (map-only,
+    * the q_c77 transform).
+    */
+  private[graft] def knBigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The Kneser-Ney statistics frames over a (w1, w2) bigram frame —
+    * (cb bigram counts, lt left fan-out, ct continuation counts, dsc
+    * discount triple) — the SINGLE definition q_c80 estimates with and
+    * q_c84 evaluates against (a fork here would silently score a
+    * different model than the one reported).
+    */
+  private[graft] def knBigramStats(bg: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cb = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val lt = cb.groupBy(col("w1")).agg(
+      sum(col("cnt")).cast("long").as("left_total"),
+      count(lit(1)).cast("long").as("left_types"))
+    val ct = cb.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("cont_types"))
+    val dsc = cb.agg(
+      sum(when(col("cnt") === 1, 1).otherwise(0)).cast("double").as("n1"),
+      sum(when(col("cnt") === 2, 1).otherwise(0)).cast("double").as("n2"),
+      count(lit(1)).cast("double").as("types"))
+    (cb, lt, ct, dsc)
+  }
+
+  /** The absolute discount D = n1/(n1+2n2) (0.5 on degenerate corpora) —
+    * over the dsc frame's columns; shared by q_c80 and q_c84.
+    */
+  private[graft] def knDiscount: org.apache.spark.sql.Column =
+    when(col("n1") + lit(2) * col("n2") > 0,
+      col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
 
   /** q_c26's per-document unigram NLL frame (doc_id, n_tokens, avg_nll) —
     * extracted so q_c76's bucket assignment consumes the IDENTICAL score
