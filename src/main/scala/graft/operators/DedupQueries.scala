@@ -1030,6 +1030,62 @@ object DedupQueries {
           col("f3").as("in_jaccard"))
         .agg(count(lit(1)).cast("long").as("n_pairs"))
         .orderBy(col("in_minhash"), col("in_winnow"), col("in_jaccard"))
+    },
+
+    // ---- q_c88: LSH band recall calibration -------------------------------
+    // The banding scheme's OBSERVED recall against its ANALYTIC model:
+    // with r = 2 rows × b = 3 bands, idealized MinHash detects a pair of
+    // Jaccard s with probability 1 − (1 − s²)³ (the S-curve every LSH
+    // design doc plots). This query buckets the exact τ = 0.5 verified
+    // pairs (q_b6) by Jaccard decile and reports, per bucket, how many
+    // the banded generator (q_c1) actually surfaced next to the model's
+    // expectation — the number a pipeline owner reads before trusting
+    // (or re-parameterizing) the band geometry. Divergence is signal,
+    // not error: real shingle sets violate the uniform-hashing
+    // idealization exactly where corpora are structured.
+    //
+    // 100 TB shape: both inputs already carry their scale stories (the
+    // AllPairs prefix filter; banding) and arrive as id-pair frames; the
+    // left join keys 16-byte pairs, the agg holds ≤ 6 decile rows. The
+    // expected-recall arithmetic is the house double discipline: s is
+    // one IEEE division, the S-curve three fixed-order multiplies,
+    // quantized (D18,6) per pair before the exact decimal mean.
+    QueryDef(
+      "q_c88_lsh_recall",
+      Some(s"""WITH $duckMinhashCand,
+              |$duckJaccardTail,
+              |scal AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
+              |         CAST(jp.shared AS DOUBLE) / CAST(jp.uni AS DOUBLE) AS s,
+              |         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+              |       FROM jp LEFT JOIN cand c ON c.doc_a = jp.doc_a AND c.doc_b = jp.doc_b),
+              |eq AS (SELECT (shared * 10) // uni AS jac_decile, detected,
+              |         CAST(1 - (1 - s * s) * (1 - s * s) * (1 - s * s) AS DECIMAL(18,6)) AS exp_p
+              |       FROM scal)
+              |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  CAST(SUM(detected) AS BIGINT) AS n_detected,
+              |  CAST(CAST(CAST(SUM(detected) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS observed_recall,
+              |  CAST(CAST(CAST(SUM(exp_p) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS expected_recall
+              |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin)
+    ) { (s, d) =>
+      val jp = verifiedJaccardPairs(s, d)
+      val cand = minhashCandidatesShared(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("det"))
+      val sc = jp.join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(col("shared"), col("uni"),
+          (col("shared").cast("double") / col("uni").cast("double")).as("s"),
+          when(col("det").isNotNull, 1).otherwise(0).as("detected"))
+      val q = lit(1) - col("s") * col("s")
+      sc.select(expr("(shared * 10) DIV uni").as("jac_decile"), col("detected"),
+          dec(lit(1) - q * q * q).as("exp_p"))
+        .groupBy(col("jac_decile"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("detected")).cast("long").as("n_detected"),
+          emit((dec(sum(col("detected"))) / dec(count(lit(1)))).cast(D38))
+            .as("observed_recall"),
+          emit((dec(sum(col("exp_p"))) / dec(count(lit(1)))).cast(D38))
+            .as("expected_recall"))
+        .orderBy(col("jac_decile"))
     }
   )
 

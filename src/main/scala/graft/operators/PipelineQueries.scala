@@ -1832,6 +1832,65 @@ object PipelineQueries {
           expr("array_join(zip_with(ts, mk, (w, m) -> IF(m = 1, w, NULL)), ' ')")
             .as("targets"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c86: FAMILY agreement across candidate generators --------------
+    // q_c85 compares the three near-dup generators at the PAIR level;
+    // this is the other half — after transitive closure, do MinHash-fed
+    // and winnowing-fed clustering produce the same duplicate FAMILIES?
+    // Both edge sets run through the identical star-CC fixpoint
+    // ([[connectedComponentsStar]]); the report is the family-level
+    // contingency table (mh_fam × wn_fam → member count) over the union
+    // of clustered docs, a doc absent from one graph standing as its own
+    // singleton family there. Off-diagonal mass reads directly as
+    // splits/merges: one mh_fam spread over several wn_fams is a family
+    // the winnowing geometry splits, and vice versa.
+    //
+    // 100 TB shape: each generator carries its own scale story (banding
+    // / fingerprint df-prune); the CC fixpoint is O(log n) star rounds
+    // over id-pair edges (16-byte rows); the final cross-tab is one
+    // (fam, fam)-keyed agg over O(clustered docs) rows — bytes, not
+    // corpus-sized. The MinHash side serves from the session-shared
+    // ccFamiliesShared fixpoint, so q_c13..q_c67 and this report can
+    // never disagree about the families they describe.
+    QueryDef(
+      "q_c86_family_agreement",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |${DedupQueries.duckWinnowPairs},
+              |mnodes AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand)),
+              |medges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              |           UNION ALL SELECT doc_b, doc_a FROM cand),
+              |mreach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM mnodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM mreach r JOIN medges e ON e.src = r.doc_id),
+              |mfam AS (SELECT doc_id, MIN(lbl) AS mh FROM mreach GROUP BY doc_id),
+              |wnodes AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT doc_a AS doc_id FROM wp UNION ALL SELECT doc_b FROM wp)),
+              |wedges AS (SELECT doc_a AS src, doc_b AS dst FROM wp
+              |           UNION ALL SELECT doc_b, doc_a FROM wp),
+              |wreach(doc_id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM wnodes
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM wreach r JOIN wedges e ON e.src = r.doc_id),
+              |wfam AS (SELECT doc_id, MIN(lbl) AS wn FROM wreach GROUP BY doc_id),
+              |ufam AS (SELECT COALESCE(mm.mh, COALESCE(mm.doc_id, ww.doc_id)) AS mh_fam,
+              |                COALESCE(ww.wn, COALESCE(mm.doc_id, ww.doc_id)) AS wn_fam
+              |         FROM mfam mm FULL JOIN wfam ww ON mm.doc_id = ww.doc_id)
+              |SELECT mh_fam, wn_fam, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |FROM ufam GROUP BY 1, 2 ORDER BY mh_fam, wn_fam""".stripMargin)
+    ) { (s, d) =>
+      val mh = ccFamiliesShared(s, d)
+        .select(col("doc_id"), col("cluster_id").as("mh"))
+      val wn = wnFamiliesShared(s, d)
+        .select(col("doc_id"), col("cluster_id").as("wn"))
+      mh.join(wn, Seq("doc_id"), "full")
+        .select(coalesce(col("mh"), col("doc_id")).as("mh_fam"),
+          coalesce(col("wn"), col("doc_id")).as("wn_fam"))
+        .groupBy(col("mh_fam"), col("wn_fam"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy(col("mh_fam"), col("wn_fam"))
     }
   )
 
@@ -1862,6 +1921,28 @@ object PipelineQueries {
 
   /** Test hook (JobCountGateSpec cold-state discipline). */
   def clearCcFamilies(): Unit = ccFamBuilt.clear()
+
+  /** The winnowing-fed twin of [[ccFamiliesShared]]: star-CC over
+    * q_c75's fingerprint-overlap pairs, one build per corpus snapshot
+    * (q_c86 is its only registered consumer today, but the bench's
+    * two-pass discipline and any future winnow-family consumer serve
+    * from the stored fixpoint instead of re-iterating CC).
+    */
+  private val wnFamBuilt = new graft.core.StoredArtifact("graft-wn-fam")
+
+  def wnFamiliesShared(s: SparkSession, d: String): DataFrame = {
+    val path = wnFamBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      p =>
+        connectedComponentsStar(s,
+            DedupQueries.winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
+          .write.mode("overwrite").parquet(s"$p/fam")
+    }
+    s.read.parquet(s"$path/fam")
+  }
+
+  /** Test hook (JobCountGateSpec cold-state discipline). */
+  def clearWnFamilies(): Unit = wnFamBuilt.clear()
 
   /** q_c61's Bloom geometry: m = 2^20 bits (128 KiB driver/executor
     * footprint), k = 5 hashes. FP rate ~(nk/m)^k — effectively zero at

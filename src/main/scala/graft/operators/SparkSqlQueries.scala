@@ -1943,7 +1943,122 @@ object SparkSqlQueries {
         |  CAST(cum_start AS BIGINT) AS cum_start,
         |  CAST(CASE WHEN total > 0 THEN LEAST(3L, (cum_start * 4L) DIV total)
         |       ELSE 0L END AS BIGINT) AS phase
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_c87_kn_trigram_ppl" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |trn AS (SELECT w1, w2 FROM bg WHERE doc_id % 17 <> 3),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM trn GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+        |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+        |dsc AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+        |vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+        |       FROM (SELECT explode(ts) AS term FROM t WHERE doc_id % 17 <> 3)),
+        |tg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 3)) AS i FROM t WHERE size(ts) >= 3)),
+        |trn3 AS (SELECT w1, w2, w3 FROM tg WHERE doc_id % 17 <> 3),
+        |c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3 FROM trn3 GROUP BY 1, 2, 3),
+        |lt3 AS (SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS ctx_total,
+        |               CAST(COUNT(*) AS BIGINT) AS ctx_types FROM c3 GROUP BY 1, 2),
+        |dsc3 AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1_3,
+        |    CAST(SUM(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2_3 FROM c3),
+        |hb AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE doc_id % 17 = 3),
+        |sc AS (SELECT hb.doc_id,
+        |  CAST(-ln(
+        |    CASE WHEN c3.cnt3 IS NOT NULL THEN
+        |      (CAST(c3.cnt3 AS DOUBLE)
+        |         - (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END))
+        |        / CAST(lt3.ctx_total AS DOUBLE)
+        |      + (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END)
+        |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
+        |        * (CASE WHEN cb.cnt IS NOT NULL THEN
+        |             (CAST(cb.cnt AS DOUBLE)
+        |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |               / CAST(lt.left_total AS DOUBLE)
+        |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           WHEN lt.w1 IS NOT NULL THEN
+        |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           END)
+        |    WHEN lt3.w1 IS NOT NULL THEN
+        |      (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END)
+        |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
+        |        * (CASE WHEN cb.cnt IS NOT NULL THEN
+        |             (CAST(cb.cnt AS DOUBLE)
+        |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |               / CAST(lt.left_total AS DOUBLE)
+        |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           WHEN lt.w1 IS NOT NULL THEN
+        |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |           END)
+        |    ELSE
+        |      (CASE WHEN cb.cnt IS NOT NULL THEN
+        |         (CAST(cb.cnt AS DOUBLE)
+        |            - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |           / CAST(lt.left_total AS DOUBLE)
+        |         + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |           * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |       WHEN lt.w1 IS NOT NULL THEN
+        |         (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |           * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |       ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |       END)
+        |    END) AS DECIMAL(18,6)) AS nll
+        |  FROM hb LEFT JOIN c3 ON c3.w1 = hb.w1 AND c3.w2 = hb.w2 AND c3.w3 = hb.w3
+        |          LEFT JOIN lt3 ON lt3.w1 = hb.w1 AND lt3.w2 = hb.w2
+        |          LEFT JOIN cb ON cb.w1 = hb.w2 AND cb.w2 = hb.w3
+        |          LEFT JOIN lt ON lt.w1 = hb.w2
+        |          LEFT JOIN ct ON ct.w2 = hb.w3
+        |          CROSS JOIN dsc d CROSS JOIN dsc3 d3 CROSS JOIN vv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(CAST(CAST(SUM(nll) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_c88_lsh_recall" ->
+      s"""WITH $minhashCandCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |scal AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
+         |         CAST(jp.shared AS DOUBLE) / CAST(jp.uni AS DOUBLE) AS s,
+         |         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+         |       FROM jp LEFT JOIN cand c ON c.doc_a = jp.doc_a AND c.doc_b = jp.doc_b),
+         |eq AS (SELECT (shared * 10) DIV uni AS jac_decile, detected,
+         |         CAST(1 - (1 - s * s) * (1 - s * s) * (1 - s * s) AS DECIMAL(18,6)) AS exp_p
+         |       FROM scal)
+         |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(detected) AS BIGINT) AS n_detected,
+         |  CAST(CAST(CAST(SUM(detected) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS observed_recall,
+         |  CAST(CAST(CAST(SUM(exp_p) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS expected_recall
+         |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

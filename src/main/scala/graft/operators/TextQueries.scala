@@ -1524,29 +1524,168 @@ object TextQueries {
       val bg = knBigrams(docs)
       val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
       val (cb, lt, ct, dsc) = knBigramStats(trn)
-      val vv = docs
-        .filter(col("doc_id") % 17 =!= 3)
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-          .as("term"))
-        .agg(countDistinct(col("term")).cast("double").as("v"))
+      val vv = knTrainVocab(docs)
       val hb = bg.filter(col("doc_id") % 17 === 3)
-      val dd = knDiscount
-      val pc = (coalesce(col("cont_types"), lit(0L)).cast("double") + 1) /
-        (col("types") + col("v"))
-      val lam = dd * col("left_types").cast("double") / col("left_total").cast("double")
-      val p = when(col("cnt").isNotNull,
-        (col("cnt").cast("double") - dd) / col("left_total").cast("double") + lam * pc)
-        .when(col("left_total").isNotNull, lam * pc)
-        .otherwise(pc)
       hb
         .join(cb, Seq("w1", "w2"), "left")
         .join(lt, Seq("w1"), "left")
         .join(ct, Seq("w2"), "left")
         .crossJoin(broadcast(dsc))
         .crossJoin(broadcast(vv))
-        .withColumn("nll", dec(-log(p)))
+        .withColumn("nll", dec(-log(knBigramProb(
+          col("cnt"), col("left_total"), col("left_types"),
+          col("cont_types"), col("types"), col("v")))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          emit((dec(sum(col("nll"))) / dec(count(lit(1)))).cast(D38)).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c87: held-out perplexity under a KN TRIGRAM backoff LM ---------
+    // q_c84's order-3 extension — the standard recursive interpolation:
+    // an observed trigram pays the discounted trigram estimate and
+    // interpolates D3·N1+(w1w2•)/c(w1w2•) of its mass into the BIGRAM
+    // model; an unseen trigram with a seen (w1,w2) context pays only the
+    // interpolation weight times the bigram score; an unseen context
+    // backs off to the bigram model entirely. The bigram rung is the
+    // IDENTICAL q_c84 ladder ([[knBigramProb]] — same statistics, same
+    // expression), so q_c84 and q_c87 are directly comparable evaluation
+    // numbers for the same corpus variant, one model order apart.
+    //
+    // 100 TB shape: the measured type-count curve on the scale fixture
+    // family (PERF.md) shows trigram TYPES grow near-linearly in corpus
+    // size (~30 % of trigram tokens are distinct at 10×) — unlike the
+    // Heaps-bounded vocabulary, the trigram table is O(corpus). That is
+    // fine HERE because the model is never driver state: c3/lt3 are
+    // shuffle-aggregated DataFrames (map-side combined), the held-out
+    // lookups are key-partitioned joins against them, and only the two
+    // discount scalars and V ride broadcasts. A deployment that wants a
+    // bounded SERVED model applies the standard count cutoff (one
+    // `cnt3 >= k` filter on c3 — SRILM/KenLM gtmin pruning) without
+    // touching the evaluation shape.
+    QueryDef(
+      "q_c87_kn_trigram_ppl",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |trn AS (SELECT w1, w2 FROM bg WHERE doc_id % 17 <> 3),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM trn GROUP BY 1, 2),
+             |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+             |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+             |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+             |dsc AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+             |vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+             |       FROM (SELECT unnest(ts) AS term FROM t WHERE doc_id % 17 <> 3)),
+             |tg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2, ts[i+3] AS w3
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS i FROM t WHERE len(ts) >= 3)),
+             |trn3 AS (SELECT w1, w2, w3 FROM tg WHERE doc_id % 17 <> 3),
+             |c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3 FROM trn3 GROUP BY 1, 2, 3),
+             |lt3 AS (SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS ctx_total,
+             |               CAST(COUNT(*) AS BIGINT) AS ctx_types FROM c3 GROUP BY 1, 2),
+             |dsc3 AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1_3,
+             |    CAST(SUM(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2_3 FROM c3),
+             |hb AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE doc_id % 17 = 3),
+             |sc AS (SELECT hb.doc_id,
+             |  CAST(-ln(
+             |    CASE WHEN c3.cnt3 IS NOT NULL THEN
+             |      (CAST(c3.cnt3 AS DOUBLE)
+             |         - (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5 END))
+             |        / CAST(lt3.ctx_total AS DOUBLE)
+             |      + (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5 END)
+             |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
+             |        * (CASE WHEN cb.cnt IS NOT NULL THEN
+             |             (CAST(cb.cnt AS DOUBLE)
+             |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |               / CAST(lt.left_total AS DOUBLE)
+             |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |               * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           WHEN lt.w1 IS NOT NULL THEN
+             |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |               * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           ELSE ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           END)
+             |    WHEN lt3.w1 IS NOT NULL THEN
+             |      (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5 END)
+             |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
+             |        * (CASE WHEN cb.cnt IS NOT NULL THEN
+             |             (CAST(cb.cnt AS DOUBLE)
+             |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |               / CAST(lt.left_total AS DOUBLE)
+             |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |               * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           WHEN lt.w1 IS NOT NULL THEN
+             |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |               * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           ELSE ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |           END)
+             |    ELSE
+             |      (CASE WHEN cb.cnt IS NOT NULL THEN
+             |         (CAST(cb.cnt AS DOUBLE)
+             |            - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |           / CAST(lt.left_total AS DOUBLE)
+             |         + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |           * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |       WHEN lt.w1 IS NOT NULL THEN
+             |         (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |           * ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |       ELSE ((CAST(COALESCE(ct.cont_types, 0) AS DOUBLE) + 1) / (d.types + vv.v))
+             |       END)
+             |    END) AS DECIMAL(18,6)) AS nll
+             |  FROM hb LEFT JOIN c3 ON c3.w1 = hb.w1 AND c3.w2 = hb.w2 AND c3.w3 = hb.w3
+             |          LEFT JOIN lt3 ON lt3.w1 = hb.w1 AND lt3.w2 = hb.w2
+             |          LEFT JOIN cb ON cb.w1 = hb.w2 AND cb.w2 = hb.w3
+             |          LEFT JOIN lt ON lt.w1 = hb.w2
+             |          LEFT JOIN ct ON ct.w2 = hb.w3
+             |          CROSS JOIN dsc d CROSS JOIN dsc3 d3 CROSS JOIN vv)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |  CAST(CAST(CAST(SUM(nll) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6))
+             |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
+             |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val bg = knBigrams(docs)
+      val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
+      val (cb, lt, ct, dsc) = knBigramStats(trn)
+      val vv = knTrainVocab(docs)
+      val tg = knTrigrams(docs)
+      val trn3 = tg.filter(col("doc_id") % 17 =!= 3)
+        .select(col("w1"), col("w2"), col("w3"))
+      val (c3, lt3, dsc3) = knTrigramStats(trn3)
+      val hb = tg.filter(col("doc_id") % 17 === 3)
+      val d3 = when(col("n1_3") + lit(2) * col("n2_3") > 0,
+        col("n1_3") / (col("n1_3") + lit(2) * col("n2_3"))).otherwise(lit(0.5))
+      val pBg = knBigramProb(
+        col("cnt"), col("left_total"), col("left_types"),
+        col("cont_types"), col("types"), col("v"))
+      val lam3 = d3 * col("ctx_types").cast("double") / col("ctx_total").cast("double")
+      val p3 = when(col("cnt3").isNotNull,
+        (col("cnt3").cast("double") - d3) / col("ctx_total").cast("double") + lam3 * pBg)
+        .when(col("ctx_total").isNotNull, lam3 * pBg)
+        .otherwise(pBg)
+      hb
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(lt3, Seq("w1", "w2"), "left")
+        .join(cb.select(col("w1").as("w2"), col("w2").as("w3"), col("cnt")),
+          Seq("w2", "w3"), "left")
+        .join(lt.select(col("w1").as("w2"), col("left_total"), col("left_types")),
+          Seq("w2"), "left")
+        .join(ct.select(col("w2").as("w3"), col("cont_types")), Seq("w3"), "left")
+        .crossJoin(broadcast(dsc))
+        .crossJoin(broadcast(dsc3))
+        .crossJoin(broadcast(vv))
+        .withColumn("nll", dec(-log(p3)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_trigrams"),
           emit((dec(sum(col("nll"))) / dec(count(lit(1)))).cast(D38)).as("avg_nll"))
         .orderBy(col("doc_id"))
     }
@@ -1595,6 +1734,82 @@ object TextQueries {
   private[graft] def knDiscount: org.apache.spark.sql.Column =
     when(col("n1") + lit(2) * col("n2") > 0,
       col("n1") / (col("n1") + lit(2) * col("n2"))).otherwise(lit(0.5))
+
+  /** Training-slice (doc_id % 17 ≠ 3) vocabulary size as a 1-row DOUBLE
+    * frame — q_c84's and q_c87's V, extracted so both evaluations smooth
+    * the unseen-continuation rung against the SAME vocabulary (a fork
+    * here would silently shift every deep-backoff score between the two
+    * model orders).
+    */
+  private[graft] def knTrainVocab(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col("doc_id") % 17 =!= 3)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("v"))
+
+  /** The interpolated-KN bigram probability ladder over the joined
+    * statistics columns (cnt, left_total, left_types, cont_types from
+    * [[knBigramStats]]; types from its dsc frame; v from
+    * [[knTrainVocab]]) — q_c84's scoring expression, extracted verbatim
+    * so q_c87's trigram backoff interpolates the IDENTICAL bigram model
+    * q_c84 scores standalone. Rungs: observed bigram → discounted
+    * interpolation; seen context → λ(w1)·p_cont; unseen context →
+    * p_cont alone, with p_cont add-one-smoothed over (types + V) so
+    * every rung stays > 0.
+    */
+  private[graft] def knBigramProb(
+      cnt: org.apache.spark.sql.Column,
+      leftTotal: org.apache.spark.sql.Column,
+      leftTypes: org.apache.spark.sql.Column,
+      contTypes: org.apache.spark.sql.Column,
+      types: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dd = knDiscount
+    val pc = (coalesce(contTypes, lit(0L)).cast("double") + 1) / (types + v)
+    val lam = dd * leftTypes.cast("double") / leftTotal.cast("double")
+    when(cnt.isNotNull,
+      (cnt.cast("double") - dd) / leftTotal.cast("double") + lam * pc)
+      .when(leftTotal.isNotNull, lam * pc)
+      .otherwise(pc)
+  }
+
+  /** Adjacent-trigram frame (doc_id, w1, w2, w3) over `documents` — the
+    * [[knBigrams]] generator one order up (map-only), shared by q_c87's
+    * training and held-out slices.
+    */
+  private[graft] def knTrigrams(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> struct(ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+
+  /** Trigram-order KN statistics over a (w1, w2, w3) frame — (c3 trigram
+    * counts as cnt3, lt3 context fan-out as ctx_total/ctx_types, dsc3
+    * discount pair as n1_3/n2_3). Column names deliberately disjoint
+    * from [[knBigramStats]]' so both orders join into one scoring frame
+    * without aliasing.
+    */
+  private[graft] def knTrigramStats(tg: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("long").as("cnt3"))
+    val lt3 = c3.groupBy(col("w1"), col("w2")).agg(
+      sum(col("cnt3")).cast("long").as("ctx_total"),
+      count(lit(1)).cast("long").as("ctx_types"))
+    val dsc3 = c3.agg(
+      sum(when(col("cnt3") === 1, 1).otherwise(0)).cast("double").as("n1_3"),
+      sum(when(col("cnt3") === 2, 1).otherwise(0)).cast("double").as("n2_3"))
+    (c3, lt3, dsc3)
+  }
 
   /** q_c26's per-document unigram NLL frame (doc_id, n_tokens, avg_nll) —
     * extracted so q_c76's bucket assignment consumes the IDENTICAL score

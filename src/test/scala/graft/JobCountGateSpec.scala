@@ -77,7 +77,10 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c78_containment_decon" -> 10, // measured 8 (bench shingle broadcasts + pair agg)
     "q_c80_kn_bigram_lm" -> 17,     // measured 13 (bigram-type aggs + fan-out joins + top-k)
     "q_c84_kn_heldout_ppl" -> 24,   // measured 19 (train-side type aggs + ladder joins)
-    "q_c85_candidate_agreement" -> 38 // measured 30 (three generators + mask contingency)
+    "q_c85_candidate_agreement" -> 38, // measured 30 (three generators + mask contingency)
+    "q_c86_family_agreement" -> 96,   // measured 77 cold (two CC fixpoint builds; warm serves both from parquet)
+    "q_c87_kn_trigram_ppl" -> 34,     // measured 27 (both model orders' type aggs + 5 ladder joins)
+    "q_c88_lsh_recall" -> 38          // measured 30 (cold candidate + verified-pair pipelines + 6-row agg)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
@@ -101,6 +104,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.operators.WordPieceTrainer.clearModelCache()
         graft.operators.PipelineQueries.clearBloomCache()
         graft.operators.PipelineQueries.clearCcFamilies()
+        graft.operators.PipelineQueries.clearWnFamilies()
         // deterministic drain of the async listener bus: a fixed sleep can
         // leak a prior query's job-start events into this window
         org.apache.spark.GraftSparkTestAccess.drainListenerBus(spark.sparkContext)

@@ -32,10 +32,12 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ctxs = Seq("red", "blue", "green", "tall", "small", "old", "new",
       "fast", "slow", "warm")
     // doc 20 (20 % 17 = 3 → held out, like doc 3) ends in a token never
-    // seen in training — the deepest q_c84 backoff rung
+    // seen in training — the deepest q_c84 backoff rung. doc 37 (also
+    // held out) is built of tokens never seen in training at all: every
+    // q_c87 trigram rung falls through to the deepest bigram rung.
     val docs = (0 until 10).map { i =>
       (i.toLong, s"san francisco ${ctxs(i)} common words fill this line")
-    } :+ (20L, "common zzztail")
+    } :+ (20L, "common zzztail") :+ (37L, "zzza zzzb zzzc")
     docs.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
@@ -74,8 +76,8 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = SparkEntry.queries("q_c84_kn_heldout_ppl")(spark, dir).collect()
     graft.core.CachedRdds.drain()
     val byDoc = rows.map(r => r.getLong(0) -> r).toMap
-    // exactly the held-out docs with >= 2 tokens: 3 and 20
-    assert(byDoc.keySet === Set(3L, 20L))
+    // exactly the held-out docs with >= 2 tokens: 3, 20 and 37
+    assert(byDoc.keySet === Set(3L, 20L, 37L))
     rows.foreach { r =>
       val nll = r.getAs[Double]("avg_nll")
       assert(!nll.isNaN && !nll.isInfinite && nll > 0.0,
@@ -85,5 +87,29 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bigram falls to the unseen-continuation rung — it must cost more
     assert(byDoc(20L).getAs[Double]("avg_nll") > byDoc(3L).getAs[Double]("avg_nll"),
       "an unseen continuation must carry a higher NLL than observed text")
+  }
+
+  test("q_c87: the trigram ladder covers every rung, all finite, unseen text costs most") {
+    val rows = SparkEntry.queries("q_c87_kn_trigram_ppl")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    // held-out docs with >= 3 tokens: 3 (mixed rungs — "san francisco
+    // tall" is an unseen trigram over a SEEN (san, francisco) context;
+    // "common words fill" is a fully observed trigram; "francisco tall
+    // common" falls through an unseen trigram context to the bigram
+    // ladder) and 37 (every rung unseen down to 1/(types+V)). doc 20 has
+    // only 2 tokens — no trigram, excluded by construction.
+    assert(byDoc.keySet === Set(3L, 37L))
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0,
+        s"doc ${r.getLong(0)}: smoothing must keep every trigram rung finite")
+    }
+    assert(byDoc(3L).getAs[Long]("n_trigrams") === 6L, "8 tokens -> 6 trigrams")
+    assert(byDoc(37L).getAs[Long]("n_trigrams") === 1L)
+    // a document of entirely-unseen tokens must cost more per trigram
+    // than one whose trigrams are mostly observed in training
+    assert(byDoc(37L).getAs[Double]("avg_nll") > byDoc(3L).getAs[Double]("avg_nll"),
+      "fully-unseen text must carry the highest per-trigram NLL")
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c88 — LSH band recall calibration against the analytic
+  * 1 − (1 − s²)³ model (r = 2 rows × b = 3 bands).
+  *
+  * The planted fixture pins both ends of the S-curve exactly: an
+  * identical pair (s = 1) must land in decile 10 with expected AND
+  * observed recall exactly 1.0 (identical shingle sets ⇒ identical
+  * signatures ⇒ the banding cannot miss), and a pair with a known
+  * rational Jaccard must report the closed-form expected probability,
+  * quantized exactly as the query does. The sf0.001 test asserts the
+  * report's structural guarantees: the buckets partition the verified
+  * pair set, recalls are probabilities, and expected recall is
+  * monotone in the Jaccard decile (the S-curve is increasing).
+  */
+class LshCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-lshcal-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = java.nio.file.Files.createTempDirectory("graft-lshcal").toString
+    val s = spark
+    import s.implicits._
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // s = 1: identical 10-word docs (8 shingles each, all shared)
+      (1L, twin), (2L, twin),
+      // known rational s: 10 words differing only in the last one —
+      // 7 of 8 shingles shared, union 9 ⇒ s = 7/9, decile 7
+      (3L, "north south east west upward downward inward outward forward backward"),
+      (4L, "north south east west upward downward inward outward forward sideways"),
+      // unrelated filler (shares nothing; below τ with everything)
+      (5L, "solitary unique text nothing shares these particular words ever today"))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.core.LocalArtifacts.deleteRecursively(dir)
+  }
+
+  test("q_c88 planted: both ends of the S-curve are exact") {
+    val rows = SparkEntry.queries("q_c88_lsh_recall")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byDecile = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byDecile.keySet === Set(7L, 10L))
+
+    val ten = byDecile(10L)
+    assert(ten.getAs[Long]("n_pairs") === 1L)
+    assert(ten.getAs[Long]("n_detected") === 1L,
+      "identical docs have identical signatures — banding cannot miss s = 1")
+    assert(ten.getAs[Double]("observed_recall") === 1.0)
+    assert(ten.getAs[Double]("expected_recall") === 1.0)
+
+    val seven = byDecile(7L)
+    assert(seven.getAs[Long]("n_pairs") === 1L)
+    // the query's own arithmetic, replayed: IEEE double S-curve at
+    // s = 7/9, quantized to DECIMAL(18,6) per pair
+    val sVal = 7.0 / 9.0
+    val expP = BigDecimal(1 - (1 - sVal * sVal) * (1 - sVal * sVal) * (1 - sVal * sVal))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(seven.getAs[Double]("expected_recall") === expP)
+  }
+
+  test("q_c88 on sf0.001: buckets partition the verified pairs; recalls behave") {
+    val rows = SparkEntry.queries("q_c88_lsh_recall")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty)
+    val exact = SparkEntry.queries("q_b6_jaccard_neardup")(spark, sf).count()
+    graft.core.CachedRdds.drain()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === exact,
+      "decile buckets must partition the exact verified pair set")
+    rows.foreach { r =>
+      val obs = r.getAs[Double]("observed_recall")
+      val exp = r.getAs[Double]("expected_recall")
+      assert(obs >= 0.0 && obs <= 1.0 && exp >= 0.0 && exp <= 1.0)
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_pairs"))
+      assert(r.getLong(0) >= 5L && r.getLong(0) <= 10L,
+        "verified pairs sit at tau >= 0.5 by construction")
+    }
+    val byDecile = rows.sortBy(_.getLong(0)).map(_.getAs[Double]("expected_recall"))
+    assert(byDecile.zip(byDecile.tail).forall { case (a, b) => a <= b },
+      "the analytic S-curve is increasing in s, so decile means must be monotone")
+  }
+}
