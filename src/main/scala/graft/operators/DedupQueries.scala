@@ -1086,6 +1086,43 @@ object DedupQueries {
           emit((dec(sum(col("exp_p"))) / dec(count(lit(1)))).cast(D38))
             .as("expected_recall"))
         .orderBy(col("jac_decile"))
+    },
+
+    // ---- q_c91: cross-source duplication matrix ---------------------------
+    // Where does the duplication COME from? Every verified τ = 0.5
+    // near-dup pair (q_b6) keyed by the unordered (source, source) pair
+    // of its endpoints — the matrix corpus reports publish to show
+    // which ingestion sources copy from each other (mirror sites, CC
+    // re-crawls, cross-posted docs) vs which duplicate internally. The
+    // diagonal is within-source duplication; off-diagonal mass is the
+    // argument for cross-source dedup passes.
+    //
+    // 100 TB shape: the verified pair frame is tiny relative to the
+    // corpus and BROADCASTS into two map-side joins against the slim
+    // (doc_id, source) projection — the corpus is scanned once for ids
+    // and never shuffles; the final agg holds |sources|² rows at most.
+    QueryDef(
+      "q_c91_source_dup_matrix",
+      Some(s"""WITH $duckJaccardPairs,
+              |sm AS (SELECT doc_id, source FROM documents),
+              |px AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+              |              GREATEST(sa.source, sb.source) AS source_b
+              |       FROM jp JOIN sm sa ON jp.doc_a = sa.doc_id
+              |               JOIN sm sb ON jp.doc_b = sb.doc_id)
+              |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |FROM px GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+    ) { (s, d) =>
+      val jp = verifiedJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val sm = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val j1 = sm.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+        .join(broadcast(jp), Seq("doc_a"))
+      val j2 = sm.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+        .join(broadcast(j1), Seq("doc_b"))
+      j2.select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 

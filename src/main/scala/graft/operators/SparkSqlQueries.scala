@@ -2058,7 +2058,28 @@ object SparkSqlQueries {
          |  CAST(SUM(detected) AS BIGINT) AS n_detected,
          |  CAST(CAST(CAST(SUM(detected) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS observed_recall,
          |  CAST(CAST(CAST(SUM(exp_p) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS expected_recall
-         |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin
+         |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin,
+
+    "q_c91_source_dup_matrix" ->
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |sm AS (SELECT doc_id, source FROM documents),
+         |px AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+         |              GREATEST(sa.source, sb.source) AS source_b
+         |       FROM jp JOIN sm sa ON jp.doc_a = sa.doc_id
+         |               JOIN sm sb ON jp.doc_b = sb.doc_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM px GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

@@ -80,7 +80,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c85_candidate_agreement" -> 38, // measured 30 (three generators + mask contingency)
     "q_c86_family_agreement" -> 96,   // measured 77 cold (two CC fixpoint builds; warm serves both from parquet)
     "q_c87_kn_trigram_ppl" -> 34,     // measured 27 (both model orders' type aggs + 5 ladder joins)
-    "q_c88_lsh_recall" -> 38          // measured 30 (cold candidate + verified-pair pipelines + 6-row agg)
+    "q_c88_lsh_recall" -> 38,         // measured 30 (cold candidate + verified-pair pipelines + 6-row agg)
+    "q_c91_source_dup_matrix" -> 28   // measured 22 (verified-pair pipeline + two broadcast source joins)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
