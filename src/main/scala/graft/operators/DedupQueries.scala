@@ -1123,6 +1123,67 @@ object DedupQueries {
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).cast("long").as("n_pairs"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- q_c92: MinHash signature-agreement estimator calibration ---------
+    // q_c88 calibrates the band DETECTION probability; this calibrates
+    // the signature ESTIMATOR itself: the fraction of equal minhash
+    // components is an unbiased estimate of Jaccard (E[matches/k] = s —
+    // the Broder identity LSH is built on), and with k = 6 its grid is
+    // coarse (multiples of 1/6). Per Jaccard decile of the exact
+    // verified pairs: total matching components, the mean estimate, and
+    // the mean true Jaccard next to it — the bias/resolution table a
+    // pipeline owner reads before trusting signature-only similarity
+    // (e.g. the stored-index path q_c66) at a finer threshold than the
+    // signature supports.
+    //
+    // 100 TB shape: the 48 B/doc signature frame joins the tiny pair
+    // frame on doc ids (both map-side-small); all arithmetic is
+    // integer matches + the house per-term D18,6 quantization.
+    QueryDef(
+      "q_c92_minhash_estimator",
+      Some(s"""WITH $duckMinhashCand,
+              |$duckJaccardTail,
+              |me AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
+              |  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+              |   CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+              |   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+              |   CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+              |   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+              |   CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS matches
+              |  FROM jp JOIN sig a ON a.doc_id = jp.doc_a
+              |          JOIN sig b ON b.doc_id = jp.doc_b),
+              |eq AS (SELECT (shared * 10) // uni AS jac_decile, matches,
+              |  CAST(CAST(CAST(matches AS DECIMAL(18,6)) / CAST(6 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS est,
+              |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS tru
+              |  FROM me)
+              |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  CAST(SUM(matches) AS BIGINT) AS sig_matches,
+              |  CAST(CAST(CAST(SUM(est) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_est,
+              |  CAST(CAST(CAST(SUM(tru) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_jaccard
+              |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin)
+    ) { (s, d) =>
+      val jp = verifiedJaccardPairs(s, d)
+      val sig = minhashSignatures(s, d)
+      val sa = sig.select(
+        col("doc_id").as("doc_a") +: (0 until 6).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(
+        col("doc_id").as("doc_b") +: (0 until 6).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val matches = (0 until 6)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      jp.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .select(col("shared"), col("uni"), matches.as("matches"))
+        .select(expr("(shared * 10) DIV uni").as("jac_decile"), col("matches"),
+          dec((dec(col("matches")) / dec(lit(6))).cast(D38)).as("est"),
+          dec((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("tru"))
+        .groupBy(col("jac_decile"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("matches")).cast("long").as("sig_matches"),
+          emit((dec(sum(col("est"))) / dec(count(lit(1)))).cast(D38)).as("mean_est"),
+          emit((dec(sum(col("tru"))) / dec(count(lit(1)))).cast(D38)).as("mean_jaccard"))
+        .orderBy(col("jac_decile"))
     }
   )
 

@@ -367,6 +367,88 @@ object SimilarityQueries {
       val batchCells = embDouble(s, d).filter(col("vec_id") % 10 === 3)
         .select(expr(s"element_at($fn(v, 1), 1)").as("cell"))
       ivfDrift(s, s"$path/codes", batchCells, k)
+    },
+
+    // ---- q_c93: per-source embedding-centroid drift matrix ----------------
+    // The embedding-space answer to "are my sources the same
+    // distribution?": the cosine between per-source centroid vectors,
+    // the first-moment drift check run before mixing sources (and the
+    // cheap precursor to q_c72's assignment-histogram monitor — no
+    // trained quantizer needed). Determinism discipline: float sums are
+    // NOT reassociation-safe, so every component quantizes (D18,6) on
+    // read and the centroid/norm/dot accumulations are EXACT decimal
+    // sums — partition-order-free — with one fixed-order double
+    // expression (dot / sqrt(na·nb)) quantized at emit. Degenerate
+    // zero-norm centroids emit cosine 0 explicitly (both engines).
+    //
+    // 100 TB shape: one posexplode scan into a (source, dim)-keyed
+    // map-side-combined agg; everything after is |sources|·dim rows —
+    // bytes. The (doc → source) side joins on vec_id before the
+    // explode, so only (source, i, x) triples ever shuffle.
+    QueryDef(
+      "q_c93_source_centroid_drift",
+      Some("""WITH ev AS (
+             |  SELECT d.source, e.vec_id,
+             |         unnest(e.embedding) AS x,
+             |         unnest(range(len(e.embedding))) AS i
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+             |nv AS (SELECT source, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
+             |       FROM ev GROUP BY 1),
+             |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
+             |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
+             |        FROM ev GROUP BY 1, 2),
+             |nrm AS (SELECT source,
+             |         CAST(SUM(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS nn
+             |        FROM cen GROUP BY 1),
+             |dt AS (SELECT a.source AS source_a, b.source AS source_b,
+             |         CAST(SUM(CAST(CAST(a.m AS DOUBLE) * CAST(b.m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+             |       FROM cen a JOIN cen b ON a.i = b.i AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT dt.source_a, dt.source_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+             |  CASE WHEN x1.nn > 0 AND x2.nn > 0
+             |       THEN CAST(CAST(CAST(dt.dp AS DOUBLE) / sqrt(CAST(x1.nn AS DOUBLE) * CAST(x2.nn AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+             |       ELSE CAST(0 AS DOUBLE) END AS cosine
+             |FROM dt JOIN nrm x1 ON x1.source = dt.source_a
+             |        JOIN nrm x2 ON x2.source = dt.source_b
+             |        JOIN nv na ON na.source = dt.source_a
+             |        JOIN nv nb ON nb.source = dt.source_b
+             |ORDER BY dt.source_a, dt.source_b""".stripMargin)
+    ) { (s, d) =>
+      val ev = Tables(s, d, "embeddings")
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+          col("doc_id") === col("vec_id"))
+        .select(col("source"), col("vec_id"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      val nv = ev.groupBy(col("source"))
+        .agg(countDistinct(col("vec_id")).cast("long").as("n_vecs"))
+      val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
+        .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")
+          / count(lit(1)).cast("double")).as("m"))
+      val nrm = cen.groupBy(col("source"))
+        .agg(dec(sum(dec(col("m").cast("double") * col("m").cast("double"))))
+          .as("nn"))
+      val dt = cen.as("a")
+        .join(cen.as("b"),
+          col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(dec(sum(dec(col("a.m").cast("double") * col("b.m").cast("double"))))
+          .as("dp"))
+      dt
+        .join(nrm.select(col("source").as("source_a"), col("nn").as("nn_a")),
+          Seq("source_a"))
+        .join(nrm.select(col("source").as("source_b"), col("nn").as("nn_b")),
+          Seq("source_b"))
+        .join(nv.select(col("source").as("source_a"), col("n_vecs").as("n_a")),
+          Seq("source_a"))
+        .join(nv.select(col("source").as("source_b"), col("n_vecs").as("n_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          when(col("nn_a") > 0 && col("nn_b") > 0,
+            emitQ(col("dp").cast("double")
+              / sqrt(col("nn_a").cast("double") * col("nn_b").cast("double"))))
+            .otherwise(lit(0).cast("double")).as("cosine"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 

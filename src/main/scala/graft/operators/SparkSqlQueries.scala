@@ -2079,7 +2079,69 @@ object SparkSqlQueries {
          |       FROM jp JOIN sm sa ON jp.doc_a = sa.doc_id
          |               JOIN sm sb ON jp.doc_b = sb.doc_id)
          |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |FROM px GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+         |FROM px GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q_c92_minhash_estimator" ->
+      s"""WITH $minhashCandCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |me AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
+         |  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+         |   CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+         |   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+         |   CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+         |   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+         |   CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS matches
+         |  FROM jp JOIN sig a ON a.doc_id = jp.doc_a
+         |          JOIN sig b ON b.doc_id = jp.doc_b),
+         |eq AS (SELECT (shared * 10) DIV uni AS jac_decile, matches,
+         |  CAST(CAST(CAST(matches AS DECIMAL(18,6)) / CAST(6 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS est,
+         |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS tru
+         |  FROM me)
+         |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(matches) AS BIGINT) AS sig_matches,
+         |  CAST(CAST(CAST(SUM(est) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_est,
+         |  CAST(CAST(CAST(SUM(tru) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_jaccard
+         |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin,
+
+    "q_c93_source_centroid_drift" ->
+      """WITH ee AS (
+        |  SELECT d.source, e.vec_id, e.embedding
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |ev AS (
+        |  SELECT source, vec_id, posexplode(embedding) AS (i, x) FROM ee),
+        |nv AS (SELECT source, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
+        |       FROM ev GROUP BY 1),
+        |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
+        |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
+        |        FROM ev GROUP BY 1, 2),
+        |nrm AS (SELECT source,
+        |         CAST(SUM(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS nn
+        |        FROM cen GROUP BY 1),
+        |dt AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(SUM(CAST(CAST(a.m AS DOUBLE) * CAST(b.m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+        |       FROM cen a JOIN cen b ON a.i = b.i AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT dt.source_a, dt.source_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+        |  CASE WHEN x1.nn > 0 AND x2.nn > 0
+        |       THEN CAST(CAST(CAST(dt.dp AS DOUBLE) / sqrt(CAST(x1.nn AS DOUBLE) * CAST(x2.nn AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS cosine
+        |FROM dt JOIN nrm x1 ON x1.source = dt.source_a
+        |        JOIN nrm x2 ON x2.source = dt.source_b
+        |        JOIN nv na ON na.source = dt.source_a
+        |        JOIN nv nb ON nb.source = dt.source_b
+        |ORDER BY dt.source_a, dt.source_b""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

@@ -81,7 +81,9 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c86_family_agreement" -> 96,   // measured 77 cold (two CC fixpoint builds; warm serves both from parquet)
     "q_c87_kn_trigram_ppl" -> 34,     // measured 27 (both model orders' type aggs + 5 ladder joins)
     "q_c88_lsh_recall" -> 38,         // measured 30 (cold candidate + verified-pair pipelines + 6-row agg)
-    "q_c91_source_dup_matrix" -> 28   // measured 22 (verified-pair pipeline + two broadcast source joins)
+    "q_c91_source_dup_matrix" -> 28,  // measured 22 (verified-pair pipeline + two broadcast source joins)
+    "q_c92_minhash_estimator" -> 30,  // measured 24 (pair pipeline + signature joins + decile agg)
+    "q_c93_source_centroid_drift" -> 18 // measured 14 (explode agg + centroid self-join + norm joins)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {

@@ -77,6 +77,41 @@ class LshCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seven.getAs[Double]("expected_recall") === expP)
   }
 
+  test("q_c92 planted: identical docs match all 6 signature components exactly") {
+    val rows = SparkEntry.queries("q_c92_minhash_estimator")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byDecile = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byDecile.keySet === Set(7L, 10L))
+    val ten = byDecile(10L)
+    assert(ten.getAs[Long]("n_pairs") === 1L)
+    assert(ten.getAs[Long]("sig_matches") === 6L,
+      "identical shingle sets hash to identical signatures")
+    assert(ten.getAs[Double]("mean_est") === 1.0)
+    assert(ten.getAs[Double]("mean_jaccard") === 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sig_matches") <= 6L * r.getAs[Long]("n_pairs"))
+      val est = r.getAs[Double]("mean_est")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+  }
+
+  test("q_c92 on sf0.001: buckets partition the verified pairs; estimates are probabilities") {
+    val rows = SparkEntry.queries("q_c92_minhash_estimator")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    val exact = SparkEntry.queries("q_b6_jaccard_neardup")(spark, sf).count()
+    graft.core.CachedRdds.drain()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === exact)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sig_matches") <= 6L * r.getAs[Long]("n_pairs"))
+      val est = r.getAs[Double]("mean_est")
+      val tru = r.getAs[Double]("mean_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      // the bucket's true-Jaccard mean must sit inside the bucket
+      val d = r.getLong(0)
+      assert(tru >= d / 10.0 - 1e-9 && tru <= (d + 1) / 10.0 + 1e-9)
+    }
+  }
+
   test("q_c88 on sf0.001: buckets partition the verified pairs; recalls behave") {
     val rows = SparkEntry.queries("q_c88_lsh_recall")(spark, sf).collect()
     graft.core.CachedRdds.drain()

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c93 — per-source centroid cosine matrix. The planted fixture has
+  * closed-form centroids: source s1 averages [2,0] and [4,0] → [3,0];
+  * s2 holds [0,5] → orthogonal to s1 (cosine exactly 0); s3 holds
+  * [6,0] → collinear with s1 (cosine exactly 1, no quantization loss:
+  * dp = 18, norms 9·36, sqrt = 18). A doc without an embedding row
+  * must not perturb its source's centroid.
+  */
+class SourceCentroidSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-centroid-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = java.nio.file.Files.createTempDirectory("graft-centroid").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "first document text", "s1"),
+      (2L, "second document text", "s1"),
+      (3L, "third document text", "s2"),
+      (4L, "fourth document text", "s3"),
+      (9L, "doc with no embedding row", "s1"))
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Seq(2f, 0f), 0),
+      (2L, Seq(4f, 0f), 0),
+      (3L, Seq(0f, 5f), 1),
+      (4L, Seq(6f, 0f), 2))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.core.LocalArtifacts.deleteRecursively(dir)
+  }
+
+  test("q_c93: closed-form centroids — orthogonal 0, collinear 1, exact counts") {
+    val rows = SparkEntry.queries("q_c93_source_centroid_drift")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val got = rows.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getAs[Double]("cosine"))).toSet
+    assert(got === Set(
+      ("s1", "s2", 2L, 1L, 0.0),
+      ("s1", "s3", 2L, 1L, 1.0),
+      ("s2", "s3", 1L, 1L, 0.0)))
+  }
+
+  test("q_c93 on sf0.001: full unordered matrix, cosines in [-1, 1]") {
+    val rows = SparkEntry.queries("q_c93_source_centroid_drift")(spark,
+      "/root/testdata/sf0.001").collect()
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty)
+    val sources = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    val k = sources.length.toLong
+    assert(rows.length === (k * (k - 1) / 2),
+      "every unordered source pair must have a row (real corpora share dimensions)")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+}
