@@ -1154,8 +1154,8 @@ object DedupQueries {
               |  FROM jp JOIN sig a ON a.doc_id = jp.doc_a
               |          JOIN sig b ON b.doc_id = jp.doc_b),
               |eq AS (SELECT (shared * 10) // uni AS jac_decile, matches,
-              |  CAST(CAST(CAST(matches AS DECIMAL(18,6)) / CAST(6 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS est,
-              |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS tru
+              |  CAST(CAST(matches AS DOUBLE) / CAST(6 AS DOUBLE) AS DECIMAL(18,6)) AS est,
+              |  CAST(CAST(shared AS DOUBLE) / CAST(uni AS DOUBLE) AS DECIMAL(18,6)) AS tru
               |  FROM me)
               |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
               |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1176,8 +1176,11 @@ object DedupQueries {
       jp.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .select(col("shared"), col("uni"), matches.as("matches"))
         .select(expr("(shared * 10) DIV uni").as("jac_decile"), col("matches"),
-          dec((dec(col("matches")) / dec(lit(6))).cast(D38)).as("est"),
-          dec((dec(col("shared")) / dec(col("uni"))).cast(D38)).as("tru"))
+          // dec-of-double, NOT the D38 decimal-division emit pattern: these
+          // feed the decimal mean downstream, and the engines round the
+          // decimal division through different intermediates (PERF.md r17)
+          dec(col("matches").cast("double") / lit(6).cast("double")).as("est"),
+          dec(col("shared").cast("double") / col("uni").cast("double")).as("tru"))
         .groupBy(col("jac_decile"))
         .agg(count(lit(1)).cast("long").as("n_pairs"),
           sum(col("matches")).cast("long").as("sig_matches"),

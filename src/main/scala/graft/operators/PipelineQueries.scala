@@ -1909,15 +1909,24 @@ object PipelineQueries {
     */
   private val ccFamBuilt = new graft.core.StoredArtifact("graft-cc-fam")
 
-  def ccFamiliesShared(s: SparkSession, d: String): DataFrame = {
-    val path = ccFamBuilt.getOrBuild(
+  /** ONE copy of the stored-family lifecycle (snapshot keying, parquet
+    * layout, lineage-free serve — the rationale documented above): both
+    * edge suppliers run through the identical star-CC build-and-store.
+    */
+  private def familiesShared(
+      s: SparkSession, d: String, artifact: graft.core.StoredArtifact)(
+      edges: => DataFrame): DataFrame = {
+    val path = artifact.getOrBuild(
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
       p =>
-        connectedComponentsStar(s, DedupQueries.minhashCandidatesShared(s, d))
+        connectedComponentsStar(s, edges)
           .write.mode("overwrite").parquet(s"$p/fam")
     }
     s.read.parquet(s"$path/fam")
   }
+
+  def ccFamiliesShared(s: SparkSession, d: String): DataFrame =
+    familiesShared(s, d, ccFamBuilt)(DedupQueries.minhashCandidatesShared(s, d))
 
   /** Test hook (JobCountGateSpec cold-state discipline). */
   def clearCcFamilies(): Unit = ccFamBuilt.clear()
@@ -1930,16 +1939,9 @@ object PipelineQueries {
     */
   private val wnFamBuilt = new graft.core.StoredArtifact("graft-wn-fam")
 
-  def wnFamiliesShared(s: SparkSession, d: String): DataFrame = {
-    val path = wnFamBuilt.getOrBuild(
-      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
-      p =>
-        connectedComponentsStar(s,
-            DedupQueries.winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
-          .write.mode("overwrite").parquet(s"$p/fam")
-    }
-    s.read.parquet(s"$path/fam")
-  }
+  def wnFamiliesShared(s: SparkSession, d: String): DataFrame =
+    familiesShared(s, d, wnFamBuilt)(
+      DedupQueries.winnowPairs(s, d).select(col("doc_a"), col("doc_b")))
 
   /** Test hook (JobCountGateSpec cold-state discipline). */
   def clearWnFamilies(): Unit = wnFamBuilt.clear()

@@ -387,13 +387,16 @@ object SimilarityQueries {
     // explode, so only (source, i, x) triples ever shuffle.
     QueryDef(
       "q_c93_source_centroid_drift",
-      Some("""WITH ev AS (
-             |  SELECT d.source, e.vec_id,
-             |         unnest(e.embedding) AS x,
-             |         unnest(range(len(e.embedding))) AS i
+      Some("""WITH ee AS (
+             |  SELECT d.source, e.vec_id, e.embedding
              |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-             |nv AS (SELECT source, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
-             |       FROM ev GROUP BY 1),
+             |ev AS (
+             |  SELECT source,
+             |         unnest(embedding) AS x,
+             |         unnest(range(len(embedding))) AS i
+             |  FROM ee),
+             |nv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |       FROM ee GROUP BY 1),
              |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
              |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
              |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
@@ -415,13 +418,16 @@ object SimilarityQueries {
              |        JOIN nv nb ON nb.source = dt.source_b
              |ORDER BY dt.source_a, dt.source_b""".stripMargin)
     ) { (s, d) =>
-      val ev = Tables(s, d, "embeddings")
+      // one row per vector BEFORE the explode: n_vecs is free here, where
+      // the post-explode distinct would shuffle dim× the rows to recover it
+      val ee = Tables(s, d, "embeddings")
         .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
           col("doc_id") === col("vec_id"))
-        .select(col("source"), col("vec_id"), posexplode(col("embedding")))
+        .select(col("source"), col("embedding"))
+      val ev = ee.select(col("source"), posexplode(col("embedding")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-      val nv = ev.groupBy(col("source"))
-        .agg(countDistinct(col("vec_id")).cast("long").as("n_vecs"))
+      val nv = ee.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
       val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
         .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")
           / count(lit(1)).cast("double")).as("m"))

@@ -1970,64 +1970,39 @@ object SparkSqlQueries {
         |    CAST(SUM(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1_3,
         |    CAST(SUM(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2_3 FROM c3),
         |hb AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE doc_id % 17 = 3),
-        |sc AS (SELECT hb.doc_id,
+        |sc AS (SELECT doc_id,
         |  CAST(-ln(
-        |    CASE WHEN c3.cnt3 IS NOT NULL THEN
-        |      (CAST(c3.cnt3 AS DOUBLE)
+        |    CASE WHEN cnt3 IS NOT NULL THEN
+        |      (CAST(cnt3 AS DOUBLE)
         |         - (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END))
-        |        / CAST(lt3.ctx_total AS DOUBLE)
+        |        / CAST(ctx_total AS DOUBLE)
         |      + (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END)
-        |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
-        |        * (CASE WHEN cb.cnt IS NOT NULL THEN
-        |             (CAST(cb.cnt AS DOUBLE)
-        |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
-        |               / CAST(lt.left_total AS DOUBLE)
-        |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           WHEN lt.w1 IS NOT NULL THEN
-        |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           END)
-        |    WHEN lt3.w1 IS NOT NULL THEN
+        |        * CAST(ctx_types AS DOUBLE) / CAST(ctx_total AS DOUBLE) * pbg
+        |    WHEN ctx_total IS NOT NULL THEN
         |      (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END)
-        |        * CAST(lt3.ctx_types AS DOUBLE) / CAST(lt3.ctx_total AS DOUBLE)
-        |        * (CASE WHEN cb.cnt IS NOT NULL THEN
-        |             (CAST(cb.cnt AS DOUBLE)
-        |                - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
-        |               / CAST(lt.left_total AS DOUBLE)
-        |             + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           WHEN lt.w1 IS NOT NULL THEN
-        |             (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |               * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |               * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |           END)
-        |    ELSE
-        |      (CASE WHEN cb.cnt IS NOT NULL THEN
-        |         (CAST(cb.cnt AS DOUBLE)
-        |            - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
-        |           / CAST(lt.left_total AS DOUBLE)
-        |         + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |           * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |       WHEN lt.w1 IS NOT NULL THEN
-        |         (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
-        |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
-        |           * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |       ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
-        |       END)
-        |    END) AS DECIMAL(18,6)) AS nll
-        |  FROM hb LEFT JOIN c3 ON c3.w1 = hb.w1 AND c3.w2 = hb.w2 AND c3.w3 = hb.w3
-        |          LEFT JOIN lt3 ON lt3.w1 = hb.w1 AND lt3.w2 = hb.w2
-        |          LEFT JOIN cb ON cb.w1 = hb.w2 AND cb.w2 = hb.w3
-        |          LEFT JOIN lt ON lt.w1 = hb.w2
-        |          LEFT JOIN ct ON ct.w2 = hb.w3
-        |          CROSS JOIN dsc d CROSS JOIN dsc3 d3 CROSS JOIN vv)
+        |        * CAST(ctx_types AS DOUBLE) / CAST(ctx_total AS DOUBLE) * pbg
+        |    ELSE pbg END) AS DECIMAL(18,6)) AS nll
+        |  FROM (SELECT hb.doc_id, c3.cnt3, lt3.ctx_total, lt3.ctx_types,
+        |          CASE WHEN cb.cnt IS NOT NULL THEN
+        |            (CAST(cb.cnt AS DOUBLE)
+        |               - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |              / CAST(lt.left_total AS DOUBLE)
+        |            + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |              * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |              * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |          WHEN lt.w1 IS NOT NULL THEN
+        |            (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |              * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |              * ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |          ELSE ((CAST(COALESCE(ct.cont_types, 0L) AS DOUBLE) + 1) / (d.types + vv.v))
+        |          END AS pbg
+        |        FROM hb LEFT JOIN c3 ON c3.w1 = hb.w1 AND c3.w2 = hb.w2 AND c3.w3 = hb.w3
+        |                LEFT JOIN lt3 ON lt3.w1 = hb.w1 AND lt3.w2 = hb.w2
+        |                LEFT JOIN cb ON cb.w1 = hb.w2 AND cb.w2 = hb.w3
+        |                LEFT JOIN lt ON lt.w1 = hb.w2
+        |                LEFT JOIN ct ON ct.w2 = hb.w3
+        |                CROSS JOIN dsc d CROSS JOIN vv) s0
+        |  CROSS JOIN dsc3 d3)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
         |  CAST(CAST(CAST(SUM(nll) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6))
         |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
@@ -2104,8 +2079,8 @@ object SparkSqlQueries {
          |  FROM jp JOIN sig a ON a.doc_id = jp.doc_a
          |          JOIN sig b ON b.doc_id = jp.doc_b),
          |eq AS (SELECT (shared * 10) DIV uni AS jac_decile, matches,
-         |  CAST(CAST(CAST(matches AS DECIMAL(18,6)) / CAST(6 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS est,
-         |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DECIMAL(18,6)) AS tru
+         |  CAST(CAST(matches AS DOUBLE) / CAST(6 AS DOUBLE) AS DECIMAL(18,6)) AS est,
+         |  CAST(CAST(shared AS DOUBLE) / CAST(uni AS DOUBLE) AS DECIMAL(18,6)) AS tru
          |  FROM me)
          |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
          |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -2119,9 +2094,9 @@ object SparkSqlQueries {
         |  SELECT d.source, e.vec_id, e.embedding
         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
         |ev AS (
-        |  SELECT source, vec_id, posexplode(embedding) AS (i, x) FROM ee),
-        |nv AS (SELECT source, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
-        |       FROM ev GROUP BY 1),
+        |  SELECT source, posexplode(embedding) AS (i, x) FROM ee),
+        |nv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |       FROM ee GROUP BY 1),
         |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
         |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
         |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
