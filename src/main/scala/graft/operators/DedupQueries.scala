@@ -1187,6 +1187,75 @@ object DedupQueries {
           emit((dec(sum(col("est"))) / dec(count(lit(1)))).cast(D38)).as("mean_est"),
           emit((dec(sum(col("tru"))) / dec(count(lit(1)))).cast(D38)).as("mean_jaccard"))
         .orderBy(col("jac_decile"))
+    },
+
+    // ---- q_c95: winnowing window-size calibration -------------------------
+    // q_c75 ships w = 4; this is the operating-point sweep a pipeline
+    // owner reads before trusting (or re-tuning) that choice: for
+    // w ∈ {2, 4, 8}, the fingerprint-index size (the COST — winnowing
+    // selects ~2/(w+1) of positions), the candidate-pair count, and the
+    // recall against the exact τ = 0.5 pairs — through the IDENTICAL
+    // selection + df-prune + ≥2-shared rule at every w (the shared
+    // winnowFingerprints/winnowPairsFromFps template, so the sweep
+    // measures the shipped pipeline, not a reimplementation).
+    //
+    // 100 TB shape: three independent map-only fingerprint folds (the
+    // q_c75 story ×3) into per-w single-row aggregates; the exact-pair
+    // frame is computed once and broadcast into the three recall joins.
+    QueryDef(
+      "q_c95_winnow_calibration",
+      Some(s"""WITH $duckShingles,
+              |$duckJaccardTail,
+              |${duckWinnowChain("_2", 2)},
+              |${duckWinnowChain("_4", 4)},
+              |${duckWinnowChain("_8", 8)},
+              |res AS (
+              |  SELECT 2 AS win_w,
+              |    (SELECT COUNT(*) FROM fp_2) AS n_fingerprints,
+              |    (SELECT COUNT(*) FROM wp_2) AS n_pairs,
+              |    (SELECT COUNT(*) FROM jp) AS n_exact,
+              |    (SELECT COUNT(*) FROM wp_2 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b) AS n_recalled
+              |  UNION ALL
+              |  SELECT 4,
+              |    (SELECT COUNT(*) FROM fp_4),
+              |    (SELECT COUNT(*) FROM wp_4),
+              |    (SELECT COUNT(*) FROM jp),
+              |    (SELECT COUNT(*) FROM wp_4 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b)
+              |  UNION ALL
+              |  SELECT 8,
+              |    (SELECT COUNT(*) FROM fp_8),
+              |    (SELECT COUNT(*) FROM wp_8),
+              |    (SELECT COUNT(*) FROM jp),
+              |    (SELECT COUNT(*) FROM wp_8 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b))
+              |SELECT CAST(win_w AS BIGINT) AS win_w,
+              |  CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+              |  CAST(n_pairs AS BIGINT) AS n_pairs,
+              |  CAST(n_exact AS BIGINT) AS n_exact,
+              |  CAST(n_recalled AS BIGINT) AS n_recalled,
+              |  CAST(CAST(CAST(n_recalled AS DECIMAL(18,6)) / CAST(n_exact AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS recall
+              |FROM res ORDER BY win_w""".stripMargin)
+    ) { (s, d) =>
+      val jp = verifiedJaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("ex"))
+      val exTot = verifiedJaccardPairs(s, d)
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      val rows = Seq(2, 4, 8).map { w =>
+        val fp = winnowFingerprints(
+          Tables(s, d, "documents").select(col("doc_id"), col("text")), w)
+        val nfp = fp.agg(count(lit(1)).cast("long").as("n_fingerprints"))
+        val pstats = winnowPairsFromFps(fp)
+          .join(jp, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum(when(col("ex").isNotNull, 1L).otherwise(0L)), lit(0L))
+              .cast("long").as("n_recalled"))
+        pstats.crossJoin(broadcast(nfp)).crossJoin(broadcast(exTot))
+          .select(lit(w.toLong).as("win_w"), col("n_fingerprints"),
+            col("n_pairs"), col("n_exact"), col("n_recalled"))
+      }
+      rows.reduce(_ unionByName _)
+        .withColumn("recall",
+          emit((dec(col("n_recalled")) / dec(col("n_exact"))).cast(D38)))
+        .orderBy(col("win_w"))
     }
   )
 
@@ -1229,42 +1298,55 @@ object DedupQueries {
       col("n_g") - expr("(n_g + 1) DIV 2") + 1,
       tau10 = 5)
 
-  /** DuckDB CTE chain ending in `wp(doc_a, doc_b, shared_fp)` — the
-    * oracle twin of [[winnowPairs]], shared by q_c75's and q_c85's
+  /** DuckDB winnowing CTE chain ending in `wp$sfx(doc_a, doc_b,
+    * shared_fp)` at window size `winW` — ONE template for the q_c75
+    * geometry (sfx = "", winW = 4) and q_c95's suffixed parameter grid,
+    * so the sweep measures exactly the shipped pipeline at other
+    * operating points.
+    */
+  def duckWinnowChain(sfx: String, winW: Int): String =
+    s"""t$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |g$sfx AS (SELECT doc_id,
+       |  list_transform(range(len(ts) - 2), i ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        [CAST(ascii(x) AS BIGINT) for x in
+       |         string_split(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3], '')]),
+       |      (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs
+       |  FROM t$sfx WHERE len(ts) >= 3),
+       |w$sfx AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= $winW
+       |       THEN list_transform(range(len(hs) - ${winW - 1}), p -> list_min(hs[p+1:p+$winW]))
+       |       ELSE [list_min(hs)] END AS sel
+       |  FROM g$sfx),
+       |fp$sfx AS (SELECT DISTINCT doc_id, fp FROM
+       |        (SELECT doc_id, unnest(sel) AS fp FROM w$sfx)),
+       |kept$sfx AS (SELECT doc_id, fp FROM fp$sfx
+       |         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50),
+       |wp$sfx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              CAST(COUNT(*) AS BIGINT) AS shared_fp
+       |       FROM kept$sfx a JOIN kept$sfx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** `wp(doc_a, doc_b, shared_fp)` at the shipped w = 4 — the oracle
+    * twin of [[winnowPairs]], shared by q_c75's, q_c85's and q_c86's
     * oracles.
     */
-  lazy val duckWinnowPairs: String =
-    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-      |g AS (SELECT doc_id,
-      |  list_transform(range(len(ts) - 2), i ->
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        [CAST(ascii(x) AS BIGINT) for x in
-      |         string_split(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3], '')]),
-      |      (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs
-      |  FROM t WHERE len(ts) >= 3),
-      |w AS (SELECT doc_id,
-      |  CASE WHEN len(hs) >= 4
-      |       THEN list_transform(range(len(hs) - 3), p -> list_min(hs[p+1:p+4]))
-      |       ELSE [list_min(hs)] END AS sel
-      |  FROM g),
-      |fp AS (SELECT DISTINCT doc_id, fp FROM
-      |        (SELECT doc_id, unnest(sel) AS fp FROM w)),
-      |kept AS (SELECT doc_id, fp FROM fp
-      |         QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50),
-      |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |              CAST(COUNT(*) AS BIGINT) AS shared_fp
-      |       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+  lazy val duckWinnowPairs: String = duckWinnowChain("", 4)
 
   /** q_c75's overlap-pair frame (doc_a, doc_b, shared_fp): winnowing
     * fingerprints, stop-fingerprint prune (df > 50), pairs sharing ≥ 2.
     * Shared by q_c75 and q_c85's generator-agreement report.
     */
-  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFingerprints(
-      Tables(s, d, "documents").select(col("doc_id"), col("text")))
-    // stop-fingerprint prune: per-fp doc frequency over the id-pair
-    // frame, window-partitioned by fp (bounded per key by the fp's df)
+  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsFromFps(winnowFingerprints(
+      Tables(s, d, "documents").select(col("doc_id"), col("text"))))
+
+  /** The stop-fingerprint prune (per-fp doc frequency ≤ 50) + the
+    * ≥ 2-shared pair rule over a (doc_id, fp) frame — q_c75's tail,
+    * factored so q_c95's parameter sweep applies the IDENTICAL rule at
+    * every window size.
+    */
+  private[graft] def winnowPairsFromFps(fp: DataFrame): DataFrame = {
     val kept = fp
       .withColumn("dfc",
         count(lit(1)).over(Window.partitionBy(col("fp"))))
@@ -1279,11 +1361,11 @@ object DedupQueries {
   }
 
   /** q_c75's fingerprint selection over a (doc_id, text) frame: the set
-    * of w=4-window minima over the in-sequence word-3-gram rolling-hash
-    * stream (winnowing). Map-only; shared by the batch query and
-    * WinnowingSpec's guarantee fixtures.
+    * of winW-window minima over the in-sequence word-3-gram rolling-hash
+    * stream (winnowing; shipped winW = 4). Map-only; shared by the batch
+    * query, WinnowingSpec's guarantee fixtures, and q_c95's sweep.
     */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+  private[graft] def winnowFingerprints(docs: DataFrame, winW: Int = 4): DataFrame =
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -1292,8 +1374,8 @@ object DedupQueries {
           "aggregate(split(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), ''), 0L," +
           " (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L))").as("hs"))
       .select(col("doc_id"), explode(array_distinct(
-        when(size(col("hs")) >= 4, expr(
-          "transform(sequence(0, size(hs) - 4), p -> array_min(slice(hs, p + 1, 4)))"))
+        when(size(col("hs")) >= winW, expr(
+          s"transform(sequence(0, size(hs) - $winW), p -> array_min(slice(hs, p + 1, $winW)))"))
           .otherwise(array(array_min(col("hs")))))).as("fp"))
 
   /** The BASE-corpus (doc_id % 10 <> 3) signature index for q_c68's

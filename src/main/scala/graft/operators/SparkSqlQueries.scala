@@ -122,6 +122,30 @@ object SparkSqlQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Spark-dialect winnowing CTE chain ending in `wp$sfx(doc_a, doc_b)`
+    * at window size `w` — q_c95's parameter grid (twin of
+    * `DedupQueries.duckWinnowChain`).
+    */
+  private def sparkWinnowChain(sfx: String, w: Int): String =
+    s"""tw$sfx AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+       |g$sfx AS (SELECT doc_id,
+       |  transform(sequence(0, size(ts) - 3), i ->
+       |    aggregate(split(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), ''), 0L,
+       |      (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)) AS hs
+       |  FROM tw$sfx WHERE size(ts) >= 3),
+       |w$sfx AS (SELECT doc_id,
+       |  CASE WHEN size(hs) >= $w
+       |       THEN transform(sequence(0, size(hs) - $w), p -> array_min(slice(hs, p + 1, $w)))
+       |       ELSE array(array_min(hs)) END AS sel
+       |  FROM g$sfx),
+       |fp$sfx AS (SELECT DISTINCT doc_id, fp FROM
+       |        (SELECT doc_id, explode(sel) AS fp FROM w$sfx)),
+       |dfc$sfx AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp$sfx),
+       |kept$sfx AS (SELECT doc_id, fp FROM dfc$sfx WHERE dfc <= 50),
+       |wp$sfx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM kept$sfx a JOIN kept$sfx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   /** Cross-set fuzzy-decontamination CTE chain ending in
     * `fz(doc_id, bench_id, shared, uni, jaccard)` — shared by q_c47 and
     * q_c73 (twin of `DedupQueries.fuzzyDecontamPairs`).
@@ -1944,6 +1968,93 @@ object SparkSqlQueries {
         |  CAST(CASE WHEN total > 0 THEN LEAST(3L, (cum_start * 4L) DIV total)
         |       ELSE 0L END AS BIGINT) AS phase
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_c95_winnow_calibration" ->
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |${sparkWinnowChain("_2", 2)},
+         |${sparkWinnowChain("_4", 4)},
+         |${sparkWinnowChain("_8", 8)},
+         |res AS (
+         |  SELECT 2 AS win_w,
+         |    (SELECT COUNT(*) FROM fp_2) AS n_fingerprints,
+         |    (SELECT COUNT(*) FROM wp_2) AS n_pairs,
+         |    (SELECT COUNT(*) FROM jp) AS n_exact,
+         |    (SELECT COUNT(*) FROM wp_2 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b) AS n_recalled
+         |  UNION ALL
+         |  SELECT 4,
+         |    (SELECT COUNT(*) FROM fp_4),
+         |    (SELECT COUNT(*) FROM wp_4),
+         |    (SELECT COUNT(*) FROM jp),
+         |    (SELECT COUNT(*) FROM wp_4 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b)
+         |  UNION ALL
+         |  SELECT 8,
+         |    (SELECT COUNT(*) FROM fp_8),
+         |    (SELECT COUNT(*) FROM wp_8),
+         |    (SELECT COUNT(*) FROM jp),
+         |    (SELECT COUNT(*) FROM wp_8 x JOIN jp j ON j.doc_a = x.doc_a AND j.doc_b = x.doc_b))
+         |SELECT CAST(win_w AS BIGINT) AS win_w,
+         |  CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_recalled AS BIGINT) AS n_recalled,
+         |  CAST(CAST(CAST(n_recalled AS DECIMAL(18,6)) / CAST(n_exact AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS recall
+         |FROM res ORDER BY win_w""".stripMargin,
+
+    "q_c94_kn_trigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+        |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+        |dsc AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+        |tg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |       FROM (SELECT ts, explode(sequence(0, size(ts) - 3)) AS i FROM t WHERE size(ts) >= 3)),
+        |c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3 FROM tg GROUP BY 1, 2, 3),
+        |lt3 AS (SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS ctx_total,
+        |               CAST(COUNT(*) AS BIGINT) AS ctx_types FROM c3 GROUP BY 1, 2),
+        |dsc3 AS (SELECT
+        |    CAST(SUM(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1_3,
+        |    CAST(SUM(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2_3 FROM c3),
+        |top AS (SELECT w1, w2, w3, cnt3 FROM c3 ORDER BY cnt3 DESC, w1, w2, w3 LIMIT 100),
+        |s0 AS (SELECT top.w1, top.w2, top.w3, top.cnt3,
+        |         lt3.ctx_total, lt3.ctx_types,
+        |         (CAST(cb.cnt AS DOUBLE)
+        |            - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END))
+        |           / CAST(lt.left_total AS DOUBLE)
+        |         + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5D END)
+        |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+        |           * CAST(ct.cont_types AS DOUBLE) / d.types AS pk2
+        |       FROM top JOIN lt3 ON lt3.w1 = top.w1 AND lt3.w2 = top.w2
+        |                JOIN cb ON cb.w1 = top.w2 AND cb.w2 = top.w3
+        |                JOIN lt ON lt.w1 = top.w2
+        |                JOIN ct ON ct.w2 = top.w3
+        |                CROSS JOIN dsc d)
+        |SELECT s0.w1, s0.w2, s0.w3, s0.cnt3, s0.ctx_total, s0.ctx_types,
+        |  CAST(CAST(
+        |    (CAST(s0.cnt3 AS DOUBLE)
+        |       - (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END))
+        |      / CAST(s0.ctx_total AS DOUBLE)
+        |    + (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5D END)
+        |      * CAST(s0.ctx_types AS DOUBLE) / CAST(s0.ctx_total AS DOUBLE) * s0.pk2
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS p_kn3
+        |FROM s0 CROSS JOIN dsc3 d3
+        |ORDER BY s0.cnt3 DESC, s0.w1, s0.w2, s0.w3""".stripMargin,
 
     "q_c87_kn_trigram_ppl" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),

@@ -1541,6 +1541,98 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c94: Kneser-Ney TRIGRAM LM estimation table --------------------
+    // q_c80's order-3 twin (and q_c87's estimation half): the top-100
+    // trigrams with their discounted interpolated probability
+    //   p_kn3(w3|w1w2) = (c3−D3)/c(w1w2•) + D3·N1+(w1w2•)/c(w1w2•) · p_kn2(w3|w2),
+    // where p_kn2 is EXACTLY q_c80's bigram estimate. Every reported
+    // trigram's inner bigram (w2,w3) is observed by construction (it
+    // occurs inside each trigram occurrence), so the estimation table
+    // needs no unseen-event ladder — that ladder is q_c87's job. The
+    // p_kn2 factor is a named column (the q_c87 review lesson: one copy,
+    // not three), and the one double expression keeps q_c80's exact
+    // association order, quantized (D18,6) at emit.
+    //
+    // 100 TB shape: both orders' statistics are map-side-combined type
+    // aggs; the top-100 is a TakeOrdered broadcast against them; the
+    // two discount frames are 1-row broadcasts. The trigram type table
+    // is O(corpus) on adversarial corpora (measured curve in PERF.md)
+    // but stays a distributed table — nothing driver-side.
+    QueryDef(
+      "q_c94_kn_trigram_lm",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2),
+             |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_total,
+             |              CAST(COUNT(*) AS BIGINT) AS left_types FROM cb GROUP BY 1),
+             |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_types FROM cb GROUP BY 1),
+             |dsc AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             |    CAST(COUNT(*) AS DOUBLE) AS types FROM cb),
+             |tg AS (SELECT ts[i+1] AS w1, ts[i+2] AS w2, ts[i+3] AS w3
+             |       FROM (SELECT ts, unnest(range(len(ts) - 2)) AS i FROM t WHERE len(ts) >= 3)),
+             |c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3 FROM tg GROUP BY 1, 2, 3),
+             |lt3 AS (SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS ctx_total,
+             |               CAST(COUNT(*) AS BIGINT) AS ctx_types FROM c3 GROUP BY 1, 2),
+             |dsc3 AS (SELECT
+             |    CAST(SUM(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1_3,
+             |    CAST(SUM(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2_3 FROM c3),
+             |top AS (SELECT w1, w2, w3, cnt3 FROM c3 ORDER BY cnt3 DESC, w1, w2, w3 LIMIT 100),
+             |s0 AS (SELECT top.w1, top.w2, top.w3, top.cnt3,
+             |         lt3.ctx_total, lt3.ctx_types,
+             |         (CAST(cb.cnt AS DOUBLE)
+             |            - (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END))
+             |           / CAST(lt.left_total AS DOUBLE)
+             |         + (CASE WHEN d.n1 + 2 * d.n2 > 0 THEN d.n1 / (d.n1 + 2 * d.n2) ELSE 0.5 END)
+             |           * CAST(lt.left_types AS DOUBLE) / CAST(lt.left_total AS DOUBLE)
+             |           * CAST(ct.cont_types AS DOUBLE) / d.types AS pk2
+             |       FROM top JOIN lt3 ON lt3.w1 = top.w1 AND lt3.w2 = top.w2
+             |                JOIN cb ON cb.w1 = top.w2 AND cb.w2 = top.w3
+             |                JOIN lt ON lt.w1 = top.w2
+             |                JOIN ct ON ct.w2 = top.w3
+             |                CROSS JOIN dsc d)
+             |SELECT s0.w1, s0.w2, s0.w3, s0.cnt3, s0.ctx_total, s0.ctx_types,
+             |  CAST(CAST(
+             |    (CAST(s0.cnt3 AS DOUBLE)
+             |       - (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5 END))
+             |      / CAST(s0.ctx_total AS DOUBLE)
+             |    + (CASE WHEN d3.n1_3 + 2 * d3.n2_3 > 0 THEN d3.n1_3 / (d3.n1_3 + 2 * d3.n2_3) ELSE 0.5 END)
+             |      * CAST(s0.ctx_types AS DOUBLE) / CAST(s0.ctx_total AS DOUBLE) * s0.pk2
+             |    AS DECIMAL(18,6)) AS DOUBLE) AS p_kn3
+             |FROM s0 CROSS JOIN dsc3 d3
+             |ORDER BY s0.cnt3 DESC, s0.w1, s0.w2, s0.w3""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val (cb, lt, ct, dsc) = knBigramStats(knBigrams(docs).select(col("w1"), col("w2")))
+      val (c3, lt3, dsc3) = knTrigramStats(
+        knTrigrams(docs).select(col("w1"), col("w2"), col("w3")))
+      val top = c3.orderBy(col("cnt3").desc, col("w1"), col("w2"), col("w3")).limit(100)
+      val dd = knDiscount
+      val pk2 = (col("cnt").cast("double") - dd) / col("left_total").cast("double") +
+        dd * col("left_types").cast("double") / col("left_total").cast("double") *
+          col("cont_types").cast("double") / col("types")
+      val d3 = when(col("n1_3") + lit(2) * col("n2_3") > 0,
+        col("n1_3") / (col("n1_3") + lit(2) * col("n2_3"))).otherwise(lit(0.5))
+      broadcast(top)
+        .join(lt3, Seq("w1", "w2"))
+        .join(cb.select(col("w1").as("w2"), col("w2").as("w3"), col("cnt")),
+          Seq("w2", "w3"))
+        .join(lt.select(col("w1").as("w2"), col("left_total"), col("left_types")),
+          Seq("w2"))
+        .join(ct.select(col("w2").as("w3"), col("cont_types")), Seq("w3"))
+        .crossJoin(broadcast(dsc))
+        .withColumn("pk2", pk2)
+        .crossJoin(broadcast(dsc3))
+        .select(col("w1"), col("w2"), col("w3"), col("cnt3"),
+          col("ctx_total"), col("ctx_types"),
+          emitQ((col("cnt3").cast("double") - d3) / col("ctx_total").cast("double")
+            + d3 * col("ctx_types").cast("double") / col("ctx_total").cast("double")
+              * col("pk2")).as("p_kn3"))
+        .orderBy(col("cnt3").desc, col("w1"), col("w2"), col("w3"))
+    },
+
     // ---- q_c87: held-out perplexity under a KN TRIGRAM backoff LM ---------
     // q_c84's order-3 extension — the standard recursive interpolation:
     // an observed trigram pays the discounted trigram estimate and

@@ -112,4 +112,23 @@ class KnBigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(37L).getAs[Double]("avg_nll") > byDoc(3L).getAs[Double]("avg_nll"),
       "fully-unseen text must carry the highest per-trigram NLL")
   }
+
+  test("q_c94: trigram estimation table is well-formed and mass stays below 1 per context") {
+    val rows = SparkEntry.queries("q_c94_kn_trigram_lm")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val byTri = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    // full-corpus estimation (no holdout): docs 0..9 all contain it
+    assert(byTri(("common", "words", "fill")).getAs[Long]("cnt3") === 10L)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_kn3")
+      assert(p > 0.0 && p <= 1.0, s"p_kn3 in (0,1]: $r")
+    }
+    // discounting holds back mass for the unseen tail within each
+    // observed (w1, w2) context
+    for (((w1, w2), rs) <- rows.groupBy(r => (r.getString(0), r.getString(1)))) {
+      val mass = rs.map(_.getAs[Double]("p_kn3")).sum
+      assert(mass <= 1.0 + 1e-9, s"observed trigram mass for ($w1, $w2) = $mass")
+    }
+  }
 }

@@ -112,6 +112,41 @@ class LshCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_c95 planted: identical docs recalled at the shipped w; exact-pair base is constant") {
+    val rows = SparkEntry.queries("q_c95_winnow_calibration")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    assert(rows.map(_.getAs[Long]("n_exact")).distinct.toSeq === Seq(2L),
+      "the exact tau=0.5 base (both planted pairs) must not vary with w")
+    val byW = rows.map(r => r.getLong(0) -> r).toMap
+    // identical 10-word docs carry 8 hashes: >= 2 distinct window minima
+    // at w = 2 and w = 4, so the s = 1 pair must be recalled there; at
+    // w = 8 a single window survives and the >= 2-shared rule drops it —
+    // exactly the guarantee-window shrinkage the sweep exists to show
+    assert(byW(2L).getAs[Long]("n_recalled") >= 1L)
+    assert(byW(4L).getAs[Long]("n_recalled") >= 1L)
+    // fingerprint-count monotonicity (the winnowing subset theorem —
+    // an s-selected min over w=8 is the min of one of its two w=4
+    // sub-windows, so fp(w8) ⊆ fp(w4) ⊆ fp(w2) per doc)
+    val nf = rows.map(_.getAs[Long]("n_fingerprints"))
+    assert(nf(0) >= nf(1) && nf(1) >= nf(2))
+  }
+
+  test("q_c95 on sf0.001: index size shrinks with w; recalls are probabilities") {
+    val rows = SparkEntry.queries("q_c95_winnow_calibration")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    assert(rows.map(_.getAs[Long]("n_exact")).distinct.length === 1)
+    val nf = rows.map(_.getAs[Long]("n_fingerprints"))
+    assert(nf(0) >= nf(1) && nf(1) >= nf(2), s"subset theorem violated: ${nf.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_recalled") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("n_recalled") <= r.getAs[Long]("n_pairs"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q_c88 on sf0.001: buckets partition the verified pairs; recalls behave") {
     val rows = SparkEntry.queries("q_c88_lsh_recall")(spark, sf).collect()
     graft.core.CachedRdds.drain()
