@@ -431,32 +431,45 @@ object SimilarityQueries {
       val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
         .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")
           / count(lit(1)).cast("double")).as("m"))
-      val nrm = cen.groupBy(col("source"))
-        .agg(dec(sum(dec(col("m").cast("double") * col("m").cast("double"))))
-          .as("nn"))
-      val dt = cen.as("a")
-        .join(cen.as("b"),
-          col("a.i") === col("b.i") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(dec(sum(dec(col("a.m").cast("double") * col("b.m").cast("double"))))
-          .as("dp"))
-      dt
-        .join(nrm.select(col("source").as("source_a"), col("nn").as("nn_a")),
-          Seq("source_a"))
-        .join(nrm.select(col("source").as("source_b"), col("nn").as("nn_b")),
-          Seq("source_b"))
-        .join(nv.select(col("source").as("source_a"), col("n_vecs").as("n_a")),
-          Seq("source_a"))
-        .join(nv.select(col("source").as("source_b"), col("n_vecs").as("n_b")),
-          Seq("source_b"))
-        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-          when(col("nn_a") > 0 && col("nn_b") > 0,
-            emitQ(col("dp").cast("double")
-              / sqrt(col("nn_a").cast("double") * col("nn_b").cast("double"))))
-            .otherwise(lit(0).cast("double")).as("cosine"))
-        .orderBy(col("source_a"), col("source_b"))
+      centroidMatrix(cen, nv)
     }
   )
+
+  /** q_c93's matrix tail over a quantized centroid frame (source, i, m)
+    * and per-source vector counts — ONE copy shared by the batch query
+    * and the streaming serve ([[graft.streaming.StreamingOps
+    * .centroidDriftServe]]), so the two cannot fork.
+    */
+  private[graft] def centroidMatrix(cen: DataFrame, nv: DataFrame): DataFrame = {
+    val nrm = cen.groupBy(col("source"))
+      .agg(dec(sum(dec(col("m").cast("double") * col("m").cast("double"))))
+        .as("nn"))
+    // side b re-aliased column-by-column (fresh exprIds): a dataset-alias
+    // self-join is ambiguous when both branches are the SAME plan node —
+    // e.g. the streaming serve path, where cen projects one memory-sink view
+    val cb = cen.select(col("source").as("src_b"), col("i").as("i_b"),
+      col("m").as("m_b"))
+    val dt = cen
+      .join(cb, col("i") === col("i_b") && col("source") < col("src_b"))
+      .groupBy(col("source").as("source_a"), col("src_b").as("source_b"))
+      .agg(dec(sum(dec(col("m").cast("double") * col("m_b").cast("double"))))
+        .as("dp"))
+    dt
+      .join(nrm.select(col("source").as("source_a"), col("nn").as("nn_a")),
+        Seq("source_a"))
+      .join(nrm.select(col("source").as("source_b"), col("nn").as("nn_b")),
+        Seq("source_b"))
+      .join(nv.select(col("source").as("source_a"), col("n_vecs").as("n_a")),
+        Seq("source_a"))
+      .join(nv.select(col("source").as("source_b"), col("n_vecs").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        when(col("nn_a") > 0 && col("nn_b") > 0,
+          emitQ(col("dp").cast("double")
+            / sqrt(col("nn_a").cast("double") * col("nn_b").cast("double"))))
+          .otherwise(lit(0).cast("double")).as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** q_c72's monitor over an arbitrary batch-assignment frame (one `cell`
     * column) — factored out so Int8AppendSpec can feed a deliberately

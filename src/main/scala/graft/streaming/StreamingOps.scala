@@ -291,6 +291,37 @@ object StreamingOps {
       graft.operators.TextQueries.cmsSlots(tc))
   }
 
+  /** Streaming twin of q_c93's centroid accumulation: per-arriving
+    * (source, embedding) row, components quantize (D18,6) on read —
+    * exactly the batch discipline — and accumulate per-(source, i) as a
+    * running EXACT decimal sum + count under a complete-mode groupBy.
+    * Decimal sums are associative/commutative with no rounding, so the
+    * streamed state after any prefix of micro-batches equals the batch
+    * aggregation of the union (the q_c74 linearity argument); state is
+    * bounded by |sources|·dim cells regardless of stream length.
+    */
+  def centroidUpdates(rows: DataFrame): DataFrame =
+    rows.select(col("source"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .groupBy(col("source"), col("i").cast("long").as("i"))
+      .agg(sum(graft.core.Decimals.dec(col("x").cast("double"))).as("sx"),
+        count(lit(1)).cast("long").as("n"))
+
+  /** Serve q_c93's drift matrix from the streamed (source, i, sx, n)
+    * state: the quantized mean and the matrix tail are the SAME
+    * expressions the batch query uses ([[graft.operators
+    * .SimilarityQueries.centroidMatrix]]); n_vecs is the component-0
+    * count (every vector contributes exactly one i = 0 row).
+    */
+  def centroidDriftServe(state: DataFrame): DataFrame = {
+    import graft.core.Decimals.dec
+    val cen = state.select(col("source"), col("i"),
+      dec(dec(col("sx")).cast("double") / col("n").cast("double")).as("m"))
+    val nv = state.filter(col("i") === 0)
+      .select(col("source"), col("n").cast("long").as("n_vecs"))
+    graft.operators.SimilarityQueries.centroidMatrix(cen, nv)
+  }
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

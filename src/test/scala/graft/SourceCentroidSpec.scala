@@ -61,6 +61,40 @@ class SourceCentroidSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s2", "s3", 1L, 1L, 0.0)))
   }
 
+  test("q_c93 streaming twin: served matrix equals batch across uneven micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.core.Tables(sp, dir, "embeddings")
+      .join(graft.core.Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("source")), col("doc_id") === col("vec_id"))
+      .select(col("source"), col("embedding"))
+      .as[(String, Seq[Float])].collect()
+    val input = MemoryStream[(String, Seq[Float])]
+    val q = graft.streaming.StreamingOps
+      .centroidUpdates(input.toDF().toDF("source", "embedding"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_cen").toString)
+      .format("memory").queryName("censtate").outputMode("complete").start()
+    // deliberately uneven: one vector, then two, then the tail
+    for (chunk <- Seq(rows.take(1), rows.slice(1, 3), rows.drop(3))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val served = graft.streaming.StreamingOps
+      .centroidDriftServe(sp.table("censtate"))
+      .collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c93_source_centroid_drift")(sp, dir)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(served.nonEmpty && served === batch,
+      "exact decimal accumulation makes the streamed state order-free")
+  }
+
   test("q_c93 on sf0.001: full unordered matrix, cosines in [-1, 1]") {
     val rows = SparkEntry.queries("q_c93_source_centroid_drift")(spark,
       "/root/testdata/sf0.001").collect()
