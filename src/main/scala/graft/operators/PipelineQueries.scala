@@ -1891,6 +1891,119 @@ object PipelineQueries {
         .groupBy(col("mh_fam"), col("wn_fam"))
         .agg(count(lit(1)).cast("long").as("n_docs"))
         .orderBy(col("mh_fam"), col("wn_fam"))
+    },
+
+    // ---- q_c96: fill-in-the-middle (FIM) training transform ---------------
+    // The infilling data transform (Bavarian et al. 2022): a
+    // deterministic per-doc hash selects ~50 % of documents for PSM
+    // reordering — two LCG draws pick the span [lo, hi), the document
+    // is emitted as <PRE> prefix <SUF> suffix <MID> middle — and the
+    // rest stay autoregressive, so both engines (and any re-run over a
+    // rebalanced corpus) derive the IDENTICAL example set (the q_c83
+    // reproducibility requirement). All integer arithmetic through the
+    // overflow-safe LCG; the span endpoints are order statistics of two
+    // independent draws, so span lengths cover the full range.
+    //
+    // 100 TB shape: pure map-side projection of array slices — scan
+    // speed, no shuffle, streamable (the q_c83 stateless class).
+    QueryDef(
+      "q_c96_fim_transform",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |h AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+             |        ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h1
+             |      FROM t),
+             |h2 AS (SELECT doc_id, ts, n, h1,
+             |        (h1 * 1103515245 + 12345) % 1000000007 AS h2
+             |      FROM h),
+             |h3 AS (SELECT doc_id, ts, n, h1, h2,
+             |        (h2 * 1103515245 + 12345) % 1000000007 AS h3
+             |      FROM h2),
+             |sp AS (SELECT doc_id, ts, n,
+             |        CASE WHEN n >= 2 AND h1 % 1000 < 500 THEN 1 ELSE 0 END AS fim_applied,
+             |        LEAST(h2 % (n + 1), h3 % (n + 1)) AS lo,
+             |        GREATEST(h2 % (n + 1), h3 % (n + 1)) AS hi
+             |      FROM h3 WHERE n >= 1)
+             |SELECT doc_id, n AS n_tokens,
+             |  CAST(fim_applied AS BIGINT) AS fim_applied,
+             |  CAST(CASE WHEN fim_applied = 1 THEN lo ELSE 0 END AS BIGINT) AS span_start,
+             |  CAST(CASE WHEN fim_applied = 1 THEN hi - lo ELSE 0 END AS BIGINT) AS span_len,
+             |  CASE WHEN fim_applied = 1 THEN
+             |    '<PRE> ' || COALESCE(array_to_string(ts[1:lo], ' '), '')
+             |    || ' <SUF> ' || COALESCE(array_to_string(ts[hi+1:n], ' '), '')
+             |    || ' <MID> ' || COALESCE(array_to_string(ts[lo+1:hi], ' '), '')
+             |  ELSE COALESCE(array_to_string(ts, ' '), '') END AS text_out
+             |FROM sp ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .withColumn("h1", ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
+        .withColumn("h2", (col("h1") * 1103515245L + 12345L) % 1000000007L)
+        .withColumn("h3", (col("h2") * 1103515245L + 12345L) % 1000000007L)
+        .filter(col("n") >= 1)
+        .withColumn("fim_applied",
+          when(col("n") >= 2 && col("h1") % 1000 < 500, 1).otherwise(0))
+        .withColumn("lo", least(col("h2") % (col("n") + 1), col("h3") % (col("n") + 1)))
+        .withColumn("hi", greatest(col("h2") % (col("n") + 1), col("h3") % (col("n") + 1)))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("fim_applied").cast("long").as("fim_applied"),
+          when(col("fim_applied") === 1, col("lo")).otherwise(0L)
+            .cast("long").as("span_start"),
+          when(col("fim_applied") === 1, col("hi") - col("lo")).otherwise(0L)
+            .cast("long").as("span_len"),
+          when(col("fim_applied") === 1,
+            concat(lit("<PRE> "),
+              expr("array_join(slice(ts, 1, lo), ' ')"),
+              lit(" <SUF> "),
+              expr("array_join(slice(ts, hi + 1, n - hi), ' ')"),
+              lit(" <MID> "),
+              expr("array_join(slice(ts, lo + 1, hi - lo), ' ')")))
+            .otherwise(expr("array_join(ts, ' ')")).as("text_out"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c97: intra-document repeated-passage scrub ---------------------
+    // The WITHIN-document counterpart of q_c20's cross-corpus passage
+    // dedup (and the ACTION behind q_c14's repetition metrics): every
+    // 8-token passage occurrence after its first within the same
+    // document is dropped — the self-repetition scrub for
+    // template/boilerplate-looping pages. First-occurrence semantics
+    // ride array_position/list_position (both 1-based FIRST match, so
+    // the engines agree by construction); the chunk geometry is
+    // q_c20's 8-token rule.
+    //
+    // 100 TB shape: per-row array fold, no shuffle, streamable.
+    QueryDef(
+      "q_c97_self_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+             |c AS (SELECT doc_id,
+             |        [array_to_string(ts[8*k+1:8*k+8], ' ')
+             |         for k in range((len(ts) + 7) // 8)] AS ch
+             |      FROM t),
+             |k AS (SELECT doc_id, ch,
+             |        [ch[i+1] for i in range(len(ch)) if list_position(ch, ch[i+1]) = i+1] AS kept
+             |      FROM c)
+             |SELECT doc_id,
+             |  CAST(len(ch) AS BIGINT) AS n_passages,
+             |  CAST(len(ch) - len(kept) AS BIGINT) AS n_dropped,
+             |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+             |FROM k ORDER BY doc_id""".stripMargin)
+    ) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .withColumn("ch", expr(
+          "transform(sequence(0, (size(ts) + 7) div 8 - 1), " +
+            "k -> array_join(slice(ts, 8 * k + 1, 8), ' '))"))
+        .withColumn("kept", expr(
+          "filter(transform(ch, (c, i) -> " +
+            "IF(array_position(ch, c) = CAST(i + 1 AS BIGINT), c, NULL)), " +
+            "x -> x IS NOT NULL)"))
+        .select(col("doc_id"),
+          size(col("ch")).cast("long").as("n_passages"),
+          (size(col("ch")) - size(col("kept"))).cast("long").as("n_dropped"),
+          expr("array_join(kept, ' ')").as("scrubbed_text"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1969,6 +1969,50 @@ object SparkSqlQueries {
         |       ELSE 0L END AS BIGINT) AS phase
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "q_c96_fim_transform" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |h AS (SELECT doc_id, ts, CAST(size(ts) AS BIGINT) AS n,
+        |        ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS h1
+        |      FROM t),
+        |h2 AS (SELECT doc_id, ts, n, h1,
+        |        (h1 * 1103515245L + 12345L) % 1000000007L AS h2
+        |      FROM h),
+        |h3 AS (SELECT doc_id, ts, n, h1, h2,
+        |        (h2 * 1103515245L + 12345L) % 1000000007L AS h3
+        |      FROM h2),
+        |sp AS (SELECT doc_id, ts, n,
+        |        CASE WHEN n >= 2 AND h1 % 1000 < 500 THEN 1 ELSE 0 END AS fim_applied,
+        |        LEAST(h2 % (n + 1), h3 % (n + 1)) AS lo,
+        |        GREATEST(h2 % (n + 1), h3 % (n + 1)) AS hi
+        |      FROM h3 WHERE n >= 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(fim_applied AS BIGINT) AS fim_applied,
+        |  CAST(CASE WHEN fim_applied = 1 THEN lo ELSE 0L END AS BIGINT) AS span_start,
+        |  CAST(CASE WHEN fim_applied = 1 THEN hi - lo ELSE 0L END AS BIGINT) AS span_len,
+        |  CASE WHEN fim_applied = 1 THEN
+        |    CONCAT('<PRE> ', array_join(slice(ts, 1, lo), ' '),
+        |           ' <SUF> ', array_join(slice(ts, hi + 1, n - hi), ' '),
+        |           ' <MID> ', array_join(slice(ts, lo + 1, hi - lo), ' '))
+        |  ELSE array_join(ts, ' ') END AS text_out
+        |FROM sp ORDER BY doc_id""".stripMargin,
+
+    "q_c97_self_dedup" ->
+      """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id,
+        |        transform(sequence(0, (size(ts) + 7) div 8 - 1),
+        |          k -> array_join(slice(ts, 8 * k + 1, 8), ' ')) AS ch
+        |      FROM t),
+        |k AS (SELECT doc_id, ch,
+        |        filter(transform(ch, (c, i) ->
+        |          IF(array_position(ch, c) = CAST(i + 1 AS BIGINT), c, NULL)),
+        |          x -> x IS NOT NULL) AS kept
+        |      FROM c)
+        |SELECT doc_id,
+        |  CAST(size(ch) AS BIGINT) AS n_passages,
+        |  CAST(size(ch) - size(kept) AS BIGINT) AS n_dropped,
+        |  array_join(kept, ' ') AS scrubbed_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_c95_winnow_calibration" ->
       s"""WITH $shingleCtes,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

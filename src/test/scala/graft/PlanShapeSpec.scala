@@ -133,6 +133,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-side shuffle join on grams/hashes reintroduced:\n$plan")
   }
 
+  test("q_c91 broadcasts the pair frame on both id joins (corpus never shuffles)") {
+    // the provenance matrix's scale asymmetry: verified pairs are tiny
+    // next to the corpus, so BOTH doc-id joins must build a broadcast
+    // side from them; an SMJ on doc_a/doc_b would shuffle the corpus's
+    // (doc_id, source) projection twice
+    // (the AllPairs verify KERNEL inside verifiedJaccardPairs keeps its
+    // own pair-frame SMJs — those join candidate id-pairs to candidate
+    // id-pairs, never the corpus, so only the two outer joins are pinned)
+    val plan = executed("q_c91_source_dup_matrix")
+    assert("BroadcastHashJoin \\[doc_a#".r.findFirstIn(plan).isDefined,
+      s"doc_a join must broadcast the pair frame:\n$plan")
+    assert("BroadcastHashJoin \\[doc_b#".r.findFirstIn(plan).isDefined,
+      s"doc_b join must broadcast the pair+source frame:\n$plan")
+  }
+
   test("q_c27 declared broadcast flips to a shuffle past the size ceiling") {
     // The batch-side hint is a size-conditional DECLARATION (round 12):
     // under the default 64 MB ceiling the sf0.001 batch estimate fits and
