@@ -1922,7 +1922,7 @@ object PipelineQueries {
              |        CASE WHEN n >= 2 AND h1 % 1000 < 500 THEN 1 ELSE 0 END AS fim_applied,
              |        LEAST(h2 % (n + 1), h3 % (n + 1)) AS lo,
              |        GREATEST(h2 % (n + 1), h3 % (n + 1)) AS hi
-             |      FROM h3 WHERE n >= 1)
+             |      FROM h3)
              |SELECT doc_id, n AS n_tokens,
              |  CAST(fim_applied AS BIGINT) AS fim_applied,
              |  CAST(CASE WHEN fim_applied = 1 THEN lo ELSE 0 END AS BIGINT) AS span_start,
@@ -1941,7 +1941,8 @@ object PipelineQueries {
         .withColumn("h1", ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L)
         .withColumn("h2", (col("h1") * 1103515245L + 12345L) % 1000000007L)
         .withColumn("h3", (col("h2") * 1103515245L + 12345L) % 1000000007L)
-        .filter(col("n") >= 1)
+        // zero-token docs pass through as empty AR rows (n=0 → lo=hi=0):
+        // a training transform reorders, it never silently drops rows
         .withColumn("fim_applied",
           when(col("n") >= 2 && col("h1") % 1000 < 500, 1).otherwise(0))
         .withColumn("lo", least(col("h2") % (col("n") + 1), col("h3") % (col("n") + 1)))
@@ -1973,7 +1974,15 @@ object PipelineQueries {
     // the engines agree by construction); the chunk geometry is
     // q_c20's 8-token rule.
     //
-    // 100 TB shape: per-row array fold, no shuffle, streamable.
+    // 100 TB shape: per-row array fold, no shuffle, streamable — with an
+    // HONEST cost bound: the first-occurrence test is O(m²) string
+    // compares in the PER-DOCUMENT chunk count m (array_position scans
+    // ch per element). At the 128-token sequence lengths training docs
+    // are chunked to, m ≤ a few hundred and the fold is scan-speed; a
+    // corpus with megatoken boilerplate-loop pages would make one row a
+    // straggler, and the remedy there is the positional-explode +
+    // min-position-per-(doc, chunk) aggregation (one doc-keyed shuffle)
+    // — deliberately NOT the default, which stays map-only.
     QueryDef(
       "q_c97_self_dedup",
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),

@@ -396,7 +396,7 @@ object SimilarityQueries {
              |         unnest(range(len(embedding))) AS i
              |  FROM ee),
              |nv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs
-             |       FROM ee GROUP BY 1),
+             |       FROM ee WHERE len(embedding) > 0 GROUP BY 1),
              |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
              |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
              |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
@@ -426,7 +426,10 @@ object SimilarityQueries {
         .select(col("source"), col("embedding"))
       val ev = ee.select(col("source"), posexplode(col("embedding")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-      val nv = ee.groupBy(col("source"))
+      // n_vecs counts vectors that CONTRIBUTE components (len > 0) — the
+      // definition the streaming serve can reproduce from its i = 0 state
+      // cell, so an empty/NULL embedding row can never make serve ≠ batch
+      val nv = ee.filter(size(col("embedding")) > 0).groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_vecs"))
       val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
         .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")

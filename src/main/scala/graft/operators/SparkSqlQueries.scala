@@ -146,6 +146,24 @@ object SparkSqlQueries {
        |       FROM kept$sfx a JOIN kept$sfx b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
+  /** Spark-dialect verified τ = 0.5 pair tail (assumes `sh` in scope)
+    * ending in `jp(doc_a, doc_b, shared, uni)` — twin of
+    * `DedupQueries.duckJaccardTail`, the ONE copy of the exact-pair base
+    * shared by the q_b6/q_c85/q_c88/q_c91/q_c92/q_c95 twins.
+    */
+  private val sparkJaccardTail =
+    """cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jp AS (
+      |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
+      |  FROM pairs
+      |  JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5)""".stripMargin
+
   /** Cross-set fuzzy-decontamination CTE chain ending in
     * `fz(doc_id, bench_id, shared, uni, jaccard)` — shared by q_c47 and
     * q_c73 (twin of `DedupQueries.fuzzyDecontamPairs`).
@@ -471,19 +489,10 @@ object SparkSqlQueries {
 
     "q_b6_jaccard_neardup" ->
       s"""WITH $shingleCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |j AS (
-         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id)
+         |$sparkJaccardTail
          |SELECT doc_a, doc_b, shared, uni,
          |  CAST(CAST(CAST(shared AS DECIMAL(18,6)) / CAST(uni AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
-         |FROM j WHERE shared * 10 >= uni * 5
+         |FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_c1_minhash_lsh" ->
@@ -1643,17 +1652,7 @@ object SparkSqlQueries {
 
     "q_c85_candidate_agreement" ->
       s"""WITH $minhashCandCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |$sparkJaccardTail,
          |wg AS (SELECT doc_id,
          |  transform(sequence(0, size(toks) - 3), i ->
          |    aggregate(split(concat_ws(' ', toks[i], toks[i+1], toks[i+2]), ''), 0L,
@@ -1984,7 +1983,7 @@ object SparkSqlQueries {
         |        CASE WHEN n >= 2 AND h1 % 1000 < 500 THEN 1 ELSE 0 END AS fim_applied,
         |        LEAST(h2 % (n + 1), h3 % (n + 1)) AS lo,
         |        GREATEST(h2 % (n + 1), h3 % (n + 1)) AS hi
-        |      FROM h3 WHERE n >= 1)
+        |      FROM h3)
         |SELECT doc_id, n AS n_tokens,
         |  CAST(fim_applied AS BIGINT) AS fim_applied,
         |  CAST(CASE WHEN fim_applied = 1 THEN lo ELSE 0L END AS BIGINT) AS span_start,
@@ -2015,17 +2014,7 @@ object SparkSqlQueries {
 
     "q_c95_winnow_calibration" ->
       s"""WITH $shingleCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |$sparkJaccardTail,
          |${sparkWinnowChain("_2", 2)},
          |${sparkWinnowChain("_4", 4)},
          |${sparkWinnowChain("_8", 8)},
@@ -2165,17 +2154,7 @@ object SparkSqlQueries {
 
     "q_c88_lsh_recall" ->
       s"""WITH $minhashCandCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |$sparkJaccardTail,
          |scal AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
          |         CAST(jp.shared AS DOUBLE) / CAST(jp.uni AS DOUBLE) AS s,
          |         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected
@@ -2192,17 +2171,7 @@ object SparkSqlQueries {
 
     "q_c91_source_dup_matrix" ->
       s"""WITH $shingleCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |$sparkJaccardTail,
          |sm AS (SELECT doc_id, source FROM documents),
          |px AS (SELECT LEAST(sa.source, sb.source) AS source_a,
          |              GREATEST(sa.source, sb.source) AS source_b
@@ -2213,17 +2182,7 @@ object SparkSqlQueries {
 
     "q_c92_minhash_estimator" ->
       s"""WITH $minhashCandCtes,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b, shared, ca.n_sh + cb.n_sh - shared AS uni
-         |  FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE shared * 10 >= (ca.n_sh + cb.n_sh - shared) * 5),
+         |$sparkJaccardTail,
          |me AS (SELECT jp.doc_a, jp.doc_b, jp.shared, jp.uni,
          |  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
          |   CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
@@ -2251,7 +2210,7 @@ object SparkSqlQueries {
         |ev AS (
         |  SELECT source, posexplode(embedding) AS (i, x) FROM ee),
         |nv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs
-        |       FROM ee GROUP BY 1),
+        |       FROM ee WHERE size(embedding) > 0 GROUP BY 1),
         |cen AS (SELECT source, CAST(i AS BIGINT) AS i,
         |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
         |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m

@@ -311,7 +311,9 @@ object StreamingOps {
     * state: the quantized mean and the matrix tail are the SAME
     * expressions the batch query uses ([[graft.operators
     * .SimilarityQueries.centroidMatrix]]); n_vecs is the component-0
-    * count (every vector contributes exactly one i = 0 row).
+    * count — every NON-EMPTY vector contributes exactly one i = 0 row,
+    * and the batch query counts len > 0 vectors by the same definition,
+    * so an empty/NULL embedding row cannot make serve diverge.
     */
   def centroidDriftServe(state: DataFrame): DataFrame = {
     import graft.core.Decimals.dec

@@ -36,11 +36,16 @@ class SourceCentroidSpec extends AnyFunSuite with BeforeAndAfterAll {
       (9L, "doc with no embedding row", "s1"))
       .toDF("doc_id", "text", "source").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc 2's second row carries an EMPTY embedding: it must count toward
+    // neither the centroid nor n_vecs, in batch AND in the streaming
+    // serve (the review-found divergence class: batch counted pre-explode
+    // rows while the stream can only see component cells)
     Seq(
       (1L, Seq(2f, 0f), 0),
       (2L, Seq(4f, 0f), 0),
       (3L, Seq(0f, 5f), 1),
-      (4L, Seq(6f, 0f), 2))
+      (4L, Seq(6f, 0f), 2),
+      (9L, Seq.empty[Float], 0))
       .toDF("vec_id", "embedding", "label").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
