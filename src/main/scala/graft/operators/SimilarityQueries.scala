@@ -418,25 +418,118 @@ object SimilarityQueries {
              |        JOIN nv nb ON nb.source = dt.source_b
              |ORDER BY dt.source_a, dt.source_b""".stripMargin)
     ) { (s, d) =>
-      // one row per vector BEFORE the explode: n_vecs is free here, where
-      // the post-explode distinct would shuffle dim× the rows to recover it
-      val ee = Tables(s, d, "embeddings")
-        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
-          col("doc_id") === col("vec_id"))
-        .select(col("source"), col("embedding"))
-      val ev = ee.select(col("source"), posexplode(col("embedding")))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-      // n_vecs counts vectors that CONTRIBUTE components (len > 0) — the
-      // definition the streaming serve can reproduce from its i = 0 state
-      // cell, so an empty/NULL embedding row can never make serve ≠ batch
-      val nv = ee.filter(size(col("embedding")) > 0).groupBy(col("source"))
-        .agg(count(lit(1)).cast("long").as("n_vecs"))
-      val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
-        .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")
-          / count(lit(1)).cast("double")).as("m"))
+      val (cen, nv) = centroidFrames(sourceEmbeddings(s, d))
       centroidMatrix(cen, nv)
+    },
+
+    // ---- q_c98: per-source centroid drift ALARM (monitor → action) --------
+    // q_c93 reports the matrix; this closes the loop with the decision the
+    // frozen-index / mixture lifecycle needs (the q_c72 shape, first
+    // moment): per source, the BASE corpus vs the ARRIVING batch (an
+    // 80/20 split on the house LCG hash of vec_id — the q_c37 discipline;
+    // raw `vec_id % 10` would confound with any id-blocked source
+    // layout, and does on the driver fixtures), centroid cosine between
+    // the halves, and an integer verdict. Decision arithmetic is exact: drift_q6 =
+    // 10⁶·(1 − cos) on the QUANTIZED decimal cosine (an integer-valued
+    // decimal product — no engine rounding anywhere), threshold_q6 =
+    // 10000 + 4000000 DIV n_batch — a fixed 0.01 tolerance plus a
+    // sampling-noise term: a size-n in-distribution batch's centroid
+    // deviates from the population mean by O(1/√n) per component, i.e.
+    // O(1/n) in (1 − cos), so the allowance shrinks as batches grow and
+    // any real shift trips the gate at production batch sizes — the rule
+    // is scale-correct, not tuned (q_c72's argument, first-moment form).
+    // Sources appear when both halves contribute ≥ 1 non-empty vector
+    // (there is no drift verdict to give against an empty side).
+    //
+    // 100 TB shape: identical to q_c93 — one scan, (source, i)-keyed
+    // map-side-combined aggs; everything past the explode is
+    // |sources|·dim rows. The alarm tail ([[centroidAlarm]]) is shared
+    // verbatim with the streaming serve ([[graft.streaming.StreamingOps
+    // .centroidAlarmServe]]): stored base centroids + streamed running
+    // state give a live rebuild monitor with |sources|·dim cells of
+    // state, serve ≡ batch by the exact-decimal linearity argument.
+    QueryDef(
+      "q_c98_drift_alarm",
+      Some("""WITH ee AS (
+             |  SELECT d.source, e.vec_id, e.embedding,
+             |         CASE WHEN ((e.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 10 < 8
+             |              THEN 0 ELSE 1 END AS half
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+             |ev AS (
+             |  SELECT source, half,
+             |         unnest(embedding) AS x,
+             |         unnest(range(len(embedding))) AS i
+             |  FROM ee),
+             |nv AS (SELECT source, half, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |       FROM ee WHERE len(embedding) > 0 GROUP BY 1, 2),
+             |cen AS (SELECT source, half, CAST(i AS BIGINT) AS i,
+             |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+             |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
+             |        FROM ev GROUP BY 1, 2, 3),
+             |nrm AS (SELECT source, half,
+             |         CAST(SUM(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS nn
+             |        FROM cen GROUP BY 1, 2),
+             |dt AS (SELECT a.source,
+             |         CAST(SUM(CAST(CAST(a.m AS DOUBLE) * CAST(b.m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+             |       FROM cen a JOIN cen b ON a.source = b.source AND a.i = b.i
+             |       WHERE a.half = 0 AND b.half = 1
+             |       GROUP BY 1),
+             |c AS (SELECT dt.source, na.n_vecs AS n_base, nb.n_vecs AS n_batch,
+             |        CASE WHEN x1.nn > 0 AND x2.nn > 0
+             |             THEN CAST(CAST(dt.dp AS DOUBLE) / sqrt(CAST(x1.nn AS DOUBLE) * CAST(x2.nn AS DOUBLE)) AS DECIMAL(18,6))
+             |             ELSE CAST(0 AS DECIMAL(18,6)) END AS cos_dec
+             |      FROM dt JOIN nrm x1 ON x1.source = dt.source AND x1.half = 0
+             |              JOIN nrm x2 ON x2.source = dt.source AND x2.half = 1
+             |              JOIN nv na ON na.source = dt.source AND na.half = 0
+             |              JOIN nv nb ON nb.source = dt.source AND nb.half = 1)
+             |SELECT source, n_base, n_batch,
+             |  CAST(cos_dec AS DOUBLE) AS cosine,
+             |  CAST(1000000 - CAST(cos_dec * 1000000 AS BIGINT) AS BIGINT) AS drift_q6,
+             |  CAST(10000 + 4000000 // n_batch AS BIGINT) AS threshold_q6,
+             |  CASE WHEN 1000000 - CAST(cos_dec * 1000000 AS BIGINT)
+             |            > 10000 + 4000000 // n_batch
+             |       THEN 'rebuild' ELSE 'ok' END AS verdict
+             |FROM c ORDER BY source""".stripMargin)
+    ) { (s, d) =>
+      val ee = sourceEmbeddings(s, d)
+      // the overflow-safe LCG draw the other split queries use
+      val draw = ((col("vec_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 10L
+      val (cenA, nvA) = centroidFrames(ee.filter(draw < 8))
+      val (cenB, nvB) = centroidFrames(ee.filter(draw >= 8))
+      centroidAlarm(cenA, nvA, cenB, nvB).orderBy(col("source"))
     }
   )
+
+  /** The (source, vec_id, embedding) join frame shared by q_c93 and
+    * q_c98 — the doc→source side joins on vec_id BEFORE any explode, so
+    * only per-vector rows (never component triples) carry the join.
+    */
+  private def sourceEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+        col("doc_id") === col("vec_id"))
+      .select(col("source"), col("vec_id"), col("embedding"))
+
+  /** q_c93's centroid construction over a (source, …, embedding) frame —
+    * ONE copy shared by the matrix query and q_c98's two halves, so the
+    * quantize-on-read / exact-decimal-sum discipline cannot fork.
+    * Returns (cen = (source, i, m) quantized means, nv = per-source count
+    * of CONTRIBUTING vectors): n_vecs counts len > 0 vectors — the
+    * definition the streaming serve reproduces from its i = 0 state cell,
+    * so an empty/NULL embedding row can never make serve ≠ batch.
+    */
+  private[graft] def centroidFrames(ee: DataFrame): (DataFrame, DataFrame) = {
+    val ev = ee.select(col("source"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    // one row per vector BEFORE the explode: n_vecs is free here, where
+    // the post-explode distinct would shuffle dim× the rows to recover it
+    val nv = ee.filter(size(col("embedding")) > 0).groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val cen = ev.groupBy(col("source"), col("i").cast("long").as("i"))
+      .agg(dec(dec(sum(dec(col("x").cast("double")))).cast("double")
+        / count(lit(1)).cast("double")).as("m"))
+    (cen, nv)
+  }
 
   /** q_c93's matrix tail over a quantized centroid frame (source, i, m)
     * and per-source vector counts — ONE copy shared by the batch query
@@ -472,6 +565,55 @@ object SimilarityQueries {
             / sqrt(col("nn_a").cast("double") * col("nn_b").cast("double"))))
           .otherwise(lit(0).cast("double")).as("cosine"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q_c98's alarm tail over two quantized centroid frames (base side a,
+    * batch side b: (source, i, m) + contributing-vector counts) — ONE
+    * copy shared by the batch split-half query and the streaming serve
+    * ([[graft.streaming.StreamingOps.centroidAlarmServe]]), so the
+    * decision rule cannot fork. All decision arithmetic past the ONE
+    * quantized cosine is exact integer/decimal: `cos_dec · 10⁶` is an
+    * integer-valued decimal product (no engine rounding), and the
+    * threshold uses truncating integer division on positive operands
+    * (Spark DIV ≡ DuckDB // there).
+    */
+  private[graft] def centroidAlarm(
+      cenA: DataFrame, nvA: DataFrame,
+      cenB: DataFrame, nvB: DataFrame): DataFrame = {
+    val nrmA = cenA.groupBy(col("source"))
+      .agg(dec(sum(dec(col("m").cast("double") * col("m").cast("double"))))
+        .as("nn_a"))
+    // side b re-aliased column-by-column (fresh exprIds) — the q_c93
+    // lesson: both branches can be the SAME plan node on the serve path
+    val cb = cenB.select(col("source").as("src_b"), col("i").as("i_b"),
+      col("m").as("m_b"))
+    val nrmB = cb.groupBy(col("src_b").as("source"))
+      .agg(dec(sum(dec(col("m_b").cast("double") * col("m_b").cast("double"))))
+        .as("nn_b"))
+    val dt = cenA
+      .join(cb, col("source") === col("src_b") && col("i") === col("i_b"))
+      .groupBy(col("source"))
+      .agg(dec(sum(dec(col("m").cast("double") * col("m_b").cast("double"))))
+        .as("dp"))
+    dt
+      .join(nrmA, Seq("source"))
+      .join(nrmB, Seq("source"))
+      .join(nvA.select(col("source"), col("n_vecs").as("n_base")), Seq("source"))
+      .join(nvB.select(col("source"), col("n_vecs").as("n_batch")), Seq("source"))
+      .withColumn("cos_dec",
+        when(col("nn_a") > 0 && col("nn_b") > 0,
+          dec(col("dp").cast("double")
+            / sqrt(col("nn_a").cast("double") * col("nn_b").cast("double"))))
+          .otherwise(dec(lit(0))))
+      .withColumn("drift_q6",
+        (lit(1000000L) - (col("cos_dec") * lit(1000000)).cast("long")).cast("long"))
+      .withColumn("threshold_q6",
+        (lit(10000L) + expr("4000000 DIV n_batch")).cast("long"))
+      .select(col("source"), col("n_base"), col("n_batch"),
+        emit(col("cos_dec")).as("cosine"),
+        col("drift_q6"), col("threshold_q6"),
+        when(col("drift_q6") > col("threshold_q6"), lit("rebuild"))
+          .otherwise(lit("ok")).as("verdict"))
   }
 
   /** q_c72's monitor over an arbitrary batch-assignment frame (one `cell`

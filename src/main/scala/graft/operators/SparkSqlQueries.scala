@@ -2230,7 +2230,46 @@ object SparkSqlQueries {
         |        JOIN nrm x2 ON x2.source = dt.source_b
         |        JOIN nv na ON na.source = dt.source_a
         |        JOIN nv nb ON nb.source = dt.source_b
-        |ORDER BY dt.source_a, dt.source_b""".stripMargin
+        |ORDER BY dt.source_a, dt.source_b""".stripMargin,
+
+    "q_c98_drift_alarm" ->
+      """WITH ee AS (
+        |  SELECT d.source, e.vec_id, e.embedding,
+        |         CASE WHEN ((e.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 10 < 8
+        |              THEN 0 ELSE 1 END AS half
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |ev AS (
+        |  SELECT source, half, posexplode(embedding) AS (i, x) FROM ee),
+        |nv AS (SELECT source, half, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |       FROM ee WHERE size(embedding) > 0 GROUP BY 1, 2),
+        |cen AS (SELECT source, half, CAST(i AS BIGINT) AS i,
+        |         CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS m
+        |        FROM ev GROUP BY 1, 2, 3),
+        |nrm AS (SELECT source, half,
+        |         CAST(SUM(CAST(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS nn
+        |        FROM cen GROUP BY 1, 2),
+        |dt AS (SELECT a.source,
+        |         CAST(SUM(CAST(CAST(a.m AS DOUBLE) * CAST(b.m AS DOUBLE) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+        |       FROM cen a JOIN cen b ON a.source = b.source AND a.i = b.i
+        |       WHERE a.half = 0 AND b.half = 1
+        |       GROUP BY 1),
+        |c AS (SELECT dt.source, na.n_vecs AS n_base, nb.n_vecs AS n_batch,
+        |        CASE WHEN x1.nn > 0 AND x2.nn > 0
+        |             THEN CAST(CAST(dt.dp AS DOUBLE) / sqrt(CAST(x1.nn AS DOUBLE) * CAST(x2.nn AS DOUBLE)) AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END AS cos_dec
+        |      FROM dt JOIN nrm x1 ON x1.source = dt.source AND x1.half = 0
+        |              JOIN nrm x2 ON x2.source = dt.source AND x2.half = 1
+        |              JOIN nv na ON na.source = dt.source AND na.half = 0
+        |              JOIN nv nb ON nb.source = dt.source AND nb.half = 1)
+        |SELECT source, n_base, n_batch,
+        |  CAST(cos_dec AS DOUBLE) AS cosine,
+        |  CAST(1000000 - CAST(cos_dec * 1000000 AS BIGINT) AS BIGINT) AS drift_q6,
+        |  CAST(10000 + 4000000 DIV n_batch AS BIGINT) AS threshold_q6,
+        |  CASE WHEN 1000000 - CAST(cos_dec * 1000000 AS BIGINT)
+        |            > 10000 + 4000000 DIV n_batch
+        |       THEN 'rebuild' ELSE 'ok' END AS verdict
+        |FROM c ORDER BY source""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

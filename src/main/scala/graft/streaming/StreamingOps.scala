@@ -324,6 +324,25 @@ object StreamingOps {
     graft.operators.SimilarityQueries.centroidMatrix(cen, nv)
   }
 
+  /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
+    * (source, i, m) + counts against the streamed (source, i, sx, n)
+    * running state of the ARRIVING batch — the mean derivation is
+    * [[centroidDriftServe]]'s and the decision tail is the SAME
+    * [[graft.operators.SimilarityQueries.centroidAlarm]] the batch query
+    * uses, so serve ≡ batch bit-exactly (the exact-decimal linearity
+    * argument) and the monitor→action loop closes with |sources|·dim
+    * cells of state.
+    */
+  def centroidAlarmServe(
+      state: DataFrame, baseCen: DataFrame, baseNv: DataFrame): DataFrame = {
+    import graft.core.Decimals.dec
+    val cen = state.select(col("source"), col("i"),
+      dec(dec(col("sx")).cast("double") / col("n").cast("double")).as("m"))
+    val nv = state.filter(col("i") === 0)
+      .select(col("source"), col("n").cast("long").as("n_vecs"))
+    graft.operators.SimilarityQueries.centroidAlarm(baseCen, baseNv, cen, nv)
+  }
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

@@ -84,6 +84,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c91_source_dup_matrix" -> 28,  // measured 22 (verified-pair pipeline + two broadcast source joins)
     "q_c92_minhash_estimator" -> 30,  // measured 24 (pair pipeline + signature joins + decile agg)
     "q_c93_source_centroid_drift" -> 18, // measured 14 (explode agg + centroid self-join + norm joins)
+    "q_c98_drift_alarm" -> 24,        // measured 19 (two centroidFrames halves + alarm tail joins)
+
     "q_c94_kn_trigram_lm" -> 26,      // measured 21 (both orders' type aggs + top-100 fan-out joins)
     "q_c95_winnow_calibration" -> 50  // measured 40 (3 winnow folds + exact-pair base + recall joins)
   )
