@@ -1599,6 +1599,41 @@ object SparkSqlQueries {
         |FROM agg a JOIN ns USING (source)
         |ORDER BY a.source""".stripMargin,
 
+    "q_c99_doremi_weights" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |src AS (SELECT doc_id, source FROM documents),
+        |st AS (SELECT s.source, t.term, CAST(SUM(t.tf) AS BIGINT) AS cst
+        |       FROM tf t JOIN src s USING (doc_id) GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |nc AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nc FROM ct),
+        |k AS (
+        |  SELECT st.source,
+        |    CAST((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+        |         ln((CAST(st.cst AS DOUBLE) * nc.nc)
+        |            / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS kterm
+        |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nc),
+        |agg AS (SELECT source, CAST(SUM(kterm) AS DECIMAL(18,6)) AS klsum,
+        |               CAST(COUNT(*) AS BIGINT) AS n_terms
+        |        FROM k GROUP BY 1),
+        |j AS (SELECT a.source, ns.ns, a.n_terms,
+        |        CAST(CAST(a.klsum AS DECIMAL(38,6)) AS DOUBLE) AS kl,
+        |        GREATEST(CAST(a.klsum * 1000000 AS BIGINT), 0L) DIV 1000 AS kl_milli
+        |      FROM agg a JOIN ns USING (source)),
+        |tt AS (SELECT CAST(SUM(ns) AS BIGINT) AS tot FROM ns),
+        |w AS (SELECT j.*, (j.ns DIV 1000 + 1) * (1000 + j.kl_milli) AS wnum FROM j),
+        |sw AS (SELECT CAST(SUM(wnum) AS BIGINT) AS sw FROM w)
+        |SELECT w.source, w.ns AS src_tokens, w.n_terms, w.kl,
+        |  CAST(w.kl_milli AS BIGINT) AS kl_milli,
+        |  CAST(w.ns DIV (tt.tot DIV 1000000 + 1) AS BIGINT) AS share_ppm,
+        |  CAST(w.wnum DIV (sw.sw DIV 1000000 + 1) AS BIGINT) AS w_ppm,
+        |  CAST(w.wnum DIV (sw.sw DIV 1000000 + 1)
+        |       - w.ns DIV (tt.tot DIV 1000000 + 1) AS BIGINT) AS delta_ppm
+        |FROM w CROSS JOIN tt CROSS JOIN sw
+        |ORDER BY w.source""".stripMargin,
+
     "q_c62_temperature_mix" ->
       """WITH t AS (
         |  SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok

@@ -1063,26 +1063,95 @@ object TextQueries {
              |FROM agg a JOIN ns USING (source)
              |ORDER BY a.source""".stripMargin)
     ) { (s, d) =>
-      val tf = tfUnigram(s, d)
-      val srcOf = Tables(s, d, "documents").select(col("doc_id"), col("source"))
-      val st = tf.join(srcOf, Seq("doc_id"))
-        .groupBy(col("source"), col("term"))
-        .agg(sum(col("tf")).cast("long").as("cst"))
-      val ns = st.groupBy(col("source")).agg(sum(col("cst")).cast("long").as("ns"))
-      val ct = st.groupBy(col("term")).agg(sum(col("cst")).cast("long").as("ct"))
-      val nc = ct.agg(sum(col("ct")).cast("double").as("nc"))
-      val k = st.join(broadcast(ns), Seq("source"))
-        .join(ct, Seq("term")) // term-keyed shuffle: ct is corpus-sized state
-        .crossJoin(broadcast(nc))
-        .withColumn("kterm",
-          dec((col("cst").cast("double") / col("ns").cast("double")) *
-            log((col("cst").cast("double") * col("nc"))
-              / (col("ns").cast("double") * col("ct").cast("double")))))
-      k.groupBy(col("source"))
-        .agg(dec(sum(col("kterm"))).as("klsum"), count(lit(1)).cast("long").as("n_terms"))
-        .join(broadcast(ns), Seq("source"))
+      sourceKlFrame(s, d)
         .select(col("source"), col("ns").as("src_tokens"), col("n_terms"),
           emit(col("klsum").cast(D38)).as("kl"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q_c99: DoReMi-style excess-loss mixture weights ------------------
+    // The ACTION on q_c69's diagnostic (the q_c98 monitor→action
+    // pattern): DoReMi (Xie et al. 2023) reweights domains by the excess
+    // loss of a proxy model over a per-domain reference — and for
+    // unigram LMs that excess is EXACTLY q_c69's quantity,
+    // H(P_s, P_corpus) − H(P_s) = KL(P_s ‖ P_corpus): what the one
+    // corpus-level model loses on source s relative to a model that
+    // matched s. The published multiplicative-exponential update is not
+    // hash-exactable (exp ulp), so the shipped rule is its small-η
+    // linearization, fully integer after the one quantized KL:
+    //   kl_milli = ⌊max(klsum, 0)·10³⌋        (milli-nats/token)
+    //   wnum     = (ns DIV 10³ + 1)·(10³ + kl_milli)
+    //              — baseline token share × (1 + KL in nats)
+    //   w_ppm    = wnum DIV (Σwnum DIV 10⁶ + 1)
+    // The two-step DIV-normalization keeps every intermediate in int64
+    // at 100 TB (a direct wnum·10⁶ overflows for a dominant source);
+    // share_ppm gets the same treatment, and delta_ppm = w_ppm −
+    // share_ppm is the signed re-allocation the mixture designer reads.
+    // All operands positive before DIV (DuckDB // floors, Spark DIV
+    // truncates — equal on positives).
+    //
+    // 100 TB shape: inherits q_c69's — the (source, term) aggregate with
+    // map-side combine, a term-keyed shuffle join against corpus vocab
+    // state; everything after the klsum aggregation is O(#sources) rows
+    // with two broadcast 1-row totals.
+    QueryDef(
+      "q_c99_doremi_weights",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |src AS (SELECT doc_id, source FROM documents),
+             |st AS (SELECT s.source, t.term, CAST(SUM(t.tf) AS BIGINT) AS cst
+             |       FROM tf t JOIN src s USING (doc_id) GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY 1),
+             |ct AS (SELECT term, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+             |nc AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nc FROM ct),
+             |k AS (
+             |  SELECT st.source,
+             |    CAST((CAST(st.cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+             |         ln((CAST(st.cst AS DOUBLE) * nc.nc)
+             |            / (CAST(ns.ns AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+             |      AS DECIMAL(18,6)) AS kterm
+             |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN nc),
+             |agg AS (SELECT source, CAST(SUM(kterm) AS DECIMAL(18,6)) AS klsum,
+             |               CAST(COUNT(*) AS BIGINT) AS n_terms
+             |        FROM k GROUP BY 1),
+             |j AS (SELECT a.source, ns.ns, a.n_terms,
+             |        CAST(CAST(a.klsum AS DECIMAL(38,6)) AS DOUBLE) AS kl,
+             |        GREATEST(CAST(a.klsum * 1000000 AS BIGINT), 0) // 1000 AS kl_milli
+             |      FROM agg a JOIN ns USING (source)),
+             |tt AS (SELECT CAST(SUM(ns) AS BIGINT) AS tot FROM ns),
+             |w AS (SELECT j.*, (j.ns // 1000 + 1) * (1000 + j.kl_milli) AS wnum FROM j),
+             |sw AS (SELECT CAST(SUM(wnum) AS BIGINT) AS sw FROM w)
+             |SELECT w.source, w.ns AS src_tokens, w.n_terms, w.kl,
+             |  CAST(w.kl_milli AS BIGINT) AS kl_milli,
+             |  CAST(w.ns // (tt.tot // 1000000 + 1) AS BIGINT) AS share_ppm,
+             |  CAST(w.wnum // (sw.sw // 1000000 + 1) AS BIGINT) AS w_ppm,
+             |  CAST(w.wnum // (sw.sw // 1000000 + 1)
+             |       - w.ns // (tt.tot // 1000000 + 1) AS BIGINT) AS delta_ppm
+             |FROM w CROSS JOIN tt CROSS JOIN sw
+             |ORDER BY w.source""".stripMargin)
+    ) { (s, d) =>
+      val base = sourceKlFrame(s, d)
+      // the weight table reads the O(#sources) KL frame THREE times (two
+      // 1-row totals + the final projection); persist it so the corpus
+      // pipeline runs once, not three times (registered → drained after
+      // the query materializes)
+      val j = graft.core.CachedRdds.registerDf(
+        base.withColumn("kl",
+            emit(col("klsum").cast(D38)))
+          .withColumn("kl_milli",
+            expr("GREATEST(CAST(klsum * 1000000 AS BIGINT), 0L) DIV 1000"))
+          .withColumn("wnum",
+            expr("(ns DIV 1000 + 1) * (1000 + kl_milli)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val tt = j.agg(sum(col("ns")).cast("long").as("tot"))
+      val sw = j.agg(sum(col("wnum")).cast("long").as("sw"))
+      j.crossJoin(broadcast(tt)).crossJoin(broadcast(sw))
+        .select(col("source"), col("ns").as("src_tokens"), col("n_terms"),
+          col("kl"), col("kl_milli").cast("long").as("kl_milli"),
+          expr("CAST(ns DIV (tot DIV 1000000 + 1) AS BIGINT)").as("share_ppm"),
+          expr("CAST(wnum DIV (sw DIV 1000000 + 1) AS BIGINT)").as("w_ppm"),
+          expr("""CAST(wnum DIV (sw DIV 1000000 + 1)
+                 - ns DIV (tot DIV 1000000 + 1) AS BIGINT)""").as("delta_ppm"))
         .orderBy(col("source"))
     },
 
@@ -1914,6 +1983,34 @@ object TextQueries {
   private[graft] def termCounts(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     tfUnigram(s, d).groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+
+  /** q_c69's per-source KL pipeline up to (but excluding) the emit —
+    * (source, ns, n_terms, klsum) with klsum the exact DECIMAL(18,6) sum
+    * of quantized per-term contributions. ONE copy shared by the q_c69
+    * diagnostic and q_c99's weight table (the knBigramProb extraction
+    * discipline: the rung is the EXACT q_c69 model, not a re-derivation).
+    */
+  private[graft] def sourceKlFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tf = tfUnigram(s, d)
+    val srcOf = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+    val st = tf.join(srcOf, Seq("doc_id"))
+      .groupBy(col("source"), col("term"))
+      .agg(sum(col("tf")).cast("long").as("cst"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cst")).cast("long").as("ns"))
+    val ct = st.groupBy(col("term")).agg(sum(col("cst")).cast("long").as("ct"))
+    val nc = ct.agg(sum(col("ct")).cast("double").as("nc"))
+    val k = st.join(broadcast(ns), Seq("source"))
+      .join(ct, Seq("term")) // term-keyed shuffle: ct is corpus-sized state
+      .crossJoin(broadcast(nc))
+      .withColumn("kterm",
+        dec((col("cst").cast("double") / col("ns").cast("double")) *
+          log((col("cst").cast("double") * col("nc"))
+            / (col("ns").cast("double") * col("ct").cast("double")))))
+    k.groupBy(col("source"))
+      .agg(dec(sum(col("kterm"))).as("klsum"), count(lit(1)).cast("long").as("n_terms"))
+      .join(broadcast(ns), Seq("source"))
+  }
 
   /** q_c74's CMS hash family: slot_i = ((a_i·th + b_i) mod p) mod width,
     * th = the house rolling hash of the term — all integer, so DuckDB

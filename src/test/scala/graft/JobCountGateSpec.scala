@@ -85,6 +85,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c92_minhash_estimator" -> 30,  // measured 24 (pair pipeline + signature joins + decile agg)
     "q_c93_source_centroid_drift" -> 18, // measured 14 (explode agg + centroid self-join + norm joins)
     "q_c98_drift_alarm" -> 24,        // measured 19 (two centroidFrames halves + alarm tail joins)
+    "q_c99_doremi_weights" -> 35,     // measured 28 (cold tf memo + KL pipeline once via persisted j + 2 totals)
 
     "q_c94_kn_trigram_lm" -> 26,      // measured 21 (both orders' type aggs + top-100 fan-out joins)
     "q_c95_winnow_calibration" -> 50  // measured 40 (3 winnow folds + exact-pair base + recall joins)
