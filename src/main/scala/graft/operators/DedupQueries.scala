@@ -1256,6 +1256,79 @@ object DedupQueries {
         .withColumn("recall",
           emit((dec(col("n_recalled")) / dec(col("n_exact"))).cast(D38)))
         .orderBy(col("win_w"))
+    },
+
+    // ---- q_c100: dedup threshold-retention curve --------------------------
+    // THE tuning table for near-dup dedup: how much of the corpus does
+    // each Jaccard threshold touch? q_c88 calibrates what the BANDING
+    // detects per similarity decile and q_c19 commits to one τ; this
+    // reports, for τ ∈ {0.5 … 0.9}, the surviving pair count, the number
+    // of distinct documents with ≥ 1 partner at that strength (the upper
+    // bound on keep-one-per-family removals), and that count as ppm of
+    // the corpus — the curve a pipeline owner reads to price a τ before
+    // committing a dedup pass. Exactness: the τ = 0.5 verified pair
+    // frame ([[verifiedJaccardPairs]]) is a SUPERSET of every τ ≥ 0.5
+    // pair set (Jaccard filters are monotone in τ), so the whole curve
+    // is exact from ONE pair pipeline — no per-τ re-verification. The
+    // threshold test is q_b6's integer form (shared·10 ≥ uni·τ10):
+    // no floats anywhere.
+    //
+    // 100 TB shape: one AllPairs pipeline (the q_b6 rails), its O(pairs)
+    // output persisted across the two consumers; the ×5 threshold
+    // unpivot rides a broadcast cross join; both counts are map-side-
+    // combined aggs on tau10; output is 5 rows. n_docs·10⁶ stays in
+    // int64 for any DOCUMENT count a 100 TB corpus can hold (~10¹¹ docs
+    // → 10¹⁷), unlike token-denominated ratios (the q_c99 two-step).
+    QueryDef(
+      "q_c100_dedup_threshold_curve",
+      Some(s"""WITH $duckJaccardPairs,
+              |taus AS (SELECT CAST(x AS BIGINT) AS tau10
+              |         FROM (SELECT unnest([5, 6, 7, 8, 9]) AS x)),
+              |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+              |hits AS (SELECT t.tau10, jp.doc_a, jp.doc_b
+              |         FROM jp CROSS JOIN taus t
+              |         WHERE jp.shared * 10 >= jp.uni * t.tau10),
+              |np AS (SELECT tau10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |       FROM hits GROUP BY 1),
+              |ex AS (SELECT tau10, doc_a AS d FROM hits
+              |       UNION SELECT tau10, doc_b FROM hits),
+              |nd AS (SELECT tau10, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |       FROM ex GROUP BY 1)
+              |SELECT t.tau10, COALESCE(np.n_pairs, 0) AS n_pairs,
+              |  COALESCE(nd.n_docs, 0) AS n_docs, ntot.n_total,
+              |  CAST(COALESCE(nd.n_docs, 0) * 1000000 // ntot.n_total AS BIGINT) AS touched_ppm
+              |FROM taus t
+              |LEFT JOIN np ON np.tau10 = t.tau10
+              |LEFT JOIN nd ON nd.tau10 = t.tau10
+              |CROSS JOIN ntot
+              |ORDER BY t.tau10""".stripMargin)
+    ) { (s, d) =>
+      import s.implicits._
+      val jp = graft.core.CachedRdds.registerDf(
+        verifiedJaccardPairs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val taus = Seq(5L, 6L, 7L, 8L, 9L).toDF("tau10")
+      val hits = jp.crossJoin(broadcast(taus))
+        .filter(col("shared") * 10 >= col("uni") * col("tau10"))
+        .select(col("tau10"), col("doc_a"), col("doc_b"))
+      val np = hits.groupBy(col("tau10"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      val nd = hits.select(col("tau10"), col("doc_a").as("d"))
+        .union(hits.select(col("tau10"), col("doc_b").as("d")))
+        .distinct()
+        .groupBy(col("tau10"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val ntot = Tables(s, d, "documents")
+        .agg(count(lit(1)).cast("long").as("n_total"))
+      taus.join(np, Seq("tau10"), "left").join(nd, Seq("tau10"), "left")
+        .crossJoin(broadcast(ntot))
+        .select(col("tau10"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          col("n_total"),
+          expr("CAST(COALESCE(n_docs, 0L) * 1000000 DIV n_total AS BIGINT)")
+            .as("touched_ppm"))
+        .orderBy(col("tau10"))
     }
   )
 

@@ -495,6 +495,30 @@ object SparkSqlQueries {
          |FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_c100_dedup_threshold_curve" ->
+      s"""WITH $shingleCtes,
+         |$sparkJaccardTail,
+         |taus AS (SELECT CAST(x AS BIGINT) AS tau10
+         |         FROM (SELECT explode(array(5, 6, 7, 8, 9)) AS x)),
+         |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         |hits AS (SELECT t.tau10, jp.doc_a, jp.doc_b
+         |         FROM jp CROSS JOIN taus t
+         |         WHERE jp.shared * 10 >= jp.uni * t.tau10),
+         |np AS (SELECT tau10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM hits GROUP BY 1),
+         |ex AS (SELECT tau10, doc_a AS d FROM hits
+         |       UNION SELECT tau10, doc_b FROM hits),
+         |nd AS (SELECT tau10, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM ex GROUP BY 1)
+         |SELECT t.tau10, COALESCE(np.n_pairs, 0L) AS n_pairs,
+         |  COALESCE(nd.n_docs, 0L) AS n_docs, ntot.n_total,
+         |  CAST(COALESCE(nd.n_docs, 0L) * 1000000 DIV ntot.n_total AS BIGINT) AS touched_ppm
+         |FROM taus t
+         |LEFT JOIN np ON np.tau10 = t.tau10
+         |LEFT JOIN nd ON nd.tau10 = t.tau10
+         |CROSS JOIN ntot
+         |ORDER BY t.tau10""".stripMargin,
+
     "q_c1_minhash_lsh" ->
       s"""WITH $minhashCandCtes
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,

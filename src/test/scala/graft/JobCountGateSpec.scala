@@ -86,6 +86,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c93_source_centroid_drift" -> 18, // measured 14 (explode agg + centroid self-join + norm joins)
     "q_c98_drift_alarm" -> 24,        // measured 19 (two centroidFrames halves + alarm tail joins)
     "q_c99_doremi_weights" -> 35,     // measured 28 (cold tf memo + KL pipeline once via persisted j + 2 totals)
+    "q_c100_dedup_threshold_curve" -> 39, // measured 31 (cold AllPairs pipeline via persisted jp + 2 taus aggs)
 
     "q_c94_kn_trigram_lm" -> 26,      // measured 21 (both orders' type aggs + top-100 fan-out joins)
     "q_c95_winnow_calibration" -> 50  // measured 40 (3 winnow folds + exact-pair base + recall joins)
