@@ -1242,6 +1242,84 @@ object PipelineQueries {
         .orderBy(col("epoch"), col("batch_id"), col("pos"))
     },
 
+    // ---- q_c101: batch source-mixing report (shuffle quality) ------------
+    // Does the shuffle actually MIX? Poorly mixed batches (long
+    // single-source runs) are a real training hazard — correlated
+    // gradients, loss spikes on source boundaries — and the failure is
+    // invisible unless measured. Per batch, for BOTH loaders on the same
+    // corpus — q_c56's epoch-0 hash-bucket assignment ('shuffled') and
+    // the contiguous id-block loader a no-shuffle pipeline degenerates
+    // to ('sequential', block = doc_id DIV ⌈(max_id+1)/64⌉) — report
+    // document count, distinct sources, the largest single-source share,
+    // and the Herfindahl concentration index. On an id-blocked corpus
+    // (how crawls actually arrive: source after source) the sequential
+    // loader shows hhi_pm = 1000 single-source batches while the hash
+    // shuffle mixes — the measured case FOR q_c56.
+    // Determinism: shares floor to per-mille BEFORE squaring (cnt·1000
+    // DIV n), so every metric is integer arithmetic on positive operands
+    // — hash-exact with no decimal ladder; hhi_pm is DEFINED as the HHI
+    // of the floored per-mille shares.
+    //
+    // 100 TB shape: one corpus scan, a 2-way stack (no second scan),
+    // map-side-combined aggs on (mode, batch, source) — fine keys, never
+    // corpus-wide; the per-batch totals join carries ≤ 128 keys; output
+    // ≤ 128 rows. cnt·1000 stays in int64 for any batch a real corpus
+    // yields (≤ ~10⁹ docs/batch → 10¹²).
+    QueryDef(
+      "q_c101_batch_mixing",
+      Some("""WITH nmx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+             |a AS (
+             |  SELECT 'shuffled' AS mode,
+             |         CAST(((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 64 AS BIGINT) AS batch_id,
+             |         source
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'sequential',
+             |         CAST(doc_id // ((nmx.mx + 64) // 64) AS BIGINT),
+             |         source
+             |  FROM documents CROSS JOIN nmx),
+             |c AS (SELECT mode, batch_id, source, CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM a GROUP BY 1, 2, 3),
+             |tot AS (SELECT mode, batch_id, CAST(SUM(cnt) AS BIGINT) AS n_docs
+             |        FROM c GROUP BY 1, 2),
+             |sh AS (SELECT c.mode, c.batch_id, c.cnt,
+             |         CAST(c.cnt * 1000 // t.n_docs AS BIGINT) AS share_pm
+             |       FROM c JOIN tot t ON t.mode = c.mode AND t.batch_id = c.batch_id),
+             |g AS (SELECT mode, batch_id,
+             |        CAST(COUNT(*) AS BIGINT) AS n_sources,
+             |        CAST(MAX(share_pm) AS BIGINT) AS max_share_pm,
+             |        CAST(SUM(share_pm * share_pm) // 1000 AS BIGINT) AS hhi_pm
+             |      FROM sh GROUP BY 1, 2)
+             |SELECT t.mode, t.batch_id, t.n_docs, g.n_sources,
+             |       g.max_share_pm, g.hhi_pm
+             |FROM tot t JOIN g ON g.mode = t.mode AND g.batch_id = t.batch_id
+             |ORDER BY t.mode, t.batch_id""".stripMargin)
+    ) { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val nmx = docs.agg(max(col("doc_id")).cast("long").as("mx"))
+      val stacked = docs.crossJoin(broadcast(nmx))
+        .selectExpr("source",
+          """stack(2,
+            |  'shuffled',
+            |  CAST(((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 64 AS BIGINT),
+            |  'sequential',
+            |  CAST(doc_id DIV ((mx + 64) DIV 64) AS BIGINT)) AS (mode, batch_id)""".stripMargin)
+      val c = stacked.groupBy(col("mode"), col("batch_id"), col("source"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val tot = c.groupBy(col("mode"), col("batch_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_docs"))
+      val sh = c.join(tot, Seq("mode", "batch_id"))
+        .withColumn("share_pm", expr("CAST(cnt * 1000 DIV n_docs AS BIGINT)"))
+      val g = sh.groupBy(col("mode"), col("batch_id"))
+        .agg(count(lit(1)).cast("long").as("n_sources"),
+          max(col("share_pm")).cast("long").as("max_share_pm"),
+          expr("CAST(SUM(share_pm * share_pm) DIV 1000 AS BIGINT)").as("hhi_pm"))
+      tot.join(g, Seq("mode", "batch_id"))
+        .select(col("mode"), col("batch_id"), col("n_docs"), col("n_sources"),
+          col("max_share_pm"), col("hhi_pm"))
+        .orderBy(col("mode"), col("batch_id"))
+    },
+
     // ---- q_c57: per-source corpus report ---------------------------------
     // The ingestion dashboard every pipeline run emits: per source, how
     // many documents, how many tokens, what exact-duplicate burden, the

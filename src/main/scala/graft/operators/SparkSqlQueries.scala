@@ -1333,6 +1333,35 @@ object SparkSqlQueries {
         |SELECT epoch, batch_id, pos, doc_id, skey FROM r
         |ORDER BY epoch, batch_id, pos""".stripMargin,
 
+    "q_c101_batch_mixing" ->
+      """WITH nmx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+        |a AS (
+        |  SELECT 'shuffled' AS mode,
+        |         CAST(((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 64 AS BIGINT) AS batch_id,
+        |         source
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'sequential',
+        |         CAST(doc_id DIV ((nmx.mx + 64) DIV 64) AS BIGINT),
+        |         source
+        |  FROM documents CROSS JOIN nmx),
+        |c AS (SELECT mode, batch_id, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM a GROUP BY 1, 2, 3),
+        |tot AS (SELECT mode, batch_id, CAST(SUM(cnt) AS BIGINT) AS n_docs
+        |        FROM c GROUP BY 1, 2),
+        |sh AS (SELECT c.mode, c.batch_id, c.cnt,
+        |         CAST(c.cnt * 1000 DIV t.n_docs AS BIGINT) AS share_pm
+        |       FROM c JOIN tot t ON t.mode = c.mode AND t.batch_id = c.batch_id),
+        |g AS (SELECT mode, batch_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |        CAST(MAX(share_pm) AS BIGINT) AS max_share_pm,
+        |        CAST(SUM(share_pm * share_pm) DIV 1000 AS BIGINT) AS hhi_pm
+        |      FROM sh GROUP BY 1, 2)
+        |SELECT t.mode, t.batch_id, t.n_docs, g.n_sources,
+        |       g.max_share_pm, g.hhi_pm
+        |FROM tot t JOIN g ON g.mode = t.mode AND g.batch_id = t.batch_id
+        |ORDER BY t.mode, t.batch_id""".stripMargin,
+
     "q_c54_tfidf_similarity" ->
       """WITH t1 AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t1 GROUP BY doc_id, term),
