@@ -1156,50 +1156,127 @@ object PipelineQueries {
              |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
              |ORDER BY r.doc_id""".stripMargin)
     ) { (s, d) =>
-      graft.functions.CharBigramStats.register(s)
-      val tokHash =
-        "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
-      // ONE corpus scan computes all three map-side signals
-      val mapSide = Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"),
-          expr("char_bigram_stats(text)").as("st"))
-        .select(col("doc_id"),
-          // q_c31's four integer rules, conjoined
-          when(size(col("ws")) >= 50
-            && lit(3) * size(col("ws")) <= expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
-            && lit(2) * expr("aggregate(ws, 0L, (a, w) -> a + length(w))") <= lit(9) * size(col("ws"))
-            && expr("size(array_intersect(ws, array('the','of','and','to','in')))") >= 1
-            && lit(5) * expr("size(array_distinct(ws))") >= lit(2) * size(col("ws")),
-            1).otherwise(0).as("v_rules"),
-          // q_c30's sign verdict
-          when(expr(s"""aggregate(toks, 0L, (acc, w) ->
-                       |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin) > 0,
-            1).otherwise(0).as("v_cls"),
-          // q_c38's entropy ≥ 4.0 (exact decimal division, q_c38's form)
-          when(col("st.n_bigrams") > 0
-            && emit((dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000"))
-              / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
-            1).otherwise(0).as("v_ent"))
-      // the corpus-global branch: q_c26's scoring off the SHARED tf memo
-      val tf = TextQueries.tfUnigram(s, d)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
-      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
-      val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
-      val agg = tf.join(vocab, Seq("term")).crossJoin(broadcast(tot))
-        .withColumn("tscore", dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
-        .groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
-      val ppl = dl.join(agg, Seq("doc_id"))
-        .select(col("doc_id"),
-          when(emit((col("nll") / dec(col("n_tokens"))).cast(D38)) <= 3.45, 1)
-            .otherwise(0).as("v_ppl"))
-      mapSide.join(ppl, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("v_rules"), col("v_cls"),
-          coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"))
+      ensembleSignals(s, d)
+        .select(col("doc_id"), col("v_rules"), col("v_cls"), col("v_ppl"),
+          col("v_ent"))
         .withColumn("n_pass", col("v_rules") + col("v_cls") + col("v_ppl") + col("v_ent"))
         .withColumn("keep", when(col("n_pass") >= 3, 1).otherwise(0))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c102: classifier score calibration vs the filter panel --------
+    // The reliability diagram a model-based filter needs before its
+    // threshold is trusted (DCLM-class pipelines sweep exactly this
+    // curve): bucket q_c30's continuous score into 10 fixed bins and
+    // report, per bin, how often the OTHER three panel signals' majority
+    // (≥ 2 of rules/perplexity/entropy — the calibrated signal votes on
+    // itself in no reliability diagram) would keep the document. A
+    // monotone keep-rate curve is the evidence the score RANKS quality;
+    // a flat one says the model adds nothing over the panel.
+    // Signals come from the SAME fused q_c49 projection
+    // ([[ensembleSignals]] — one corpus scan, no fork). Binning is pure
+    // integer: the shifted score (wsum + n_toks·1024) ∈ [0, 2048·n_toks)
+    // makes bin = 10·shifted DIV (2048·n_toks) ∈ [0, 9] with every
+    // operand positive (no float floor, no negative-division divergence);
+    // zero-token docs pin to the score-0 bin (5), q_c30's convention.
+    // mean_score uses the dec-of-double discipline (IEEE divide, ONE
+    // quantize, exact decimal sums) — the per-doc D38-division emit of
+    // q_c30 is an EMIT-only pattern and cannot feed the bin average.
+    //
+    // 100 TB shape: q_c49's (one fused scan + the memoized tf branch),
+    // then one 10-key map-side-combined aggregation; output ≤ 10 rows.
+    QueryDef(
+      "q_c102_score_calibration",
+      Some("""WITH t AS (
+             |  SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             |         lower(text) AS lt
+             |  FROM documents),
+             |rules AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ws) >= 50 AND 3 * len(ws) <= list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(ws, w -> CAST(len(w) AS BIGINT))), (a, x) -> a + x)
+             |      AND 2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(ws, w -> CAST(len(w) AS BIGINT))), (a, x) -> a + x) <= 9 * len(ws)
+             |      AND len(list_intersect(ws, ['the','of','and','to','in'])) >= 1
+             |      AND 5 * len(list_distinct(ws)) >= 2 * len(ws)
+             |    THEN 1 ELSE 0 END AS v_rules
+             |  FROM t),
+             |cls AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+             |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
+             |       * 1103515245 + 12345) % 2048 - 1024)),
+             |      (a, x) -> a + x) AS wsum
+             |  FROM t),
+             |gr AS (
+             |  SELECT doc_id, substring(lt, CAST(i AS INT), 2) AS gm
+             |  FROM (SELECT doc_id, lt, unnest(range(1, length(lt))) AS i
+             |        FROM t WHERE length(lt) >= 2)),
+             |gc AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS c FROM gr GROUP BY 1, 2),
+             |gn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM gc GROUP BY 1),
+             |gt AS (SELECT gc.doc_id,
+             |         CAST(gc.c * (ln(CAST(gn.n AS DOUBLE)) - ln(CAST(gc.c AS DOUBLE))) AS DECIMAL(18,6)) AS term
+             |       FROM gc JOIN gn USING (doc_id)),
+             |ga AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS sm FROM gt GROUP BY 1),
+             |ent AS (
+             |  SELECT t.doc_id,
+             |    CASE WHEN gn.n IS NULL THEN 0
+             |         WHEN CAST(CAST(ga.sm / CAST(gn.n AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) >= 4.0
+             |         THEN 1 ELSE 0 END AS v_ent
+             |  FROM t LEFT JOIN gn ON t.doc_id = gn.doc_id LEFT JOIN ga ON t.doc_id = ga.doc_id),
+             |ptoks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ptoks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+             |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    CAST(tf.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+             |  FROM tf JOIN vocab v USING (term) CROSS JOIN tot s),
+             |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY 1),
+             |ppl AS (
+             |  SELECT t.doc_id,
+             |    CASE WHEN dl.n_tokens IS NULL THEN 0
+             |         WHEN CAST(CAST(agg.nll / CAST(dl.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) <= 3.45
+             |         THEN 1 ELSE 0 END AS v_ppl
+             |  FROM t LEFT JOIN dl ON t.doc_id = dl.doc_id LEFT JOIN agg ON t.doc_id = agg.doc_id),
+             |sig AS (
+             |  SELECT r.doc_id,
+             |    CASE WHEN c.n_toks = 0 THEN CAST(5 AS BIGINT)
+             |         ELSE CAST(10 * (c.wsum + c.n_toks * 1024) // (c.n_toks * 2048) AS BIGINT) END AS bin,
+             |    CASE WHEN r.v_rules + p.v_ppl + e.v_ent >= 2 THEN 1 ELSE 0 END AS keep_others,
+             |    CASE WHEN c.n_toks = 0 THEN CAST(0 AS DECIMAL(18,6))
+             |         ELSE CAST(CAST(c.wsum AS DOUBLE) / CAST(c.n_toks * 1024 AS DOUBLE) AS DECIMAL(18,6)) END AS score_q
+             |  FROM rules r JOIN cls c ON c.doc_id = r.doc_id
+             |               JOIN ppl p ON p.doc_id = r.doc_id
+             |               JOIN ent e ON e.doc_id = r.doc_id)
+             |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(keep_others) AS BIGINT) AS n_kept_others,
+             |  CAST(SUM(keep_others) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+             |  CAST(CAST(CAST(SUM(score_q) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_score
+             |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin)
+    ) { (s, d) =>
+      val sig = ensembleSignals(s, d)
+        .withColumn("bin",
+          expr("""CASE WHEN n_toks = 0 THEN CAST(5 AS BIGINT)
+                 |     ELSE CAST(10 * (wsum + n_toks * 1024) DIV (n_toks * 2048) AS BIGINT) END""".stripMargin))
+        .withColumn("keep_others",
+          when(col("v_rules") + col("v_ppl") + col("v_ent") >= 2, 1L).otherwise(0L))
+        .withColumn("score_q",
+          when(col("n_toks") === 0, dec(lit(0)))
+            .otherwise(dec(col("wsum").cast("double")
+              / (col("n_toks") * 1024).cast("double"))))
+      sig.groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("keep_others")).cast("long").as("n_kept_others"),
+          dec(sum(col("score_q"))).as("ssum"))
+        .select(col("bin"), col("n_docs"), col("n_kept_others"),
+          expr("CAST(n_kept_others * 1000000 DIV n_docs AS BIGINT)").as("keep_ppm"),
+          emit((col("ssum") / dec(col("n_docs"))).cast(D38)).as("mean_score"))
+        .orderBy(col("bin"))
     },
 
     // ---- q_c56: deterministic epoch shuffle (hash-bucketed) --------------
@@ -2181,6 +2258,62 @@ object PipelineQueries {
     * .splitAssignments]]): assignment depends only on doc_id, so the SAME
     * plan labels a live ingestion stream in append mode with zero state.
     */
+  /** q_c49's per-document signal frame — (doc_id, v_rules, v_cls, v_ppl,
+    * v_ent, wsum, n_toks) — extracted so q_c102's calibration consumes
+    * the IDENTICAL fused pipeline (no semantic fork): the three map-side
+    * signals (rules, classifier, entropy) are ONE projection over a
+    * single corpus scan (Catalyst cannot fuse separate scans), and only
+    * the perplexity branch joins in from the SessionMemo-shared tf
+    * frame. The classifier's raw integer pieces (wsum, n_toks) ride
+    * along for free — v_cls is their sign.
+    */
+  private[graft] def ensembleSignals(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CharBigramStats.register(s)
+    val tokHash =
+      "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+    // ONE corpus scan computes all three map-side signals
+    val mapSide = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"),
+        expr("char_bigram_stats(text)").as("st"))
+      .select(col("doc_id"),
+        // q_c31's four integer rules, conjoined
+        when(size(col("ws")) >= 50
+          && lit(3) * size(col("ws")) <= expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
+          && lit(2) * expr("aggregate(ws, 0L, (a, w) -> a + length(w))") <= lit(9) * size(col("ws"))
+          && expr("size(array_intersect(ws, array('the','of','and','to','in')))") >= 1
+          && lit(5) * expr("size(array_distinct(ws))") >= lit(2) * size(col("ws")),
+          1).otherwise(0).as("v_rules"),
+        // q_c30's raw integer signal (the sign is v_cls)
+        expr(s"""aggregate(toks, 0L, (acc, w) ->
+                |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
+          .as("wsum"),
+        size(col("toks")).cast("long").as("n_toks"),
+        // q_c38's entropy ≥ 4.0 (exact decimal division, q_c38's form)
+        when(col("st.n_bigrams") > 0
+          && emit((dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000"))
+            / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
+          1).otherwise(0).as("v_ent"))
+      .withColumn("v_cls", when(col("wsum") > 0, 1).otherwise(0))
+    // the corpus-global branch: q_c26's scoring off the SHARED tf memo
+    val tf = TextQueries.tfUnigram(s, d)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+    val agg = tf.join(vocab, Seq("term")).crossJoin(broadcast(tot))
+      .withColumn("tscore", dec(col("tf") * -log(col("cnt").cast("double") / col("tot"))))
+      .groupBy(col("doc_id")).agg(dec(sum(col("tscore"))).as("nll"))
+    val ppl = dl.join(agg, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(emit((col("nll") / dec(col("n_tokens"))).cast(D38)) <= 3.45, 1)
+          .otherwise(0).as("v_ppl"))
+    mapSide.join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("v_rules"), col("v_cls"),
+        coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"),
+        col("wsum"), col("n_toks"))
+  }
+
   private[graft] def splitProjection(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),

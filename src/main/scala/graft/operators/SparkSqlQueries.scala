@@ -1263,6 +1263,76 @@ object SparkSqlQueries {
         |FROM rules r JOIN cls c USING (doc_id) JOIN ppl p USING (doc_id) JOIN ent e USING (doc_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    "q_c102_score_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, filter(split(lower(text), ' '), w -> length(w) > 0) AS ws,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks,
+        |         lower(text) AS lt
+        |  FROM documents),
+        |rules AS (
+        |  SELECT doc_id,
+        |    CASE WHEN size(ws) >= 50
+        |      AND 3 * size(ws) <= aggregate(ws, 0L, (a, w) -> a + length(w))
+        |      AND 2 * aggregate(ws, 0L, (a, w) -> a + length(w)) <= 9 * size(ws)
+        |      AND size(array_intersect(ws, array('the','of','and','to','in'))) >= 1
+        |      AND 5 * size(array_distinct(ws)) >= 2 * size(ws)
+        |    THEN 1 ELSE 0 END AS v_rules
+        |  FROM t),
+        |cls AS (
+        |  SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_toks,
+        |    aggregate(toks, 0L, (acc, w) ->
+        |      acc + ((aggregate(split(w, ''), 0L,
+        |               (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64)
+        |             * 1103515245L + 12345L) % 2048L - 1024L) AS wsum
+        |  FROM t),
+        |gr AS (
+        |  SELECT doc_id, explode(transform(sequence(1, length(lt) - 1),
+        |    i -> substring(lt, i, 2))) AS gm
+        |  FROM t WHERE length(lt) >= 2),
+        |gc AS (SELECT doc_id, gm, COUNT(*) AS c FROM gr GROUP BY doc_id, gm),
+        |gn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM gc GROUP BY doc_id),
+        |gt AS (SELECT gc.doc_id,
+        |         CAST(gc.c * (ln(CAST(gn.n AS DOUBLE)) - ln(CAST(gc.c AS DOUBLE))) AS DECIMAL(18,6)) AS term
+        |       FROM gc JOIN gn USING (doc_id)),
+        |ga AS (SELECT doc_id, CAST(SUM(term) AS DECIMAL(18,6)) AS sm FROM gt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN gn.n IS NULL THEN 0
+        |         WHEN CAST(CAST(ga.sm / CAST(gn.n AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) >= 4.0D
+        |         THEN 1 ELSE 0 END AS v_ent
+        |  FROM t LEFT JOIN gn ON t.doc_id = gn.doc_id LEFT JOIN ga ON t.doc_id = ga.doc_id),
+        |ptoks AS (SELECT doc_id, explode(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ptoks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM vocab),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(tf.tf * -ln(CAST(v.cnt AS DOUBLE) / s.tot) AS DECIMAL(18,6)) AS tscore
+        |  FROM tf JOIN vocab v USING (term) CROSS JOIN tot s),
+        |agg AS (SELECT doc_id, CAST(SUM(tscore) AS DECIMAL(18,6)) AS nll FROM scored GROUP BY doc_id),
+        |ppl AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN dl.n_tokens IS NULL THEN 0
+        |         WHEN CAST(CAST(agg.nll / CAST(dl.n_tokens AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) <= 3.45D
+        |         THEN 1 ELSE 0 END AS v_ppl
+        |  FROM t LEFT JOIN dl ON t.doc_id = dl.doc_id LEFT JOIN agg ON t.doc_id = agg.doc_id),
+        |sig AS (
+        |  SELECT r.doc_id,
+        |    CASE WHEN c.n_toks = 0 THEN CAST(5 AS BIGINT)
+        |         ELSE CAST(10 * (c.wsum + c.n_toks * 1024) DIV (c.n_toks * 2048) AS BIGINT) END AS bin,
+        |    CASE WHEN r.v_rules + p.v_ppl + e.v_ent >= 2 THEN 1 ELSE 0 END AS keep_others,
+        |    CASE WHEN c.n_toks = 0 THEN CAST(0 AS DECIMAL(18,6))
+        |         ELSE CAST(CAST(c.wsum AS DOUBLE) / CAST(c.n_toks * 1024 AS DOUBLE) AS DECIMAL(18,6)) END AS score_q
+        |  FROM rules r JOIN cls c ON c.doc_id = r.doc_id
+        |               JOIN ppl p ON p.doc_id = r.doc_id
+        |               JOIN ent e ON e.doc_id = r.doc_id)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(keep_others) AS BIGINT) AS n_kept_others,
+        |  CAST(SUM(keep_others) * 1000000 DIV COUNT(*) AS BIGINT) AS keep_ppm,
+        |  CAST(CAST(CAST(SUM(score_q) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_score
+        |FROM sig GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_c59_doc_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n
