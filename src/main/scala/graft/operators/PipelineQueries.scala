@@ -1383,18 +1383,7 @@ object PipelineQueries {
             |  CAST(doc_id DIV ((mx + 64) DIV 64) AS BIGINT)) AS (mode, batch_id)""".stripMargin)
       val c = stacked.groupBy(col("mode"), col("batch_id"), col("source"))
         .agg(count(lit(1)).cast("long").as("cnt"))
-      val tot = c.groupBy(col("mode"), col("batch_id"))
-        .agg(sum(col("cnt")).cast("long").as("n_docs"))
-      val sh = c.join(tot, Seq("mode", "batch_id"))
-        .withColumn("share_pm", expr("CAST(cnt * 1000 DIV n_docs AS BIGINT)"))
-      val g = sh.groupBy(col("mode"), col("batch_id"))
-        .agg(count(lit(1)).cast("long").as("n_sources"),
-          max(col("share_pm")).cast("long").as("max_share_pm"),
-          expr("CAST(SUM(share_pm * share_pm) DIV 1000 AS BIGINT)").as("hhi_pm"))
-      tot.join(g, Seq("mode", "batch_id"))
-        .select(col("mode"), col("batch_id"), col("n_docs"), col("n_sources"),
-          col("max_share_pm"), col("hhi_pm"))
-        .orderBy(col("mode"), col("batch_id"))
+      mixingReport(c).orderBy(col("mode"), col("batch_id"))
     },
 
     // ---- q_c57: per-source corpus report ---------------------------------
@@ -2258,6 +2247,32 @@ object PipelineQueries {
     * .splitAssignments]]): assignment depends only on doc_id, so the SAME
     * plan labels a live ingestion stream in append mode with zero state.
     */
+  /** q_c101's per-batch report tail over a (mode, batch_id, source, cnt)
+    * count frame — ONE copy shared by the batch query and the streaming
+    * serve ([[graft.streaming.StreamingOps.mixingServe]]), so the
+    * integer share/HHI rules cannot fork.
+    */
+  private[graft] def mixingReport(c: DataFrame): DataFrame = {
+    // totals branch re-aliased column-by-column (fresh exprIds): both
+    // branches of the join can be the SAME plan node on the memory-sink
+    // serve path (the q_c93 lesson); n_docs then rides THROUGH the final
+    // group (constant per key) instead of joining the totals twice
+    val ct = c.select(col("mode").as("mode_t"), col("batch_id").as("batch_id_t"),
+      col("cnt").as("cnt_t"))
+    val tot = ct.groupBy(col("mode_t"), col("batch_id_t"))
+      .agg(sum(col("cnt_t")).cast("long").as("n_docs"))
+    val sh = c.join(tot,
+        col("mode") === col("mode_t") && col("batch_id") === col("batch_id_t"))
+      .withColumn("share_pm", expr("CAST(cnt * 1000 DIV n_docs AS BIGINT)"))
+    sh.groupBy(col("mode"), col("batch_id"))
+      .agg(max(col("n_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_sources"),
+        max(col("share_pm")).cast("long").as("max_share_pm"),
+        expr("CAST(SUM(share_pm * share_pm) DIV 1000 AS BIGINT)").as("hhi_pm"))
+      .select(col("mode"), col("batch_id"), col("n_docs"), col("n_sources"),
+        col("max_share_pm"), col("hhi_pm"))
+  }
+
   /** q_c49's per-document signal frame — (doc_id, v_rules, v_cls, v_ppl,
     * v_ent, wsum, n_toks) — extracted so q_c102's calibration consumes
     * the IDENTICAL fused pipeline (no semantic fork): the three map-side

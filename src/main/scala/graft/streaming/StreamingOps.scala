@@ -324,6 +324,33 @@ object StreamingOps {
     graft.operators.SimilarityQueries.centroidMatrix(cen, nv)
   }
 
+  /** Streaming twin of q_c101's shuffled-loader accumulation: each
+    * arriving (doc_id, source) row gets its hash batch STATELESSLY (the
+    * q_c56 epoch-0 LCG — a pure projection), and counts accumulate per
+    * (batch_id, source) under a complete-mode groupBy — state bounded by
+    * 64·|sources| cells regardless of stream length. Counts are
+    * additive, so the streamed state after any prefix of micro-batches
+    * equals the batch aggregation of the union (the q_c74 linearity
+    * argument). The sequential mode needs max(doc_id) over the WHOLE
+    * corpus — undefined on an unbounded stream — so the live monitor
+    * covers the shuffled loader only.
+    */
+  def mixingUpdates(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      expr("CAST(((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 64 AS BIGINT)")
+        .as("batch_id"))
+      .groupBy(col("batch_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Serve per-batch mixing reports from the streamed counts through the
+    * SAME tail as batch q_c101 ([[graft.operators.PipelineQueries
+    * .mixingReport]], mode pinned 'shuffled') — serve ≡ batch exactly.
+    */
+  def mixingServe(state: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.mixingReport(
+      state.select(lit("shuffled").as("mode"), col("batch_id"), col("source"),
+        col("cnt").cast("long").as("cnt")))
+
   /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
     * (source, i, m) + counts against the streamed (source, i, sx, n)
     * running state of the ARRIVING batch — the mean derivation is

@@ -79,6 +79,39 @@ class BatchMixingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hash-bucketed batches must mix the 4 blocks (mean hhi_pm $meanHhi)")
   }
 
+  test("q_c101 streaming serve: streamed counts reproduce the batch shuffled report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .mixingUpdates(input.toDF().toDF("doc_id", "source"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_mix").toString)
+      .format("memory").queryName("mixstate").outputMode("complete").start()
+    // deliberately uneven micro-batches
+    for (chunk <- Seq(rows.take(7), rows.slice(7, 100), rows.drop(100))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val served = graft.streaming.StreamingOps
+      .mixingServe(sp.table("mixstate"))
+      .collect().map(_.toString).sorted.toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c101_batch_mixing")(sp, dir)
+      .collect().filter(_.getString(0) == "shuffled")
+      .map(_.toString).sorted.toSeq
+    graft.core.CachedRdds.drain()
+    assert(served.nonEmpty && served === batch,
+      "additive counts through the shared mixingReport tail make serve ≡ batch")
+  }
+
   test("q_c101 on sf0.001: totals conserved per mode, metrics in range") {
     val rows = SparkEntry.queries("q_c101_batch_mixing")(spark,
       "/root/testdata/sf0.001").collect()
