@@ -2448,5 +2448,23 @@ object SparkSqlQueries {
     // are both exact
     "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
     "q_c68_minhash_append" -> base("q_c1_minhash_lsh"),
-    "q_c70_bm25_append" -> base("q_c12_bm25"))
+    "q_c70_bm25_append" -> base("q_c12_bm25"),
+    // q_c103 has no non-stored base query, so its twin IS the brute-force
+    // full-scan form (lead-window adjacency over the corpus) — parity
+    // proves positional-index search ≡ corpus scan inside Spark, the
+    // same claim the DuckDB oracle makes across engines
+    "q_c103_phrase_search" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+        |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+        |hits AS (SELECT b.w1, b.w2, b.doc_id
+        |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
+        |SELECT concat_ws(' ', w1, w2) AS phrase,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
 }

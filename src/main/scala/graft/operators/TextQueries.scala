@@ -1824,6 +1824,43 @@ object TextQueries {
         .agg(count(lit(1)).cast("long").as("n_trigrams"),
           emit((dec(sum(col("nll"))) / dec(count(lit(1)))).cast(D38)).as("avg_nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c103: positional phrase search from the stored index ----------
+    // Exact multi-word phrase retrieval — the capability BM25's bag-of-
+    // words ranking (q_c12/q_c45) cannot express: "these words ADJACENT,
+    // in order". The stored artifact extends the q_c45 postings with
+    // token POSITIONS plus a corpus bigram-count table; a phrase query
+    // is then two term-posting fetches joined on (doc, pos+1) — the
+    // classic positional-index intersection. The phrase set is data-
+    // derived (the top-5 corpus bigrams, count-desc, lexicographic
+    // tie-break), so the query follows the q_c45 shape end to end:
+    // selection reads the Heaps-bounded bigram table, search reads ONLY
+    // the 10 query terms' postings (term IN (...) pushes into parquet).
+    //
+    // 100 TB shape: the corpus is position-tokenized exactly once at
+    // build; per query, the driver holds 5 bigram rows (the bm25
+    // query-term pattern) and the positional join shuffles only the
+    // matching-term postings on doc_id. The oracle is the brute-force
+    // full-corpus scan (lead-window adjacency) — index ≡ scan is the
+    // whole correctness claim, and it is hash-exact.
+    QueryDef(
+      "q_c103_phrase_search",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+             |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+             |hits AS (SELECT b.w1, b.w2, b.doc_id
+             |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
+             |SELECT w1 || ' ' || w2 AS phrase,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+             |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+    ) { (s, d) =>
+      phraseSearchStored(s, phraseIndex(s, d))
     }
   )
 
@@ -2173,6 +2210,97 @@ object TextQueries {
       .agg(emit(sum(col("tscore"))).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Positional token frame (term, doc_id, pos) over a documents frame —
+    * the q_c45 tokenization ('[a-z0-9]+' over lower(text)) with the token
+    * index kept. Map-only (the knBigrams transform+explode shape, no
+    * window shuffle), so at 100 TB the index build costs one scan plus
+    * the two keyed writes.
+    */
+  private[graft] def positionalTokens(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 1), i -> struct(CAST(i AS BIGINT) AS pos, ts[i] AS term))"))
+        .as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("p.pos").as("pos"))
+
+  /** Build the positional phrase index at `path`: term-range-partitioned
+    * positional postings (term, doc_id, pos) — the q_c45 layout plus the
+    * position column — and the corpus bigram-count table (w1, w2, cnt)
+    * derived through the SHARED [[knBigrams]] generator (the q_c80/q_c84
+    * adjacency definition; a fork here would select phrases under a
+    * different tokenization than the postings store).
+    */
+  private[graft] def buildPhraseIndex(
+      s: org.apache.spark.sql.SparkSession, d: String, path: String): Unit = {
+    val docs = Tables(s, d, "documents")
+    positionalTokens(docs)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    knBigrams(docs)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+  }
+
+  private val phraseBuilt = new graft.core.StoredArtifact("graft-phrase-index")
+
+  /** Session-stable phrase-index location for a corpus dir — the shared
+    * [[graft.core.StoredArtifact]] lifecycle (content-snapshot guard,
+    * per-key build latch, deferred deletion), exactly [[postingsIndex]].
+    */
+  private[graft] def phraseIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    phraseBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
+      path => buildPhraseIndex(s, d, path)
+    }
+
+  /** Phrase search served from the stored index: the top-`nPhrases`
+    * corpus bigrams (count-desc, lexicographic tie-break — a total order,
+    * so both engines cut the same set) come from the stored bigram table;
+    * the driver holds only those `nPhrases` rows (the bm25SearchStored
+    * query-term pattern, bounded model state), and the positional
+    * adjacency join touches ONLY the query terms' postings — the term IN
+    * (...) literal pushes into the parquet scan, so a phrase query costs
+    * O(matching postings), never O(corpus).
+    */
+  private[graft] def phraseSearchStored(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      nPhrases: Int = 5): org.apache.spark.sql.DataFrame = {
+    val top = s.read.parquet(s"$path/bigrams")
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(nPhrases)
+      .select(col("w1"), col("w2"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val terms = top.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    import s.implicits._
+    val phr = top.toSeq.toDF("w1", "w2")
+    val post = s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val a = post.select(col("term").as("w1"), col("doc_id"), col("pos"))
+    val b = post.select(
+      col("term").as("w2_b"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(broadcast(phr), Seq("w1"))
+      .join(b,
+        col("w2_b") === col("w2") && col("doc_b") === col("doc_id") &&
+          col("pos_b") === col("pos") + 1)
+      .groupBy(col("w1"), col("w2"))
+      .agg(
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"),
+        min(col("doc_id")).cast("long").as("first_doc"),
+        max(col("doc_id")).cast("long").as("last_doc"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+        col("n_docs"), col("n_occ"), col("first_doc"), col("last_doc"))
+      .orderBy(col("phrase"))
   }
 
   /** q_c38's entropy signal as a pure projection over a (doc_id, text)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c103 positional phrase search.
+  *
+  * The planted fixture pins the exact output contract by hand — including
+  * the overlapping-occurrence case ("x x x" contains the phrase "x x"
+  * TWICE) and the count-desc/lexicographic top-5 tie-break — and the
+  * sf0.001 tests pin the q_c45 stored-index disciplines: term predicate
+  * pushed into the postings parquet scan, index built once per corpus
+  * snapshot. Index ≡ brute-force-scan parity is covered cross-engine by
+  * the DuckDB oracle and inside Spark by SqlParitySpec's q_c103 twin.
+  */
+class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-phrase-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "x x x"),             // (x,x) twice — overlapping occurrences
+      (2L, "red fox red fox"),   // (red,fox) ×2, (fox,red) ×1
+      (3L, "red fox jumps"),     // (red,fox), (fox,jumps)
+      (4L, "blue sky"))          // (blue,sky)
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.core.LocalArtifacts.deleteRecursively(dir)
+  }
+
+  test("planted corpus: counts, overlap semantics, and top-5 tie-break") {
+    val rows = SparkEntry.queries("q_c103_phrase_search")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // bigram counts: (red,fox)=3, (x,x)=2, then cnt-1 ties cut
+    // lexicographically: (blue,sky), (fox,jumps), (fox,red)
+    assert(rows === Seq(
+      ("blue sky", 1L, 1L, 4L, 4L),
+      ("fox jumps", 1L, 1L, 3L, 3L),
+      ("fox red", 1L, 1L, 2L, 2L),
+      ("red fox", 2L, 3L, 2L, 3L),
+      ("x x", 1L, 2L, 1L, 1L)))
+  }
+
+  test("term predicate pushes into the positional postings scan") {
+    val path = graft.operators.TextQueries.phraseIndex(spark, sf)
+    val plan = graft.operators.TextQueries.phraseSearchStored(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term")
+        || plan.contains("PushedFilters: [IsNotNull(term), In(term"),
+      s"term filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("index is built once per corpus snapshot, then reused") {
+    val p1 = graft.operators.TextQueries.phraseIndex(spark, sf)
+    val p2 = graft.operators.TextQueries.phraseIndex(spark, sf)
+    assert(p1 == p2, "index rebuilt within an unchanged snapshot")
+    // positional postings are complete per term: every corpus occurrence
+    // of a term is present, so occurrence counts from the index equal a
+    // direct corpus count
+    val post = spark.read.parquet(s"$p1/postings")
+    val term = post.limit(1).collect()(0).getString(0)
+    val nStored = post.filter(org.apache.spark.sql.functions.col("term") === term).count()
+    val nCorpus = graft.core.Tables(spark, sf, "documents")
+      .selectExpr("explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t")
+      .filter(s"t = '$term'").count()
+    assert(nStored == nCorpus && nStored > 0)
+  }
+}
