@@ -688,6 +688,34 @@ object SparkSqlQueries {
         |       THEN 'und' ELSE top.l END AS pred_lang
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    "q_c104_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, array_distinct(split(lower(text), ' ')) AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(size(array_intersect(toks, array('der', 'die', 'und', 'das', 'von'))) AS BIGINT) AS score_de,
+        |  CAST(size(array_intersect(toks, array('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS score_en,
+        |  CAST(size(array_intersect(toks, array('el', 'de', 'la', 'que', 'en'))) AS BIGINT) AS score_es,
+        |  CAST(size(array_intersect(toks, array('le', 'de', 'la', 'et', 'les'))) AS BIGINT) AS score_fr,
+        |  CAST(size(array_intersect(toks, array('的', '是', '了', '在', '我'))) AS BIGINT) AS score_zh
+        |  FROM t),
+        |b AS (SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+        |  reverse(array_sort(array(
+        |    struct(score_de AS s, 'de' AS l), struct(score_en AS s, 'en' AS l),
+        |    struct(score_es AS s, 'es' AS l), struct(score_fr AS s, 'fr' AS l),
+        |    struct(score_zh AS s, 'zh' AS l))))[0] AS top
+        |  FROM sc),
+        |p AS (SELECT lang,
+        |  CASE WHEN score_de + score_en + score_es + score_fr + score_zh = 0
+        |       THEN 'und' ELSE top.l END AS pred_lang
+        |  FROM b),
+        |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS gold_total,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS pred_total,
+        |  CAST(n_docs * 1000 DIV SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_of_gold_pm,
+        |  CAST(n_docs * 1000 DIV SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS share_of_pred_pm
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
     "q_c6_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

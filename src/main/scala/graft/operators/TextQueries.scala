@@ -62,6 +62,90 @@ object TextQueries {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
+  /** q_c5's stopword-overlap scoring as one shared projection —
+    * (doc_id, lang, score_*, pred_lang) over a (doc_id, lang, text)
+    * frame, the GOLD `lang` label carried through so consumers needing
+    * (gold, predicted) never re-join the corpus. Shared by q_c5, q_c104's
+    * confusion matrix, and the streaming twin
+    * ([[graft.streaming.StreamingOps.langidUpdates]]) — one definition,
+    * so the argmax/tie-break rules cannot fork.
+    *
+    * Argmax is by (score DESC, lang ASC): sort (score, lang) structs DESC
+    * and take the head — struct ordering is lexicographic on both
+    * engines, so ties on score resolve exactly like DuckDB's
+    * list_sort DESC.
+    */
+  private[graft] def langidScored(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val t = docs.select(col("doc_id"), col("lang"),
+      array_distinct(split(lower(col("text")), " ")).as("toks"))
+    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(t) { case (df, (lang, words)) =>
+      df.withColumn(
+        s"score_$lang",
+        size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long"))
+    }
+    val best = scored.withColumn(
+      "top",
+      expr(
+        "reverse(array_sort(" +
+          langs.map(l => s"struct(score_$l AS s, '$l' AS l)").mkString("array(", ", ", ")") +
+          "))[0]"))
+    best
+      .withColumn(
+        "pred_lang",
+        when(langs.map(l => col(s"score_$l")).reduce(_ + _) === 0, "und")
+          .otherwise(col("top.l")))
+      .select((Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => col(s"score_$l")) :+ col("pred_lang")): _*)
+  }
+
+  /** DuckDB CTE prefix (t, sc, b, p) of the lang-ID oracle — ONE text
+    * shared by q_c5's per-document oracle and q_c104's confusion oracle
+    * (`lang` is carried through; q_c5's final SELECT ignores it).
+    */
+  private def langidOracleCtes: String = {
+    val scoreExprs = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_intersect(toks, $arr)) AS BIGINT) AS score_$lang"
+    }
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs
+      .map(l => s"score_$l")
+      .zip(langs)
+      .map { case (sc, l) => s"($sc, '$l')" }
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, ${scoreExprs.mkString(", ")} FROM t),
+       |b AS (SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  list_sort($best, 'DESC')[1] AS top FROM sc),
+       |p AS (SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE WHEN ${langs.map(l => s"score_$l").mkString(" + ")} = 0
+       |       THEN 'und' ELSE top[2] END AS pred_lang FROM b)""".stripMargin
+  }
+
+  /** q_c104's report tail over a (lang, pred_lang, n_docs) cell frame —
+    * ONE copy shared by the batch query and the streaming serve
+    * ([[graft.streaming.StreamingOps.langidServe]]), so the integer
+    * permille share rules cannot fork. The frame is ≤(|langs|+1)² rows;
+    * both windows are trivial.
+    */
+  private[graft] def langidConfusionReport(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wg = Window.partitionBy(col("lang"))
+    val wp = Window.partitionBy(col("pred_lang"))
+    cells
+      .withColumn("gold_total", sum(col("n_docs")).over(wg).cast("long"))
+      .withColumn("pred_total", sum(col("n_docs")).over(wp).cast("long"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        col("gold_total"), col("pred_total"),
+        expr("CAST(n_docs * 1000 DIV gold_total AS BIGINT)").as("share_of_gold_pm"),
+        expr("CAST(n_docs * 1000 DIV pred_total AS BIGINT)").as("share_of_pred_pm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val defs: Seq[graft.core.QueryDef] = Seq(
     // ---- Q-B8: exact percentiles per group -------------------------------
     QueryDef(
@@ -111,58 +195,48 @@ object TextQueries {
     QueryDef(
       "q_c5_langid",
       Some {
-        val scoreExprs = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"CAST(len(list_intersect(toks, $arr)) AS BIGINT) AS score_$lang"
-        }
         val langs = stopwords.keys.toSeq.sorted
-        val best = langs
-          .map(l => s"score_$l")
-          .zip(langs)
-          .map { case (sc, l) => s"($sc, '$l')" }
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (
-           |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
-           |  FROM documents),
-           |sc AS (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM t),
-           |b AS (SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-           |  list_sort($best, 'DESC')[1] AS top FROM sc)
-           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-           |  CASE WHEN ${langs.map(l => s"score_$l").mkString(" + ")} = 0
-           |       THEN 'und' ELSE top[2] END AS pred_lang
-           |FROM b ORDER BY doc_id""".stripMargin
+        s"""$langidOracleCtes
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")}, pred_lang
+           |FROM p ORDER BY doc_id""".stripMargin
       }
     ) { (s, d) =>
       val langs = stopwords.keys.toSeq.sorted
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
-      val scored = stopwords.toSeq.sortBy(_._1).foldLeft(t) { case (df, (lang, words)) =>
-        df.withColumn(
-          s"score_$lang",
-          size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long")
-        )
-      }
-      // argmax by (score DESC, lang ASC): sort (score, lang) structs DESC and
-      // take the head — struct ordering is lexicographic on both engines, so
-      // ties on score resolve to the LAST lang name, matching DuckDB's
-      // list_sort DESC. To get deterministic asc-name tie-break semantics we
-      // mirror DuckDB exactly: DESC sort of (score, name) → head.
-      val best = scored.withColumn(
-        "top",
-        expr(
-          "reverse(array_sort(" +
-            langs.map(l => s"struct(score_$l AS s, '$l' AS l)").mkString("array(", ", ", ")") +
-            "))[0]"
-        )
-      )
-      best
-        .withColumn(
-          "pred_lang",
-          when(langs.map(l => col(s"score_$l")).reduce(_ + _) === 0, "und")
-            .otherwise(col("top.l"))
-        )
+      langidScored(Tables(s, d, "documents"))
         .select((Seq(col("doc_id")) ++ langs.map(l => col(s"score_$l")) :+ col("pred_lang")): _*)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c104: language-ID confusion matrix vs the gold labels --------
+    // The measurement a lang-ID heuristic is DEPLOYED against: the full
+    // gold×predicted contingency over the corpus's stored `lang` labels,
+    // with per-cell shares of the gold row (recall decomposition) and of
+    // the predicted column (precision decomposition) in permille. q_c5
+    // reports per-document scores; this reports whether the classifier
+    // can be TRUSTED per language — which gold classes leak where, and
+    // which predicted labels are polluted. Shares are integer permille
+    // (DIV), so the whole frame is engine-exact.
+    //
+    // 100 TB shape: scoring is the q_c5 map-side projection with the
+    // gold label carried through (no corpus self-join); ONE tiny
+    // (lang, pred) groupBy with map-side combine; both totals are
+    // windows over the ≤(|langs|+1)² cell frame. Cost = a scan.
+    QueryDef(
+      "q_c104_langid_confusion",
+      Some(s"""$langidOracleCtes,
+           |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |      FROM p GROUP BY 1, 2)
+           |SELECT lang, pred_lang, n_docs,
+           |  CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS gold_total,
+           |  CAST(SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS pred_total,
+           |  CAST(n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_of_gold_pm,
+           |  CAST(n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS share_of_pred_pm
+           |FROM c ORDER BY lang, pred_lang""".stripMargin)
+    ) { (s, d) =>
+      langidConfusionReport(
+        langidScored(Tables(s, d, "documents"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs")))
     },
 
     // ---- quality scoring: length/stopword/uniqueness ratios --------------

@@ -351,6 +351,29 @@ object StreamingOps {
       state.select(lit("shuffled").as("mode"), col("batch_id"), col("source"),
         col("cnt").cast("long").as("cnt")))
 
+  /** Streaming twin of q_c104's accumulation: each arriving
+    * (doc_id, lang, text) row is scored and argmax-labeled STATELESSLY
+    * through the SHARED [[graft.operators.TextQueries.langidScored]]
+    * projection, and (gold, predicted) cell counts accumulate under a
+    * complete-mode groupBy — state bounded by (|langs|+1)² cells
+    * regardless of stream length. Counts are additive, so the streamed
+    * state after any prefix of micro-batches equals the batch
+    * aggregation of the union (the q_c74/q_c101 linearity argument).
+    */
+  def langidUpdates(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.langidScored(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+
+  /** Serve the confusion matrix from the streamed cell counts through
+    * the SAME tail as batch q_c104 ([[graft.operators.TextQueries
+    * .langidConfusionReport]]) — serve ≡ batch exactly.
+    */
+  def langidServe(state: DataFrame): DataFrame =
+    graft.operators.TextQueries.langidConfusionReport(
+      state.select(col("lang"), col("pred_lang"),
+        col("n_docs").cast("long").as("n_docs")))
+
   /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
     * (source, i, m) + counts against the streamed (source, i, sx, n)
     * running state of the ARRIVING batch — the mean derivation is
