@@ -166,6 +166,25 @@ object PipelineQueries {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** DuckDB recursive-CC CTE chain over an upstream `cand(doc_a, doc_b)`
+    * — ends in `fam(doc_id, cluster_id)`, the min-label fixpoint. ONE
+    * text shared by q_c13's oracle and q_c105's family audit (a fork
+    * here would audit different families than the ones reported).
+    */
+  private lazy val duckCcFam: String =
+    """nodes AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM cand
+      |    UNION ALL SELECT doc_b FROM cand)),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+      |fam AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- q_c13: duplicate clusters = connected components over the ------
     // banded-MinHash candidate graph. After near-dup detection the
@@ -183,19 +202,8 @@ object PipelineQueries {
     QueryDef(
       "q_c13_dup_clusters",
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
-              |nodes AS (
-              |  SELECT DISTINCT doc_id FROM (
-              |    SELECT doc_a AS doc_id FROM cand
-              |    UNION ALL SELECT doc_b FROM cand)),
-              |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM cand
-              |  UNION ALL SELECT doc_b, doc_a FROM cand),
-              |reach(doc_id, lbl) AS (
-              |  SELECT doc_id, doc_id FROM nodes
-              |  UNION
-              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
-              |SELECT doc_id, MIN(lbl) AS cluster_id
-              |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+              |$duckCcFam
+              |SELECT doc_id, cluster_id FROM fam ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
       // session-shared family structure (ccFamiliesShared): the candidate
       // frame AND the CC fixpoint each build once per corpus snapshot for
@@ -2157,6 +2165,75 @@ object PipelineQueries {
           (size(col("ch")) - size(col("kept"))).cast("long").as("n_dropped"),
           expr("array_join(kept, ' ')").as("scrubbed_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c105: dedup family-diameter audit -----------------------------
+    // CC-based dedup (q_c13) merges TRANSITIVELY: a~b, b~c ⇒ one family
+    // even when a and c share nothing — the well-known over-merge risk of
+    // clustering LSH candidates. This query quantifies that risk per
+    // family: member count, candidate-edge count, edge density vs the
+    // complete graph (density_pm), how many edges the exact τ=0.5
+    // verifier confirms (n_verified), and the weakest/strongest verified
+    // edge in permille (min/max_ver_pm; 0 = no verified edge, an
+    // entirely sub-threshold family). A family with density_pm ≪ 1000
+    // and low n_verified is held together by chains, not similarity —
+    // the rows a dedup operator's keep/drop decisions should be audited
+    // against before deleting data at 100 TB.
+    //
+    // Reuse discipline: families come from the SAME stored star-CC
+    // fixpoint as q_c13 (ccFamiliesShared), edges from the shared
+    // MinHash candidate memo, similarities from the shared AllPairs
+    // verified-pair frame — this query adds only O(edges) joins and a
+    // per-family aggregate; nothing corpus-sized shuffles.
+    QueryDef(
+      "q_c105_family_diameter",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |${DedupQueries.duckJaccardTail},
+              |$duckCcFam,
+              |fsize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              |          FROM fam GROUP BY 1),
+              |ce AS (SELECT c.doc_a, c.doc_b, f.cluster_id
+              |       FROM cand c JOIN fam f ON f.doc_id = c.doc_a),
+              |ve AS (SELECT ce.cluster_id,
+              |         CASE WHEN jp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_ver,
+              |         CASE WHEN jp.doc_a IS NOT NULL
+              |              THEN jp.shared * 1000 // jp.uni END AS ver_pm
+              |       FROM ce LEFT JOIN jp
+              |         ON jp.doc_a = ce.doc_a AND jp.doc_b = ce.doc_b),
+              |ag AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+              |         CAST(SUM(is_ver) AS BIGINT) AS n_verified,
+              |         CAST(COALESCE(MIN(ver_pm), 0) AS BIGINT) AS min_ver_pm,
+              |         CAST(COALESCE(MAX(ver_pm), 0) AS BIGINT) AS max_ver_pm
+              |       FROM ve GROUP BY 1)
+              |SELECT f.cluster_id AS family_id, f.n_members, a.n_edges, a.n_verified,
+              |  CAST(a.n_edges * 1000 // (f.n_members * (f.n_members - 1) // 2) AS BIGINT) AS density_pm,
+              |  a.min_ver_pm, a.max_ver_pm
+              |FROM fsize f JOIN ag a USING (cluster_id)
+              |ORDER BY family_id""".stripMargin)
+    ) { (s, d) =>
+      val fam = ccFamiliesShared(s, d)
+      val fsize = fam.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"))
+      val ce = DedupQueries.minhashCandidatesShared(s, d)
+        .join(fam.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      val jp = DedupQueries.verifiedJaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(shared * 1000 DIV uni AS BIGINT)").as("ver_pm"))
+      val ag = ce.join(jp, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_edges"),
+          sum(when(col("ver_pm").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_verified"),
+          coalesce(min(col("ver_pm")), lit(0L)).cast("long").as("min_ver_pm"),
+          coalesce(max(col("ver_pm")), lit(0L)).cast("long").as("max_ver_pm"))
+      fsize.join(ag, Seq("cluster_id"))
+        .select(col("cluster_id").as("family_id"), col("n_members"),
+          col("n_edges"), col("n_verified"),
+          expr("CAST(n_edges * 1000 DIV (n_members * (n_members - 1) DIV 2) AS BIGINT)")
+            .as("density_pm"),
+          col("min_ver_pm"), col("max_ver_pm"))
+        .orderBy(col("family_id"))
     }
   )
 

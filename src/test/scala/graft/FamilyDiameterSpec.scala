@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c105 dedup family-diameter audit.
+  *
+  * The structural theorems the audit relies on, asserted against the
+  * live sf0.001 pipeline frames rather than a planted graph: every
+  * candidate edge is INTRA-family (that is what connected components
+  * means — if it failed, per-family edge accounting would be meaningless),
+  * the report's family set and member counts reconcile exactly with
+  * q_c13's output, edge counts reconcile with the shared candidate
+  * frame, and the verified-edge statistics respect the τ=0.5 verifier's
+  * bound (permille ≥ 500 whenever a verified edge exists; 0 sentinel
+  * only when none does).
+  */
+class FamilyDiameterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-famdiam-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("every candidate edge is intra-family (CC soundness for the audit)") {
+    import org.apache.spark.sql.functions.col
+    val fam = graft.operators.PipelineQueries.ccFamiliesShared(spark, sf)
+    val cand = graft.operators.DedupQueries.minhashCandidatesShared(spark, sf)
+    val cross = cand
+      .join(fam.toDF("doc_a", "ca"), Seq("doc_a"))
+      .join(fam.toDF("doc_b", "cb"), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    graft.core.CachedRdds.drain()
+    assert(cross == 0L, "a candidate edge crossing two families breaks CC")
+  }
+
+  test("report reconciles with q_c13 families and the candidate frame") {
+    val rows = SparkEntry.queries("q_c105_family_diameter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val fam = SparkEntry.queries("q_c13_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCand = graft.operators.DedupQueries
+      .minhashCandidatesShared(spark, sf).count()
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty)
+    // family ids and member counts are exactly q_c13's grouping
+    val famCounts = fam.groupBy(_._2).map { case (c, g) => (c, g.length.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap === famCounts)
+    // every family has >= 2 members (singletons never enter the graph)
+    assert(rows.forall(_._2 >= 2))
+    // edge accounting: every candidate edge lands in exactly one family
+    assert(rows.map(_._3).sum == nCand)
+    for ((fid, m, e, v, dens, lo, hi) <- rows) {
+      assert(e >= 1 && e <= m * (m - 1) / 2, s"family $fid edge count")
+      assert(v >= 0 && v <= e, s"family $fid verified count")
+      assert(dens == e * 1000 / (m * (m - 1) / 2) && dens <= 1000,
+        s"family $fid density")
+      if (v > 0) assert(lo >= 500 && lo <= hi && hi <= 1000,
+        s"family $fid verified permille out of the τ=0.5 verifier's range")
+      else assert(lo == 0 && hi == 0, s"family $fid sentinel")
+    }
+  }
+}

@@ -88,6 +88,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c99_doremi_weights" -> 35,     // measured 28 (cold tf memo + KL pipeline once via persisted j + 2 totals)
     "q_c100_dedup_threshold_curve" -> 39, // measured 31 (cold AllPairs pipeline via persisted jp + 2 taus aggs)
     "q_c102_score_calibration" -> 23,  // measured 18 (q_c49's fused scan + ppl branch + 10-key agg)
+    "q_c105_family_diameter" -> 65,    // measured 52 cold (candidate + CC + AllPairs bases all rebuilt)
 
     "q_c94_kn_trigram_lm" -> 26,      // measured 21 (both orders' type aggs + top-100 fan-out joins)
     "q_c95_winnow_calibration" -> 50  // measured 40 (3 winnow folds + exact-pair base + recall joins)
