@@ -1935,6 +1935,45 @@ object TextQueries {
              |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
     ) { (s, d) =>
       phraseSearchStored(s, phraseIndex(s, d))
+    },
+
+    // ---- q_c106: ordered proximity search over the same index ------------
+    // The second retrieval mode a positional index buys: "w1 then w2
+    // within `slop` positions" (ordered window, slop = 3) for the SAME
+    // top-5 phrase set as q_c103, reported against strict adjacency. The
+    // expansion_pm column (windowed-doc count vs adjacent-doc count, in
+    // permille) measures how much "phrase-ness" each pair has beyond
+    // mere co-occurrence — the calibration a retrieval stack uses to
+    // pick its slop. One positional join computes BOTH statistics, so
+    // the ratio cannot be built from drifting bases.
+    //
+    // 100 TB shape: identical to q_c103 — selection reads the stored
+    // Heaps-bounded bigram table, the join touches only the 10 query
+    // terms' postings (term IN (...) pushdown), distance is a band
+    // predicate on the already doc-matched pairs.
+    QueryDef(
+      "q_c106_proximity_search",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |p AS (SELECT doc_id, ts[i+1] AS term, CAST(i AS BIGINT) AS pos
+             |      FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM t)),
+             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+             |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+             |occ AS (SELECT tp.w1, tp.w2, a.doc_id, b.pos - a.pos AS dist
+             |        FROM top tp
+             |        JOIN p a ON a.term = tp.w1
+             |        JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
+             |                AND b.pos > a.pos AND b.pos <= a.pos + 3)
+             |SELECT w1 || ' ' || w2 AS phrase,
+             |  CAST(COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS n_docs_adj,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_prox,
+             |  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_adj,
+             |  CAST(COUNT(*) AS BIGINT) AS n_occ_prox,
+             |  CAST(COUNT(DISTINCT doc_id) * 1000 // COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS expansion_pm
+             |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+    ) { (s, d) =>
+      proximitySearchStored(s, phraseIndex(s, d))
     }
   )
 
@@ -2336,36 +2375,66 @@ object TextQueries {
       path => buildPhraseIndex(s, d, path)
     }
 
-  /** Phrase search served from the stored index: the top-`nPhrases`
-    * corpus bigrams (count-desc, lexicographic tie-break — a total order,
-    * so both engines cut the same set) come from the stored bigram table;
-    * the driver holds only those `nPhrases` rows (the bm25SearchStored
-    * query-term pattern, bounded model state), and the positional
-    * adjacency join touches ONLY the query terms' postings — the term IN
-    * (...) literal pushes into the parquet scan, so a phrase query costs
-    * O(matching postings), never O(corpus).
+  /** The top-`nPhrases` corpus bigrams (count-desc, lexicographic
+    * tie-break — a total order, so both engines cut the same set) from a
+    * stored bigram table, held driver-side (the bm25SearchStored
+    * query-term pattern, bounded model state). ONE selection shared by
+    * q_c103's adjacency search and q_c106's proximity search — the two
+    * reports must rank the SAME phrase set or their comparison is
+    * meaningless.
     */
-  private[graft] def phraseSearchStored(
-      s: org.apache.spark.sql.SparkSession, path: String,
-      nPhrases: Int = 5): org.apache.spark.sql.DataFrame = {
-    val top = s.read.parquet(s"$path/bigrams")
+  private[graft] def topPhrases(
+      s: org.apache.spark.sql.SparkSession, bigrams: org.apache.spark.sql.DataFrame,
+      nPhrases: Int): Array[(String, String)] =
+    bigrams
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(nPhrases)
       .select(col("w1"), col("w2"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
+
+  /** The positional co-occurrence frame behind both stored searches:
+    * (w1, w2, doc_id, dist) for every ordered pair of query-term
+    * occurrences within `maxDist` positions. The join touches ONLY the
+    * query terms' postings — the term IN (...) literal pushes into the
+    * parquet scan, so a query costs O(matching postings), never
+    * O(corpus).
+    */
+  private def phraseOccurrences(
+      s: org.apache.spark.sql.SparkSession, postings: org.apache.spark.sql.DataFrame,
+      top: Array[(String, String)], maxDist: Int): org.apache.spark.sql.DataFrame = {
     val terms = top.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
     import s.implicits._
     val phr = top.toSeq.toDF("w1", "w2")
-    val post = s.read.parquet(s"$path/postings")
-      .filter(col("term").isin(terms: _*))
+    val post = postings.filter(col("term").isin(terms: _*))
     val a = post.select(col("term").as("w1"), col("doc_id"), col("pos"))
     val b = post.select(
       col("term").as("w2_b"), col("doc_id").as("doc_b"), col("pos").as("pos_b"))
     a.join(broadcast(phr), Seq("w1"))
       .join(b,
         col("w2_b") === col("w2") && col("doc_b") === col("doc_id") &&
-          col("pos_b") === col("pos") + 1)
+          col("pos_b") > col("pos") && col("pos_b") <= col("pos") + maxDist)
+      .select(col("w1"), col("w2"), col("doc_id"),
+        (col("pos_b") - col("pos")).cast("long").as("dist"))
+  }
+
+  /** q_c103's phrase search served from the stored index (adjacency =
+    * distance exactly 1).
+    */
+  private[graft] def phraseSearchStored(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      nPhrases: Int = 5): org.apache.spark.sql.DataFrame =
+    phraseReport(s, s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/bigrams"), nPhrases)
+
+  /** The q_c103 report tail over explicit postings + bigram frames —
+    * shared by the stored search and q_c107's append path, so the two
+    * cannot drift.
+    */
+  private[graft] def phraseReport(
+      s: org.apache.spark.sql.SparkSession, postings: org.apache.spark.sql.DataFrame,
+      bigrams: org.apache.spark.sql.DataFrame, nPhrases: Int = 5): org.apache.spark.sql.DataFrame =
+    phraseOccurrences(s, postings, topPhrases(s, bigrams, nPhrases), maxDist = 1)
       .groupBy(col("w1"), col("w2"))
       .agg(
         countDistinct(col("doc_id")).cast("long").as("n_docs"),
@@ -2375,7 +2444,28 @@ object TextQueries {
       .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"),
         col("n_docs"), col("n_occ"), col("first_doc"), col("last_doc"))
       .orderBy(col("phrase"))
-  }
+
+  /** q_c106's proximity search: the SAME phrase set, but matched under
+    * an ordered window of `slop` positions — one positional join
+    * computes both the strict-adjacency and the windowed statistics, so
+    * the expansion ratio is internally consistent by construction.
+    */
+  private[graft] def proximitySearchStored(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      nPhrases: Int = 5, slop: Int = 3): org.apache.spark.sql.DataFrame =
+    phraseOccurrences(s, s.read.parquet(s"$path/postings"),
+      topPhrases(s, s.read.parquet(s"$path/bigrams"), nPhrases), maxDist = slop)
+      .groupBy(col("w1"), col("w2"))
+      .agg(
+        countDistinct(when(col("dist") === 1, col("doc_id")))
+          .cast("long").as("n_docs_adj"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs_prox"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).cast("long").as("n_occ_adj"),
+        count(lit(1)).cast("long").as("n_occ_prox"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+        col("n_docs_adj"), col("n_docs_prox"), col("n_occ_adj"), col("n_occ_prox"),
+        expr("CAST(n_docs_prox * 1000 DIV n_docs_adj AS BIGINT)").as("expansion_pm"))
+      .orderBy(col("phrase"))
 
   /** q_c38's entropy signal as a pure projection over a (doc_id, text)
     * frame — shared by the batch query (plus its presentation sort) and

@@ -36,7 +36,8 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "x x x"),             // (x,x) twice — overlapping occurrences
       (2L, "red fox red fox"),   // (red,fox) ×2, (fox,red) ×1
       (3L, "red fox jumps"),     // (red,fox), (fox,jumps)
-      (4L, "blue sky"))          // (blue,sky)
+      (4L, "blue sky"),          // (blue,sky)
+      (5L, "red big fox"))       // red..fox at distance 2 — prox-only hit
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
@@ -51,13 +52,32 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
     // bigram counts: (red,fox)=3, (x,x)=2, then cnt-1 ties cut
-    // lexicographically: (blue,sky), (fox,jumps), (fox,red)
+    // lexicographically: (big,fox), (blue,sky), (fox,jumps) — and
+    // (fox,red)/(red,big) fall off the top-5
     assert(rows === Seq(
+      ("big fox", 1L, 1L, 5L, 5L),
       ("blue sky", 1L, 1L, 4L, 4L),
       ("fox jumps", 1L, 1L, 3L, 3L),
-      ("fox red", 1L, 1L, 2L, 2L),
       ("red fox", 2L, 3L, 2L, 3L),
       ("x x", 1L, 2L, 1L, 1L)))
+  }
+
+  test("planted corpus: proximity window finds the distance-2 hit, adj stats agree with q_c103") {
+    val rows = SparkEntry.queries("q_c106_proximity_search")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      ("big fox", 1L, 1L, 1L, 1L, 1000L),
+      ("blue sky", 1L, 1L, 1L, 1L, 1000L),
+      ("fox jumps", 1L, 1L, 1L, 1L, 1000L),
+      // doc5 "red big fox" matches only the slop window; doc2 adds the
+      // (0,3) distance-3 pair to n_occ_prox
+      ("red fox", 2L, 3L, 3L, 5L, 1500L),
+      ("x x", 1L, 1L, 2L, 3L, 1000L)))
+    // internal consistency: the strict-adjacency columns ARE q_c103's
+    val adj = SparkEntry.queries("q_c103_phrase_search")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(r => (r._1, r._2, r._4)) === adj)
   }
 
   test("term predicate pushes into the positional postings scan") {
