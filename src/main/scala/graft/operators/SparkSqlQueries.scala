@@ -2455,7 +2455,48 @@ object SparkSqlQueries {
         |  CASE WHEN 1000000 - CAST(cos_dec * 1000000 AS BIGINT)
         |            > 10000 + 4000000 DIV n_batch
         |       THEN 'rebuild' ELSE 'ok' END AS verdict
-        |FROM c ORDER BY source""".stripMargin
+        |FROM c ORDER BY source""".stripMargin,
+
+    // q_c103 has no non-stored base query, so its twin IS the brute-force
+    // full-scan form (lead-window adjacency over the corpus) — parity
+    // proves positional-index search ≡ corpus scan inside Spark, the
+    // same claim the DuckDB oracle makes across engines
+    "q_c103_phrase_search" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+        |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+        |hits AS (SELECT b.w1, b.w2, b.doc_id
+        |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
+        |SELECT concat_ws(' ', w1, w2) AS phrase,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin,
+
+    // q_c106: same class — the twin is the brute-force positional scan
+    "q_c106_proximity_search" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
+        |p AS (SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        |      FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 1)) AS i FROM t WHERE size(ts) >= 1)),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
+        |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+        |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+        |occ AS (SELECT tp.w1, tp.w2, a.doc_id, b.pos - a.pos AS dist
+        |        FROM top tp
+        |        JOIN p a ON a.term = tp.w1
+        |        JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
+        |                AND b.pos > a.pos AND b.pos <= a.pos + 3)
+        |SELECT concat_ws(' ', w1, w2) AS phrase,
+        |  CAST(COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS n_docs_adj,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_prox,
+        |  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_adj,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ_prox,
+        |  CAST(COUNT(DISTINCT doc_id) * 1000 DIV COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS expansion_pm
+        |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their
@@ -2477,43 +2518,7 @@ object SparkSqlQueries {
     "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
     "q_c68_minhash_append" -> base("q_c1_minhash_lsh"),
     "q_c70_bm25_append" -> base("q_c12_bm25"),
-    // q_c103 has no non-stored base query, so its twin IS the brute-force
-    // full-scan form (lead-window adjacency over the corpus) — parity
-    // proves positional-index search ≡ corpus scan inside Spark, the
-    // same claim the DuckDB oracle makes across engines
-    "q_c103_phrase_search" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
-        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
-        |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
-        |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
-        |hits AS (SELECT b.w1, b.w2, b.doc_id
-        |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
-        |SELECT concat_ws(' ', w1, w2) AS phrase,
-        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
-        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-        |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin,
-    // q_c106: same class — the twin is the brute-force positional scan
-    "q_c106_proximity_search" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ts FROM documents),
-        |p AS (SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
-        |      FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 1)) AS i FROM t WHERE size(ts) >= 1)),
-        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-        |       FROM (SELECT doc_id, ts, explode(sequence(0, size(ts) - 2)) AS i FROM t WHERE size(ts) >= 2)),
-        |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
-        |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
-        |occ AS (SELECT tp.w1, tp.w2, a.doc_id, b.pos - a.pos AS dist
-        |        FROM top tp
-        |        JOIN p a ON a.term = tp.w1
-        |        JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
-        |                AND b.pos > a.pos AND b.pos <= a.pos + 3)
-        |SELECT concat_ws(' ', w1, w2) AS phrase,
-        |  CAST(COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS n_docs_adj,
-        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_prox,
-        |  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_adj,
-        |  CAST(COUNT(*) AS BIGINT) AS n_occ_prox,
-        |  CAST(COUNT(DISTINCT doc_id) * 1000 DIV COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS expansion_pm
-        |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+    // q_c107 appends batch positional postings + additive bigram counts
+    // onto the base phrase index — parity proves append ≡ rebuild
+    "q_c107_phrase_append" -> base("q_c103_phrase_search"))
 }

@@ -1974,6 +1974,44 @@ object TextQueries {
              |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
     ) { (s, d) =>
       proximitySearchStored(s, phraseIndex(s, d))
+    },
+
+    // ---- q_c107: incremental positional-index append ----------------------
+    // The q_c70 maintenance story for the phrase index: a batch
+    // (doc_id % 10 = 3) arrives, its positional postings and bigram
+    // counts are computed from the BATCH TEXT ONLY and unioned/added
+    // onto the stored base index — the base corpus is never re-read.
+    // This works because positional postings carry NO cross-document
+    // state at all (positions are per-document), and the phrase-
+    // selection bigram table is a pure ADDITIVE count — so append ≡
+    // rebuild exactly, proven by searching against the full-corpus
+    // q_c103 oracle. Report tail shared verbatim with q_c103
+    // ([[phraseReport]]).
+    QueryDef(
+      "q_c107_phrase_append",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+             |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+             |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+             |hits AS (SELECT b.w1, b.w2, b.doc_id
+             |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
+             |SELECT w1 || ' ' || w2 AS phrase,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+             |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+    ) { (s, d) =>
+      val basePath = phraseBaseIndex(s, d)
+      val batch = Tables(s, d, "documents").filter(col("doc_id") % 10 === 3)
+      val post = s.read.parquet(s"$basePath/postings")
+        .unionByName(positionalTokens(batch))
+      val bigrams = s.read.parquet(s"$basePath/bigrams")
+        .unionByName(knBigrams(batch)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("cnt")))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      phraseReport(s, post, bigrams)
     }
   )
 
@@ -2373,6 +2411,27 @@ object TextQueries {
     phraseBuilt.getOrBuild(
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
       path => buildPhraseIndex(s, d, path)
+    }
+
+  /** The BASE-corpus (doc_id % 10 <> 3) phrase index for q_c107's append
+    * scenario — same lifecycle, its own cache key (the postingsBaseIndex
+    * pattern).
+    */
+  private val phraseBaseBuilt = new graft.core.StoredArtifact("graft-phrase-base")
+
+  private[graft] def phraseBaseIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    phraseBaseBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val base = Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3)
+      positionalTokens(base)
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      knBigrams(base)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/bigrams")
     }
 
   /** The top-`nPhrases` corpus bigrams (count-desc, lexicographic

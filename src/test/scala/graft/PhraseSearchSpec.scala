@@ -80,6 +80,21 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (r._1, r._2, r._4)) === adj)
   }
 
+  test("q_c107: base index + appended batch == full stored search") {
+    import org.apache.spark.sql.functions.col
+    val appended = SparkEntry.queries("q_c107_phrase_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c103_phrase_search")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(appended.nonEmpty && appended == stored,
+      "incremental positional maintenance must lose nothing vs a rebuild")
+    // the base index genuinely excludes the batch docs
+    val basePath = graft.operators.TextQueries.phraseBaseIndex(spark, sf)
+    val baseDocs = spark.read.parquet(s"$basePath/postings")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+    assert(baseDocs.nonEmpty && baseDocs.forall(_ % 10 != 3))
+  }
+
   test("term predicate pushes into the positional postings scan") {
     val path = graft.operators.TextQueries.phraseIndex(spark, sf)
     val plan = graft.operators.TextQueries.phraseSearchStored(spark, path)
