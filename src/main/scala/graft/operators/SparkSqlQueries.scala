@@ -2496,7 +2496,19 @@ object SparkSqlQueries {
         |  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_occ_adj,
         |  CAST(COUNT(*) AS BIGINT) AS n_occ_prox,
         |  CAST(COUNT(DISTINCT doc_id) * 1000 DIV COUNT(DISTINCT CASE WHEN dist = 1 THEN doc_id END) AS BIGINT) AS expansion_pm
-        |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin
+        |FROM occ GROUP BY w1, w2 ORDER BY phrase""".stripMargin,
+
+    "q_c108_token_spectrum" ->
+      """WITH toks AS (SELECT explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |ff AS (SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS total_tokens FROM ff)
+        |SELECT f.r, f.n_r, CAST(f.r * f.n_r AS BIGINT) AS mass,
+        |  CAST(f.r * f.n_r * 1000 DIV tot.total_tokens AS BIGINT) AS mass_share_pm,
+        |  CAST(CAST(CAST(COALESCE((f.r + 1) * nx.n_r, 0) AS DECIMAL(18,6))
+        |    / CAST(f.n_r AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS gt_rstar
+        |FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1 CROSS JOIN tot
+        |ORDER BY f.r""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

@@ -2012,6 +2012,50 @@ object TextQueries {
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("cnt")))
         .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).cast("long").as("cnt"))
       phraseReport(s, post, bigrams)
+    },
+
+    // ---- q_c108: frequency-of-frequencies spectrum + Good-Turing ---------
+    // The counts-of-counts table (Zipf's OTHER law: n_r ∝ r^-2) with the
+    // raw Good-Turing re-estimate r* = (r+1)·n_{r+1}/n_r per bucket —
+    // the table every count-based smoother is built from (KN's n1/n2
+    // discounts ARE its first two rows; q_c79's coverage buckets are its
+    // cumulative form; the r=1 row's mass share is the Good-Turing
+    // unseen-mass estimate n_1/T). Missing next-bucket ⇒ r* = 0 (the gap
+    // that motivates SMOOTHED Good-Turing — reported raw, honestly).
+    // The ratio is quantized per the house D18,6 EMIT-only pattern; its
+    // numerator (r+1)·n_{r+1} stays within D18's 10^12 integer envelope
+    // for vocabularies up to 10^11 types.
+    //
+    // 100 TB shape: the shared tf memo → one term-keyed agg (map-side
+    // combined) → the count-keyed agg collapses to the O(√T) spectrum
+    // frame; the next-bucket lookup is a self-join ON that tiny frame
+    // and the total is a 1-row broadcast. Cost = one tokenize.
+    QueryDef(
+      "q_c108_token_spectrum",
+      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+             |ff AS (SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS total_tokens FROM ff)
+             |SELECT f.r, f.n_r, CAST(f.r * f.n_r AS BIGINT) AS mass,
+             |  CAST(f.r * f.n_r * 1000 // tot.total_tokens AS BIGINT) AS mass_share_pm,
+             |  CAST(CAST(CAST(COALESCE((f.r + 1) * nx.n_r, 0) AS DECIMAL(18,6))
+             |    / CAST(f.n_r AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS gt_rstar
+             |FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1 CROSS JOIN tot
+             |ORDER BY f.r""".stripMargin)
+    ) { (s, d) =>
+      val ff = termCounts(s, d)
+        .groupBy(col("cnt")).agg(count(lit(1)).cast("long").as("n_r"))
+        .withColumnRenamed("cnt", "r")
+      val tot = ff.agg(sum(col("r") * col("n_r")).cast("long").as("total_tokens"))
+      val nx = ff.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      ff.join(nx, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          (col("r") * col("n_r")).cast("long").as("mass"),
+          expr("CAST(r * n_r * 1000 DIV total_tokens AS BIGINT)").as("mass_share_pm"),
+          emit((dec(coalesce((col("r") + 1) * col("n_next"), lit(0L)))
+            / dec(col("n_r"))).cast(D38)).as("gt_rstar"))
+        .orderBy(col("r"))
     }
   )
 
