@@ -2508,7 +2508,23 @@ object SparkSqlQueries {
         |  CAST(CAST(CAST(COALESCE((f.r + 1) * nx.n_r, 0) AS DECIMAL(18,6))
         |    / CAST(f.n_r AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS gt_rstar
         |FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1 CROSS JOIN tot
-        |ORDER BY f.r""".stripMargin
+        |ORDER BY f.r""".stripMargin,
+
+    "q_c109_source_vocab_overlap" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |st AS (SELECT DISTINCT d.source, t.term
+        |       FROM toks t JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+        |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(COUNT(*) AS BIGINT) AS shared_terms
+        |      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, va.vocab AS v_a, vb.vocab AS v_b,
+        |  p.shared_terms,
+        |  CAST(p.shared_terms * 1000 DIV (va.vocab + vb.vocab - p.shared_terms) AS BIGINT) AS jaccard_pm
+        |FROM p JOIN v va ON va.source = p.source_a
+        |       JOIN v vb ON vb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

@@ -2056,6 +2056,58 @@ object TextQueries {
           emit((dec(coalesce((col("r") + 1) * col("n_next"), lit(0L)))
             / dec(col("n_r"))).cast(D38)).as("gt_rstar"))
         .orderBy(col("r"))
+    },
+
+    // ---- q_c109: cross-source vocabulary-overlap matrix ------------------
+    // The pairwise complement of q_c69's per-source KL-vs-corpus: for
+    // every source pair, vocabulary sizes, shared-type count and type
+    // Jaccard in permille — the domain-similarity geometry a mixture
+    // designer reads next to the duplicate-overlap matrix (q_c60 asks
+    // "do they share DOCUMENTS", this asks "do they share LANGUAGE").
+    // Pairs sharing zero types are absent by construction (no row ⇒ no
+    // lexical contact).
+    //
+    // 100 TB shape: the (source, term) type frame off the shared tf
+    // memo is Heaps-bounded per source; the pair join is term-keyed
+    // with ≤C(|sources|,2) fan-out per type; the output is
+    // O(|sources|²). Nothing corpus-sized shuffles after the memo.
+    QueryDef(
+      "q_c109_source_vocab_overlap",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |st AS (SELECT DISTINCT d.source, t.term
+             |       FROM toks t JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+             |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY 1),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b,
+             |             CAST(COUNT(*) AS BIGINT) AS shared_terms
+             |      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b, va.vocab AS v_a, vb.vocab AS v_b,
+             |  p.shared_terms,
+             |  CAST(p.shared_terms * 1000 // (va.vocab + vb.vocab - p.shared_terms) AS BIGINT) AS jaccard_pm
+             |FROM p JOIN v va ON va.source = p.source_a
+             |       JOIN v vb ON vb.source = p.source_b
+             |ORDER BY source_a, source_b""".stripMargin)
+    ) { (s, d) =>
+      val st = tfUnigram(s, d)
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("term")).distinct()
+      val v = st.groupBy(col("source")).agg(count(lit(1)).cast("long").as("vocab"))
+      val a = st.select(col("source").as("source_a"), col("term"))
+      val b = st.select(col("source").as("source_b"), col("term"))
+      val p = a.join(b, Seq("term"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).cast("long").as("shared_terms"))
+      p.join(broadcast(v.select(col("source").as("source_a"), col("vocab").as("v_a"))),
+          Seq("source_a"))
+        .join(broadcast(v.select(col("source").as("source_b"), col("vocab").as("v_b"))),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+          col("shared_terms"),
+          expr("CAST(shared_terms * 1000 DIV (v_a + v_b - shared_terms) AS BIGINT)")
+            .as("jaccard_pm"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 
