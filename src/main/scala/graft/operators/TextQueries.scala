@@ -70,10 +70,11 @@ object TextQueries {
     * ([[graft.streaming.StreamingOps.langidUpdates]]) — one definition,
     * so the argmax/tie-break rules cannot fork.
     *
-    * Argmax is by (score DESC, lang ASC): sort (score, lang) structs DESC
-    * and take the head — struct ordering is lexicographic on both
-    * engines, so ties on score resolve exactly like DuckDB's
-    * list_sort DESC.
+    * Argmax sorts (score, lang) structs DESC and takes the head — struct
+    * ordering is lexicographic on both engines, so ties on score resolve
+    * to the lexicographically GREATEST lang name (e.g. 'fr' beats 'es'
+    * at equal score — LangidConfusionSpec pins it), exactly like
+    * DuckDB's list_sort DESC in the shared oracle CTEs.
     */
   private[graft] def langidScored(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -2116,10 +2117,20 @@ object TextQueries {
     * the q_c77 transform).
     */
   private[graft] def knBigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-      .filter(size(col("ts")) >= 2)
+    knBigramsOfTs(tokenArrays(docs))
+
+  /** The house tokenization as a (doc_id, ts) array frame — the single
+    * upstream of [[knBigrams]] and [[positionalTokens]], exposed so the
+    * phrase-index build can tokenize ONCE and derive both stores.
+    */
+  private[graft] def tokenArrays(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+
+  private def knBigramsOfTs(
+      t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
         .as("p"))
@@ -2462,38 +2473,48 @@ object TextQueries {
   /** Positional token frame (term, doc_id, pos) over a documents frame —
     * the q_c45 tokenization ('[a-z0-9]+' over lower(text)) with the token
     * index kept. Map-only (the knBigrams transform+explode shape, no
-    * window shuffle), so at 100 TB the index build costs one scan plus
-    * the two keyed writes.
+    * window shuffle).
     */
   private[graft] def positionalTokens(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
-      .filter(size(col("ts")) >= 1)
+    positionalTokensOfTs(tokenArrays(docs))
+
+  private def positionalTokensOfTs(
+      t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.filter(size(col("ts")) >= 1)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 1), i -> struct(CAST(i AS BIGINT) AS pos, ts[i] AS term))"))
         .as("p"))
       .select(col("p.term").as("term"), col("doc_id"), col("p.pos").as("pos"))
 
-  /** Build the positional phrase index at `path`: term-range-partitioned
-    * positional postings (term, doc_id, pos) — the q_c45 layout plus the
-    * position column — and the corpus bigram-count table (w1, w2, cnt)
-    * derived through the SHARED [[knBigrams]] generator (the q_c80/q_c84
-    * adjacency definition; a fork here would select phrases under a
-    * different tokenization than the postings store).
+  /** Build the positional phrase index at `path` over a documents frame
+    * (the FULL corpus for q_c103/q_c106, the doc_id % 10 <> 3 base for
+    * q_c107 — ONE recipe, so the two stores cannot drift in layout or
+    * tokenization): term-range-partitioned positional postings
+    * (term, doc_id, pos) — the q_c45 layout plus the position column —
+    * and the bigram-count table (w1, w2, cnt) derived through the SHARED
+    * [[knBigrams]] adjacency definition. The tokenized (doc_id, ts)
+    * frame is persisted across the two writes, so a build costs ONE
+    * tokenize of the corpus plus the two keyed writes.
     */
   private[graft] def buildPhraseIndex(
-      s: org.apache.spark.sql.SparkSession, d: String, path: String): Unit = {
-    val docs = Tables(s, d, "documents")
-    positionalTokens(docs)
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    knBigrams(docs)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
-      .write.mode("overwrite").parquet(s"$path/bigrams")
+      s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val ts = tokenArrays(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      positionalTokensOfTs(ts)
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      knBigramsOfTs(ts)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/bigrams")
+    } finally {
+      ts.unpersist()
+      ()
+    }
   }
 
   private val phraseBuilt = new graft.core.StoredArtifact("graft-phrase-index")
@@ -2506,12 +2527,12 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     phraseBuilt.getOrBuild(
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) {
-      path => buildPhraseIndex(s, d, path)
+      path => buildPhraseIndex(s, Tables(s, d, "documents"), path)
     }
 
   /** The BASE-corpus (doc_id % 10 <> 3) phrase index for q_c107's append
-    * scenario — same lifecycle, its own cache key (the postingsBaseIndex
-    * pattern).
+    * scenario — same lifecycle and the same [[buildPhraseIndex]] recipe,
+    * its own cache key (the postingsBaseIndex pattern).
     */
   private val phraseBaseBuilt = new graft.core.StoredArtifact("graft-phrase-base")
 
@@ -2519,15 +2540,8 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     phraseBaseBuilt.getOrBuild(
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
-      val base = Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3)
-      positionalTokens(base)
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
-        .write.mode("overwrite").parquet(s"$path/postings")
-      knBigrams(base)
-        .groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
-        .write.mode("overwrite").parquet(s"$path/bigrams")
+      buildPhraseIndex(s,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3), path)
     }
 
   /** The top-`nPhrases` corpus bigrams (count-desc, lexicographic
