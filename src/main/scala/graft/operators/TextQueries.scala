@@ -2044,19 +2044,7 @@ object TextQueries {
              |FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1 CROSS JOIN tot
              |ORDER BY f.r""".stripMargin)
     ) { (s, d) =>
-      val ff = termCounts(s, d)
-        .groupBy(col("cnt")).agg(count(lit(1)).cast("long").as("n_r"))
-        .withColumnRenamed("cnt", "r")
-      val tot = ff.agg(sum(col("r") * col("n_r")).cast("long").as("total_tokens"))
-      val nx = ff.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
-      ff.join(nx, Seq("r"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("r"), col("n_r"),
-          (col("r") * col("n_r")).cast("long").as("mass"),
-          expr("CAST(r * n_r * 1000 DIV total_tokens AS BIGINT)").as("mass_share_pm"),
-          emit((dec(coalesce((col("r") + 1) * col("n_next"), lit(0L)))
-            / dec(col("n_r"))).cast(D38)).as("gt_rstar"))
-        .orderBy(col("r"))
+      spectrumReport(termCounts(s, d))
     },
 
     // ---- q_c109: cross-source vocabulary-overlap matrix ------------------
@@ -2278,6 +2266,31 @@ object TextQueries {
   private[graft] def termCounts(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     tfUnigram(s, d).groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+
+  /** q_c108's spectrum tail over a (term, cnt) frame — ONE copy shared
+    * by the batch query and the streaming serve
+    * ([[graft.streaming.StreamingOps.spectrumServe]]), so the bucket /
+    * mass-share / Good-Turing rules cannot fork.
+    */
+  private[graft] def spectrumReport(
+      tc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ff = tc
+      .groupBy(col("cnt")).agg(count(lit(1)).cast("long").as("n_r"))
+      .withColumnRenamed("cnt", "r")
+    val tot = ff.agg(sum(col("r") * col("n_r")).cast("long").as("total_tokens"))
+    // next-bucket branch re-aliased column-by-column (fresh exprIds):
+    // both sides of the self-join can be the SAME plan node on the
+    // memory-sink serve path (the q_c93/q_c101 lesson)
+    val nx = ff.select((col("r") - 1).as("r_x"), col("n_r").as("n_next"))
+    ff.join(nx, col("r_x") === col("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        (col("r") * col("n_r")).cast("long").as("mass"),
+        expr("CAST(r * n_r * 1000 DIV total_tokens AS BIGINT)").as("mass_share_pm"),
+        emit((dec(coalesce((col("r") + 1) * col("n_next"), lit(0L)))
+          / dec(col("n_r"))).cast(D38)).as("gt_rstar"))
+      .orderBy(col("r"))
+  }
 
   /** q_c69's per-source KL pipeline up to (but excluding) the emit —
     * (source, ns, n_terms, klsum) with klsum the exact DECIMAL(18,6) sum

@@ -374,6 +374,32 @@ object StreamingOps {
       state.select(col("lang"), col("pred_lang"),
         col("n_docs").cast("long").as("n_docs")))
 
+  /** Streaming twin of q_c108's accumulation: arriving (doc_id, text)
+    * rows are tokenized STATELESSLY (the house '[a-z0-9]+' projection)
+    * and per-TERM counts accumulate under a complete-mode groupBy —
+    * the first vocabulary-state streaming serve: state is one cell per
+    * distinct term, Heaps-bounded exactly like the tokenizer trainers'
+    * driver tables, and additive (term counts over a union = sum of
+    * per-batch counts), so the served spectrum after any prefix of
+    * micro-batches equals the batch spectrum of the union.
+    */
+  def spectrumUpdates(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Serve the frequency spectrum from the streamed term counts through
+    * the SAME tail as batch q_c108 ([[graft.operators.TextQueries
+    * .spectrumReport]]) — the nonlinear counts-of-counts step runs at
+    * READ time over the linear term-count state, which is what makes a
+    * nonlinear report streamable at all (the q_c28 lambda-split).
+    */
+  def spectrumServe(state: DataFrame): DataFrame =
+    graft.operators.TextQueries.spectrumReport(
+      state.select(col("term"), col("cnt").cast("long").as("cnt")))
+
   /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
     * (source, i, m) + counts against the streamed (source, i, sx, n)
     * running state of the ARRIVING batch — the mean derivation is

@@ -54,6 +54,41 @@ class TokenSpectrumSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1L, 3L, 500L, 0.0)))
   }
 
+  test("streaming serve: streamed term counts reproduce the batch spectrum") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.core.Tables(sp, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .spectrumUpdates(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_spec").toString)
+      .format("memory").queryName("spectrumstate").outputMode("complete").start()
+    // deliberately uneven micro-batches: term counts must merge ACROSS
+    // batches (a term split over two chunks lands in a different bucket
+    // than either per-batch count — the nonlinearity the serve-side
+    // report absorbs)
+    for (chunk <- Seq(rows.take(5), rows.slice(5, 111), rows.drop(111))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val served = graft.streaming.StreamingOps
+      .spectrumServe(sp.table("spectrumstate"))
+      .collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c108_token_spectrum")(spark, sf)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(served.nonEmpty && served === batch,
+      "additive term-count state through the shared spectrum tail makes serve ≡ batch")
+  }
+
   test("sf0.001: conservation — Σ mass = tokens, Σ n_r = vocabulary") {
     val rows = SparkEntry.queries("q_c108_token_spectrum")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
