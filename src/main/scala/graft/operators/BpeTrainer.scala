@@ -172,10 +172,18 @@ object BpeTrainer {
     * BpeTrainerSpec proving the encoder token-identical to the
     * reference.
     */
+  /** Train (memoized) and register the model-bound token counter —
+    * returns the function name. ONE entry point shared by
+    * [[encodedCounts]] and q_c110's fused fertility scan, so every
+    * consumer counts with the SAME trained model.
+    */
+  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
+    graft.functions.BpeEncodeTokens.register(
+      s, train(s, d, nMerges).map(m => (m.left, m.right)))
+
   def encodedCounts(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
     import graft.core.Decimals._
-    val merges = train(s, d, nMerges).map(m => (m.left, m.right))
-    val fn = graft.functions.BpeEncodeTokens.register(s, merges)
+    val fn = registerCounter(s, d, nMerges)
     Tables(s, d, "documents")
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))

@@ -2097,6 +2097,55 @@ object TextQueries {
           expr("CAST(shared_terms * 1000 DIV (v_a + v_b - shared_terms) AS BIGINT)")
             .as("jaccard_pm"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // ---- q_c110: tokenizer-fertility comparison across the families ------
+    // The model-selection number: tokens-per-kiloword and chars-per-token
+    // for the THREE trained tokenizer families (BPE, unigram-LM,
+    // WordPiece — each the exact session-memoized model q_c34/q_c40/
+    // q_c43 report, via the shared registerCounter entry points), per
+    // source. ONE fused corpus scan evaluates all three codegen'd
+    // counters side by side (the q_c49 fusion discipline; spec pins each
+    // fused total ≡ its standalone encode query's sum), then a
+    // |sources|-row aggregate unpivots to (source, family) rows. Model
+    // state ⇒ rows-only driver check, like the whole trainer family.
+    //
+    // 100 TB shape: training is vocabulary-bounded (the measured ~flat
+    // trainer exponents); the comparison itself costs exactly ONE
+    // corpus scan regardless of family count; everything after the
+    // per-source agg is O(|sources|·3) rows.
+    QueryDef("q_c110_tokenizer_fertility", None) { (s, d) =>
+      val fns = Seq(
+        ("bpe", BpeTrainer.registerCounter(s, d)),
+        ("unigram", UnigramTrainer.registerCounter(s, d)),
+        ("wordpiece", WordPieceTrainer.registerCounter(s, d)))
+      val perDoc = Tables(s, d, "documents")
+        .select(col("source"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))
+        .select(Seq(
+          col("source"),
+          size(col("words")).cast("long").as("n_words"),
+          expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("n_chars")) ++
+          fns.map { case (nm, fn) => expr(s"$fn(words)").as(s"t_$nm") }: _*)
+      val agg = perDoc.groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("t_bpe")).cast("long").as("t_bpe"),
+        sum(col("t_unigram")).cast("long").as("t_unigram"),
+        sum(col("t_wordpiece")).cast("long").as("t_wordpiece"))
+      agg
+        .selectExpr("source", "n_docs", "n_words", "n_chars",
+          "stack(3, 'bpe', t_bpe, 'unigram', t_unigram, 'wordpiece', t_wordpiece) AS (family, n_tokens)")
+        .select(col("source"), col("family"), col("n_docs"), col("n_words"),
+          col("n_chars"), col("n_tokens"),
+          expr("CAST(IF(n_words = 0, 0, n_tokens * 1000 DIV n_words) AS BIGINT)")
+            .as("tokens_per_kword"),
+          emit(
+            when(col("n_tokens") === 0, lit(0).cast(D38))
+              .otherwise((dec(col("n_chars")) / dec(col("n_tokens"))).cast(D38)))
+            .as("chars_per_token"))
+        .orderBy(col("source"), col("family"))
     }
   )
 

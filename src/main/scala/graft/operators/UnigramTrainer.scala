@@ -155,9 +155,14 @@ object UnigramTrainer {
     * for the cross-tokenizer fertility comparison. Model state ⇒
     * rows-only.
     */
+  /** Train (memoized) and register the model-bound token counter (the
+    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
+  def registerCounter(s: SparkSession, d: String): String =
+    UnigramCountTokens.register(s, model(train(s, d)))
+
   def encodedCounts(s: SparkSession, d: String): DataFrame = {
     import graft.core.Decimals._
-    val fn = UnigramCountTokens.register(s, model(train(s, d)))
+    val fn = registerCounter(s, d)
     Tables(s, d, "documents")
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))

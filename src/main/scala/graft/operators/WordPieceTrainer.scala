@@ -146,9 +146,14 @@ object WordPieceTrainer {
     * three-family fertility comparison with q_c34 (BPE) and q_c40
     * (unigram). Model state ⇒ rows-only.
     */
+  /** Train (memoized) and register the model-bound token counter (the
+    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
+  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
+    graft.functions.WordPieceCountTokens.register(s, vocab(s, d, nMerges))
+
   def encodedCounts(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
     import graft.core.Decimals._
-    val fn = graft.functions.WordPieceCountTokens.register(s, vocab(s, d, nMerges))
+    val fn = registerCounter(s, d, nMerges)
     Tables(s, d, "documents")
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("words"))

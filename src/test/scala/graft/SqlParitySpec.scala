@@ -64,6 +64,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout"
         - "q_c39_unigram_train" - "q_c40_unigram_encode"
         - "q_c42_wordpiece_train" - "q_c43_wordpiece_encode"
+        - "q_c110_tokenizer_fertility" // all three model-bound counters (same exclusion)
         - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }
 
