@@ -2524,7 +2524,18 @@ object SparkSqlQueries {
         |  CAST(p.shared_terms * 1000 DIV (va.vocab + vb.vocab - p.shared_terms) AS BIGINT) AS jaccard_pm
         |FROM p JOIN v va ON va.source = p.source_a
         |       JOIN v vb ON vb.source = p.source_b
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_c111_term_burstiness" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+        |              CAST(COUNT(*) AS BIGINT) AS df,
+        |              CAST(MAX(tf) AS BIGINT) AS max_tf FROM tf GROUP BY 1)
+        |SELECT term, cf, df, max_tf,
+        |  CAST(cf * 1000 DIV df AS BIGINT) AS burst_pm,
+        |  CAST(max_tf * 1000 DIV cf AS BIGINT) AS top_doc_share_pm
+        |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their

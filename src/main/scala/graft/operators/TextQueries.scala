@@ -2146,6 +2146,44 @@ object TextQueries {
               .otherwise((dec(col("n_chars")) / dec(col("n_tokens"))).cast(D38)))
             .as("chars_per_token"))
         .orderBy(col("source"), col("family"))
+    },
+
+    // ---- q_c111: term burstiness (cf/df) for the head vocabulary ---------
+    // Church & Gale's burstiness diagnostic: for the top-50 terms by
+    // collection frequency, how much more often than once does a term
+    // recur inside the documents that contain it (burst_pm = cf·1000
+    // DIV df, the mean within-document count in permille — 1000 means
+    // "appears once per containing doc", i.e. not bursty), and how
+    // concentrated the term is in its heaviest document
+    // (top_doc_share_pm). The stopword-vs-content discrimination BM25's
+    // tf saturation and the repetition filters (q_c14) both lean on,
+    // reported corpus-wide.
+    //
+    // 100 TB shape: everything derives from the shared tf memo with one
+    // term-keyed map-side-combined agg; the top-50 is a TakeOrdered.
+    QueryDef(
+      "q_c111_term_burstiness",
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+             |st AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+             |              CAST(COUNT(*) AS BIGINT) AS df,
+             |              CAST(MAX(tf) AS BIGINT) AS max_tf FROM tf GROUP BY 1)
+             |SELECT term, cf, df, max_tf,
+             |  CAST(cf * 1000 // df AS BIGINT) AS burst_pm,
+             |  CAST(max_tf * 1000 // cf AS BIGINT) AS top_doc_share_pm
+             |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin)
+    ) { (s, d) =>
+      tfUnigram(s, d)
+        .groupBy(col("term"))
+        .agg(
+          sum(col("tf")).cast("long").as("cf"),
+          count(lit(1)).cast("long").as("df"),
+          max(col("tf")).cast("long").as("max_tf"))
+        .select(col("term"), col("cf"), col("df"), col("max_tf"),
+          expr("CAST(cf * 1000 DIV df AS BIGINT)").as("burst_pm"),
+          expr("CAST(max_tf * 1000 DIV cf AS BIGINT)").as("top_doc_share_pm"))
+        .orderBy(col("cf").desc, col("term"))
+        .limit(50)
     }
   )
 

@@ -104,6 +104,18 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"term filter not pushed:\n${plan.take(2000)}")
   }
 
+  test("warm stored searches never scan the corpus — only the index") {
+    val path = graft.operators.TextQueries.phraseIndex(spark, sf)
+    for (df <- Seq(
+        graft.operators.TextQueries.phraseSearchStored(spark, path),
+        graft.operators.TextQueries.proximitySearchStored(spark, path))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"stored search must cost O(matching postings), not O(corpus):\n${plan.take(1500)}")
+      assert(plan.contains(path), "search must read the stored artifact")
+    }
+  }
+
   test("index is built once per corpus snapshot, then reused") {
     val p1 = graft.operators.TextQueries.phraseIndex(spark, sf)
     val p2 = graft.operators.TextQueries.phraseIndex(spark, sf)
