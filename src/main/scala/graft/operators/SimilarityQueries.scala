@@ -497,6 +497,50 @@ object SimilarityQueries {
       val (cenA, nvA) = centroidFrames(ee.filter(draw < 8))
       val (cenB, nvB) = centroidFrames(ee.filter(draw >= 8))
       centroidAlarm(cenA, nvA, cenB, nvB).orderBy(col("source"))
+    },
+
+    // ---- q_c112: per-label embedding-geometry report ----------------------
+    // The sanity panel read before ANY vector-index or semantic-dedup
+    // decision: per label, vector count, mean L2 norm and its exact
+    // quartiles, and the count of degenerate (norm < 0.5) vectors —
+    // collapsed or near-zero norms are how broken encoders and padding
+    // rows show up, and they poison both cosine thresholds (q_c4/q_c29)
+    // and IVF training (q_c9). Norms fold in DOUBLE then quantize to 4
+    // decimals (the q_b7 float discipline — the round absorbs fold-order
+    // ulp), land in exact integer tenth-millis, and the percentile rails
+    // are q_b8's integer-input interpolation.
+    //
+    // 100 TB shape: one map-side projection per vector (the HOF fold is
+    // codegen'd, no Generate), one |labels|-keyed agg with map-side
+    // combine. Cost = a scan of the embedding column.
+    QueryDef(
+      "q_c112_embedding_norms",
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT label,
+             |        CAST(round(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(18,6)), 4) * 10000 AS BIGINT) AS nq
+             |      FROM e)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(CAST(CAST(SUM(nq) AS DECIMAL(18,6)) / CAST(COUNT(*) * 10000 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_norm,
+             |  CAST(CAST(quantile_cont(nq, 0.25) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+             |  CAST(CAST(quantile_cont(nq, 0.50) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+             |  CAST(CAST(quantile_cont(nq, 0.75) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p75,
+             |  CAST(SUM(CASE WHEN nq < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)
+    ) { (s, d) =>
+      embDouble(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("CAST(round(CAST(sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS DECIMAL(18,6)), 4) * 10000 AS BIGINT)")
+            .as("nq"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n_vecs"),
+          expr("CAST(CAST(CAST(SUM(nq) AS DECIMAL(18,6)) / CAST(COUNT(*) * 10000 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE)")
+            .as("mean_norm"),
+          expr("CAST(CAST(percentile(nq, 0.25) / 10000 AS DECIMAL(18,6)) AS DOUBLE)").as("p25"),
+          expr("CAST(CAST(percentile(nq, 0.50) / 10000 AS DECIMAL(18,6)) AS DOUBLE)").as("p50"),
+          expr("CAST(CAST(percentile(nq, 0.75) / 10000 AS DECIMAL(18,6)) AS DOUBLE)").as("p75"),
+          sum(when(col("nq") < 5000, 1L).otherwise(0L)).cast("long").as("n_small"))
+        .orderBy(col("label"))
     }
   )
 

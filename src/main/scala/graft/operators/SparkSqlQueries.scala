@@ -2535,7 +2535,20 @@ object SparkSqlQueries {
         |SELECT term, cf, df, max_tf,
         |  CAST(cf * 1000 DIV df AS BIGINT) AS burst_pm,
         |  CAST(max_tf * 1000 DIV cf AS BIGINT) AS top_doc_share_pm
-        |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin
+        |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin,
+
+    "q_c112_embedding_norms" ->
+      """WITH e AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT label,
+        |        CAST(round(CAST(sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS DECIMAL(18,6)), 4) * 10000 AS BIGINT) AS nq
+        |      FROM e)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(CAST(CAST(SUM(nq) AS DECIMAL(18,6)) / CAST(COUNT(*) * 10000 AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mean_norm,
+        |  CAST(CAST(percentile(nq, 0.25) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+        |  CAST(CAST(percentile(nq, 0.50) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+        |  CAST(CAST(percentile(nq, 0.75) / 10000 AS DECIMAL(18,6)) AS DOUBLE) AS p75,
+        |  CAST(SUM(CASE WHEN nq < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** The salted event variants are execution-strategy rewrites: their
