@@ -2234,6 +2234,78 @@ object PipelineQueries {
             .as("density_pm"),
           col("min_ver_pm"), col("max_ver_pm"))
         .orderBy(col("family_id"))
+    },
+
+    // ---- q_c113: self-decontaminated holdout construction ----------------
+    // Composes the q_c37 split with the q_c24 13-gram rule to BUILD a
+    // clean eval set from the corpus itself: any val/test document
+    // sharing a sliding 13-gram with ANY train document is dropped, and
+    // the report says per (source, split) how much of the holdout
+    // survives — the eval-set construction step between "split" and
+    // "evaluate" that q_c64 diagnoses (near-dup leakage ACROSS a naive
+    // split) and this query REPAIRS at the exact-n-gram level.
+    //
+    // 100 TB shape — deliberately the opposite of q_c24's: there the
+    // contaminating set is a tiny benchmark (DISTINCT + broadcast, the
+    // corpus never shuffles); here the contaminating set is the 80 %
+    // TRAIN BULK, so broadcast is impossible and the right plan is the
+    // canonical big-to-big gram-keyed SEMI join — both sides partial-
+    // deduped map-side, holdout grams (20 %) shuffled against train
+    // grams (80 %), survivors collapsed to a doc-id set that IS small
+    // and broadcasts back onto the holdout frame. Split labels derive
+    // in the tokenizing projection itself (the shared q_c37 rule as
+    // columns — no corpus self-join to fetch them).
+    QueryDef(
+      "q_c113_clean_holdout",
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS bucket,
+             |    string_split(lower(text), ' ') AS ts FROM documents),
+             |s AS (SELECT doc_id, source,
+             |        CASE WHEN bucket < 800 THEN 'train'
+             |             WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split, ts
+             |      FROM h),
+             |tg AS (SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
+             |       FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+             |             FROM s WHERE split = 'train')),
+             |hg AS (SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
+             |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+             |             FROM s WHERE split <> 'train')),
+             |cd AS (SELECT DISTINCT hg.doc_id FROM hg JOIN tg USING (ng))
+             |SELECT s.source, s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(cd.doc_id) AS BIGINT) AS n_dropped,
+             |  CAST(COUNT(*) - COUNT(cd.doc_id) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(cd.doc_id) * 1000 // COUNT(*) AS BIGINT) AS drop_pm
+             |FROM s LEFT JOIN cd USING (doc_id)
+             |WHERE s.split <> 'train'
+             |GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
+    ) { (s, d) =>
+      val n = 13
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          splitLabel(splitBucket).as("split"),
+          split(lower(col("text")), " ").as("ts"))
+      val grams = when(size(col("ts")) >= n, expr(
+        s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
+        .otherwise(expr("array()"))
+      val tg = base.filter(col("split") === "train")
+        .select(explode(grams).as("ng")).distinct()
+      val hold = base.filter(col("split") =!= "train")
+      val cd = hold
+        .select(col("doc_id"), explode(grams).as("ng"))
+        .join(tg, Seq("ng"), "leftsemi")
+        .select(col("doc_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      hold.select(col("doc_id"), col("source"), col("split"))
+        .join(cd, Seq("doc_id"), "left")
+        .groupBy(col("source"), col("split"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("dropped").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_dropped"))
+        .select(col("source"), col("split"), col("n_docs"), col("n_dropped"),
+          (col("n_docs") - col("n_dropped")).cast("long").as("n_kept"),
+          expr("CAST(n_dropped * 1000 DIV n_docs AS BIGINT)").as("drop_pm"))
+        .orderBy(col("source"), col("split"))
     }
   )
 
@@ -2406,15 +2478,21 @@ object PipelineQueries {
         col("wsum"), col("n_toks"))
   }
 
+  /** The q_c37 split rule as COLUMNS — extracted so q_c113's holdout
+    * construction labels rows in the same projection that tokenizes
+    * them (no corpus re-join) while the rule itself stays single-copy.
+    */
+  private[graft] def splitBucket: org.apache.spark.sql.Column =
+    ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L
+
+  private[graft] def splitLabel(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(b < 800, "train").when(b < 900, "val").otherwise("test")
+
   private[graft] def splitProjection(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("source"),
-        (((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L)
-          .as("bucket"))
+      .select(col("doc_id"), col("source"), splitBucket.as("bucket"))
       .select(col("doc_id"), col("source"), col("bucket"),
-        when(col("bucket") < 800, "train")
-          .when(col("bucket") < 900, "val")
-          .otherwise("test").as("split"))
+        splitLabel(col("bucket")).as("split"))
 
   /** q_c81's A-ES key as a pure projection over a (doc_id, text) frame —
     * shared verbatim by the batch query (plus its TakeOrdered tail) and

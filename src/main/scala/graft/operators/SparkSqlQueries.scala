@@ -2537,6 +2537,29 @@ object SparkSqlQueries {
         |  CAST(max_tf * 1000 DIV cf AS BIGINT) AS top_doc_share_pm
         |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin,
 
+    "q_c113_clean_holdout" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS bucket,
+        |    split(lower(text), ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        CASE WHEN bucket < 800 THEN 'train'
+        |             WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+        |        CASE WHEN size(ts) >= 13 THEN transform(sequence(0, size(ts) - 13),
+        |          k -> array_join(slice(ts, k + 1, 13), ' ')) ELSE array() END AS ngs
+        |      FROM h),
+        |tg AS (SELECT DISTINCT ng
+        |       FROM (SELECT explode(ngs) AS ng FROM s WHERE split = 'train')),
+        |cd AS (SELECT DISTINCT doc_id
+        |       FROM (SELECT doc_id, explode(ngs) AS ng FROM s WHERE split <> 'train') hg
+        |       LEFT SEMI JOIN tg ON hg.ng = tg.ng)
+        |SELECT s.source, s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(cd.doc_id) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - COUNT(cd.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(cd.doc_id) * 1000 DIV COUNT(*) AS BIGINT) AS drop_pm
+        |FROM s LEFT JOIN cd ON s.doc_id = cd.doc_id
+        |WHERE s.split <> 'train'
+        |GROUP BY s.source, s.split ORDER BY source, split""".stripMargin,
+
     "q_c112_embedding_norms" ->
       """WITH e AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT label,
