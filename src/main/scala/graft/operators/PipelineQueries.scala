@@ -1745,23 +1745,7 @@ object PipelineQueries {
     // signal onto one qkey.
     QueryDef(
       "q_c65_curriculum",
-      Some("""WITH t AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             |  FROM documents),
-             |h AS (
-             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
-             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
-             |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
-             |       * 1103515245 + 12345) % 2048 - 1024)),
-             |      (a, x) -> a + x) AS wsum
-             |  FROM t),
-             |q AS (
-             |  SELECT doc_id, n_tokens,
-             |    CASE WHEN n_tokens = 0 THEN 500
-             |         ELSE ((wsum + 1024 * n_tokens) * 1000) // (2048 * n_tokens) END AS qkey
-             |  FROM h),
+      Some(s"""WITH ${TextQueries.duckQualityKey},
              |c AS (
              |  SELECT doc_id, n_tokens, qkey,
              |    COALESCE(SUM(n_tokens) OVER (ORDER BY qkey DESC, doc_id
@@ -1774,12 +1758,7 @@ object PipelineQueries {
              |       ELSE 0 END AS BIGINT) AS phase
              |FROM c ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val q = TextQueries.classifierRawShared(s, d)
-        .select(col("doc_id"), col("n_tokens"),
-          when(col("n_tokens") === 0, 500L)
-            .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))
-            .as("qkey"))
-      curriculumSchedule(q).orderBy(col("doc_id"))
+      curriculumSchedule(TextQueries.qualityKeyFrame(s, d)).orderBy(col("doc_id"))
     },
 
     // ---- q_c67: soft-dedup sampling weights --------------------------------
@@ -2306,6 +2285,55 @@ object PipelineQueries {
           (col("n_docs") - col("n_dropped")).cast("long").as("n_kept"),
           expr("CAST(n_dropped * 1000 DIV n_docs AS BIGINT)").as("drop_pm"))
         .orderBy(col("source"), col("split"))
+    },
+
+    // ---- q_c114: retention-quality audit of the dedup action -------------
+    // q_c19 keeps each family's ROOT (min doc_id) — a deterministic but
+    // quality-blind rule. This query scores what that rule costs: per
+    // family, the retained member's quality key (q_c65's integer
+    // permille, the SHARED qualityKeyFrame) against the family's best,
+    // the regret in permille points, and whether retention was optimal.
+    // Families with positive regret are exactly where a quality-aware
+    // representative rule would improve the corpus — measured, not
+    // assumed, before changing a deletion policy at 100 TB.
+    //
+    // 100 TB shape: the family frame is O(dup docs) and BROADCASTS onto
+    // the memoized quality projection (the corpus never shuffles); the
+    // per-family aggregate runs on the joined O(dup docs) frame.
+    QueryDef(
+      "q_c114_family_quality",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |${TextQueries.duckQualityKey},
+              |m AS (SELECT f.cluster_id, f.doc_id, q.qkey
+              |      FROM fam f JOIN q ON q.doc_id = f.doc_id),
+              |r AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+              |        CAST(MAX(qkey) AS BIGINT) AS best_qkey FROM m GROUP BY 1),
+              |ret AS (SELECT cluster_id, CAST(qkey AS BIGINT) AS retained_qkey
+              |        FROM m WHERE doc_id = cluster_id)
+              |SELECT r.cluster_id AS family_id, r.n_members, ret.retained_qkey,
+              |  r.best_qkey,
+              |  CAST(r.best_qkey - ret.retained_qkey AS BIGINT) AS quality_regret,
+              |  CAST(CASE WHEN ret.retained_qkey = r.best_qkey THEN 1 ELSE 0 END AS BIGINT) AS retained_is_best
+              |FROM r JOIN ret USING (cluster_id)
+              |ORDER BY family_id""".stripMargin)
+    ) { (s, d) =>
+      val fam = ccFamiliesShared(s, d)
+      val m = TextQueries.qualityKeyFrame(s, d)
+        .select(col("doc_id"), col("qkey"))
+        .join(broadcast(fam), Seq("doc_id"))
+      val r = m.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          max(col("qkey")).cast("long").as("best_qkey"))
+      val ret = m.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id"), col("qkey").cast("long").as("retained_qkey"))
+      r.join(ret, Seq("cluster_id"))
+        .select(col("cluster_id").as("family_id"), col("n_members"),
+          col("retained_qkey"), col("best_qkey"),
+          (col("best_qkey") - col("retained_qkey")).cast("long").as("quality_regret"),
+          when(col("retained_qkey") === col("best_qkey"), 1L).otherwise(0L)
+            .cast("long").as("retained_is_best"))
+        .orderBy(col("family_id"))
     }
   )
 

@@ -2799,6 +2799,43 @@ object TextQueries {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     classifierFinal(classifierRaw(docs))
 
+  /** q_c65's integer quality key (0–1000 permille off the classifier's
+    * raw signal, empty docs pinned at 500) as a shared frame —
+    * (doc_id, n_tokens, qkey) — ONE definition for the curriculum
+    * ordering and q_c114's retention-quality audit.
+    */
+  private[graft] def qualityKeyFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    classifierRawShared(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, 500L)
+          .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))
+          .as("qkey"))
+
+  /** DuckDB CTE chain (qt, qh, q) ending in `q(doc_id, n_tokens, qkey)`
+    * — the oracle twin of [[qualityKeyFrame]], shared by q_c65's and
+    * q_c114's oracles (names prefixed q* to compose with the minhash
+    * chain, which owns `h`).
+    */
+  private[graft] lazy val duckQualityKey: String =
+    """qt AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |qh AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+      |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          [CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]),
+      |        (acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)
+      |       * 1103515245 + 12345) % 2048 - 1024)),
+      |      (a, x) -> a + x) AS wsum
+      |  FROM qt),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens = 0 THEN 500
+      |         ELSE ((wsum + 1024 * n_tokens) * 1000) // (2048 * n_tokens) END AS qkey
+      |  FROM qh)""".stripMargin
+
   /** The score emission over an already-computed raw signal frame. */
   private[graft] def classifierFinal(
       raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

@@ -73,4 +73,26 @@ class FamilyDiameterSpec extends AnyFunSuite with BeforeAndAfterAll {
       else assert(lo == 0 && hi == 0, s"family $fid sentinel")
     }
   }
+
+  test("q_c114: retention audit reconciles with q_c13 and the quality frame") {
+    val rows = SparkEntry.queries("q_c114_family_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val fam = SparkEntry.queries("q_c13_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val qkey = graft.operators.TextQueries.qualityKeyFrame(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty)
+    val famCounts = fam.groupBy(_._2).map { case (c, g) => (c, g.length.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap === famCounts)
+    val byFam = fam.groupBy(_._2)
+    for ((fid, _, retained, best, regret, isBest) <- rows) {
+      assert(retained == qkey(fid), s"family $fid: retained ≠ root's qkey")
+      assert(best == byFam(fid).map(m => qkey(m._1)).max,
+        s"family $fid: best must be the member max")
+      assert(regret == best - retained && regret >= 0, s"family $fid regret")
+      assert(isBest == (if (regret == 0) 1L else 0L), s"family $fid flag")
+    }
+  }
 }
