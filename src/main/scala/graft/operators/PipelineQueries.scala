@@ -907,29 +907,7 @@ object PipelineQueries {
              |  CAST((tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS BIGINT) AS n_seqs
              |FROM c ORDER BY source, doc_id""".stripMargin)
     ) { (s, d) =>
-      val L = 512L
-      val blkSize = 4096L
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          expr(s"doc_id div ${blkSize}L").as("blk"))
-      val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val blkOff = t.groupBy(col("source"), col("blk"))
-        .agg(sum(col("n_tokens")).as("bsum"))
-        .withColumn("boff", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
-        .drop("bsum")
-      val wIn = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.join(broadcast(blkOff), Seq("source", "blk"))
-        .withColumn("tok_start",
-          col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .withColumn("seq_start", expr(s"tok_start div ${L}L"))
-        .withColumn("seq_end", expr(s"(tok_start + n_tokens - 1) div ${L}L"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
-          col("seq_start"), col("seq_end"),
-          (col("seq_end") - col("seq_start") + 1L).as("n_seqs"))
-        .orderBy(col("source"), col("doc_id"))
+      packedSpans(s, d).orderBy(col("source"), col("doc_id"))
     },
 
     // ---- q_c36: DSIR importance resampling -------------------------------
@@ -2334,6 +2312,93 @@ object PipelineQueries {
           when(col("retained_qkey") === col("best_qkey"), 1L).otherwise(0L)
             .cast("long").as("retained_is_best"))
         .orderBy(col("family_id"))
+    },
+
+    // ---- q_c115: packing fragmentation / cross-doc attention report ------
+    // What q_c25's greedy concatenation COSTS: per source, how many docs
+    // split across sequence boundaries (their loss sees truncated
+    // context), how many doc segments share a sequence (segs_per_seq,
+    // permille), and the cross-document attention contamination an
+    // unmasked packed batch would suffer — Σ(T_s² − ΣL_i²) / ΣT_s² over
+    // each sequence's segment lengths, i.e. the fraction of attention
+    // pairs crossing a document boundary. The numbers behind the
+    // "boundary-masked attention vs shorter sequences" packing decision,
+    // measured on the exact shipped packing (shared [[packedSpans]]).
+    //
+    // 100 TB shape: the doc→sequence segment explode fans out ≤
+    // (n_docs + n_tokens/512) rows; both aggregates are keyed with
+    // map-side combine; T_s ≤ 512 keeps every square in comfortable
+    // BIGINT range. Nothing new shuffles beyond the packing frame.
+    QueryDef(
+      "q_c115_packing_fragmentation",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             |  FROM t),
+             |p AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(tok_start AS BIGINT) AS tok_start,
+             |    CAST(tok_start // 512 AS BIGINT) AS seq_start,
+             |    CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS seq_end
+             |  FROM c),
+             |seg AS (
+             |  SELECT source, k AS seq,
+             |    LEAST(tok_start + n_tokens, (k + 1) * 512)
+             |      - GREATEST(tok_start, k * 512) AS seg_len
+             |  FROM (SELECT *, unnest(range(seq_start, seq_end + 1)) AS k FROM p)),
+             |q AS (
+             |  SELECT source, seq, CAST(SUM(seg_len) AS BIGINT) AS t_s,
+             |    CAST(SUM(seg_len * seg_len) AS BIGINT) AS ss,
+             |    CAST(COUNT(*) AS BIGINT) AS n_segs
+             |  FROM seg GROUP BY 1, 2),
+             |d AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+             |  FROM p GROUP BY 1)
+             |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_seqs, d.n_docs,
+             |  d.n_split_docs,
+             |  CAST(d.n_split_docs * 1000 // d.n_docs AS BIGINT) AS split_doc_pm,
+             |  CAST(SUM(q.n_segs) * 1000 // COUNT(*) AS BIGINT) AS segs_per_seq_pm,
+             |  CAST(SUM(q.t_s * q.t_s - q.ss) * 1000 // SUM(q.t_s * q.t_s) AS BIGINT) AS contamination_pm
+             |FROM q JOIN d ON d.source = q.source
+             |GROUP BY q.source, d.n_docs, d.n_split_docs
+             |ORDER BY q.source""".stripMargin)
+    ) { (s, d) =>
+      val L = 512L
+      val p = packedSpans(s, d)
+      val seg = p
+        .select(col("source"), col("tok_start"), col("n_tokens"),
+          explode(expr("sequence(seq_start, seq_end)")).as("seq"))
+        .select(col("source"), col("seq"),
+          (least(col("tok_start") + col("n_tokens"), (col("seq") + 1L) * L)
+            - greatest(col("tok_start"), col("seq") * L)).as("seg_len"))
+      val q = seg.groupBy(col("source"), col("seq"))
+        .agg(
+          sum(col("seg_len")).cast("long").as("t_s"),
+          sum(col("seg_len") * col("seg_len")).cast("long").as("ss"),
+          count(lit(1)).cast("long").as("n_segs"))
+      val dd = p.groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("seq_end") > col("seq_start"), 1L).otherwise(0L))
+            .cast("long").as("n_split_docs"))
+      q.groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_seqs"),
+          sum(col("n_segs")).cast("long").as("segs"),
+          sum(col("t_s") * col("t_s") - col("ss")).cast("long").as("cross_pairs"),
+          sum(col("t_s") * col("t_s")).cast("long").as("all_pairs"))
+        .join(dd, Seq("source"))
+        .select(col("source"), col("n_seqs"), col("n_docs"), col("n_split_docs"),
+          expr("CAST(n_split_docs * 1000 DIV n_docs AS BIGINT)").as("split_doc_pm"),
+          expr("CAST(segs * 1000 DIV n_seqs AS BIGINT)").as("segs_per_seq_pm"),
+          expr("CAST(cross_pairs * 1000 DIV all_pairs AS BIGINT)").as("contamination_pm"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2504,6 +2569,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("v_rules"), col("v_cls"),
         coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"),
         col("wsum"), col("n_toks"))
+  }
+
+  /** q_c25's packing geometry — (doc_id, source, n_tokens, tok_start,
+    * seq_start, seq_end, n_seqs) under the blocked prefix sum (every
+    * window partition ≤ 4096 rows regardless of corpus size). ONE copy
+    * shared by q_c25 and q_c115's fragmentation report, so the packing
+    * rule cannot fork.
+    */
+  private[graft] def packedSpans(s: SparkSession, d: String): DataFrame = {
+    val L = 512L
+    val blkSize = 4096L
+    val t = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"doc_id div ${blkSize}L").as("blk"))
+    val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = t.groupBy(col("source"), col("blk"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
+      .drop("bsum")
+    val wIn = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(blkOff), Seq("source", "blk"))
+      .withColumn("tok_start",
+        col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("seq_start", expr(s"tok_start div ${L}L"))
+      .withColumn("seq_end", expr(s"(tok_start + n_tokens - 1) div ${L}L"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        col("seq_start"), col("seq_end"),
+        (col("seq_end") - col("seq_start") + 1L).as("n_seqs"))
   }
 
   /** The q_c37 split rule as COLUMNS — extracted so q_c113's holdout

@@ -2537,6 +2537,33 @@ object SparkSqlQueries {
         |  CAST(max_tf * 1000 DIV cf AS BIGINT) AS top_doc_share_pm
         |FROM st ORDER BY cf DESC, term LIMIT 50""".stripMargin,
 
+    // q_c115's twin uses the value-identical simple-window prefix sum
+    // (the q_c25 twin convention — blocking only changes the plan shape)
+    "q_c115_packing_fragmentation" ->
+      """WITH t AS (SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS tok_start FROM t),
+        |p AS (SELECT doc_id, source, n_tokens, tok_start,
+        |    CAST(tok_start DIV 512 AS BIGINT) AS seq_start,
+        |    CAST((tok_start + n_tokens - 1) DIV 512 AS BIGINT) AS seq_end FROM c),
+        |seg AS (SELECT source, k AS seq,
+        |    LEAST(tok_start + n_tokens, (k + 1) * 512) - GREATEST(tok_start, k * 512) AS seg_len
+        |  FROM (SELECT p.*, explode(sequence(seq_start, seq_end)) AS k FROM p)),
+        |q AS (SELECT source, seq, CAST(SUM(seg_len) AS BIGINT) AS t_s,
+        |    CAST(SUM(seg_len * seg_len) AS BIGINT) AS ss, CAST(COUNT(*) AS BIGINT) AS n_segs
+        |  FROM seg GROUP BY 1, 2),
+        |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |  FROM p GROUP BY 1)
+        |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_seqs, d.n_docs, d.n_split_docs,
+        |  CAST(d.n_split_docs * 1000 DIV d.n_docs AS BIGINT) AS split_doc_pm,
+        |  CAST(SUM(q.n_segs) * 1000 DIV COUNT(*) AS BIGINT) AS segs_per_seq_pm,
+        |  CAST(SUM(q.t_s * q.t_s - q.ss) * 1000 DIV SUM(q.t_s * q.t_s) AS BIGINT) AS contamination_pm
+        |FROM q JOIN d ON d.source = q.source
+        |GROUP BY q.source, d.n_docs, d.n_split_docs
+        |ORDER BY q.source""".stripMargin,
+
     "q_c113_clean_holdout" ->
       """WITH h AS (SELECT doc_id, source,
         |    ((CAST(doc_id AS BIGINT) % 1000000007) * 1103515245 + 12345) % 1000000007 % 1000 AS bucket,
