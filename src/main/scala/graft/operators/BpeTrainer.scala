@@ -172,15 +172,6 @@ object BpeTrainer {
     * BpeTrainerSpec proving the encoder token-identical to the
     * reference.
     */
-  /** Train (memoized) and register the model-bound token counter —
-    * returns the function name. ONE entry point shared by
-    * [[encodedCounts]] and q_c110's fused fertility scan, so every
-    * consumer counts with the SAME trained model.
-    */
-  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
-    graft.functions.BpeEncodeTokens.register(
-      s, train(s, d, nMerges).map(m => (m.left, m.right)))
-
   def encodedCounts(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
     import graft.core.Decimals._
     val fn = registerCounter(s, d, nMerges)
@@ -200,6 +191,15 @@ object BpeTrainer {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** Train (memoized) and register the model-bound token counter —
+    * returns the function name. ONE entry point shared by
+    * [[encodedCounts]] and q_c110's fused fertility scan, so every
+    * consumer counts with the SAME trained model.
+    */
+  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
+    graft.functions.BpeEncodeTokens.register(
+      s, train(s, d, nMerges).map(m => (m.left, m.right)))
 
   /** q_c35: BPE-dropout encoding (Provilkov et al. 2020 subword
     * regularization — deterministic per-seed variant, see

@@ -2237,6 +2237,13 @@ object PipelineQueries {
              |GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
     ) { (s, d) =>
       val n = 13
+      // Three consumers (train grams, holdout grams, the report) ⇒ three
+      // corpus scans. Persisting the tokenized+labeled frame instead was
+      // A/B-measured SLOWER (scale10 6.6 → 7.6 s): the ts array column
+      // is ~2-3× the raw text bytes, so caching it costs more than the
+      // two extra codegen'd scan+tokenize passes it saves — the opposite
+      // verdict from q_c115's slim 7-long-column packing frame. Re-scan
+      // stands, with this receipt.
       val base = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"),
           splitLabel(splitBucket).as("split"),
@@ -2370,7 +2377,11 @@ object PipelineQueries {
              |ORDER BY q.source""".stripMargin)
     ) { (s, d) =>
       val L = 512L
-      val p = packedSpans(s, d)
+      // two consumers (segment explode + the per-doc split count) — one
+      // materialization of the packing frame
+      val p = graft.core.CachedRdds.registerDf(
+        packedSpans(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val seg = p
         .select(col("source"), col("tok_start"), col("n_tokens"),
           explode(expr("sequence(seq_start, seq_end)")).as("seq"))

@@ -155,11 +155,6 @@ object UnigramTrainer {
     * for the cross-tokenizer fertility comparison. Model state ⇒
     * rows-only.
     */
-  /** Train (memoized) and register the model-bound token counter (the
-    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
-  def registerCounter(s: SparkSession, d: String): String =
-    UnigramCountTokens.register(s, model(train(s, d)))
-
   def encodedCounts(s: SparkSession, d: String): DataFrame = {
     import graft.core.Decimals._
     val fn = registerCounter(s, d)
@@ -179,4 +174,9 @@ object UnigramTrainer {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** Train (memoized) and register the model-bound token counter (the
+    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
+  def registerCounter(s: SparkSession, d: String): String =
+    UnigramCountTokens.register(s, model(train(s, d)))
 }

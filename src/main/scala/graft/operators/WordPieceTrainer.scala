@@ -146,11 +146,6 @@ object WordPieceTrainer {
     * three-family fertility comparison with q_c34 (BPE) and q_c40
     * (unigram). Model state ⇒ rows-only.
     */
-  /** Train (memoized) and register the model-bound token counter (the
-    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
-  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
-    graft.functions.WordPieceCountTokens.register(s, vocab(s, d, nMerges))
-
   def encodedCounts(s: SparkSession, d: String, nMerges: Int = 15): DataFrame = {
     import graft.core.Decimals._
     val fn = registerCounter(s, d, nMerges)
@@ -170,4 +165,9 @@ object WordPieceTrainer {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** Train (memoized) and register the model-bound token counter (the
+    * [[graft.operators.BpeTrainer.registerCounter]] discipline). */
+  def registerCounter(s: SparkSession, d: String, nMerges: Int = 15): String =
+    graft.functions.WordPieceCountTokens.register(s, vocab(s, d, nMerges))
 }
