@@ -2410,6 +2410,50 @@ object PipelineQueries {
           expr("CAST(segs * 1000 DIV n_seqs AS BIGINT)").as("segs_per_seq_pm"),
           expr("CAST(cross_pairs * 1000 DIV all_pairs AS BIGINT)").as("contamination_pm"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_c116: quality-aware near-dup retention -------------------------
+    // The ACTION on q_c114's regret monitor (the q_c98 monitor→action
+    // pattern): retain each family's BEST-quality member (qualityKeyFrame
+    // permille, tie → min doc_id — a total order, so exactly one
+    // survivor per family) instead of q_c19's quality-blind min-id root.
+    // Same retained-corpus shape as q_c19; the two rules keep the same
+    // NUMBER of documents and differ on precisely the families q_c114
+    // reports with retained_is_best = 0 — spec-pinned both ways.
+    //
+    // 100 TB shape: q_c19's exactly — the family frame is O(dup docs)
+    // and broadcasts onto the memoized quality projection; the per-
+    // family argmax is a window over that tiny frame; the corpus never
+    // shuffles (one broadcast anti-join).
+    QueryDef(
+      "q_c116_quality_retained",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |${TextQueries.duckQualityKey},
+              |m AS (SELECT f.doc_id, f.cluster_id, q.qkey
+              |      FROM fam f JOIN q ON q.doc_id = f.doc_id),
+              |keep AS (SELECT cluster_id, doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |             ORDER BY qkey DESC, doc_id) AS rn
+              |         FROM m),
+              |drop_ids AS (SELECT doc_id FROM keep WHERE rn <> 1)
+              |SELECT d.doc_id, d.source
+              |FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+              |ORDER BY d.doc_id""".stripMargin)
+    ) { (s, d) =>
+      val fam = ccFamiliesShared(s, d)
+      val m = TextQueries.qualityKeyFrame(s, d)
+        .select(col("doc_id"), col("qkey"))
+        .join(broadcast(fam), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("qkey").desc, col("doc_id"))
+      val dropIds = m.withColumn("rn", row_number().over(w))
+        .filter(col("rn") =!= 1).select(col("doc_id"))
+      Tables(s, d, "documents")
+        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
 

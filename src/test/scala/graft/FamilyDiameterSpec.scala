@@ -95,4 +95,34 @@ class FamilyDiameterSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(isBest == (if (regret == 0) 1L else 0L), s"family $fid flag")
     }
   }
+
+  test("q_c116: quality-aware retention differs from q_c19 exactly on the regret families") {
+    val q19 = SparkEntry.queries("q_c19_neardup_retained")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val q116 = SparkEntry.queries("q_c116_quality_retained")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val audit = SparkEntry.queries("q_c114_family_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSeq
+    val qkey = graft.operators.TextQueries.qualityKeyFrame(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val fam = SparkEntry.queries("q_c13_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.core.CachedRdds.drain()
+    // both rules keep exactly one doc per family: same corpus size
+    assert(q116.size == q19.size)
+    // the rules differ exactly on the families q_c114 flags suboptimal
+    val regretFams = audit.filter(_._3 == 0L).map(_._1).toSet
+    assert((q19 -- q116) == regretFams,
+      "q_c19-only survivors must be exactly the suboptimal roots")
+    val byFam = fam.groupBy(_._2)
+    val expectedNew = regretFams.map { fid =>
+      byFam(fid).map(_._1).minBy(id => (-qkey(id), id))
+    }
+    assert((q116 -- q19) == expectedNew,
+      "q_c116's new survivors must be each regret family's (qkey desc, id) argmax")
+    // and every q_c116 survivor in a family carries that family's best qkey
+    val bestByFam = audit.map(r => (r._1, r._2)).toMap
+    for ((fid, members) <- byFam; m <- members.map(_._1) if q116.contains(m))
+      assert(qkey(m) == bestByFam(fid), s"family $fid survivor not best-quality")
+  }
 }
