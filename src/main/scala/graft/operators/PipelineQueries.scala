@@ -631,28 +631,7 @@ object PipelineQueries {
              |  CAST(CASE WHEN COUNT(hit) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val n = 13
-      val toks = Tables(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
-      val grams = when(size(col("ts")) >= n, expr(
-        s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
-        .otherwise(expr("array()"))
-      val bn = toks
-        .filter(col("doc_id") % 7 === 0)
-        .select(explode(grams).as("ng"))
-        .distinct()
-        .withColumn("hit", lit(1L))
-      toks
-        .filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), explode_outer(grams).as("ng"))
-        .join(broadcast(bn), Seq("ng"), "left")
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("ng").isNotNull, 1L).otherwise(0L)).as("n_ngrams"),
-          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
-        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
-          when(col("n_contaminated") > 0, 1L).otherwise(0L).as("contaminated"))
-        .orderBy(col("doc_id"))
+      decontamReport(s, d).orderBy(col("doc_id"))
     },
 
     // ---- q_c28: source-mixture resampling --------------------------------
@@ -2454,6 +2433,102 @@ object PipelineQueries {
         .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c117: the preprocessing funnel, end to end ----------------------
+    // The capstone report a dataset card opens with: per source, how many
+    // documents each pipeline stage removes — exact dedup (q_b5's md5
+    // min-id rule), near-dup clustering (q_c13/q_c19's non-root members),
+    // quality rules (q_c31's pass flag via the SHARED rulesFlags
+    // projection), benchmark decontamination (q_c24's contaminated flag
+    // via the SHARED decontamReport) — with each dropped document
+    // attributed to its EARLIEST dropping stage (the order pipelines run
+    // them), and the survivor count/permille. Every stage is the exact
+    // shipped rule, not a re-derivation; the funnel is their composition.
+    //
+    // 100 TB shape: ONE corpus projection carries the rule stats, the
+    // md5 window is the q_b5 hash shuffle, and the two flag sets that
+    // join back (non-root family members, contaminated ids) are tiny
+    // and broadcast — no corpus-to-corpus join anywhere.
+    QueryDef(
+      "q_c117_pipeline_funnel",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |nf AS (SELECT doc_id FROM fam WHERE doc_id <> cluster_id),
+              |x AS (SELECT doc_id, source,
+              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              |      FROM documents),
+              |rt AS (SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
+              |       FROM documents),
+              |rm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+              |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
+              |         CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
+              |         CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+              |       FROM rt),
+              |rp AS (SELECT doc_id,
+              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+              |       FROM rm),
+              |lists AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+              |bn AS (SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
+              |       FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+              |             FROM lists WHERE doc_id % 7 = 0)),
+              |cg AS (SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
+              |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+              |             FROM lists WHERE doc_id % 7 <> 0)),
+              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng),
+              |fl AS (SELECT x.doc_id, x.source,
+              |         CASE WHEN x.doc_id <> x.keep_id THEN 1 ELSE 0 END AS f_exact,
+              |         CASE WHEN nf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near,
+              |         CASE WHEN rp.pass = 0 THEN 1 ELSE 0 END AS f_rules,
+              |         CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_contam
+              |       FROM x JOIN rp ON rp.doc_id = x.doc_id
+              |              LEFT JOIN nf ON nf.doc_id = x.doc_id
+              |              LEFT JOIN cdoc cd ON cd.doc_id = x.doc_id)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+              |  CAST(SUM(f_exact) AS BIGINT) AS drop_exact,
+              |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_neardup,
+              |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 AND f_rules = 1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_rules,
+              |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 AND f_rules = 0 AND f_contam = 1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_contam,
+              |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 AND f_rules = 0 AND f_contam = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+              |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 AND f_rules = 0 AND f_contam = 0 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS final_pm
+              |FROM fl GROUP BY source ORDER BY source""".stripMargin)
+    ) { (s, d) =>
+      val flagged = TextQueries.rulesFlags(
+        Tables(s, d, "documents").select(col("doc_id"), col("source"), col("text")))
+      val w = Window.partitionBy(md5(col("text")))
+      val x = flagged
+        .withColumn("f_exact",
+          when(col("doc_id") =!= min(col("doc_id")).over(w), 1).otherwise(0))
+        .select(col("doc_id"), col("source"), col("pass"), col("f_exact"))
+      val nf = ccFamiliesShared(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")).withColumn("nr", lit(1))
+      val cd = decontamReport(s, d)
+        .filter(col("contaminated") === 1L)
+        .select(col("doc_id")).withColumn("ct", lit(1))
+      x.join(broadcast(nf), Seq("doc_id"), "left")
+        .join(broadcast(cd), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_raw"),
+          sum(col("f_exact")).cast("long").as("drop_exact"),
+          sum(when(col("f_exact") === 0 && col("nr").isNotNull, 1).otherwise(0))
+            .cast("long").as("drop_neardup"),
+          sum(when(col("f_exact") === 0 && col("nr").isNull
+            && col("pass") === 0, 1).otherwise(0)).cast("long").as("drop_rules"),
+          sum(when(col("f_exact") === 0 && col("nr").isNull
+            && col("pass") === 1 && col("ct").isNotNull, 1).otherwise(0))
+            .cast("long").as("drop_contam"),
+          sum(when(col("f_exact") === 0 && col("nr").isNull
+            && col("pass") === 1 && col("ct").isNull, 1).otherwise(0))
+            .cast("long").as("n_final"))
+        .select(col("source"), col("n_raw"), col("drop_exact"),
+          col("drop_neardup"), col("drop_rules"), col("drop_contam"),
+          col("n_final"),
+          expr("CAST(n_final * 1000 DIV n_raw AS BIGINT)").as("final_pm"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2624,6 +2699,36 @@ object PipelineQueries {
       .select(col("doc_id"), col("v_rules"), col("v_cls"),
         coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"),
         col("wsum"), col("n_toks"))
+  }
+
+  /** q_c24's per-document decontamination report — (doc_id, n_ngrams,
+    * n_contaminated, contaminated) for every non-benchmark document.
+    * ONE copy shared by q_c24 and q_c117's funnel attribution (a fork
+    * here would scrub against a different benchmark-gram definition
+    * than the one reported).
+    */
+  private[graft] def decontamReport(s: SparkSession, d: String): DataFrame = {
+    val n = 13
+    val toks = Tables(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val grams = when(size(col("ts")) >= n, expr(
+      s"transform(sequence(0, size(ts) - $n), k -> array_join(slice(ts, k + 1, $n), ' '))"))
+      .otherwise(expr("array()"))
+    val bn = toks
+      .filter(col("doc_id") % 7 === 0)
+      .select(explode(grams).as("ng"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    toks
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), explode_outer(grams).as("ng"))
+      .join(broadcast(bn), Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("ng").isNotNull, 1L).otherwise(0L)).as("n_ngrams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+        when(col("n_contaminated") > 0, 1L).otherwise(0L).as("contaminated"))
   }
 
   /** q_c25's packing geometry — (doc_id, source, n_tokens, tok_start,

@@ -127,6 +127,34 @@ object TextQueries {
        |       THEN 'und' ELSE top[2] END AS pred_lang FROM b)""".stripMargin
   }
 
+  /** q_c31's Gopher-style rule flags as a projection that PRESERVES the
+    * input columns (doc_id, source, text, …) and appends the stats and
+    * flag columns — ONE rule definition shared by q_c31 and q_c117's
+    * funnel attribution (a fork here would filter a different corpus
+    * than the one reported).
+    */
+  private[graft] def rulesFlags(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sumlen", expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+      .withColumn("stop_hits",
+        expr("CAST(size(array_intersect(ws, array('the','of','and','to','in'))) AS BIGINT)"))
+      .withColumn("uniq", expr("CAST(size(array_distinct(ws)) AS BIGINT)"))
+      .withColumn("r_words", when(col("n_words") >= 50, 1).otherwise(0))
+      .withColumn("r_wlen", when(lit(3) * col("n_words") <= col("sumlen")
+        && lit(2) * col("sumlen") <= lit(9) * col("n_words"), 1).otherwise(0))
+      .withColumn("r_stop", when(col("stop_hits") >= 1, 1).otherwise(0))
+      .withColumn("r_ttr",
+        when(lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0))
+      .withColumn("pass", when(col("n_words") >= 50
+        && lit(3) * col("n_words") <= col("sumlen")
+        && lit(2) * col("sumlen") <= lit(9) * col("n_words")
+        && col("stop_hits") >= 1
+        && lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0))
+      .drop("ws", "sumlen", "stop_hits", "uniq")
+
   /** q_c104's report tail over a (lang, pred_lang, n_docs) cell frame —
     * ONE copy shared by the batch query and the streaming serve
     * ([[graft.streaming.StreamingOps.langidServe]]), so the integer
@@ -557,25 +585,9 @@ object TextQueries {
              |    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS pass
              |FROM m ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sumlen"),
-          expr("CAST(size(array_intersect(ws, array('the','of','and','to','in'))) AS BIGINT)")
-            .as("stop_hits"),
-          expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("uniq"))
-        .select(col("doc_id"), col("n_words"),
-          when(col("n_words") >= 50, 1).otherwise(0).as("r_words"),
-          when(lit(3) * col("n_words") <= col("sumlen")
-            && lit(2) * col("sumlen") <= lit(9) * col("n_words"), 1).otherwise(0).as("r_wlen"),
-          when(col("stop_hits") >= 1, 1).otherwise(0).as("r_stop"),
-          when(lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0).as("r_ttr"),
-          when(col("n_words") >= 50 && lit(3) * col("n_words") <= col("sumlen")
-            && lit(2) * col("sumlen") <= lit(9) * col("n_words")
-            && col("stop_hits") >= 1
-            && lit(5) * col("uniq") >= lit(2) * col("n_words"), 1).otherwise(0).as("pass"))
+      rulesFlags(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("n_words"), col("r_words"), col("r_wlen"),
+          col("r_stop"), col("r_ttr"), col("pass"))
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c117 preprocessing funnel.
+  *
+  * The funnel must be the exact composition of its four shipped stages:
+  * the spec recomputes each stage's drop set from the INDIVIDUAL
+  * registered queries (q_b5 exact families, q_c13 non-root members,
+  * q_c31 pass flags, q_c24 contamination flags) and asserts both the
+  * per-source conservation identity and that the survivor count equals
+  * the independent intersection — if any stage's rule forked, this
+  * breaks.
+  */
+class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-funnel-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("funnel = composition of the four shipped stages, conserved per source") {
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val rows = SparkEntry.queries("q_c117_pipeline_funnel")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // independent stage sets from the registered component queries
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keepExact = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+          .as("k"))
+      .collect().filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0)).toSet
+    val nonRoot = SparkEntry.queries("q_c13_dup_clusters")(spark, sf)
+      .collect().filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    val passRules = SparkEntry.queries("q_c31_rules_filter")(spark, sf)
+      .collect().filter(_.getInt(6) == 1).map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q_c24_decontaminate")(spark, sf)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    graft.core.CachedRdds.drain()
+    assert(rows.nonEmpty && rows.map(_._2).sum == docs.length.toLong)
+    // conservation: stages + survivors account for every document
+    for ((src, raw, de, dn, dr, dc, fin, pm) <- rows) {
+      assert(de + dn + dr + dc + fin == raw, s"$src conservation")
+      assert(pm == fin * 1000 / raw, s"$src permille")
+    }
+    // survivors == independent intersection of the four stage rules
+    val expectedFinal = docs.map(_._1).count(id =>
+      keepExact.contains(id) && !nonRoot.contains(id) &&
+        passRules.contains(id) && !contaminated.contains(id)).toLong
+    assert(rows.map(_._7).sum == expectedFinal,
+      "funnel survivors must equal the intersection of the shipped stage rules")
+    // attribution order: exact-stage drops equal the md5 non-keepers
+    assert(rows.map(_._3).sum == (docs.length - keepExact.size).toLong)
+  }
+}
