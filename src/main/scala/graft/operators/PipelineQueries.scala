@@ -611,16 +611,7 @@ object PipelineQueries {
     // short docs and emit garbage slices).
     QueryDef(
       "q_c24_decontaminate",
-      Some("""WITH lists AS (
-             |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-             |bn AS (
-             |  SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
-             |  FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
-             |        FROM lists WHERE doc_id % 7 = 0)),
-             |cg AS (
-             |  SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
-             |  FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
-             |        FROM lists WHERE doc_id % 7 <> 0)),
+      Some(s"""WITH $duckDecontamGrams,
              |j AS (
              |  SELECT l.doc_id, cg.ng, bn.ng AS hit
              |  FROM (SELECT doc_id FROM lists WHERE doc_id % 7 <> 0) l
@@ -2269,8 +2260,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
               |$duckCcFam,
               |${TextQueries.duckQualityKey},
-              |m AS (SELECT f.cluster_id, f.doc_id, q.qkey
-              |      FROM fam f JOIN q ON q.doc_id = f.doc_id),
+              |$duckFamilyQuality,
               |r AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
               |        CAST(MAX(qkey) AS BIGINT) AS best_qkey FROM m GROUP BY 1),
               |ret AS (SELECT cluster_id, CAST(qkey AS BIGINT) AS retained_qkey
@@ -2282,10 +2272,7 @@ object PipelineQueries {
               |FROM r JOIN ret USING (cluster_id)
               |ORDER BY family_id""".stripMargin)
     ) { (s, d) =>
-      val fam = ccFamiliesShared(s, d)
-      val m = TextQueries.qualityKeyFrame(s, d)
-        .select(col("doc_id"), col("qkey"))
-        .join(broadcast(fam), Seq("doc_id"))
+      val m = familyQualityFrame(s, d)
       val r = m.groupBy(col("cluster_id"))
         .agg(count(lit(1)).cast("long").as("n_members"),
           max(col("qkey")).cast("long").as("best_qkey"))
@@ -2409,8 +2396,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
               |$duckCcFam,
               |${TextQueries.duckQualityKey},
-              |m AS (SELECT f.doc_id, f.cluster_id, q.qkey
-              |      FROM fam f JOIN q ON q.doc_id = f.doc_id),
+              |$duckFamilyQuality,
               |keep AS (SELECT cluster_id, doc_id,
               |           ROW_NUMBER() OVER (PARTITION BY cluster_id
               |             ORDER BY qkey DESC, doc_id) AS rn
@@ -2421,10 +2407,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
               |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      val fam = ccFamiliesShared(s, d)
-      val m = TextQueries.qualityKeyFrame(s, d)
-        .select(col("doc_id"), col("qkey"))
-        .join(broadcast(fam), Seq("doc_id"))
+      val m = familyQualityFrame(s, d)
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("qkey").desc, col("doc_id"))
       val dropIds = m.withColumn("rn", row_number().over(w))
@@ -2458,25 +2441,13 @@ object PipelineQueries {
               |x AS (SELECT doc_id, source,
               |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
               |      FROM documents),
-              |rt AS (SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
-              |       FROM documents),
-              |rm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-              |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
-              |         CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
-              |         CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
-              |       FROM rt),
+              |${TextQueries.duckRuleStats},
               |rp AS (SELECT doc_id,
               |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
               |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
               |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
               |       FROM rm),
-              |lists AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-              |bn AS (SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
-              |       FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
-              |             FROM lists WHERE doc_id % 7 = 0)),
-              |cg AS (SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
-              |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
-              |             FROM lists WHERE doc_id % 7 <> 0)),
+              |$duckDecontamGrams,
               |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng),
               |fl AS (SELECT x.doc_id, x.source,
               |         CASE WHEN x.doc_id <> x.keep_id THEN 1 ELSE 0 END AS f_exact,
@@ -2700,6 +2671,41 @@ object PipelineQueries {
         coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"),
         col("wsum"), col("n_toks"))
   }
+
+  /** The per-family member-quality frame — (doc_id, qkey, cluster_id),
+    * the memoized quality projection with the tiny family frame
+    * broadcast on — ONE copy shared by q_c114's regret monitor and
+    * q_c116's retention action (its DuckDB twin is [[duckFamilyQuality]]),
+    * so the monitor and the action can never score different members.
+    */
+  private[graft] def familyQualityFrame(s: SparkSession, d: String): DataFrame =
+    TextQueries.qualityKeyFrame(s, d)
+      .select(col("doc_id"), col("qkey"))
+      .join(broadcast(ccFamiliesShared(s, d)), Seq("doc_id"))
+
+  /** DuckDB `m(doc_id, cluster_id, qkey)` CTE — the oracle twin of
+    * [[familyQualityFrame]], shared by q_c114's and q_c116's oracles
+    * (expects `fam` and `q` upstream).
+    */
+  private lazy val duckFamilyQuality: String =
+    """m AS (SELECT f.doc_id, f.cluster_id, q.qkey
+      |      FROM fam f JOIN q ON q.doc_id = f.doc_id)""".stripMargin
+
+  /** DuckDB CTE chain (lists, bn, cg) of the 13-gram decontamination
+    * machinery — the oracle twin of [[decontamReport]]'s gram stage,
+    * ONE text shared by q_c24's and q_c117's oracles.
+    */
+  private[graft] lazy val duckDecontamGrams: String =
+    """lists AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |bn AS (
+      |  SELECT DISTINCT array_to_string(ts[k+1 : k+13], ' ') AS ng
+      |  FROM (SELECT ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+      |        FROM lists WHERE doc_id % 7 = 0)),
+      |cg AS (
+      |  SELECT doc_id, array_to_string(ts[k+1 : k+13], ' ') AS ng
+      |  FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts) - 12, 0))) AS k
+      |        FROM lists WHERE doc_id % 7 <> 0))""".stripMargin
 
   /** q_c24's per-document decontamination report — (doc_id, n_ngrams,
     * n_contaminated, contaminated) for every non-benchmark document.

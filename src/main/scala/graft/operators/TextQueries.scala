@@ -127,6 +127,22 @@ object TextQueries {
        |       THEN 'und' ELSE top[2] END AS pred_lang FROM b)""".stripMargin
   }
 
+  /** DuckDB CTE chain (rt, rm) ending in `rm(doc_id, n_words, sumlen,
+    * stop_hits, uniq)` — the oracle twin of [[rulesFlags]]' statistics,
+    * ONE text shared by q_c31's and q_c117's oracles (names prefixed r*
+    * to compose with the minhash/CC chains).
+    */
+  private[graft] lazy val duckRuleStats: String =
+    """rt AS (
+      |  SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
+      |  FROM documents),
+      |rm AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
+      |    CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+      |  FROM rt)""".stripMargin
+
   /** q_c31's Gopher-style rule flags as a projection that PRESERVES the
     * input columns (doc_id, source, text, …) and appends the stats and
     * flag columns — ONE rule definition shared by q_c31 and q_c117's
@@ -566,15 +582,7 @@ object TextQueries {
     // at scan speed. Every comparison is integer, so the oracle is exact.
     QueryDef(
       "q_c31_rules_filter",
-      Some("""WITH t AS (
-             |  SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
-             |  FROM documents),
-             |m AS (
-             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-             |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
-             |    CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
-             |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
-             |  FROM t)
+      Some(s"""WITH $duckRuleStats
              |SELECT doc_id, n_words,
              |  CAST(CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS INT) AS r_words,
              |  CAST(CASE WHEN 3 * n_words <= sumlen AND 2 * sumlen <= 9 * n_words THEN 1 ELSE 0 END AS INT) AS r_wlen,
@@ -583,7 +591,7 @@ object TextQueries {
              |  CAST(CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
              |    AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
              |    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS INT) AS pass
-             |FROM m ORDER BY doc_id""".stripMargin)
+             |FROM rm ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
       rulesFlags(Tables(s, d, "documents"))
         .select(col("doc_id"), col("n_words"), col("r_words"), col("r_wlen"),
