@@ -2466,21 +2466,7 @@ object PipelineQueries {
               |  CAST(SUM(CASE WHEN f_exact = 0 AND f_near = 0 AND f_rules = 0 AND f_contam = 0 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS final_pm
               |FROM fl GROUP BY source ORDER BY source""".stripMargin)
     ) { (s, d) =>
-      val flagged = TextQueries.rulesFlags(
-        Tables(s, d, "documents").select(col("doc_id"), col("source"), col("text")))
-      val w = Window.partitionBy(md5(col("text")))
-      val x = flagged
-        .withColumn("f_exact",
-          when(col("doc_id") =!= min(col("doc_id")).over(w), 1).otherwise(0))
-        .select(col("doc_id"), col("source"), col("pass"), col("f_exact"))
-      val nf = ccFamiliesShared(s, d)
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id")).withColumn("nr", lit(1))
-      val cd = decontamReport(s, d)
-        .filter(col("contaminated") === 1L)
-        .select(col("doc_id")).withColumn("ct", lit(1))
-      x.join(broadcast(nf), Seq("doc_id"), "left")
-        .join(broadcast(cd), Seq("doc_id"), "left")
+      funnelFlags(s, d)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).cast("long").as("n_raw"),
@@ -2500,6 +2486,45 @@ object PipelineQueries {
           col("n_final"),
           expr("CAST(n_final * 1000 DIV n_raw AS BIGINT)").as("final_pm"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_c118: the funnel's retained corpus, materialized ----------------
+    // q_c117 REPORTS the funnel; this query EMITS it — the (doc_id,
+    // source) rows surviving all four stages, through the SAME shared
+    // flag frame ([[funnelFlags]]), so the corpus a user trains on is
+    // row-identical to the one the report counts (spec-pinned:
+    // |q_c118| per source ≡ q_c117.n_final). The q_c16/q_c19 retained-
+    // corpus shape; at 100 TB the emission is the funnel scan itself —
+    // nothing extra shuffles.
+    QueryDef(
+      "q_c118_funnel_corpus",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |nf AS (SELECT doc_id FROM fam WHERE doc_id <> cluster_id),
+              |x AS (SELECT doc_id, source,
+              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              |      FROM documents),
+              |${TextQueries.duckRuleStats},
+              |rp AS (SELECT doc_id,
+              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+              |       FROM rm),
+              |$duckDecontamGrams,
+              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng)
+              |SELECT x.doc_id, x.source
+              |FROM x JOIN rp ON rp.doc_id = x.doc_id
+              |       LEFT JOIN nf ON nf.doc_id = x.doc_id
+              |       LEFT JOIN cdoc cd ON cd.doc_id = x.doc_id
+              |WHERE x.doc_id = x.keep_id AND nf.doc_id IS NULL
+              |  AND rp.pass = 1 AND cd.doc_id IS NULL
+              |ORDER BY x.doc_id""".stripMargin)
+    ) { (s, d) =>
+      funnelFlags(s, d)
+        .filter(col("f_exact") === 0 && col("nr").isNull
+          && col("pass") === 1 && col("ct").isNull)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2670,6 +2695,30 @@ object PipelineQueries {
       .select(col("doc_id"), col("v_rules"), col("v_cls"),
         coalesce(col("v_ppl"), lit(0)).as("v_ppl"), col("v_ent"),
         col("wsum"), col("n_toks"))
+  }
+
+  /** q_c117's per-document stage flags — (doc_id, source, pass, f_exact,
+    * nr, ct) where nr/ct are NULL-or-1 markers from the broadcast
+    * non-root-family and contaminated sets. ONE copy shared by the
+    * q_c117 report and q_c118's materialized retained corpus, so the
+    * attribution rules cannot fork.
+    */
+  private[graft] def funnelFlags(s: SparkSession, d: String): DataFrame = {
+    val flagged = TextQueries.rulesFlags(
+      Tables(s, d, "documents").select(col("doc_id"), col("source"), col("text")))
+    val w = Window.partitionBy(md5(col("text")))
+    val x = flagged
+      .withColumn("f_exact",
+        when(col("doc_id") =!= min(col("doc_id")).over(w), 1).otherwise(0))
+      .select(col("doc_id"), col("source"), col("pass"), col("f_exact"))
+    val nf = ccFamiliesShared(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id")).withColumn("nr", lit(1))
+    val cd = decontamReport(s, d)
+      .filter(col("contaminated") === 1L)
+      .select(col("doc_id")).withColumn("ct", lit(1))
+    x.join(broadcast(nf), Seq("doc_id"), "left")
+      .join(broadcast(cd), Seq("doc_id"), "left")
   }
 
   /** The per-family member-quality frame — (doc_id, qkey, cluster_id),

@@ -68,5 +68,17 @@ class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       "funnel survivors must equal the intersection of the shipped stage rules")
     // attribution order: exact-stage drops equal the md5 non-keepers
     assert(rows.map(_._3).sum == (docs.length - keepExact.size).toLong)
+    // q_c118 materializes exactly the survivors the report counts
+    val corpus = SparkEntry.queries("q_c118_funnel_corpus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    graft.core.CachedRdds.drain()
+    assert(corpus.length.toLong == rows.map(_._7).sum,
+      "materialized corpus size must equal the report's survivor total")
+    val perSrc = corpus.groupBy(_._2).map { case (k, g) => (k, g.length.toLong) }
+    assert(rows.filter(_._7 > 0).map(r => (r._1, r._7)).toMap === perSrc)
+    assert(corpus.map(_._1).forall(id =>
+      keepExact.contains(id) && !nonRoot.contains(id) &&
+        passRules.contains(id) && !contaminated.contains(id)),
+      "every emitted row must satisfy all four stage rules")
   }
 }
