@@ -2397,23 +2397,14 @@ object PipelineQueries {
               |$duckCcFam,
               |${TextQueries.duckQualityKey},
               |$duckFamilyQuality,
-              |keep AS (SELECT cluster_id, doc_id,
-              |           ROW_NUMBER() OVER (PARTITION BY cluster_id
-              |             ORDER BY qkey DESC, doc_id) AS rn
-              |         FROM m),
-              |drop_ids AS (SELECT doc_id FROM keep WHERE rn <> 1)
+              |$duckQualityDrop
               |SELECT d.doc_id, d.source
               |FROM documents d
               |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
               |ORDER BY d.doc_id""".stripMargin)
     ) { (s, d) =>
-      val m = familyQualityFrame(s, d)
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("qkey").desc, col("doc_id"))
-      val dropIds = m.withColumn("rn", row_number().over(w))
-        .filter(col("rn") =!= 1).select(col("doc_id"))
       Tables(s, d, "documents")
-        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(qualityDropIds(s, d)), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
@@ -2521,6 +2512,55 @@ object PipelineQueries {
               |ORDER BY x.doc_id""".stripMargin)
     ) { (s, d) =>
       funnelFlags(s, d)
+        .filter(col("f_exact") === 0 && col("nr").isNull
+          && col("pass") === 1 && col("ct").isNull)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c119: the quality-aware funnel corpus ---------------------------
+    // Completes the funnel variant matrix: q_c118 materializes the
+    // funnel with q_c19's quality-blind min-id near-dup stage; this
+    // variant swaps in q_c116's quality-aware retention rule (keep each
+    // family's best qualityKeyFrame member, tie → min doc_id — ONE rule
+    // copy, [[qualityDropIds]], shared with q_c116 so the standalone
+    // action and the funnel stage cannot fork) on the SAME shared flag
+    // frame builder. Spec-pinned (PipelineFunnelSpec): the survivor set
+    // differs from q_c118 on exactly q_c114's regret families
+    // (retained_is_best = 0), survivor-for-survivor — the blind funnel
+    // keeps the regret family's root, this one keeps its best member,
+    // each subject to the same downstream rules/decontamination stages.
+    //
+    // 100 TB shape: identical to q_c118 — the only change is WHICH tiny
+    // drop-id set broadcasts onto the corpus projection (the argmax
+    // window runs on the O(dup docs) family frame, never the corpus).
+    QueryDef(
+      "q_c119_quality_funnel_corpus",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |${TextQueries.duckQualityKey},
+              |$duckFamilyQuality,
+              |$duckQualityDrop,
+              |x AS (SELECT doc_id, source,
+              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              |      FROM documents),
+              |${TextQueries.duckRuleStats},
+              |rp AS (SELECT doc_id,
+              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+              |       FROM rm),
+              |$duckDecontamGrams,
+              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng)
+              |SELECT x.doc_id, x.source
+              |FROM x JOIN rp ON rp.doc_id = x.doc_id
+              |       LEFT JOIN drop_ids nq ON nq.doc_id = x.doc_id
+              |       LEFT JOIN cdoc cd ON cd.doc_id = x.doc_id
+              |WHERE x.doc_id = x.keep_id AND nq.doc_id IS NULL
+              |  AND rp.pass = 1 AND cd.doc_id IS NULL
+              |ORDER BY x.doc_id""".stripMargin)
+    ) { (s, d) =>
+      funnelFlagsQuality(s, d)
         .filter(col("f_exact") === 0 && col("nr").isNull
           && col("pass") === 1 && col("ct").isNull)
         .select(col("doc_id"), col("source"))
@@ -2699,11 +2739,14 @@ object PipelineQueries {
 
   /** q_c117's per-document stage flags — (doc_id, source, pass, f_exact,
     * nr, ct) where nr/ct are NULL-or-1 markers from the broadcast
-    * non-root-family and contaminated sets. ONE copy shared by the
-    * q_c117 report and q_c118's materialized retained corpus, so the
-    * attribution rules cannot fork.
+    * near-dup-drop and contaminated sets. ONE flag-frame builder with
+    * the near-dup drop rule as its only degree of freedom: q_c117's
+    * report and q_c118's corpus pass the quality-blind non-root set,
+    * q_c119 passes q_c116's quality-aware [[qualityDropIds]] — the
+    * exact/rules/decontamination stages cannot fork between variants.
     */
-  private[graft] def funnelFlags(s: SparkSession, d: String): DataFrame = {
+  private def funnelFlagsWith(
+      s: SparkSession, d: String)(nearDrop: => DataFrame): DataFrame = {
     val flagged = TextQueries.rulesFlags(
       Tables(s, d, "documents").select(col("doc_id"), col("source"), col("text")))
     val w = Window.partitionBy(md5(col("text")))
@@ -2711,15 +2754,48 @@ object PipelineQueries {
       .withColumn("f_exact",
         when(col("doc_id") =!= min(col("doc_id")).over(w), 1).otherwise(0))
       .select(col("doc_id"), col("source"), col("pass"), col("f_exact"))
-    val nf = ccFamiliesShared(s, d)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id")).withColumn("nr", lit(1))
+    val nf = nearDrop.select(col("doc_id")).withColumn("nr", lit(1))
     val cd = decontamReport(s, d)
       .filter(col("contaminated") === 1L)
       .select(col("doc_id")).withColumn("ct", lit(1))
     x.join(broadcast(nf), Seq("doc_id"), "left")
       .join(broadcast(cd), Seq("doc_id"), "left")
   }
+
+  private[graft] def funnelFlags(s: SparkSession, d: String): DataFrame =
+    funnelFlagsWith(s, d)(
+      ccFamiliesShared(s, d).filter(col("doc_id") =!= col("cluster_id")))
+
+  /** q_c119's flag frame: the same builder with q_c116's retention rule
+    * as the near-dup stage.
+    */
+  private[graft] def funnelFlagsQuality(s: SparkSession, d: String): DataFrame =
+    funnelFlagsWith(s, d)(qualityDropIds(s, d))
+
+  /** q_c116's drop set — every family member except the best-quality
+    * one (qkey DESC, tie → min doc_id, over [[familyQualityFrame]]):
+    * ONE copy of the quality-aware retention rule shared by the q_c116
+    * action and q_c119's funnel stage. Its DuckDB twin is
+    * [[duckQualityDrop]].
+    */
+  private[graft] def qualityDropIds(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("qkey").desc, col("doc_id"))
+    familyQualityFrame(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1).select(col("doc_id"))
+  }
+
+  /** DuckDB `keep`/`drop_ids` CTEs — the oracle twin of
+    * [[qualityDropIds]] (expects `m` upstream), ONE text shared by
+    * q_c116's and q_c119's oracles.
+    */
+  private lazy val duckQualityDrop: String =
+    """keep AS (SELECT cluster_id, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |             ORDER BY qkey DESC, doc_id) AS rn
+      |         FROM m),
+      |drop_ids AS (SELECT doc_id FROM keep WHERE rn <> 1)""".stripMargin
 
   /** The per-family member-quality frame — (doc_id, qkey, cluster_id),
     * the memoized quality projection with the tiny family frame

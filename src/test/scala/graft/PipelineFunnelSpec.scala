@@ -81,4 +81,38 @@ class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
         passRules.contains(id) && !contaminated.contains(id)),
       "every emitted row must satisfy all four stage rules")
   }
+
+  test("q_c119 differs from q_c118 on exactly the regret families, survivor-for-survivor") {
+    val blind = SparkEntry.queries("q_c118_funnel_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val quality = SparkEntry.queries("q_c119_quality_funnel_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // regret families straight from the registered monitor
+    val regretRoots = SparkEntry.queries("q_c114_family_quality")(spark, sf)
+      .collect().filter(_.getLong(5) == 0L).map(_.getLong(0)).toSet
+    assert(regretRoots.nonEmpty, "fixture must exercise the regret case")
+    // best member per family under the q_c116 rule (qkey DESC, min id)
+    val fq = graft.operators.PipelineQueries.familyQualityFrame(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bestOf = fq.groupBy(_._3).map { case (fam, ms) =>
+      (fam, ms.minBy(m => (-m._2, m._1))._1)
+    }
+    val regretBests = regretRoots.map(bestOf)
+    // downstream stage outcomes from the registered component queries
+    val passRules = SparkEntry.queries("q_c31_rules_filter")(spark, sf)
+      .collect().filter(_.getInt(6) == 1).map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q_c24_decontaminate")(spark, sf)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    graft.core.CachedRdds.drain()
+    val surviveTail = (id: Long) => passRules.contains(id) && !contaminated.contains(id)
+    // the blind funnel's exclusive survivors are exactly the regret
+    // roots that clear the downstream stages; the quality funnel's are
+    // exactly the regret best members that clear them
+    assert((blind -- quality) === regretRoots.filter(surviveTail),
+      "q_c118-only survivors must be the surviving regret-family roots")
+    assert((quality -- blind) === regretBests.filter(surviveTail),
+      "q_c119-only survivors must be the surviving regret-family best members")
+    // non-regret families and singletons are untouched by the swap
+    assert((blind & quality).size == blind.size - regretRoots.count(surviveTail))
+  }
 }
