@@ -206,9 +206,18 @@ object Sizing {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      else Array(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        // RECURSIVE listing: a partitioned/bucketed dataset nests its
+        // part files under key directories, and a top-level-only list
+        // would undercount rows and skew the q_c54 broadcast estimate.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+        }
+        buf.toArray
+      } else Array(p)
     files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
@@ -274,19 +283,27 @@ object ContentId {
 final class BuildOnceCache[K, V] {
   private val m = scala.collection.mutable.Map.empty[K, (String, V)]
   private val inFlight = new java.util.concurrent.ConcurrentHashMap[K, Object]()
-  def clear(): Unit = m.synchronized { m.clear() }
+  def clear(): Unit = { m.synchronized { m.clear() }; inFlight.clear() }
   def getOrBuild(key: K, snap: String)(build: => V): V = {
     def lookup(): Option[V] =
       m.synchronized(m.get(key).filter(_._1 == snap).map(_._2))
     lookup().getOrElse {
       val keyLock = inFlight.computeIfAbsent(key, _ => new Object)
-      keyLock.synchronized {
+      try keyLock.synchronized {
         // a concurrent caller may have finished while we waited
         lookup().getOrElse {
           val v = build
           m.synchronized { m(key) = (snap, v) }
           v
         }
+      } finally {
+        // hygiene: drop the latch once the build settled so the map does
+        // not grow one Object per distinct key for the JVM lifetime.
+        // Late waiters on the removed latch re-run lookup() under it and
+        // hit the cached value; a racing fresh-snapshot caller at worst
+        // duplicates a build (wasted work, never a wrong result — the
+        // value map itself is monitor-guarded).
+        inFlight.remove(key, keyLock); ()
       }
     }
   }
@@ -315,9 +332,12 @@ final class StoredArtifact(tmpPrefix: String) {
     * mapping so the next caller pays its build jobs. The directories
     * themselves stay until exit (the deferred-deletion rationale).
     */
-  def clear(): Unit = m.synchronized {
-    m.values.foreach { case (_, path) => LocalArtifacts.deleteOnExit(path) }
-    m.clear()
+  def clear(): Unit = {
+    m.synchronized {
+      m.values.foreach { case (_, path) => LocalArtifacts.deleteOnExit(path) }
+      m.clear()
+    }
+    inFlight.clear()
   }
 
   /** The artifact directory for `key` at content snapshot `snap`,
@@ -328,16 +348,26 @@ final class StoredArtifact(tmpPrefix: String) {
       m.synchronized(m.get(key).filter(_._1 == snap).map(_._2))
     lookup().getOrElse {
       val keyLock = inFlight.computeIfAbsent(key, _ => new Object)
-      keyLock.synchronized {
+      try keyLock.synchronized {
         lookup().getOrElse {
           val path =
             java.nio.file.Files.createTempDirectory(tmpPrefix).toString
-          build(path)
+          // a failed build must not leak its partial directory past JVM
+          // exit: reclaim it the same deferred way superseded snapshots
+          // are (it was never published, so no reader can hold it)
+          try build(path)
+          catch { case e: Throwable =>
+            LocalArtifacts.deleteOnExit(path); throw e
+          }
           m.synchronized(m.put(key, (snap, path))).foreach { case (_, old) =>
             LocalArtifacts.deleteOnExit(old)
           }
           path
         }
+      } finally {
+        // same latch hygiene as BuildOnceCache: bounded map, no
+        // correctness dependence on latch identity (see rationale there)
+        inFlight.remove(key, keyLock); ()
       }
     }
   }

@@ -190,9 +190,20 @@ object SessionMemo {
       finally { pendingDemotions.decrementAndGet(); () })
   }
 
-  /** Test hook: block until every queued demotion completed. */
-  private[graft] def awaitDemotions(): Unit =
-    while (pendingDemotions.get() > 0) Thread.sleep(10)
+  /** Test hook: block until every queued demotion completed. Bounded —
+    * a wedged spill job on the single demotion thread must fail the
+    * calling spec with a diagnostic, not hang it silently.
+    */
+  private[graft] def awaitDemotions(timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (pendingDemotions.get() > 0) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"awaitDemotions: ${pendingDemotions.get()} demotion(s) still " +
+            s"pending after ${timeoutMs} ms — demotion thread wedged?")
+      Thread.sleep(10)
+    }
+  }
 
   private def selectVictims(
       s: SparkSession, keep: (String, String)): Seq[Demotion] = {

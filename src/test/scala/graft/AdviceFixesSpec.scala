@@ -91,4 +91,74 @@ class AdviceFixesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(r.fieldIndex("intercept")), "intercept must be NULL, not NaN")
     graft.core.LocalArtifacts.deleteRecursively(dir)
   }
+
+  // ---- round-14 advisor findings ------------------------------------------
+
+  private def inFlightSize(owner: AnyRef): Int = {
+    val f = owner.getClass.getDeclaredField("inFlight")
+    f.setAccessible(true)
+    f.get(owner).asInstanceOf[java.util.concurrent.ConcurrentHashMap[_, _]].size
+  }
+
+  test("build-once latches are pruned after the build settles (no per-key growth)") {
+    val cache = new BuildOnceCache[String, Int]
+    (1 to 100).foreach(i => cache.getOrBuild(s"k$i", "snap")(i))
+    assert(inFlightSize(cache) === 0,
+      "BuildOnceCache.inFlight must not retain one latch per historical key")
+    val art = new graft.core.StoredArtifact("graft-latch-test")
+    (1 to 5).foreach(i => art.getOrBuild(s"k$i", "snap")(_ => ()))
+    assert(inFlightSize(art) === 0,
+      "StoredArtifact.inFlight must not retain one latch per historical key")
+    art.clear()
+  }
+
+  test("StoredArtifact: a failed build defers cleanup of its partial directory") {
+    val art = new graft.core.StoredArtifact("graft-failbuild-test")
+    var failedPath: String = null
+    val e = intercept[RuntimeException] {
+      art.getOrBuild("k", "snap") { p =>
+        failedPath = p
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "partial.bin"), "half-written")
+        throw new RuntimeException("build died mid-write")
+      }
+    }
+    assert(e.getMessage === "build died mid-write")
+    // the partial directory is registered for exit-time reclamation
+    val lo = graft.core.LocalArtifacts
+    val f = lo.getClass.getDeclaredField("deferred")
+    f.setAccessible(true)
+    val deferred = f.get(lo).asInstanceOf[scala.collection.mutable.ArrayBuffer[String]]
+    assert(deferred.synchronized(deferred.contains(failedPath)),
+      "partial build directory must be scheduled for deletion")
+    // and the failure is not cached: a retry re-runs the build
+    val ok = art.getOrBuild("k", "snap")(_ => ())
+    assert(ok !== failedPath, "retry must build into a fresh directory")
+    art.clear()
+  }
+
+  test("awaitDemotions fails with a diagnostic instead of hanging") {
+    val memo = graft.core.SessionMemo
+    val f = memo.getClass.getDeclaredField("pendingDemotions")
+    f.setAccessible(true)
+    val pending = f.get(memo).asInstanceOf[java.util.concurrent.atomic.AtomicInteger]
+    // no demotions pending: returns immediately
+    memo.awaitDemotions(timeoutMs = 1000L)
+    pending.incrementAndGet()
+    try {
+      val e = intercept[IllegalStateException](memo.awaitDemotions(timeoutMs = 60L))
+      assert(e.getMessage.contains("1 demotion(s) still pending"))
+    } finally { pending.decrementAndGet(); () }
+  }
+
+  test("parquetRows counts rows under nested (partitioned) layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrows").toString
+    val s = spark
+    import s.implicits._
+    (1 to 40).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+      .write.mode("overwrite").partitionBy("src").parquet(s"$dir/nested")
+    assert(graft.core.Sizing.parquetRows(spark, s"$dir/nested") === 40L,
+      "partition-key subdirectories must be counted recursively")
+    graft.core.LocalArtifacts.deleteRecursively(dir)
+  }
 }
