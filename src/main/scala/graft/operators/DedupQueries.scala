@@ -1329,8 +1329,122 @@ object DedupQueries {
           expr("CAST(COALESCE(n_docs, 0L) * 1000000 DIV n_total AS BIGINT)")
             .as("touched_ppm"))
         .orderBy(col("tau10"))
+    },
+
+    // ---- q_c120: MinHash (bands, rows) frontier calibration ---------------
+    // q_c88 calibrates the ONE shipped banding (3 bands × 2 rows); at
+    // 100 TB the (b, r) choice is THE dedup cost/recall knob, and this
+    // query maps the whole frontier the 6-permutation signature family
+    // supports (every banding with b·r ≤ 6, [[lshGrid]]): per grid
+    // point, the candidate-pair volume that banding generates (the
+    // COST axis — candidate pairs are what the verifier must score) and
+    // its observed recall against the exact τ = 0.5 verified pairs
+    // (q_b6) next to the analytic S-curve 1 − (1 − s^r)^b expectation.
+    // The row a pipeline owner reads before re-parameterizing: more
+    // bands/fewer rows buys recall with candidate volume, and the
+    // observed column shows where real (structured) corpora leave the
+    // uniform-hashing idealization.
+    //
+    // 100 TB shape: every grid point scans the STORED 48 B/doc
+    // signature index (q_c66's artifact — the corpus text is never
+    // read), bands into one shuffle on its band keys, and reduces to a
+    // single row; the verified-pair frame joins in at O(true pairs).
+    // The grid is a calibration harness run on an ingest sample, not a
+    // per-ingest cost.
+    QueryDef(
+      "q_c120_lsh_band_grid",
+      Some(s"""WITH $duckMinhashCand,
+              |$duckJaccardTail,
+              |$lshGridSqlTail""".stripMargin)
+    ) { (s, d) =>
+      val sig = s.read.parquet(s"${minhashIndex(s, d)}/sigs")
+      val sFrame = verifiedJaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") / col("uni").cast("double")).as("s"))
+      lshGrid.map { case (b, r) =>
+        val bandsDf = (0 until b).map { i =>
+          sig.select(col("doc_id"), lit(i).as("band"),
+            concat_ws("_", (0 until r).map(j => col(s"mh${i * r + j}")): _*)
+              .as("key"))
+        }.reduce(_ unionByName _)
+        val cand = bandsDf.as("a")
+          .join(bandsDf.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+        val spow = (0 until r).map(_ => col("s")).reduce(_ * _)
+        val q = lit(1) - spow
+        val qpow = (0 until b).map(_ => q).reduce(_ * _)
+        val stats = sFrame
+          .join(cand.withColumn("det", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .select(when(col("det").isNotNull, 1).otherwise(0).as("detected"),
+            dec(lit(1) - qpow).as("exp_p"))
+          .agg(count(lit(1)).cast("long").as("n_true"),
+            sum(col("detected")).cast("long").as("n_detected"),
+            emit((dec(sum(col("detected"))) / dec(count(lit(1)))).cast(D38))
+              .as("observed_recall"),
+            emit((dec(sum(col("exp_p"))) / dec(count(lit(1)))).cast(D38))
+              .as("expected_recall"))
+        nCand.crossJoin(stats) // two 1-row stat frames
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_true"), col("n_detected"),
+            col("observed_recall"), col("expected_recall"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("bands"), col("rows_per_band"))
     }
   )
+
+  /** q_c120's calibration grid — every banding of the shipped
+    * 6-permutation signature family that fits the signature width
+    * (b · r ≤ 6, bands of consecutive hashes), in output order. ONE
+    * constant drives the DataFrame plan, the DuckDB oracle text and the
+    * Spark-SQL twin, so a grid change cannot fork the three.
+    */
+  private[graft] lazy val lshGrid: Seq[(Int, Int)] =
+    Seq((1, 3), (1, 6), (2, 2), (2, 3), (3, 2), (6, 1))
+
+  /** Dialect-neutral SQL tail of the q_c120 grid (composes after any
+    * chain putting `sig(doc_id, mh0..mh5)` and `jp(doc_a, doc_b,
+    * shared, uni)` in scope) — shared verbatim by the DuckDB oracle and
+    * the Spark-SQL twin. The S-curve is written with the SAME textual
+    * association order on every side (the house double discipline).
+    */
+  private[graft] lazy val lshGridSqlTail: String = {
+    val ctes = lshGrid.map { case (b, r) =>
+      val bandSel = (0 until b).map { i =>
+        val cols = (0 until r).map(j => s"mh${i * r + j}").mkString(", ")
+        if (i == 0) s"  SELECT doc_id, 0 AS band, concat_ws('_', $cols) AS key FROM sig"
+        else s"  UNION ALL SELECT doc_id, $i, concat_ws('_', $cols) FROM sig"
+      }.mkString("\n")
+      val spow = List.fill(r)("s").mkString(" * ")
+      val qpow = List.fill(b)(s"(1 - $spow)").mkString(" * ")
+      s"""bd_${b}_$r AS (
+         |$bandSel),
+         |cd_${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bd_${b}_$r a JOIN bd_${b}_$r b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |g_${b}_$r AS (
+         |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cd_${b}_$r) AS n_candidates,
+         |    CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(detected) AS BIGINT) AS n_detected,
+         |    CAST(CAST(CAST(SUM(detected) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS observed_recall,
+         |    CAST(CAST(CAST(SUM(exp_p) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS expected_recall
+         |  FROM (SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected,
+         |          CAST(1 - $qpow AS DECIMAL(18,6)) AS exp_p
+         |        FROM (SELECT doc_a, doc_b,
+         |                CAST(shared AS DOUBLE) / CAST(uni AS DOUBLE) AS s
+         |              FROM jp) sc
+         |        LEFT JOIN cd_${b}_$r c
+         |          ON c.doc_a = sc.doc_a AND c.doc_b = sc.doc_b) t)""".stripMargin
+    }.mkString(",\n")
+    val sel = lshGrid.map { case (b, r) => s"SELECT * FROM g_${b}_$r" }
+      .mkString("\nUNION ALL ")
+    s"$ctes\n$sel\nORDER BY bands, rows_per_band"
+  }
 
   /** q_c78's held-out predicate — q_c47's benchmark slice, so the two
     * decontamination geometries are measured against the SAME set.

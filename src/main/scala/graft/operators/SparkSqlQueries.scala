@@ -2355,6 +2355,11 @@ object SparkSqlQueries {
          |  CAST(CAST(CAST(SUM(exp_p) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS expected_recall
          |FROM eq GROUP BY 1 ORDER BY jac_decile""".stripMargin,
 
+    "q_c120_lsh_band_grid" ->
+      s"""WITH $minhashCandCtes,
+         |$sparkJaccardTail,
+         |${DedupQueries.lshGridSqlTail}""".stripMargin,
+
     "q_c91_source_dup_matrix" ->
       s"""WITH $shingleCtes,
          |$sparkJaccardTail,

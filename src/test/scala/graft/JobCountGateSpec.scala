@@ -95,6 +95,7 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c117_pipeline_funnel" -> 51,    // measured 41 cold (candidate + CC + decontam bases; warm 13)
     "q_c118_funnel_corpus" -> 50,      // measured 40 cold (same bases, emission tail; warm 12)
     "q_c119_quality_funnel_corpus" -> 55,  // measured 44 cold (q_c118 bases + cls_raw for the argmax)
+    "q_c120_lsh_band_grid" -> 72,          // measured 58 cold (sig index + AllPairs bases + 6 grid points)
 
     "q_c94_kn_trigram_lm" -> 26,      // measured 21 (both orders' type aggs + top-100 fan-out joins)
     "q_c95_winnow_calibration" -> 50  // measured 40 (3 winnow folds + exact-pair base + recall joins)

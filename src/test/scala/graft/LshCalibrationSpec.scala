@@ -167,4 +167,65 @@ class LshCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDecile.zip(byDecile.tail).forall { case (a, b) => a <= b },
       "the analytic S-curve is increasing in s, so decile means must be monotone")
   }
+
+  test("q_c120 planted: every banding detects s = 1; closed-form expectation replays") {
+    val rows = SparkEntry.queries("q_c120_lsh_band_grid")(spark, dir).collect()
+    graft.core.CachedRdds.drain()
+    val grid = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(grid.keySet ===
+      graft.operators.DedupQueries.lshGrid.map { case (b, r) => (b.toLong, r.toLong) }.toSet)
+    // both planted pairs are verified (s = 1 and s = 7/9 >= tau)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 2L)
+      // identical docs ⇒ identical signatures ⇒ NO banding can miss the
+      // s = 1 pair, so every grid point detects at least one pair
+      assert(r.getAs[Long]("n_detected") >= 1L)
+    }
+    // closed-form expectation at (1, 6): mean over the two pairs of
+    // quantize(1 - (1 - s^6)), s ∈ {1, 7/9}, replayed in the query's
+    // own arithmetic (IEEE products, DECIMAL(18,6) per pair, exact mean)
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val s79 = 7.0 / 9.0
+    val p79 = {
+      val s6 = s79 * s79 * s79 * s79 * s79 * s79
+      q6(1.0 - (1.0 - s6))
+    }
+    val expected = ((q6(1.0) + p79) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(grid((1L, 6L)).getAs[Double]("expected_recall") === expected)
+  }
+
+  test("q_c120 on sf0.001: volume containment, recall monotonicity, q_c88 cross-pin") {
+    val rows = SparkEntry.queries("q_c120_lsh_band_grid")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    val grid = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(grid.size === graft.operators.DedupQueries.lshGrid.size)
+    val exact = SparkEntry.queries("q_b6_jaccard_neardup")(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") === exact,
+        "the true-pair base is the same exact q_b6 frame for every grid point")
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_true"))
+      val obs = r.getAs[Double]("observed_recall")
+      val exp = r.getAs[Double]("expected_recall")
+      assert(obs >= 0.0 && obs <= 1.0 && exp >= 0.0 && exp <= 1.0)
+    }
+    def cand(b: Long, r: Long) = grid((b, r)).getAs[Long]("n_candidates")
+    // band-key containment: a match on a longer key implies a match on
+    // each of its sub-keys, so coarser-key bandings generate supersets
+    assert(cand(6, 1) >= cand(3, 2) && cand(3, 2) >= cand(2, 2),
+      "(6,1) ⊇ (3,2) ⊇ (2,2) by band-key containment")
+    assert(cand(2, 3) >= cand(1, 6) && cand(1, 3) >= cand(1, 6),
+      "(2,3) and (1,3) each contain the full-signature (1,6) banding")
+    // the analytic model is monotone in bands at fixed rows
+    def exp(b: Long, r: Long) = grid((b, r)).getAs[Double]("expected_recall")
+    assert(exp(3, 2) >= exp(2, 2) && exp(2, 3) >= exp(1, 3))
+    // cross-pin: the shipped (3,2) grid row measures the SAME banding
+    // against the SAME pair base as q_c88's per-decile report
+    val c88 = SparkEntry.queries("q_c88_lsh_recall")(spark, sf).collect()
+    graft.core.CachedRdds.drain()
+    assert(grid((3L, 2L)).getAs[Long]("n_detected") ===
+      c88.map(_.getAs[Long]("n_detected")).sum,
+      "grid (3,2) detection total must equal q_c88's decile sum")
+  }
 }
