@@ -34,6 +34,48 @@ object Bench {
   private val ProbeName = "q_a1_scan_filter"
   private val probeEvery = 4
 
+  /** `SPARK_GRAFT_TIER=headline` — the documented flagship subset for a
+    * budget-constrained driver run: every operator family's flagship(s)
+    * plus the historically most expensive bench rows, so a headline run
+    * still exercises each scale story (relational DECIMAL pipelines,
+    * the event skew dispatch pair, all four stored-index lifecycles,
+    * trainer cold paths, the CC-fixpoint capstones, the calibration
+    * sweeps and the multimodal chain). The default tier (`full`) runs
+    * every registered query and emits an artifact byte-compatible with
+    * prior rounds (plus the `tier` field). BenchTierSpec pins that this
+    * list stays a subset of the registry.
+    */
+  private[graft] val HeadlineTier: Set[String] = Set(
+    // relational core + the heaviest DECIMAL pipelines
+    "q_a1_scan_filter", "q_a2_agg", "q_a4_join_broadcast", "q_a13_topk",
+    "q_a19_math",
+    // event surface (both sides of the measured skew dispatch)
+    "q_b1_tumbling_window", "q_b3_sessionize", "q_b3_sessionize_salted",
+    "q_b4_asof_join", "q_b9_interval_join",
+    // dedup flagships + exact bases + family fixpoint consumers
+    "q_b5_dedup_exact", "q_b6_jaccard_neardup", "q_c1_minhash_lsh",
+    "q_c2_simhash", "q_c3_ngram_jaccard", "q_c48_substr_dedup",
+    "q_c13_dup_clusters", "q_c19_neardup_retained",
+    // similarity + the four stored-index lifecycles
+    "q_b7_cosine_topk", "q_c9_ann_ivf", "q_c29_semantic_dedup",
+    "q_c12_bm25", "q_c45_bm25_stored", "q_c66_minhash_stored",
+    "q_c103_phrase_search",
+    // filtering / scoring / loader scheduling
+    "q_b8_percentiles", "q_c24_decontaminate", "q_c25_sequence_pack",
+    "q_c30_quality_classifier", "q_c31_rules_filter", "q_c36_dsir_resample",
+    "q_c44_bigram_logprob", "q_c47_fuzzy_decontaminate",
+    "q_c49_quality_ensemble",
+    // trainers + LM statistics (the job-heavy cold class)
+    "q_c33_bpe_train", "q_c80_kn_bigram_lm", "q_c87_kn_trigram_ppl",
+    "q_c110_tokenizer_fertility",
+    // calibration + capstones (the most expensive bench rows)
+    "q_c85_candidate_agreement", "q_c95_winnow_calibration",
+    "q_c105_family_diameter", "q_c117_pipeline_funnel",
+    "q_c118_funnel_corpus", "q_c119_quality_funnel_corpus",
+    "q_c120_lsh_band_grid",
+    // multimodal chain
+    "q_c10_multimodal_stats", "q_c11_media_features", "q_c41_media_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full local[32] harness (driver contract); shuffle
@@ -52,8 +94,19 @@ object Bench {
     // for same-window A/B attribution (noop-vs-count delta vs sandbox drift).
     // The default — and what every driver artifact uses — is the noop sink.
     val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "noop")
+    // SPARK_GRAFT_TIER=headline runs the documented flagship subset
+    // (see [[HeadlineTier]]); the default full tier is artifact-parity
+    // with prior rounds. An unknown tier value fails fast rather than
+    // silently benching the wrong set.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_TIER", "full")
+    val tierFilter: String => Boolean = tier match {
+      case "full"     => _ => true
+      case "headline" => HeadlineTier.contains
+      case other => sys.error(
+        s"SPARK_GRAFT_TIER=$other: expected 'full' or 'headline'")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(_.exists(name.contains))
+      tierFilter(name) && only.forall(_.exists(name.contains))
     }
 
     // Per-query JOB COUNTS (round 10): wall time alone hides scheduler-
@@ -197,7 +250,7 @@ object Bench {
         }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","queries":$qs,"queries_raw":$raw,"jobs":$jobsJson,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","tier":"$tier","queries":$qs,"queries_raw":$raw,"jobs":$jobsJson,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
