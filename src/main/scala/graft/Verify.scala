@@ -41,6 +41,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // External-reader proof: when the phrase search was dumped, record
+    // the stored index's on-disk location so the DuckDB side can
+    // reproduce q_c103 FROM THE ARTIFACT FILES ALONE (no corpus view) —
+    // the engine-neutrality claim for the stored-index family. Serving
+    // from the StoredArtifact cache here costs no rebuild: q_c103's dump
+    // above already built it for this (dir, snapshot) key.
+    if (Files.exists(Paths.get(s"$outDir/q_c103_phrase_search"))) {
+      val idx = graft.operators.TextQueries.phraseIndex(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/index_paths.json"),
+        s"""{"phrase_index": ${q(idx)}}""")
+    }
     spark.stop()
   }
 }

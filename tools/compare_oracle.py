@@ -65,6 +65,48 @@ for name in sorted(oracle):
                             f"({int(neq.sum())} cells)"))
     else:
         passes.append(name)
+# External-reader parity: reproduce q_c103's search result from the STORED
+# phrase-index parquet ALONE (fresh DuckDB connection, no corpus views) —
+# the engine-neutrality proof for the stored-index family: any parquet
+# reader can serve the search from the artifact without the source corpus
+# or the Spark engine.
+ipath = f"{outdir}/index_paths.json"
+if os.path.exists(ipath) and (only is None or "q_c103_phrase_search" in only):
+    name = "q_c103_from_stored_index"
+    idx = json.load(open(ipath)).get("phrase_index")
+    try:
+        sdf = pd.concat(
+            [pd.read_parquet(f) for f in
+             sorted(glob.glob(f"{outdir}/q_c103_phrase_search/*.parquet"))],
+            ignore_index=True)
+        icon = duckdb.connect()  # deliberately NO corpus views attached
+        ddf = icon.execute(f"""
+            WITH top AS (SELECT w1, w2 FROM '{idx}/bigrams/*.parquet'
+                         ORDER BY cnt DESC, w1, w2 LIMIT 5),
+            p AS (SELECT term, doc_id, pos FROM '{idx}/postings/*.parquet'),
+            occ AS (SELECT tp.w1, tp.w2, a.doc_id
+                    FROM top tp
+                    JOIN p a ON a.term = tp.w1
+                    JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
+                              AND b.pos = a.pos + 1)
+            SELECT w1 || ' ' || w2 AS phrase,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+              CAST(MAX(doc_id) AS BIGINT) AS last_doc
+            FROM occ GROUP BY w1, w2 ORDER BY phrase""").df()
+        a, b = canon(sdf), canon(ddf)
+        if list(a.columns) != list(b.columns):
+            fails.append((name, f"cols spark={list(a.columns)} index={list(b.columns)}"))
+        elif len(a) != len(b):
+            fails.append((name, f"rows spark={len(a)} index={len(b)}"))
+        elif (a.values != b.values).any():
+            fails.append((name, "stored-index replay diverges from the dumped result"))
+        else:
+            passes.append(name)
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"FAIL ({len(fails)}):")
 for n, m in fails:
