@@ -400,6 +400,54 @@ object StreamingOps {
     graft.operators.TextQueries.spectrumReport(
       state.select(col("term"), col("cnt").cast("long").as("cnt")))
 
+  /** Streaming ingestion twin of q_c107's phrase-index append — the
+    * stored-index family's last batch-only gap. The index has exactly
+    * two state shapes, and they stream differently:
+    *   - positional postings carry NO cross-document state (a position
+    *     is relative to its own document), so arriving documents map
+    *     STATELESSLY to final (term, doc_id, pos) rows — append mode,
+    *     the [[splitAssignments]] class; nothing ever merges;
+    *   - the phrase-selection bigram table is a pure ADDITIVE count —
+    *     complete-mode groupBy state, the [[spectrumUpdates]] class,
+    *     one cell per distinct bigram (Heaps-bounded).
+    * Because append ≡ rebuild for this index (the q_c107 proof), the
+    * serve over (stored base ∪ streamed state) equals the batch append
+    * result after ANY prefix of micro-batches covering the batch —
+    * regardless of how unevenly the documents arrived.
+    */
+  def phrasePostingUpdates(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.positionalTokens(docs)
+
+  /** The additive bigram-count half of the phrase-index ingestion (see
+    * [[phrasePostingUpdates]]): per-batch adjacency counts merge under
+    * a complete-mode groupBy sum.
+    */
+  def phraseBigramUpdates(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.knBigrams(docs)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Serve the phrase search over stored base index + streamed state
+    * through the SAME report tail as q_c103/q_c107
+    * ([[graft.operators.TextQueries.phraseReport]]) — the nonlinear
+    * top-phrase selection and positional intersection run at READ time
+    * over the linear postings/count state (the q_c28 lambda-split), so
+    * serve ≡ q_c107's batch append bit-exactly.
+    */
+  def phraseAppendServe(
+      s: SparkSession, basePath: String,
+      postState: DataFrame, bigramState: DataFrame): DataFrame = {
+    val post = s.read.parquet(s"$basePath/postings")
+      .unionByName(postState.select(col("term"), col("doc_id").cast("long"),
+        col("pos").cast("long")))
+    val bigrams = s.read.parquet(s"$basePath/bigrams")
+      .unionByName(bigramState.select(col("w1"), col("w2"),
+        col("cnt").cast("long")))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    graft.operators.TextQueries.phraseReport(s, post, bigrams)
+  }
+
   /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
     * (source, i, m) + counts against the streamed (source, i, sx, n)
     * running state of the ARRIVING batch — the mean derivation is

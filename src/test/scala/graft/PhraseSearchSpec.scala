@@ -116,6 +116,51 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming ingestion: postings + bigram state serve == q_c107 batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // the q_c107 batch arrives as a LIVE stream in deliberately uneven
+    // micro-batches
+    val batchRows = graft.core.Tables(sp, sf, "documents")
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    assert(batchRows.length > 2, "fixture must stream more than one chunk")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // stateless half: positional postings rows are final on arrival
+    val qPost = graft.streaming.StreamingOps.phrasePostingUpdates(docs)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_post").toString)
+      .format("memory").queryName("phrasepost").outputMode("append").start()
+    // additive half: bigram counts merge across micro-batches
+    val qBg = graft.streaming.StreamingOps.phraseBigramUpdates(docs)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_bg").toString)
+      .format("memory").queryName("phrasebg").outputMode("complete").start()
+    for (chunk <- Seq(batchRows.take(1), batchRows.slice(1, 3), batchRows.drop(3))) {
+      input.addData(chunk.toSeq)
+      qPost.processAllAvailable()
+      qBg.processAllAvailable()
+    }
+    val basePath = graft.operators.TextQueries.phraseBaseIndex(sp, sf)
+    val served = graft.streaming.StreamingOps
+      .phraseAppendServe(sp, basePath, sp.table("phrasepost"), sp.table("phrasebg"))
+      .collect().map(_.toString).toSeq
+    qPost.stop(); qBg.stop()
+    val batch = SparkEntry.queries("q_c107_phrase_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(served.nonEmpty && served === batch,
+      "stateless postings + additive bigram state through the shared report " +
+        "tail must equal the batch append, however unevenly the batch arrived")
+  }
+
   test("index is built once per corpus snapshot, then reused") {
     val p1 = graft.operators.TextQueries.phraseIndex(spark, sf)
     val p2 = graft.operators.TextQueries.phraseIndex(spark, sf)
