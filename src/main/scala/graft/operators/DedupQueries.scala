@@ -95,7 +95,13 @@ object DedupQueries {
     * `prefixLen` must be computed in INTEGER arithmetic: p = n − ⌈τ·n⌉ + 1;
     * a float ceil could round UP and silently shorten the prefix below the
     * exactness bound. 100 TB posture: candidate volume tracks true
-    * similarity (not corpus size); every stage is a key-partitioned
+    * similarity (not corpus size) — MEASURED on the Heaps-law fixture
+    * (round 15, `tools/gen_scale_docs.py` heaps mode: vocab ~ n^0.7,
+    * Zipf-Mandelbrot frequencies): q_c3 wall exponent 0.76 at 1×/3×/10×
+    * with prefix-restricted pair-volume exponent 1.79 vs 2.29 on the
+    * deliberately adversarial fixed-head-vocab fixture (PERF.md round-19
+    * table) — the kernel sheds the quadratic pool faster the more
+    * Heaps-like the corpus; every stage is a key-partitioned
     * shuffle; the build-internal persisted intermediates are registered
     * with CachedRdds so harnesses release executor storage after
     * materialization, while the garr frame itself is memoized per

@@ -36,14 +36,8 @@ LANGS = ["en"] * 16 + ["de", "fr", "es", "zh"]
 SEED = 1042
 
 
-def gen_documents(n, rng, scale):
-    vocab = VOCAB + [f"w{k:03d}" for k in
-                     range(len(VOCAB), int(len(VOCAB) * scale ** 0.5))]
-    texts = []
-    target_words = rng.integers(8, 100, size=n)
-    for i in range(n):
-        words = rng.integers(0, len(vocab), size=target_words[i])
-        texts.append(" ".join(vocab[w] for w in words))
+def _finish_documents(texts, n, rng, vocab):
+    """Shared tail of both modes: near-dup families, exact dups, labels."""
     # ~5% near-dup families: overwrite runs of 5 docs with one base text
     # plus small per-member edits, marked with the 'dup' token like sf0.1
     n_fam = n // 100
@@ -71,6 +65,41 @@ def gen_documents(n, rng, scale):
     })
 
 
+def gen_documents(n, rng, scale):
+    vocab = VOCAB + [f"w{k:03d}" for k in
+                     range(len(VOCAB), int(len(VOCAB) * scale ** 0.5))]
+    texts = []
+    target_words = rng.integers(8, 100, size=n)
+    for i in range(n):
+        words = rng.integers(0, len(vocab), size=target_words[i])
+        texts.append(" ".join(vocab[w] for w in words))
+    return _finish_documents(texts, n, rng, vocab)
+
+
+def gen_documents_heaps(n, rng, scale):
+    """Heaps-law mode (VERDICT r14 item 4): vocabulary grows as
+    V = 2000 * scale^0.7 (a realistic Heaps exponent) and word
+    frequencies follow a Zipf-Mandelbrot law over it (s = 1.07,
+    q = 2.7), so gram/shingle document frequencies stay Heaps-governed
+    as the corpus grows instead of densifying quadratically — the
+    production-shaped fixture for the q_c3/q_c29 candidate-volume
+    exponents (the uniform mode's fixed head vocabulary is the
+    deliberately adversarial density case). Same near-dup family /
+    exact-dup / label recipe as the uniform mode, so the TRUE duplicate
+    density is identical across modes at every scale."""
+    V = int(2000 * scale ** 0.7)
+    vocab = [f"h{k:05d}" for k in range(V)]
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = 1.0 / (ranks + 2.7) ** 1.07
+    p /= p.sum()
+    target_words = rng.integers(8, 100, size=n)
+    flat = rng.choice(V, size=int(target_words.sum()), p=p)
+    bounds = np.cumsum(target_words)[:-1]
+    texts = [" ".join(vocab[w] for w in chunk)
+             for chunk in np.split(flat, bounds)]
+    return _finish_documents(texts, n, rng, vocab)
+
+
 def gen_embeddings(n, rng):
     dim, n_labels = 64, 10
     centroids = rng.standard_normal((n_labels, dim)).astype(np.float32) * 0.08
@@ -87,9 +116,11 @@ def gen_embeddings(n, rng):
 def main():
     outdir = sys.argv[1]
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    mode = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    docs = gen_documents(5000 * scale, rng, scale)
+    gen = {"uniform": gen_documents, "heaps": gen_documents_heaps}[mode]
+    docs = gen(5000 * scale, rng, scale)
     emb = gen_embeddings(2000 * scale, rng)
     # write_split (shared helper, pq_write.py) bounds the row groups and
     # asserts the layout is splittable — the unsplittable single-group
