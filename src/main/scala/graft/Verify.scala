@@ -47,11 +47,18 @@ object Verify {
     // the engine-neutrality claim for the stored-index family. Serving
     // from the StoredArtifact cache here costs no rebuild: q_c103's dump
     // above already built it for this (dir, snapshot) key.
-    if (Files.exists(Paths.get(s"$outDir/q_c103_phrase_search"))) {
-      val idx = graft.operators.TextQueries.phraseIndex(spark, sfDir)
-      Files.writeString(Paths.get(s"$outDir/index_paths.json"),
-        s"""{"phrase_index": ${q(idx)}}""")
+    val idxEntries = Seq(
+      "q_c103_phrase_search" -> ("phrase_index",
+        () => graft.operators.TextQueries.phraseIndex(spark, sfDir)),
+      "q_c45_bm25_stored" -> ("bm25_index",
+        () => graft.operators.TextQueries.postingsIndex(spark, sfDir))
+    ).collect {
+      case (qn, (key, path)) if Files.exists(Paths.get(s"$outDir/$qn")) =>
+        s"${q(key)}: ${q(path())}"
     }
+    if (idxEntries.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/index_paths.json"),
+        idxEntries.mkString("{", ",", "}"))
     spark.stop()
   }
 }

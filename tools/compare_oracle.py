@@ -70,31 +70,15 @@ for name in sorted(oracle):
 # the engine-neutrality proof for the stored-index family: any parquet
 # reader can serve the search from the artifact without the source corpus
 # or the Spark engine.
-ipath = f"{outdir}/index_paths.json"
-if os.path.exists(ipath) and (only is None or "q_c103_phrase_search" in only):
-    name = "q_c103_from_stored_index"
-    idx = json.load(open(ipath)).get("phrase_index")
+def replay_parity(name, dumped_query, sql):
+    """Compare a DuckDB replay (artifact files only) against a dumped result."""
     try:
         sdf = pd.concat(
             [pd.read_parquet(f) for f in
-             sorted(glob.glob(f"{outdir}/q_c103_phrase_search/*.parquet"))],
+             sorted(glob.glob(f"{outdir}/{dumped_query}/*.parquet"))],
             ignore_index=True)
         icon = duckdb.connect()  # deliberately NO corpus views attached
-        ddf = icon.execute(f"""
-            WITH top AS (SELECT w1, w2 FROM '{idx}/bigrams/*.parquet'
-                         ORDER BY cnt DESC, w1, w2 LIMIT 5),
-            p AS (SELECT term, doc_id, pos FROM '{idx}/postings/*.parquet'),
-            occ AS (SELECT tp.w1, tp.w2, a.doc_id
-                    FROM top tp
-                    JOIN p a ON a.term = tp.w1
-                    JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
-                              AND b.pos = a.pos + 1)
-            SELECT w1 || ' ' || w2 AS phrase,
-              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-              CAST(COUNT(*) AS BIGINT) AS n_occ,
-              CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-              CAST(MAX(doc_id) AS BIGINT) AS last_doc
-            FROM occ GROUP BY w1, w2 ORDER BY phrase""").df()
+        ddf = icon.execute(sql).df()
         a, b = canon(sdf), canon(ddf)
         if list(a.columns) != list(b.columns):
             fails.append((name, f"cols spark={list(a.columns)} index={list(b.columns)}"))
@@ -106,6 +90,46 @@ if os.path.exists(ipath) and (only is None or "q_c103_phrase_search" in only):
             passes.append(name)
     except Exception as e:
         fails.append((name, f"exec error: {e}"))
+
+ipath = f"{outdir}/index_paths.json"
+index_paths = json.load(open(ipath)) if os.path.exists(ipath) else {}
+if "bm25_index" in index_paths and (only is None or "q_c45_bm25_stored" in only):
+    # BM25 from the stored postings+stats alone: same fixed query terms
+    # and the byte-for-byte q_c12 scoring arithmetic the oracle uses.
+    idx = index_paths["bm25_index"]
+    replay_parity("q_c45_from_stored_index", "q_c45_bm25_stored", f"""
+        WITH p AS (SELECT term, doc_id, tf, dl FROM '{idx}/postings/*.parquet'
+                   WHERE term IN ('hash','join','filter')),
+        s AS (SELECT n_docs, tot FROM '{idx}/stats/*.parquet'),
+        dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1),
+        scored AS (
+          SELECT p.doc_id,
+            CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+              * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.tot / s.n_docs)))
+              AS DECIMAL(18,6)) AS tscore
+          FROM p JOIN dfq q USING (term) CROSS JOIN s)
+        SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+        FROM scored GROUP BY 1
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")
+if "phrase_index" in index_paths and (only is None or "q_c103_phrase_search" in only):
+    # Phrase search from the stored positional postings + bigram table
+    # alone: top-5 phrase selection and the (doc, pos+1) intersection.
+    idx = index_paths["phrase_index"]
+    replay_parity("q_c103_from_stored_index", "q_c103_phrase_search", f"""
+        WITH top AS (SELECT w1, w2 FROM '{idx}/bigrams/*.parquet'
+                     ORDER BY cnt DESC, w1, w2 LIMIT 5),
+        p AS (SELECT term, doc_id, pos FROM '{idx}/postings/*.parquet'),
+        occ AS (SELECT tp.w1, tp.w2, a.doc_id
+                FROM top tp
+                JOIN p a ON a.term = tp.w1
+                JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
+                          AND b.pos = a.pos + 1)
+        SELECT w1 || ' ' || w2 AS phrase,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_occ,
+          CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+          CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM occ GROUP BY w1, w2 ORDER BY phrase""")
 
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"FAIL ({len(fails)}):")
