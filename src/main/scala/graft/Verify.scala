@@ -51,7 +51,9 @@ object Verify {
       "q_c103_phrase_search" -> ("phrase_index",
         () => graft.operators.TextQueries.phraseIndex(spark, sfDir)),
       "q_c45_bm25_stored" -> ("bm25_index",
-        () => graft.operators.TextQueries.postingsIndex(spark, sfDir))
+        () => graft.operators.TextQueries.postingsIndex(spark, sfDir)),
+      "q_c66_minhash_stored" -> ("minhash_index",
+        () => graft.operators.DedupQueries.minhashIndex(spark, sfDir))
     ).collect {
       case (qn, (key, path)) if Files.exists(Paths.get(s"$outDir/$qn")) =>
         s"${q(key)}: ${q(path())}"

@@ -111,6 +111,20 @@ if "bm25_index" in index_paths and (only is None or "q_c45_bm25_stored" in only)
         SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
         FROM scored GROUP BY 1
         ORDER BY bm25 DESC, doc_id LIMIT 20""")
+if "minhash_index" in index_paths and (only is None or "q_c66_minhash_stored" in only):
+    # Banded candidate generation from the stored 48 B/doc signature
+    # table alone — the q_c1/q_c66 dedup blocker without the corpus.
+    idx = index_paths["minhash_index"]
+    replay_parity("q_c66_from_stored_index", "q_c66_minhash_stored", f"""
+        WITH sig AS (SELECT * FROM '{idx}/sigs/*.parquet'),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""")
 if "phrase_index" in index_paths and (only is None or "q_c103_phrase_search" in only):
     # Phrase search from the stored positional postings + bigram table
     # alone: top-5 phrase selection and the (doc, pos+1) intersection.
