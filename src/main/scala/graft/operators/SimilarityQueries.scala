@@ -666,11 +666,21 @@ object SimilarityQueries {
     */
   private[graft] def ivfDrift(
       s: SparkSession, codesPath: String, batchCells: DataFrame,
+      k: Int): DataFrame =
+    ivfDriftFromCounts(s, codesPath,
+      batchCells.groupBy(col("cell")).agg(count(lit(1)).as("batch_cnt")), k)
+
+  /** The q_c72 drift tail over a PRE-COUNTED batch histogram (cell,
+    * batch_cnt) — extracted so the streaming ingestion twin's additive
+    * per-cell count state serves through the IDENTICAL decision
+    * arithmetic ([[graft.streaming.StreamingOps.ivfDriftServe]]); the
+    * per-vector batch path above is its only other caller.
+    */
+  private[graft] def ivfDriftFromCounts(
+      s: SparkSession, codesPath: String, batch: DataFrame,
       k: Int): DataFrame = {
     val base = s.read.parquet(codesPath)
       .groupBy(col("cell")).agg(count(lit(1)).as("base_cnt"))
-    val batch = batchCells
-      .groupBy(col("cell")).agg(count(lit(1)).as("batch_cnt"))
     val joined = base.join(batch, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),

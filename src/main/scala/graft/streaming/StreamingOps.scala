@@ -448,6 +448,65 @@ object StreamingOps {
     graft.operators.TextQueries.phraseReport(s, post, bigrams)
   }
 
+  /** Streaming ingestion twin of q_c71's int8-IVF append — the frozen-
+    * quantizer lifecycle live. Cell assignment (the codegen'd
+    * NearestCells projection over the STORED model, `fn` from
+    * [[graft.operators.SimilarityQueries.frozenQuantizer]]) and int8
+    * packing are PER-VECTOR (no cross-vector state), so arriving
+    * vectors map STATELESSLY to final (vec_id, cell, q8) code rows —
+    * append mode, the [[phrasePostingUpdates]] class. Requires
+    * Int8Ops + the quantizer function registered on the session before
+    * the stream starts.
+    */
+  def ivfCodeUpdates(vecs: DataFrame, fn: String): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"),
+        expr(s"element_at($fn(v, 1), 1)").as("cell"),
+        expr("pack_int8(v)").as("q8"))
+
+  /** The additive drift half of the IVF ingestion (the q_c72 monitor's
+    * state): per-cell assignment counts merge under a complete-mode
+    * groupBy — k cells of state, model-bounded.
+    */
+  def ivfCellUpdates(vecs: DataFrame, fn: String): DataFrame =
+    vecs
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(expr(s"element_at($fn(v, 1), 1)").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("batch_cnt"))
+
+  /** Serve q_c71's search over stored base codes ∪ streamed code state —
+    * the same base-∪-delta read [[phraseAppendServe]] does for postings;
+    * serve ≡ the batch append because the code rows are final on arrival.
+    */
+  def ivfAppendServe(
+      s: SparkSession, basePath: String, codeState: DataFrame,
+      e: DataFrame): DataFrame = {
+    val (fn, nprobe, _) =
+      graft.operators.SimilarityQueries.frozenQuantizer(s, basePath)
+    graft.operators.SimilarityQueries.ivfSearchCodes(
+      s,
+      s.read.parquet(s"$basePath/codes").unionByName(
+        codeState.select(col("vec_id"), col("cell"), col("q8"))),
+      e, fn, nprobe)
+  }
+
+  /** Serve q_c72's rebuild verdict from the streamed per-cell counts
+    * through the IDENTICAL decision tail
+    * ([[graft.operators.SimilarityQueries.ivfDriftFromCounts]]).
+    */
+  def ivfDriftServe(
+      s: SparkSession, basePath: String, cellState: DataFrame): DataFrame = {
+    val (_, _, k) =
+      graft.operators.SimilarityQueries.frozenQuantizer(s, basePath)
+    graft.operators.SimilarityQueries.ivfDriftFromCounts(
+      s, s"$basePath/codes",
+      cellState.select(col("cell"), col("batch_cnt").cast("long").as("batch_cnt")),
+      k)
+  }
+
   /** Serve q_c98's rebuild verdicts live: stored/batch-side BASE centroids
     * (source, i, m) + counts against the streamed (source, i, sx, n)
     * running state of the ARRIVING batch — the mean derivation is

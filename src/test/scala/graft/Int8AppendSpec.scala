@@ -90,6 +90,59 @@ class Int8AppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("rebuild")))
   }
 
+  test("streaming ingestion: code + cell-count state serve == q_c71/q_c72 batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val path = SimilarityQueries.int8BaseIndex(sp, sf)
+    val (fn, _, _) = SimilarityQueries.frozenQuantizer(sp, path)
+    graft.functions.CosineSimilarity.register(sp)
+    graft.functions.Int8Ops.register(sp)
+    // the q_c71/q_c72 batch arrives LIVE in uneven micro-batches
+    val batchRows = graft.core.Tables(sp, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    assert(batchRows.length > 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val qCodes = graft.streaming.StreamingOps.ivfCodeUpdates(vecs, fn)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_ivfcode").toString)
+      .format("memory").queryName("ivfcodes").outputMode("append").start()
+    val qCells = graft.streaming.StreamingOps.ivfCellUpdates(vecs, fn)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_ivfcell").toString)
+      .format("memory").queryName("ivfcells").outputMode("complete").start()
+    for (chunk <- Seq(batchRows.take(1), batchRows.slice(1, 3), batchRows.drop(3))) {
+      input.addData(chunk.toSeq)
+      qCodes.processAllAvailable()
+      qCells.processAllAvailable()
+    }
+    val e = graft.core.CachedRdds.registerDf(
+      SimilarityQueries.ivfCorpus(sp, sf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val servedSearch = graft.streaming.StreamingOps
+      .ivfAppendServe(sp, path, sp.table("ivfcodes"), e)
+      .collect().map(_.toString).toSeq
+    val servedDrift = graft.streaming.StreamingOps
+      .ivfDriftServe(sp, path, sp.table("ivfcells"))
+      .collect().map(_.toString).toSeq
+    qCodes.stop(); qCells.stop()
+    val batchSearch = SparkEntry.queries("q_c71_ivf_append")(sp, sf)
+      .collect().map(_.toString).toSeq
+    val batchDrift = SparkEntry.queries("q_c72_ivf_drift")(sp, sf)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(servedSearch.nonEmpty && servedSearch === batchSearch,
+      "stateless code rows through the shared search must equal the batch append")
+    assert(servedDrift.nonEmpty && servedDrift === batchDrift,
+      "additive cell counts through the shared drift tail must equal the batch monitor")
+  }
+
   test("q_c72's base histogram reads only the codes table's cell column") {
     val plan = SparkEntry.queries("q_c72_ivf_drift")(spark, sf)
       .queryExecution.executedPlan.toString
