@@ -108,6 +108,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       tierFilter(name) && only.forall(_.exists(name.contains))
     }
+    // an empty selection (e.g. SPARK_GRAFT_ONLY naming a query outside the
+    // headline tier) must fail loudly, not print a 0-second artifact
+    if (selected.isEmpty) sys.error(
+      s"no queries selected: tier=$tier only=${only.getOrElse(Nil).mkString(",")}")
 
     // Per-query JOB COUNTS (round 10): wall time alone hides scheduler-
     // overhead regressions — under gVisor each job costs ~2 s fixed, so an

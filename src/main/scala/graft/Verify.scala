@@ -55,7 +55,13 @@ object Verify {
       "q_c66_minhash_stored" -> ("minhash_index",
         () => graft.operators.DedupQueries.minhashIndex(spark, sfDir))
     ).collect {
-      case (qn, (key, path)) if Files.exists(Paths.get(s"$outDir/$qn")) =>
+      // both conditions: the query must have been SELECTED this run (a
+      // subset re-run into a reused outDir must not rebuild indexes it
+      // never asked for, nor pair fresh index paths with stale dumps)
+      // and its dump must exist (the dump may have failed)
+      case (qn, (key, path))
+          if only.forall(_.contains(qn))
+            && Files.exists(Paths.get(s"$outDir/$qn")) =>
         s"${q(key)}: ${q(path())}"
     }
     if (idxEntries.nonEmpty)

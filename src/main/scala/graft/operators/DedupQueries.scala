@@ -1340,8 +1340,9 @@ object DedupQueries {
     // ---- q_c120: MinHash (bands, rows) frontier calibration ---------------
     // q_c88 calibrates the ONE shipped banding (3 bands × 2 rows); at
     // 100 TB the (b, r) choice is THE dedup cost/recall knob, and this
-    // query maps the whole frontier the 6-permutation signature family
-    // supports (every banding with b·r ≤ 6, [[lshGrid]]): per grid
+    // query maps the frontier across the 6-permutation signature
+    // family's bandings ([[lshGrid]] — all four full-width points plus
+    // two half-signature truncations): per grid
     // point, the candidate-pair volume that banding generates (the
     // COST axis — candidate pairs are what the verifier must score) and
     // its observed recall against the exact τ = 0.5 verified pairs
@@ -1349,7 +1350,8 @@ object DedupQueries {
     // The row a pipeline owner reads before re-parameterizing: more
     // bands/fewer rows buys recall with candidate volume, and the
     // observed column shows where real (structured) corpora leave the
-    // uniform-hashing idealization.
+    // uniform-hashing idealization. Grid membership (and why not every
+    // b·r ≤ 6 truncation) is documented at [[lshGrid]].
     //
     // 100 TB shape: every grid point scans the STORED 48 B/doc
     // signature index (q_c66's artifact — the corpus text is never
@@ -1402,10 +1404,15 @@ object DedupQueries {
     }
   )
 
-  /** q_c120's calibration grid — every banding of the shipped
-    * 6-permutation signature family that fits the signature width
-    * (b · r ≤ 6, bands of consecutive hashes), in output order. ONE
-    * constant drives the DataFrame plan, the DuckDB oracle text and the
+  /** q_c120's calibration grid: every FULL-WIDTH banding of the shipped
+    * 6-permutation signature family (b · r = 6: (1,6), (2,3), (3,2),
+    * (6,1) — bands of consecutive hashes) plus the two budget-truncated
+    * points (2,2) and (1,3) that show what HALF the signature buys.
+    * Deliberately not every b · r ≤ 6 combination: the remaining
+    * truncations ((1,1), (2,1), (1,2), ...) are prefixes of measured
+    * points with strictly less information at the same hash cost —
+    * extend this Seq to measure one. In output order; ONE constant
+    * drives the DataFrame plan, the DuckDB oracle text and the
     * Spark-SQL twin, so a grid change cannot fork the three.
     */
   private[graft] lazy val lshGrid: Seq[(Int, Int)] =

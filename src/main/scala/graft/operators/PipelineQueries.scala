@@ -2429,17 +2429,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
               |$duckCcFam,
               |nf AS (SELECT doc_id FROM fam WHERE doc_id <> cluster_id),
-              |x AS (SELECT doc_id, source,
-              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-              |      FROM documents),
-              |${TextQueries.duckRuleStats},
-              |rp AS (SELECT doc_id,
-              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
-              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
-              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
-              |       FROM rm),
-              |$duckDecontamGrams,
-              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng),
+              |$duckFunnelStages,
               |fl AS (SELECT x.doc_id, x.source,
               |         CASE WHEN x.doc_id <> x.keep_id THEN 1 ELSE 0 END AS f_exact,
               |         CASE WHEN nf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near,
@@ -2492,17 +2482,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
               |$duckCcFam,
               |nf AS (SELECT doc_id FROM fam WHERE doc_id <> cluster_id),
-              |x AS (SELECT doc_id, source,
-              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-              |      FROM documents),
-              |${TextQueries.duckRuleStats},
-              |rp AS (SELECT doc_id,
-              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
-              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
-              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
-              |       FROM rm),
-              |$duckDecontamGrams,
-              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng)
+              |$duckFunnelStages
               |SELECT x.doc_id, x.source
               |FROM x JOIN rp ON rp.doc_id = x.doc_id
               |       LEFT JOIN nf ON nf.doc_id = x.doc_id
@@ -2541,17 +2521,7 @@ object PipelineQueries {
               |${TextQueries.duckQualityKey},
               |$duckFamilyQuality,
               |$duckQualityDrop,
-              |x AS (SELECT doc_id, source,
-              |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-              |      FROM documents),
-              |${TextQueries.duckRuleStats},
-              |rp AS (SELECT doc_id,
-              |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
-              |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
-              |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
-              |       FROM rm),
-              |$duckDecontamGrams,
-              |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng)
+              |$duckFunnelStages
               |SELECT x.doc_id, x.source
               |FROM x JOIN rp ON rp.doc_id = x.doc_id
               |       LEFT JOIN drop_ids nq ON nq.doc_id = x.doc_id
@@ -2785,6 +2755,27 @@ object PipelineQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") =!= 1).select(col("doc_id"))
   }
+
+  /** DuckDB CTE chain of the funnel's NON-near-dup stages — the exact-
+    * dedup window (`x`), the q_c31 rule pass flag (`rp` over
+    * [[TextQueries.duckRuleStats]]'s `rm`), and the contaminated-doc set
+    * (`cdoc` over [[duckDecontamGrams]]) — ONE text shared by q_c117's,
+    * q_c118's and q_c119's oracles: the oracle-side mirror of
+    * [[funnelFlagsWith]]'s single-copy discipline (a rule-threshold
+    * edit must not be able to fork one funnel variant's oracle).
+    */
+  private lazy val duckFunnelStages: String =
+    s"""x AS (SELECT doc_id, source,
+       |        MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |      FROM documents),
+       |${TextQueries.duckRuleStats},
+       |rp AS (SELECT doc_id,
+       |         CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+       |           AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+       |           AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+       |       FROM rm),
+       |$duckDecontamGrams,
+       |cdoc AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bn ON cg.ng = bn.ng)""".stripMargin
 
   /** DuckDB `keep`/`drop_ids` CTEs — the oracle twin of
     * [[qualityDropIds]] (expects `m` upstream), ONE text shared by

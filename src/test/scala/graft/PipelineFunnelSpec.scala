@@ -98,13 +98,24 @@ class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       (fam, ms.minBy(m => (-m._2, m._1))._1)
     }
     val regretBests = regretRoots.map(bestOf)
-    // downstream stage outcomes from the registered component queries
+    // the OTHER three stage outcomes from the registered component
+    // queries — including exact-dedup: a regret root/best that is an
+    // exact duplicate of a lower-id doc is dropped by BOTH funnels, so
+    // the expected symmetric difference must apply the same rule
+    import org.apache.spark.sql.functions.{col, md5, min}
+    val keepExact = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+          .as("k"))
+      .collect().filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0)).toSet
     val passRules = SparkEntry.queries("q_c31_rules_filter")(spark, sf)
       .collect().filter(_.getInt(6) == 1).map(_.getLong(0)).toSet
     val contaminated = SparkEntry.queries("q_c24_decontaminate")(spark, sf)
       .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
     graft.core.CachedRdds.drain()
-    val surviveTail = (id: Long) => passRules.contains(id) && !contaminated.contains(id)
+    val surviveTail = (id: Long) => keepExact.contains(id) &&
+      passRules.contains(id) && !contaminated.contains(id)
     // the blind funnel's exclusive survivors are exactly the regret
     // roots that clear the downstream stages; the quality funnel's are
     // exactly the regret best members that clear them
