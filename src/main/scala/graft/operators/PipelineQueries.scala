@@ -2535,6 +2535,131 @@ object PipelineQueries {
           && col("pass") === 1 && col("ct").isNull)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_c121: funnel mixture drift --------------------------------------
+    // What the funnel does to the SOURCE MIXTURE — the quantity trainers
+    // actually sample by (token share, not doc share: q_c117 counts
+    // docs). Dedup and quality filtering never drop uniformly: a source
+    // full of near-dups or rule failures loses token mass, and every
+    // downstream mixture decision (q_c28 quotas, q_c62 temperature,
+    // q_c99 DoReMi) silently re-weights unless the drift is measured.
+    // Per source: raw vs funnel-surviving doc and token counts, the
+    // integer-permille token share before and after, and the drift —
+    // the monitor a pipeline owner reads before re-fitting mixture
+    // weights on the cleaned pool. Token counts are the rules stage's
+    // own n_words (non-empty whitespace tokens) — the funnel's flag
+    // frame already computed them, so the mixture costs no extra scan.
+    //
+    // 100 TB shape: the corpus meets only [[funnelFlags]]'s existing
+    // broadcast flag joins; this query adds ONE map-side-combined
+    // per-source aggregate (O(|sources|) rows) and a broadcast of the
+    // 1-row token totals. Integer permille math — hash-exact.
+    QueryDef(
+      "q_c121_funnel_mixture_drift",
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckMinhashCand},
+              |$duckCcFam,
+              |nf AS (SELECT doc_id FROM fam WHERE doc_id <> cluster_id),
+              |$duckFunnelStages,
+              |sv AS (SELECT x.source, rm.n_words,
+              |         CASE WHEN x.doc_id = x.keep_id AND nf.doc_id IS NULL
+              |           AND rp.pass = 1 AND cd.doc_id IS NULL THEN 1 ELSE 0 END AS surv
+              |       FROM x JOIN rm ON rm.doc_id = x.doc_id
+              |              JOIN rp ON rp.doc_id = x.doc_id
+              |              LEFT JOIN nf ON nf.doc_id = x.doc_id
+              |              LEFT JOIN cdoc cd ON cd.doc_id = x.doc_id),
+              |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+              |          CAST(SUM(n_words) AS BIGINT) AS tok_raw,
+              |          CAST(SUM(surv) AS BIGINT) AS n_final,
+              |          CAST(SUM(surv * n_words) AS BIGINT) AS tok_final
+              |        FROM sv GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(tok_raw) AS BIGINT) AS traw,
+              |          CAST(SUM(tok_final) AS BIGINT) AS tfin FROM per)
+              |SELECT source, n_raw, n_final, tok_raw, tok_final,
+              |  CAST(tok_raw * 1000 // traw AS BIGINT) AS raw_share_pm,
+              |  CAST(tok_final * 1000 // tfin AS BIGINT) AS final_share_pm,
+              |  CAST(tok_final * 1000 // tfin - tok_raw * 1000 // traw AS BIGINT) AS drift_pm
+              |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
+    ) { (s, d) =>
+      val surv = col("f_exact") === 0 && col("nr").isNull &&
+        col("pass") === 1 && col("ct").isNull
+      val per = funnelFlags(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_raw"),
+          sum(col("n_words")).cast("long").as("tok_raw"),
+          sum(when(surv, 1L).otherwise(0L)).cast("long").as("n_final"),
+          sum(when(surv, col("n_words")).otherwise(0L)).cast("long")
+            .as("tok_final"))
+      val tot = per.agg(
+        sum(col("tok_raw")).cast("long").as("traw"),
+        sum(col("tok_final")).cast("long").as("tfin"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_raw"), col("n_final"),
+          col("tok_raw"), col("tok_final"),
+          expr("CAST(tok_raw * 1000 DIV traw AS BIGINT)").as("raw_share_pm"),
+          expr("CAST(tok_final * 1000 DIV tfin AS BIGINT)").as("final_share_pm"),
+          expr("CAST(tok_final * 1000 DIV tfin - tok_raw * 1000 DIV traw AS BIGINT)")
+            .as("drift_pm"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q_c122: export shard plan (write-side balancing) ------------------
+    // The WRITE side of the pipeline, unplanned until now: a cleaned
+    // corpus ships as S output shards, and the shard assignment decides
+    // both downstream loader balance (a fat shard straggles every epoch)
+    // and writer parallelism. Two deterministic assignments compared on
+    // the same corpus, S = 8:
+    //   hash  — shard = LCG(doc_id) mod S (the q_c15 overflow-safe hash):
+    //           stateless and streaming-friendly, but SIZE-BLIND — shard
+    //           token mass varies with the binomial noise of doc lengths;
+    //   sized — per-block SNAKE dealing (LPT-lite): docs rank by token
+    //           count (DESC) inside their 4096-doc doc_id block and deal
+    //           across shards in boustrophedon order (0..7, 7..0, …) —
+    //           each 8-doc deal round hands every shard one of eight
+    //           near-equal-size docs, and the snake cancels the
+    //           within-round monotone bias, so per-block (hence total)
+    //           token deviation collapses.
+    // Per (strategy, shard): doc/token mass, token share (basis points),
+    // and signed deviation from the perfect S-split (dev_bp = 0 is a
+    // perfect shard) — the measured evidence for choosing the writer.
+    //
+    // 100 TB shape: `sized` is BLOCK-LOCAL by construction — the only
+    // window partitions by the 4096-doc block (never a global or
+    // hot-key sort), blocks balance independently, and their deviations
+    // stay absolutely small (each block's is bounded by its largest
+    // deal-round spread), so the sum inherits the balance with zero
+    // cross-block coordination. The per-(strategy, shard) aggregate is
+    // map-side combined to 2·S rows. Basis-point math is integer DIV
+    // (hash-exact); the ×80 000 multiplier keeps per-shard token mass
+    // safe to ~10^14 tokens/shard — two orders past a 100 TB corpus's
+    // ~10^12.
+    QueryDef(
+      "q_c122_export_shard_plan",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_tokens,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id // 4096
+             |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
+             |asg AS (
+             |  SELECT 'sized' AS strategy,
+             |    CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+             |    n_tokens FROM r
+             |  UNION ALL
+             |  SELECT 'hash', CAST(hv % 8 AS BIGINT), n_tokens
+             |  FROM (SELECT doc_id, n_tokens,
+             |          ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS hv FROM t)),
+             |per AS (SELECT strategy, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |        FROM asg GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttot FROM t)
+             |SELECT strategy, shard, n_docs, n_tokens,
+             |  CAST(n_tokens * 10000 // ttot AS BIGINT) AS tok_bp,
+             |  CAST(n_tokens * 80000 // ttot - 10000 AS BIGINT) AS dev_bp
+             |FROM per CROSS JOIN tot ORDER BY strategy, shard""".stripMargin)
+    ) { (s, d) =>
+      exportShardPlan(s, d)
     }
   )
 
@@ -2723,7 +2848,8 @@ object PipelineQueries {
     val x = flagged
       .withColumn("f_exact",
         when(col("doc_id") =!= min(col("doc_id")).over(w), 1).otherwise(0))
-      .select(col("doc_id"), col("source"), col("pass"), col("f_exact"))
+      .select(col("doc_id"), col("source"), col("pass"), col("f_exact"),
+        col("n_words"))
     val nf = nearDrop.select(col("doc_id")).withColumn("nr", lit(1))
     val cd = decontamReport(s, d)
       .filter(col("contaminated") === 1L)
@@ -2882,6 +3008,43 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
         col("seq_start"), col("seq_end"),
         (col("seq_end") - col("seq_start") + 1L).as("n_seqs"))
+  }
+
+  /** q_c122's shard-plan frame — the two deterministic assignments
+    * (per-block snake dealing in descending size order vs LCG hash)
+    * aggregated to 2·S rows with integer basis-point balance columns.
+    * The `sized` rank window partitions by the 4096-doc doc_id block —
+    * never more rows than the block, regardless of corpus size.
+    */
+  private[graft] def exportShardPlan(s: SparkSession, d: String): DataFrame = {
+    val S = 8L
+    val blkSize = 4096L
+    val t = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val wIn = Window.partitionBy(expr(s"doc_id div ${blkSize}L"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val sized = t
+      .withColumn("rk", row_number().over(wIn).cast("long") - 1L)
+      .select(lit("sized").as("strategy"),
+        when(expr(s"rk div ${S}L") % 2 === 0, col("rk") % S)
+          .otherwise(lit(S - 1) - col("rk") % S).cast("long").as("shard"),
+        col("n_tokens"))
+    val hashed = t.select(lit("hash").as("strategy"),
+      ((((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L) % S)
+        .cast("long").as("shard"),
+      col("n_tokens"))
+    val per = sized.unionByName(hashed)
+      .groupBy(col("strategy"), col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val tot = t.agg(sum(col("n_tokens")).cast("long").as("ttot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("strategy"), col("shard"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_tokens * 10000 DIV ttot AS BIGINT)").as("tok_bp"),
+        expr(s"CAST(n_tokens * ${S * 10000}L DIV ttot - 10000 AS BIGINT)")
+          .as("dev_bp"))
+      .orderBy(col("strategy"), col("shard"))
   }
 
   /** The q_c37 split rule as COLUMNS — extracted so q_c113's holdout

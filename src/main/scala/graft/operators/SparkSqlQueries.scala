@@ -2360,6 +2360,30 @@ object SparkSqlQueries {
          |$sparkJaccardTail,
          |${DedupQueries.lshGridSqlTail}""".stripMargin,
 
+    "q_c122_export_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id DIV 4096
+        |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
+        |asg AS (
+        |  SELECT 'sized' AS strategy,
+        |    CAST(CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+        |    n_tokens FROM r
+        |  UNION ALL
+        |  SELECT 'hash', CAST(hv % 8 AS BIGINT), n_tokens
+        |  FROM (SELECT doc_id, n_tokens,
+        |          ((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L AS hv FROM t)),
+        |per AS (SELECT strategy, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |        FROM asg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttot FROM t)
+        |SELECT strategy, shard, n_docs, n_tokens,
+        |  CAST(n_tokens * 10000 DIV ttot AS BIGINT) AS tok_bp,
+        |  CAST(n_tokens * 80000 DIV ttot - 10000 AS BIGINT) AS dev_bp
+        |FROM per CROSS JOIN tot ORDER BY strategy, shard""".stripMargin,
+
     "q_c91_source_dup_matrix" ->
       s"""WITH $shingleCtes,
          |$sparkJaccardTail,
@@ -2625,6 +2649,9 @@ object SparkSqlQueries {
     "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
     "q_c68_minhash_append" -> base("q_c1_minhash_lsh"),
     "q_c70_bm25_append" -> base("q_c12_bm25"),
+    // q_c123 merges the stored segments back into one postings table —
+    // parity proves compaction ≡ one-shot build
+    "q_c123_bm25_compacted" -> base("q_c12_bm25"),
     // q_c107 appends batch positional postings + additive bigram counts
     // onto the base phrase index — parity proves append ≡ rebuild
     "q_c107_phrase_append" -> base("q_c103_phrase_search"))

@@ -758,21 +758,7 @@ object TextQueries {
     // oracle; StoredBm25Spec pins stored ≡ derived and the pushdown).
     QueryDef(
       "q_c45_bm25_stored",
-      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
-             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
-             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-             |       WHERE term IN ('hash','join','filter') GROUP BY 1, 2),
-             |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-             |scored AS (
-             |  SELECT t.doc_id,
-             |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-             |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
-             |      AS DECIMAL(18,6)) AS tscore
-             |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
-             |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
-             |FROM scored GROUP BY 1
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+      Some(duckBm25FullCorpus)
     ) { (s, d) =>
       bm25SearchStored(s, postingsIndex(s, d), Seq("hash", "join", "filter"))
     },
@@ -1263,21 +1249,7 @@ object TextQueries {
     // ([[bm25Score]]).
     QueryDef(
       "q_c70_bm25_append",
-      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
-             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
-             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-             |       WHERE term IN ('hash','join','filter') GROUP BY 1, 2),
-             |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-             |scored AS (
-             |  SELECT t.doc_id,
-             |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-             |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
-             |      AS DECIMAL(18,6)) AS tscore
-             |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
-             |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
-             |FROM scored GROUP BY 1
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+      Some(duckBm25FullCorpus)
     ) { (s, d) =>
       val basePath = postingsBaseIndex(s, d)
       val basePost = s.read.parquet(s"$basePath/postings")
@@ -1290,6 +1262,31 @@ object TextQueries {
         .select((col("n_docs") + col("bn")).as("n_docs"),
           (col("tot") + col("bt")).as("tot"))
       bm25Score(basePost.unionByName(batchPost), stats,
+        Seq("hash", "join", "filter"))
+    },
+
+    // ---- q_c123: postings-segment compaction -------------------------------
+    // The fourth verb of the stored-index lifecycle (build q_c45 /
+    // search / append q_c70 / COMPACT): in production the q_c70 append
+    // persists each arriving batch as its own SEGMENT (a batch-sized
+    // write — the LSM/Lucene discipline), and reads degrade as segments
+    // accumulate: every term probe opens k files and term-locality ends
+    // at each segment boundary. Compaction merges the segment postings
+    // back into ONE term-range-sorted table and sums the additive
+    // (n_docs, tot) stats — correct for the same reason append is: no
+    // stored statistic except that pair depends on the corpus as a
+    // whole. The merge reads ONLY the stored segments — the corpus text
+    // is never re-tokenized (StoredBm25Spec proves it by compacting
+    // after the source corpus is deleted) — so its cost is O(index
+    // bytes), not O(corpus): the property that makes periodic compaction
+    // affordable at 100 TB. Search over the compacted artifact is the
+    // byte-identical q_c45 path; the oracle is the full-corpus scoring
+    // (segments partition the corpus, so compacted ≡ one-shot build).
+    QueryDef(
+      "q_c123_bm25_compacted",
+      Some(duckBm25FullCorpus)
+    ) { (s, d) =>
+      bm25SearchStored(s, bm25CompactedIndex(s, bm25SegmentsIndex(s, d)),
         Seq("hash", "join", "filter"))
     },
 
@@ -2549,6 +2546,79 @@ object TextQueries {
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/postings")
       stats.write.mode("overwrite").parquet(s"$path/stats")
+    }
+
+  /** The full-corpus BM25 top-20 oracle — ONE text shared by q_c45
+    * (stored search), q_c70 (append) and q_c123 (compaction): all three
+    * must reproduce the one-shot full-corpus scoring, whatever the
+    * stored layout, so their oracles cannot be allowed to fork.
+    */
+  private[graft] lazy val duckBm25FullCorpus: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |       WHERE term IN ('hash','join','filter') GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+      |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
+      |      AS DECIMAL(18,6)) AS tscore
+      |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
+      |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+      |FROM scored GROUP BY 1
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q_c123's SEGMENTED index: the layout the q_c70 append discipline
+    * produces in production — each batch persisted as its own
+    * term-sorted postings segment (seg0 = the base corpus, seg1 = the
+    * arriving doc_id % 10 = 3 batch) plus a per-segment row of the
+    * additive (n_docs, tot) stats. Building a segment costs one
+    * tokenize of THAT slice only.
+    */
+  private val bm25SegmentsBuilt = new graft.core.StoredArtifact("graft-bm25-segments")
+
+  private[graft] def bm25SegmentsIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25SegmentsBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      writeBm25Segment(Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 =!= 3), s"$path/seg0")
+      writeBm25Segment(Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 === 3), s"$path/seg1")
+    }
+
+  private def writeBm25Segment(
+      docs: org.apache.spark.sql.DataFrame, segPath: String): Unit = {
+    val (post, stats) = postingsOf(docs)
+    post
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$segPath/postings")
+    stats.write.mode("overwrite").parquet(s"$segPath/stats")
+  }
+
+  /** The COMPACTED artifact: segments merged back into one
+    * term-range-sorted postings table + summed stats. Keyed on the
+    * SEGMENT directory's content snapshot — compaction is a function of
+    * the stored segments alone (it never reads the corpus), and the key
+    * says so.
+    */
+  private val bm25CompactedBuilt = new graft.core.StoredArtifact("graft-bm25-compacted")
+
+  private[graft] def bm25CompactedIndex(
+      s: org.apache.spark.sql.SparkSession, segPath: String): String =
+    bm25CompactedBuilt.getOrBuild(
+      segPath, graft.core.SessionMemo.snapshot(s, Seq(segPath))) { path =>
+      s.read.parquet(s"$segPath/seg0/postings", s"$segPath/seg1/postings")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      s.read.parquet(s"$segPath/seg0/stats", s"$segPath/seg1/stats")
+        .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+          sum(col("tot")).cast("double").as("tot"))
+        .write.mode("overwrite").parquet(s"$path/stats")
     }
 
   /** BM25 top-20 served from the stored index: the scan reads ONLY the

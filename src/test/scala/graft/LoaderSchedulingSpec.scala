@@ -299,4 +299,38 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows.count(_.partitionSpec.isEmpty) === 1,
       "exactly one global window (the ≤1000-row key-offset frame)")
   }
+
+  test("q_c122: both plans partition the corpus; snake dealing beats the hash on balance") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_c122_export_shard_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(_.getLong(0))
+    val ttot = docs.sum
+    // each strategy is a PARTITION of the corpus: 8 shards, all docs,
+    // all tokens accounted for
+    for (strat <- Seq("hash", "sized")) {
+      val g = rows.filter(_._1 == strat)
+      assert(g.map(_._2).sorted === (0L to 7L), s"$strat shard ids")
+      assert(g.map(_._3).sum == docs.length.toLong, s"$strat doc total")
+      assert(g.map(_._4).sum == ttot, s"$strat token total")
+    }
+    // basis-point arithmetic ties to the emitted masses
+    for ((strat, _, _, tok, bp, dev) <- rows) {
+      assert(bp == tok * 10000 / ttot, s"$strat tok_bp")
+      assert(dev == tok * 80000 / ttot - 10000, s"$strat dev_bp")
+    }
+    // the point of the query: the size-aware plan must measurably beat
+    // the size-blind hash on worst-shard deviation (here it is ~25x)
+    val worst = (strat: String) =>
+      rows.filter(_._1 == strat).map(r => math.abs(r._6)).max
+    assert(worst("sized") < worst("hash"),
+      s"sized ${worst("sized")} bp must beat hash ${worst("hash")} bp")
+    // snake dealing hands every shard an equal DOC count (+-1 per block;
+    // this fixture is a single 4096-doc block)
+    val sizedDocs = rows.filter(_._1 == "sized").map(_._3)
+    assert(sizedDocs.max - sizedDocs.min <= 1L)
+  }
 }

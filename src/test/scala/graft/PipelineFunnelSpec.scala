@@ -126,4 +126,51 @@ class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-regret families and singletons are untouched by the swap
     assert((blind & quality).size == blind.size - regretRoots.count(surviveTail))
   }
+
+  test("q_c121 mixture drift: token masses tie to the report and the materialized corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val drift = SparkEntry.queries("q_c121_funnel_mixture_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val report = SparkEntry.queries("q_c117_pipeline_funnel")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(6))).toSeq
+    // doc counts per source must be the report's, row for row
+    assert(drift.map(r => (r._1, r._2, r._3)).sorted === report.sorted,
+      "q_c121's doc counts must equal q_c117's n_raw/n_final")
+    // raw token mass per source == an independent count over the corpus
+    // (the rules stage's token definition: non-empty whitespace tokens)
+    val rawTok = graft.core.Tables(spark, sf, "documents")
+      .select(col("source"),
+        expr("CAST(size(filter(split(lower(text), ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("n"))
+      .groupBy(col("source")).sum("n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(drift.map(r => (r._1, r._4)).toMap === rawTok,
+      "tok_raw must equal the independent per-source token count")
+    // surviving token mass per source == tokens of the q_c118 corpus
+    val survIds = SparkEntry.queries("q_c118_funnel_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val tokOf = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(filter(split(lower(text), ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("n"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+    graft.core.CachedRdds.drain()
+    val survTok = tokOf.filter(t => survIds.contains(t._1)).map(_._2)
+      .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    assert(drift.filter(_._5 > 0).map(r => (r._1, r._5)).toMap === survTok,
+      "tok_final must equal the materialized corpus's per-source token mass")
+    // share/drift arithmetic: integer permille off the emitted masses
+    val traw = drift.map(_._4).sum
+    val tfin = drift.map(_._5).sum
+    assert(tfin > 0 && tfin <= traw)
+    for ((src, _, _, tr, tf, rpm, fpm, dpm) <- drift) {
+      assert(rpm == tr * 1000 / traw, s"$src raw share")
+      assert(fpm == tf * 1000 / tfin, s"$src final share")
+      assert(dpm == fpm - rpm, s"$src drift")
+    }
+    // a mixture report is only useful if the funnel actually re-weights:
+    // the fixture must exercise a non-zero drift somewhere
+    assert(drift.exists(_._8 != 0L), "fixture must exercise non-zero drift")
+  }
 }

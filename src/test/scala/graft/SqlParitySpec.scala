@@ -66,6 +66,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c117_pipeline_funnel" // composes the q_c13 CC fixpoint (same exclusion)
         - "q_c118_funnel_corpus" // emits the q_c117 funnel (same exclusion)
         - "q_c119_quality_funnel_corpus" // q_c116's rule through the funnel (same exclusion)
+        - "q_c121_funnel_mixture_drift" // aggregates the q_c117 funnel (same exclusion)
         - "q_c33_bpe_train" - "q_c34_bpe_encode" - "q_c35_bpe_dropout"
         - "q_c39_unigram_train" - "q_c40_unigram_encode"
         - "q_c42_wordpiece_train" - "q_c43_wordpiece_encode"

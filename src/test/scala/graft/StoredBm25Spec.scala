@@ -64,6 +64,53 @@ class StoredBm25Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"term filter not pushed:\n${plan.take(2000)}")
   }
 
+  test("q_c123: compacted segments == full stored search, term pushdown intact") {
+    val compacted = SparkEntry.queries("q_c123_bm25_compacted")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c45_bm25_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(compacted.nonEmpty && compacted == stored,
+      "compaction must lose nothing vs a one-shot build")
+    // the compacted artifact is ONE postings table (the read-side point
+    // of compacting) and keeps the q_c45 pushdown property
+    val segPath = graft.operators.TextQueries.bm25SegmentsIndex(spark, sf)
+    val path = graft.operators.TextQueries.bm25CompactedIndex(spark, segPath)
+    val plan = graft.operators.TextQueries
+      .bm25SearchStored(spark, path, Seq("hash", "join", "filter"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("PushedFilters: [IsNotNull(term), In(term"),
+      s"term filter not pushed on the compacted scan:\n${plan.take(2000)}")
+    // stats summed across segments == the full corpus pair
+    val st = spark.read.parquet(s"$path/stats").collect()(0)
+    val full = graft.core.Tables(spark, sf, "documents")
+      .selectExpr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("double"),
+        org.apache.spark.sql.functions.sum("n").cast("double")).collect()(0)
+    assert(st.getDouble(0) == full.getDouble(0) && st.getDouble(1) == full.getDouble(1))
+  }
+
+  test("compaction reads only the stored segments, never the corpus") {
+    // build segments over a COPY of the corpus, delete the copy, then
+    // compact: if the merge touched documents.parquet it would fail, and
+    // the compacted search must still reproduce the full-corpus answer
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-proof")
+    val docsCopy = tmp.resolve("documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"), docsCopy)
+    val segPath = graft.operators.TextQueries.bm25SegmentsIndex(spark, tmp.toString)
+    java.nio.file.Files.delete(docsCopy)
+    val compacted = graft.operators.TextQueries.bm25SearchStored(
+      spark, graft.operators.TextQueries.bm25CompactedIndex(spark, segPath),
+      Seq("hash", "join", "filter")).collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c45_bm25_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(compacted.nonEmpty && compacted == stored,
+      "compacted-after-corpus-deletion search must equal the full answer")
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("index is built once per corpus snapshot, then reused") {
     val p1 = graft.operators.TextQueries.postingsIndex(spark, sf)
     val p2 = graft.operators.TextQueries.postingsIndex(spark, sf)
