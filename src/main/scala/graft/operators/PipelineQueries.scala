@@ -2660,6 +2660,49 @@ object PipelineQueries {
              |FROM per CROSS JOIN tot ORDER BY strategy, shard""".stripMargin)
     ) { (s, d) =>
       exportShardPlan(s, d)
+    },
+
+    // ---- q_c124: export manifest (per-shard integrity digests) -------------
+    // The verification artifact a writer publishes NEXT TO q_c122's
+    // shards: per shard (the SAME snake assignment, [[snakeDeal]] —
+    // single-copy, so the manifest can never describe a different
+    // export than the plan), the doc/token masses and two 60-bit
+    // ADDITIVE content digests — each doc's md5 split into two 15-hex-
+    // digit integers, summed per shard mod 2^60. A consumer re-derives
+    // the digests from received shards and any corruption, truncation,
+    // duplication or substitution moves them; two corpus VERSIONS
+    // compare shard-by-shard without any row-level diff.
+    //
+    // The digest is deliberately ORDER-INSENSITIVE (a sum, not a hash
+    // of a concatenation): at 100 TB a per-shard ordered fold would
+    // need collect_list over corpus/S rows per group — the additive
+    // form is a map-side-combined aggregate like any other, mergeable
+    // across partitions, re-shards and stream batches. SUM (not XOR —
+    // the other mergeable digest) so exact-duplicate docs do NOT cancel:
+    // multiplicity is part of the content. All arithmetic is exact
+    // integer/decimal on both engines — hash-exact.
+    QueryDef(
+      "q_c124_export_manifest",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         md5(text) AS h
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_tokens, h,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id // 4096
+             |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
+             |a AS (SELECT
+             |        CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+             |        n_tokens,
+             |        CAST('0x' || substr(h, 1, 15) AS BIGINT) AS c1,
+             |        CAST('0x' || substr(h, 16, 15) AS BIGINT) AS c2
+             |      FROM r)
+             |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(c1 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum_a,
+             |  CAST(SUM(CAST(c2 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum_b
+             |FROM a GROUP BY 1 ORDER BY shard""".stripMargin)
+    ) { (s, d) =>
+      exportManifest(s, d)
     }
   )
 
@@ -3016,20 +3059,53 @@ object PipelineQueries {
     * The `sized` rank window partitions by the 4096-doc doc_id block —
     * never more rows than the block, regardless of corpus size.
     */
+  /** The snake-dealing assignment rule as a projection over any frame
+    * carrying (doc_id, n_tokens, …): appends `shard`. ONE copy shared by
+    * q_c122's `sized` strategy and q_c124's manifest, so the plan and
+    * the artifact it verifies can never assign differently.
+    */
+  private[graft] def snakeDeal(docs: DataFrame): DataFrame = {
+    val S = 8L
+    val wIn = Window.partitionBy(expr("doc_id div 4096L"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(wIn).cast("long") - 1L)
+      .withColumn("shard",
+        when(expr(s"rk div ${S}L") % 2 === 0, col("rk") % S)
+          .otherwise(lit(S - 1) - col("rk") % S).cast("long"))
+      .drop("rk")
+  }
+
+  /** q_c124's manifest frame — the snake assignment plus the two 60-bit
+    * additive per-shard digests (md5 split at hex digit 15/30; sums in
+    * exact DECIMAL(38,0), reduced mod 2^60).
+    */
+  private[graft] def exportManifest(s: SparkSession, d: String): DataFrame =
+    snakeDeal(Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h")))
+      .select(col("shard"), col("n_tokens"),
+        expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("c1"),
+        expr("CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT)").as("c2"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("checksum_a"),
+        expr("CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("checksum_b"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("checksum_a"), col("checksum_b"))
+      .orderBy(col("shard"))
+
   private[graft] def exportShardPlan(s: SparkSession, d: String): DataFrame = {
     val S = 8L
-    val blkSize = 4096L
     val t = Tables(s, d, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val wIn = Window.partitionBy(expr(s"doc_id div ${blkSize}L"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
-    val sized = t
-      .withColumn("rk", row_number().over(wIn).cast("long") - 1L)
-      .select(lit("sized").as("strategy"),
-        when(expr(s"rk div ${S}L") % 2 === 0, col("rk") % S)
-          .otherwise(lit(S - 1) - col("rk") % S).cast("long").as("shard"),
-        col("n_tokens"))
+    val sized = snakeDeal(t)
+      .select(lit("sized").as("strategy"), col("shard"), col("n_tokens"))
     val hashed = t.select(lit("hash").as("strategy"),
       ((((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L) % S)
         .cast("long").as("shard"),

@@ -2384,6 +2384,26 @@ object SparkSqlQueries {
         |  CAST(n_tokens * 80000 DIV ttot - 10000 AS BIGINT) AS dev_bp
         |FROM per CROSS JOIN tot ORDER BY strategy, shard""".stripMargin,
 
+    "q_c124_export_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(text) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, h,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id DIV 4096
+        |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
+        |a AS (SELECT
+        |        CAST(CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+        |        n_tokens,
+        |        CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS c1,
+        |        CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) AS c2
+        |      FROM r)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum_a,
+        |  CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum_b
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
+
     "q_c91_source_dup_matrix" ->
       s"""WITH $shingleCtes,
          |$sparkJaccardTail,

@@ -333,4 +333,57 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sizedDocs = rows.filter(_._1 == "sized").map(_._3)
     assert(sizedDocs.max - sizedDocs.min <= 1L)
   }
+
+  test("q_c124: manifest describes exactly the q_c122 sized export; digests are additive and tamper-evident") {
+    import org.apache.spark.sql.functions.{col, expr, md5}
+    val M = 1152921504606846976L // 2^60
+    val manifest = SparkEntry.queries("q_c124_export_manifest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // single-copy rule: the manifest's per-shard masses are the plan's
+    // `sized` rows, shard for shard
+    val plan = SparkEntry.queries("q_c122_export_shard_plan")(spark, sf)
+      .collect().filter(_.getString(0) == "sized")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(manifest.map(r => (r._1, r._2, r._3)).sorted === plan.sorted,
+      "manifest masses must equal the q_c122 sized assignment")
+    // driver-side recomputation from raw (shard, md5) rows: digest =
+    // sum of 60-bit md5 chunks mod 2^60, order-independent
+    val raw = graft.operators.PipelineQueries.snakeDeal(
+        graft.core.Tables(spark, sf, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+            md5(col("text")).as("h")))
+      .select(col("shard"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def chunks(h: String) =
+      (java.lang.Long.parseLong(h.substring(0, 15), 16),
+        java.lang.Long.parseLong(h.substring(15, 30), 16))
+    val expect = raw.groupBy(_._1).map { case (sh, g) =>
+      val cs = g.map(x => chunks(x._2))
+      (sh, cs.map(c => BigInt(c._1)).sum.mod(BigInt(M)).toLong,
+        cs.map(c => BigInt(c._2)).sum.mod(BigInt(M)).toLong)
+    }
+    assert(manifest.map(r => (r._1, r._4, r._5)).toSet ===
+      expect.map(e => (e._1, e._2, e._3)).toSet,
+      "digests must equal the independent driver-side additive fold")
+    // tamper evidence: substituting any one doc's content moves its
+    // shard's digest (chunk delta != 0 mod 2^60 for a changed md5 half)
+    val (sh0, h0) = raw.head
+    val forged = chunks(md5Hex(h0 + "!"))
+    val orig = chunks(h0)
+    val row0 = manifest.find(_._1 == sh0).get
+    val forgedA = (BigInt(row0._4) - BigInt(orig._1) + BigInt(forged._1))
+      .mod(BigInt(M)).toLong
+    assert(forgedA != row0._4, "a substituted doc must move the digest")
+    // additivity (the mergeable-aggregate property): splitting a shard's
+    // rows arbitrarily and summing partial digests lands on the total
+    val g0 = raw.filter(_._1 == sh0).map(x => BigInt(chunks(x._2)._1))
+    val (l, rpart) = g0.splitAt(g0.length / 2)
+    assert((l.sum.mod(BigInt(M)) + rpart.sum.mod(BigInt(M))).mod(BigInt(M)).toLong == row0._4)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
