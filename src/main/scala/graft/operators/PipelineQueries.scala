@@ -2703,6 +2703,76 @@ object PipelineQueries {
              |FROM a GROUP BY 1 ORDER BY shard""".stripMargin)
     ) { (s, d) =>
       exportManifest(s, d)
+    },
+
+    // ---- q_c125: manifest diff across corpus versions ----------------------
+    // Two corpus versions — the base snapshot and base + the arriving
+    // doc_id % 10 = 3 batch (the q_c70/q_c27 convention) — compared at
+    // the MANIFEST level: which shards changed, and by how much, without
+    // any row-level diff. The assignment here is deliberately the HASH
+    // rule, not q_c122's snake: hash sharding is INCREMENTAL-STABLE (a
+    // doc's shard never moves when other docs arrive), so a version diff
+    // touches exactly the shards that received batch docs — under the
+    // snake rule an arriving doc shifts ranks through its whole block
+    // and every shard's manifest churns. That trade (snake balances
+    // better, hash versions better) is the choice this query family
+    // documents. Because the digests are additive, the new manifest is
+    // also UPDATABLE in place: digest_B = digest_A + digest(batch) mod
+    // 2^60 — spec-pinned — so re-manifesting a 100 TB corpus after an
+    // append reads only the batch. digest_changed is literal digest
+    // inequality (a per-shard batch summing to 0 mod 2^60 on both
+    // 60-bit chunks would mask — probability ~2^-120; n_added reports
+    // arrivals regardless).
+    QueryDef(
+      "q_c125_manifest_diff",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         md5(text) AS h
+             |  FROM documents),
+             |g AS (SELECT doc_id, n_tokens,
+             |        CAST(((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 8 AS BIGINT) AS shard,
+             |        CAST('0x' || substr(h, 1, 15) AS BIGINT) AS c1,
+             |        CAST('0x' || substr(h, 16, 15) AS BIGINT) AS c2
+             |      FROM t),
+             |va AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_a,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_a,
+             |         CAST(SUM(CAST(c1 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS ca1,
+             |         CAST(SUM(CAST(c2 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS ca2
+             |       FROM g WHERE doc_id % 10 <> 3 GROUP BY 1),
+             |vb AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_b,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_b,
+             |         CAST(SUM(CAST(c1 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS cb1,
+             |         CAST(SUM(CAST(c2 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS cb2
+             |       FROM g GROUP BY 1)
+             |SELECT vb.shard, CAST(COALESCE(va.n_docs_a, 0) AS BIGINT) AS n_docs_a,
+             |  vb.n_docs_b,
+             |  CAST(vb.n_docs_b - COALESCE(va.n_docs_a, 0) AS BIGINT) AS n_added,
+             |  CAST(COALESCE(va.n_tokens_a, 0) AS BIGINT) AS n_tokens_a, vb.n_tokens_b,
+             |  CAST(CASE WHEN va.ca1 IS NULL OR va.ca1 <> vb.cb1 OR va.ca2 <> vb.cb2
+             |       THEN 1 ELSE 0 END AS BIGINT) AS digest_changed
+             |FROM vb LEFT JOIN va USING (shard) ORDER BY vb.shard""".stripMargin)
+    ) { (s, d) =>
+      val proj = manifestProjection(s, d).withColumn("shard", lcgShard)
+      val va = manifestDigest(proj.filter(col("doc_id") % 10 =!= 3))
+        .select(col("shard"), col("n_docs").as("n_docs_a"),
+          col("n_tokens").as("n_tokens_a"),
+          col("checksum_a").as("ca1"), col("checksum_b").as("ca2"))
+      val vb = manifestDigest(proj)
+        .select(col("shard"), col("n_docs").as("n_docs_b"),
+          col("n_tokens").as("n_tokens_b"),
+          col("checksum_a").as("cb1"), col("checksum_b").as("cb2"))
+      vb.join(va, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n_docs_a"), lit(0L)).cast("long").as("n_docs_a"),
+          col("n_docs_b"),
+          (col("n_docs_b") - coalesce(col("n_docs_a"), lit(0L))).cast("long")
+            .as("n_added"),
+          coalesce(col("n_tokens_a"), lit(0L)).cast("long").as("n_tokens_a"),
+          col("n_tokens_b"),
+          when(col("ca1").isNull || col("ca1") =!= col("cb1")
+            || col("ca2") =!= col("cb2"), 1L).otherwise(0L).cast("long")
+            .as("digest_changed"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -3059,6 +3129,15 @@ object PipelineQueries {
     * The `sized` rank window partitions by the 4096-doc doc_id block —
     * never more rows than the block, regardless of corpus size.
     */
+  /** The LCG hash shard rule (q_c15's overflow-safe hash, mod 8) — ONE
+    * copy shared by q_c122's `hash` strategy and q_c125's versioned
+    * manifests, where its incremental STABILITY (a doc's shard never
+    * moves as the corpus grows) is the property being exercised.
+    */
+  private[graft] def lcgShard: org.apache.spark.sql.Column =
+    ((((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L) % 8L)
+      .cast("long")
+
   /** The snake-dealing assignment rule as a projection over any frame
     * carrying (doc_id, n_tokens, …): appends `shard`. ONE copy shared by
     * q_c122's `sized` strategy and q_c124's manifest, so the plan and
@@ -3076,15 +3155,13 @@ object PipelineQueries {
       .drop("rk")
   }
 
-  /** q_c124's manifest frame — the snake assignment plus the two 60-bit
-    * additive per-shard digests (md5 split at hex digit 15/30; sums in
-    * exact DECIMAL(38,0), reduced mod 2^60).
+  /** The per-shard digest aggregate over any frame carrying
+    * (shard, n_tokens, h) — the two 60-bit additive digests (md5 split
+    * at hex digit 15/30; sums in exact DECIMAL(38,0), reduced mod 2^60).
+    * ONE copy shared by q_c124's manifest and q_c125's version diff.
     */
-  private[graft] def exportManifest(s: SparkSession, d: String): DataFrame =
-    snakeDeal(Tables(s, d, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5(col("text")).as("h")))
+  private def manifestDigest(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("shard"), col("n_tokens"),
         expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("c1"),
         expr("CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT)").as("c2"))
@@ -3095,6 +3172,21 @@ object PipelineQueries {
           .as("checksum_a"),
         expr("CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
           .as("checksum_b"))
+
+  /** The (doc_id, n_tokens, h) corpus projection both manifest queries
+    * digest over.
+    */
+  private def manifestProjection(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+
+  /** q_c124's manifest frame — the snake assignment plus the shared
+    * per-shard digests.
+    */
+  private[graft] def exportManifest(s: SparkSession, d: String): DataFrame =
+    manifestDigest(snakeDeal(manifestProjection(s, d)))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("checksum_a"), col("checksum_b"))
       .orderBy(col("shard"))
@@ -3107,9 +3199,7 @@ object PipelineQueries {
     val sized = snakeDeal(t)
       .select(lit("sized").as("strategy"), col("shard"), col("n_tokens"))
     val hashed = t.select(lit("hash").as("strategy"),
-      ((((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L) % S)
-        .cast("long").as("shard"),
-      col("n_tokens"))
+      lcgShard.as("shard"), col("n_tokens"))
     val per = sized.unionByName(hashed)
       .groupBy(col("strategy"), col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -2404,6 +2404,34 @@ object SparkSqlQueries {
         |  CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum_b
         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    "q_c125_manifest_diff" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(text) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_tokens,
+        |        CAST(((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 8 AS BIGINT) AS shard,
+        |        CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS c1,
+        |        CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) AS c2
+        |      FROM t),
+        |va AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_a,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_a,
+        |         CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS ca1,
+        |         CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS ca2
+        |       FROM g WHERE doc_id % 10 <> 3 GROUP BY 1),
+        |vb AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_b,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_b,
+        |         CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS cb1,
+        |         CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS cb2
+        |       FROM g GROUP BY 1)
+        |SELECT vb.shard, CAST(COALESCE(va.n_docs_a, 0L) AS BIGINT) AS n_docs_a,
+        |  vb.n_docs_b,
+        |  CAST(vb.n_docs_b - COALESCE(va.n_docs_a, 0L) AS BIGINT) AS n_added,
+        |  CAST(COALESCE(va.n_tokens_a, 0L) AS BIGINT) AS n_tokens_a, vb.n_tokens_b,
+        |  CAST(CASE WHEN va.ca1 IS NULL OR va.ca1 <> vb.cb1 OR va.ca2 <> vb.cb2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS digest_changed
+        |FROM vb LEFT JOIN va USING (shard) ORDER BY vb.shard""".stripMargin,
+
     "q_c91_source_dup_matrix" ->
       s"""WITH $shingleCtes,
          |$sparkJaccardTail,

@@ -383,6 +383,56 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((l.sum.mod(BigInt(M)) + rpart.sum.mod(BigInt(M))).mod(BigInt(M)).toLong == row0._4)
   }
 
+  test("q_c125: diff touches exactly the shards the batch hashes to; manifests update additively") {
+    import org.apache.spark.sql.functions.col
+    val M = BigInt(1152921504606846976L) // 2^60
+    // purpose-built corpus: 60 docs, batch = doc_id % 10 == 3 (6 docs) —
+    // the LCG sends them to shards {0,2,3,4,5,7} only, so the stability
+    // claim (untouched shard ⇒ unchanged manifest) is exercised on 1/6
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest-diff")
+    val rows = (0L until 60L).map(i => (i, s"doc $i " + ("w " * (i % 7 + 1).toInt).trim))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val out = SparkEntry.queries("q_c125_manifest_diff")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def lcg(id: Long) = ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 8L
+    val batchShards = rows.map(_._1).filter(_ % 10 == 3).map(lcg).toSet
+    assert(batchShards.size < 8, "fixture must leave at least one shard untouched")
+    for ((sh, na, nb, added, _, _, changed) <- out) {
+      if (batchShards.contains(sh)) {
+        assert(added > 0 && changed == 1L, s"shard $sh must register the batch")
+      } else {
+        assert(added == 0L && na == nb && changed == 0L,
+          s"untouched shard $sh must keep an unchanged manifest")
+      }
+      // n_added is exactly the batch arrivals hashing there
+      assert(added == rows.map(_._1).count(i => i % 10 == 3 && lcg(i) == sh).toLong)
+    }
+    // additive update: digest_B == digest_A + digest(batch) mod 2^60,
+    // per shard per chunk — recomputed driver-side from raw md5s
+    def digests(ids: Long => Boolean) = rows.filter(r => ids(r._1))
+      .groupBy(r => lcg(r._1)).map { case (sh, g) =>
+        val cs = g.map(r => chunks(md5Hex(r._2)))
+        (sh, (cs.map(c => BigInt(c._1)).sum.mod(M), cs.map(c => BigInt(c._2)).sum.mod(M)))
+      }
+    val va = digests(_ % 10 != 3)
+    val vb = digests(_ => true)
+    val batch = digests(_ % 10 == 3)
+    for ((sh, b) <- vb) {
+      val a = va.getOrElse(sh, (BigInt(0), BigInt(0)))
+      val add = batch.getOrElse(sh, (BigInt(0), BigInt(0)))
+      assert(((a._1 + add._1).mod(M), (a._2 + add._2).mod(M)) === b,
+        s"shard $sh: manifest must be updatable from the batch alone")
+    }
+    graft.core.CachedRdds.drain()
+  }
+
+  private def chunks(h: String): (Long, Long) =
+    (java.lang.Long.parseLong(h.substring(0, 15), 16),
+      java.lang.Long.parseLong(h.substring(15, 30), 16))
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
