@@ -3158,9 +3158,11 @@ object PipelineQueries {
   /** The per-shard digest aggregate over any frame carrying
     * (shard, n_tokens, h) — the two 60-bit additive digests (md5 split
     * at hex digit 15/30; sums in exact DECIMAL(38,0), reduced mod 2^60).
-    * ONE copy shared by q_c124's manifest and q_c125's version diff.
+    * ONE copy shared by q_c124's manifest, q_c125's version diff and
+    * the streaming ingestion twin ([[graft.streaming.StreamingOps
+    * .manifestUpdates]]).
     */
-  private def manifestDigest(assigned: DataFrame): DataFrame =
+  private[graft] def manifestDigest(assigned: DataFrame): DataFrame =
     assigned
       .select(col("shard"), col("n_tokens"),
         expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("c1"),

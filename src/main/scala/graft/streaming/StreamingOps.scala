@@ -526,6 +526,29 @@ object StreamingOps {
     graft.operators.SimilarityQueries.centroidAlarm(baseCen, baseNv, cen, nv)
   }
 
+  /** Streaming ingestion twin of the q_c124/q_c125 manifest family:
+    * each arriving (doc_id, text) row is shard-assigned and md5-chunked
+    * STATELESSLY through the SHARED hash rule + digest aggregate
+    * ([[graft.operators.PipelineQueries.lcgShard]] /
+    * [[graft.operators.PipelineQueries.manifestDigest]] — ONE copy with
+    * the batch manifests), and per-shard digest state accumulates under
+    * a complete-mode groupBy: 8 cells regardless of stream length. The
+    * aggregate buffer is the exact DECIMAL(38,0) chunk sum (mod 2^60
+    * applied at emit), so the served manifest after ANY prefix of
+    * micro-batches equals the batch manifest of that union — q_c125's
+    * additive-update identity running live: a versioned export
+    * re-manifests per arriving batch with no base re-read. The HASH
+    * rule, not q_c122's snake, is what makes the manifest streamable at
+    * all — snake ranks are retroactive within a block, so an arrival
+    * would re-assign already-manifested docs.
+    */
+  def manifestUpdates(docs: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.manifestDigest(
+      docs.select(
+        graft.operators.PipelineQueries.lcgShard.as("shard"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+        md5(col("text")).as("h")))
+
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 
   final case class PassageOcc(passage: String, doc_id: Long)

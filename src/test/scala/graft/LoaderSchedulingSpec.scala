@@ -429,6 +429,46 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("streaming manifest: per-batch served state == batch manifest of each prefix union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, md5}
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.core.Tables(sp, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    def batchManifest(docs: Seq[(Long, String)]) =
+      graft.operators.PipelineQueries.manifestDigest(
+        sp.createDataFrame(docs).toDF("doc_id", "text")
+          .select(graft.operators.PipelineQueries.lcgShard.as("shard"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+            md5(col("text")).as("h")))
+        .collect().map(_.toString).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .manifestUpdates(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_manifest").toString)
+      .format("memory").queryName("manifeststate").outputMode("complete").start()
+    // uneven micro-batches; after EACH one the served state must equal
+    // the batch manifest of the prefix union — the additive-update
+    // identity live (re-manifesting per arrival, no base re-read)
+    val cuts = Seq(7, 180, rows.length)
+    var prev = 0
+    for (cut <- cuts) {
+      input.addData(rows.slice(prev, cut).toSeq)
+      q.processAllAvailable()
+      val served = sp.table("manifeststate").collect().map(_.toString).toSet
+      assert(served === batchManifest(rows.take(cut).toSeq),
+        s"prefix $cut: streamed manifest must equal the batch manifest")
+      prev = cut
+    }
+    q.stop()
+    graft.core.CachedRdds.drain()
+  }
+
   private def chunks(h: String): (Long, Long) =
     (java.lang.Long.parseLong(h.substring(0, 15), 16),
       java.lang.Long.parseLong(h.substring(15, 30), 16))
