@@ -2705,6 +2705,61 @@ object PipelineQueries {
       exportManifest(s, d)
     },
 
+    // ---- q_c126: ingestion quality gate -------------------------------------
+    // q_c27 decides batch admission on the DEDUP axis; this is the
+    // QUALITY axis of the same gate: before admitting the arriving
+    // doc_id % 10 = 3 batch, compare its rule-level quality profile
+    // against the retained base corpus — per Gopher rule (the SHARED
+    // [[TextQueries.rulesFlags]] projection, one copy with q_c31 and the
+    // funnel), the base vs batch pass permille, the delta, and an alarm
+    // at |delta| ≥ 50 ‰. A crawl that silently degraded (shorter docs,
+    // stopword-free spam, collapsed type-token ratios) alarms HERE,
+    // before it pollutes the pool — the report is the admission
+    // evidence, like q_c72's rebuild verdict for the ANN index.
+    //
+    // 100 TB shape: ONE corpus scan through the map-side rules
+    // projection into a 2-row aggregate; the 5-metric report is a
+    // stack() over the crossed 1-row frames. Integer permille —
+    // hash-exact.
+    QueryDef(
+      "q_c126_ingest_quality_gate",
+      Some(s"""WITH ${TextQueries.duckRuleStats},
+              |fl AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 10 = 3 THEN 'batch' ELSE 'base' END AS grp,
+              |    CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS r_words,
+              |    CASE WHEN 3 * n_words <= sumlen AND 2 * sumlen <= 9 * n_words THEN 1 ELSE 0 END AS r_wlen,
+              |    CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS r_stop,
+              |    CASE WHEN 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS r_ttr,
+              |    CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+              |      AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+              |      AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+              |  FROM rm),
+              |ag AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(r_words) * 1000 // COUNT(*) AS BIGINT) AS words_pm,
+              |    CAST(SUM(r_wlen) * 1000 // COUNT(*) AS BIGINT) AS wlen_pm,
+              |    CAST(SUM(r_stop) * 1000 // COUNT(*) AS BIGINT) AS stop_pm,
+              |    CAST(SUM(r_ttr) * 1000 // COUNT(*) AS BIGINT) AS ttr_pm,
+              |    CAST(SUM(pass) * 1000 // COUNT(*) AS BIGINT) AS pass_pm
+              |  FROM fl GROUP BY 1),
+              |m AS (
+              |  SELECT 'pass_pm' AS metric, a.pass_pm AS base_pm, b.pass_pm AS batch_pm
+              |  FROM ag a, ag b WHERE a.grp = 'base' AND b.grp = 'batch'
+              |  UNION ALL SELECT 'r_stop_pm', a.stop_pm, b.stop_pm
+              |  FROM ag a, ag b WHERE a.grp = 'base' AND b.grp = 'batch'
+              |  UNION ALL SELECT 'r_ttr_pm', a.ttr_pm, b.ttr_pm
+              |  FROM ag a, ag b WHERE a.grp = 'base' AND b.grp = 'batch'
+              |  UNION ALL SELECT 'r_wlen_pm', a.wlen_pm, b.wlen_pm
+              |  FROM ag a, ag b WHERE a.grp = 'base' AND b.grp = 'batch'
+              |  UNION ALL SELECT 'r_words_pm', a.words_pm, b.words_pm
+              |  FROM ag a, ag b WHERE a.grp = 'base' AND b.grp = 'batch')
+              |SELECT metric, base_pm, batch_pm,
+              |  CAST(batch_pm - base_pm AS BIGINT) AS delta_pm,
+              |  CAST(CASE WHEN abs(batch_pm - base_pm) >= 50 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+              |FROM m ORDER BY metric""".stripMargin)
+    ) { (s, d) =>
+      ingestQualityGate(s, d)
+    },
+
     // ---- q_c125: manifest diff across corpus versions ----------------------
     // Two corpus versions — the base snapshot and base + the arriving
     // doc_id % 10 = 3 batch (the q_c70/q_c27 convention) — compared at
@@ -3129,6 +3184,45 @@ object PipelineQueries {
     * The `sized` rank window partitions by the 4096-doc doc_id block —
     * never more rows than the block, regardless of corpus size.
     */
+  /** q_c126's gate frame — base vs batch rule-pass permilles from ONE
+    * scan through the shared [[TextQueries.rulesFlags]] projection,
+    * stacked to one row per rule with delta and the ≥50 ‰ alarm.
+    */
+  private[graft] def ingestQualityGate(s: SparkSession, d: String): DataFrame = {
+    val f = TextQueries.rulesFlags(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")))
+      .withColumn("grp",
+        when(col("doc_id") % 10 === 3, "batch").otherwise("base"))
+    val ag = f.groupBy(col("grp")).agg(
+      expr("CAST(SUM(r_words) * 1000 DIV COUNT(*) AS BIGINT)").as("words_pm"),
+      expr("CAST(SUM(r_wlen) * 1000 DIV COUNT(*) AS BIGINT)").as("wlen_pm"),
+      expr("CAST(SUM(r_stop) * 1000 DIV COUNT(*) AS BIGINT)").as("stop_pm"),
+      expr("CAST(SUM(r_ttr) * 1000 DIV COUNT(*) AS BIGINT)").as("ttr_pm"),
+      expr("CAST(SUM(pass) * 1000 DIV COUNT(*) AS BIGINT)").as("pass_pm"))
+    val base = ag.filter(col("grp") === "base")
+      .select(col("words_pm").as("a_words"), col("wlen_pm").as("a_wlen"),
+        col("stop_pm").as("a_stop"), col("ttr_pm").as("a_ttr"),
+        col("pass_pm").as("a_pass"))
+    val batch = ag.filter(col("grp") === "batch")
+      .select(col("words_pm").as("b_words"), col("wlen_pm").as("b_wlen"),
+        col("stop_pm").as("b_stop"), col("ttr_pm").as("b_ttr"),
+        col("pass_pm").as("b_pass"))
+    base.crossJoin(batch) // two 1-row stat frames
+      .select(expr(
+        """stack(5,
+          |  'pass_pm', a_pass, b_pass,
+          |  'r_stop_pm', a_stop, b_stop,
+          |  'r_ttr_pm', a_ttr, b_ttr,
+          |  'r_wlen_pm', a_wlen, b_wlen,
+          |  'r_words_pm', a_words, b_words) AS (metric, base_pm, batch_pm)
+          |""".stripMargin))
+      .select(col("metric"), col("base_pm"), col("batch_pm"),
+        (col("batch_pm") - col("base_pm")).cast("long").as("delta_pm"),
+        when(abs(col("batch_pm") - col("base_pm")) >= 50, 1L).otherwise(0L)
+          .cast("long").as("alarm"))
+      .orderBy(col("metric"))
+  }
+
   /** The LCG hash shard rule (q_c15's overflow-safe hash, mod 8) — ONE
     * copy shared by q_c122's `hash` strategy and q_c125's versioned
     * manifests, where its incremental STABILITY (a doc's shard never

@@ -2404,6 +2404,46 @@ object SparkSqlQueries {
         |  CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum_b
         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    "q_c126_ingest_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, filter(split(lower(text), ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(size(ws) AS BIGINT) AS n_words,
+        |    aggregate(ws, 0L, (a, w) -> a + length(w)) AS sumlen,
+        |    CAST(size(array_intersect(ws, array('the','of','and','to','in'))) AS BIGINT) AS stop_hits,
+        |    CAST(size(array_distinct(ws)) AS BIGINT) AS uniq
+        |  FROM t),
+        |fl AS (SELECT
+        |    CASE WHEN doc_id % 10 = 3 THEN 'batch' ELSE 'base' END AS grp,
+        |    CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS r_words,
+        |    CASE WHEN 3 * n_words <= sumlen AND 2 * sumlen <= 9 * n_words THEN 1 ELSE 0 END AS r_wlen,
+        |    CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS r_stop,
+        |    CASE WHEN 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS r_ttr,
+        |    CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+        |      AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+        |      AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS pass
+        |  FROM m),
+        |ag AS (SELECT grp,
+        |    CAST(SUM(r_words) * 1000 DIV COUNT(*) AS BIGINT) AS words_pm,
+        |    CAST(SUM(r_wlen) * 1000 DIV COUNT(*) AS BIGINT) AS wlen_pm,
+        |    CAST(SUM(r_stop) * 1000 DIV COUNT(*) AS BIGINT) AS stop_pm,
+        |    CAST(SUM(r_ttr) * 1000 DIV COUNT(*) AS BIGINT) AS ttr_pm,
+        |    CAST(SUM(pass) * 1000 DIV COUNT(*) AS BIGINT) AS pass_pm
+        |  FROM fl GROUP BY grp),
+        |x AS (
+        |  SELECT stack(5,
+        |      'pass_pm', a.pass_pm, b.pass_pm,
+        |      'r_stop_pm', a.stop_pm, b.stop_pm,
+        |      'r_ttr_pm', a.ttr_pm, b.ttr_pm,
+        |      'r_wlen_pm', a.wlen_pm, b.wlen_pm,
+        |      'r_words_pm', a.words_pm, b.words_pm) AS (metric, base_pm, batch_pm)
+        |  FROM ag a CROSS JOIN ag b WHERE a.grp = 'base' AND b.grp = 'batch')
+        |SELECT metric, base_pm, batch_pm,
+        |  CAST(batch_pm - base_pm AS BIGINT) AS delta_pm,
+        |  CAST(CASE WHEN abs(batch_pm - base_pm) >= 50 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM x ORDER BY metric""".stripMargin,
+
     "q_c125_manifest_diff" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,

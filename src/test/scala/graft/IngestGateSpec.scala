@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_c126 ingestion quality gate — the report must be the exact
+  * base/batch split of the REGISTERED q_c31 rule flags (single-copy
+  * proof: if the gate's rules forked from the filter's, this breaks),
+  * with integer-permille arithmetic and the ≥50 ‰ alarm.
+  */
+class IngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ingestgate-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("gate rates == base/batch split of the registered q_c31 flags; alarm at 50 permille") {
+    val gate = SparkEntry.queries("q_c126_ingest_quality_gate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // independent recomputation from the REGISTERED rules filter: q_c31
+    // emits (doc_id, n_words, r_words, r_wlen, r_stop, r_ttr, pass)
+    val flags = SparkEntry.queries("q_c31_rules_filter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    graft.core.CachedRdds.drain()
+    def pm(g: Seq[(Long, Int, Int, Int, Int, Int)], f: ((Long, Int, Int, Int, Int, Int)) => Int) =
+      g.map(f).map(_.toLong).sum * 1000 / g.length
+    val base = flags.filter(_._1 % 10 != 3).toSeq
+    val batch = flags.filter(_._1 % 10 == 3).toSeq
+    assert(base.nonEmpty && batch.nonEmpty)
+    val expect = Seq(
+      ("pass_pm", pm(base, _._6), pm(batch, _._6)),
+      ("r_stop_pm", pm(base, _._4), pm(batch, _._4)),
+      ("r_ttr_pm", pm(base, _._5), pm(batch, _._5)),
+      ("r_wlen_pm", pm(base, _._3), pm(batch, _._3)),
+      ("r_words_pm", pm(base, _._2), pm(batch, _._2)))
+    assert(gate.map(r => (r._1, r._2, r._3)) === expect,
+      "gate rates must be the base/batch split of the registered rule flags")
+    for ((_, b, c, delta, alarm) <- gate) {
+      assert(delta == c - b)
+      assert(alarm == (if (math.abs(c - b) >= 50) 1L else 0L))
+    }
+    // the fixture exercises both gate outcomes
+    assert(gate.exists(_._5 == 1L) && gate.exists(_._5 == 0L))
+  }
+}

@@ -102,7 +102,8 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c121_funnel_mixture_drift" -> 55, // measured 44 cold (q_c117 bases + token agg + totals broadcast)
     "q_c122_export_shard_plan" -> 10, // measured 8 cold (two assignment branches + 16-row agg)
     "q_c124_export_manifest" -> 8,    // measured 6 cold (one scan + snake window + 8-row agg)
-    "q_c125_manifest_diff" -> 9       // measured 7 cold (one scan + two digest aggs + 8-row join)
+    "q_c125_manifest_diff" -> 9,      // measured 7 cold (one scan + two digest aggs + 8-row join)
+    "q_c126_ingest_quality_gate" -> 9 // measured 7 cold (one rules scan + 2-row agg + stack)
   )
 
   test("cold job counts for the heavy set stay under their ceilings") {
