@@ -2624,6 +2624,14 @@ object PipelineQueries {
     // and signed deviation from the perfect S-split (dev_bp = 0 is a
     // perfect shard) — the measured evidence for choosing the writer.
     //
+    // Block-local dealing is near-optimal when unit lengths are
+    // BOUNDED — which is exactly the shape of a training export, since
+    // q_c59/q_c25 chunk/pack before writing: on a chunked heavy-tail
+    // fixture snake lands 159 bp vs hash's 814, while on the RAW
+    // heavy-tail corpus (10 giants among 5k docs) the first deal
+    // round's intrinsic spread floors it at 3448 bp (still 1.6× better
+    // than hash; true LPT is sequential). Receipts in PERF.md round 20.
+    //
     // 100 TB shape: `sized` is BLOCK-LOCAL by construction — the only
     // window partitions by the 4096-doc block (never a global or
     // hot-key sort), blocks balance independently, and their deviations
@@ -2644,7 +2652,8 @@ object PipelineQueries {
              |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
              |asg AS (
              |  SELECT 'sized' AS strategy,
-             |    CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+             |    CAST((CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
+             |          + (doc_id // 4096) % 8) % 8 AS BIGINT) AS shard,
              |    n_tokens FROM r
              |  UNION ALL
              |  SELECT 'hash', CAST(hv % 8 AS BIGINT), n_tokens
@@ -2691,7 +2700,8 @@ object PipelineQueries {
              |        ROW_NUMBER() OVER (PARTITION BY doc_id // 4096
              |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
              |a AS (SELECT
-             |        CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+             |        CAST((CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
+             |              + (doc_id // 4096) % 8) % 8 AS BIGINT) AS shard,
              |        n_tokens,
              |        CAST('0x' || substr(h, 1, 15) AS BIGINT) AS c1,
              |        CAST('0x' || substr(h, 16, 15) AS BIGINT) AS c2
@@ -3236,6 +3246,16 @@ object PipelineQueries {
     * carrying (doc_id, n_tokens, …): appends `shard`. ONE copy shared by
     * q_c122's `sized` strategy and q_c124's manifest, so the plan and
     * the artifact it verifies can never assign differently.
+    *
+    * Each block's deal START rotates by `blk mod S`: without it, SPARSE
+    * doc_ids (gappy after dedup, or snowflake-style) leave blocks with
+    * only a few rows, every block's rank 0 lands on shard 0, and the
+    * "balanced" plan concentrates the corpus on the low shards — on a
+    * chunked heavy-tail fixture the unrotated rule measured 16 006 bp
+    * worst-shard deviation vs the hash's 814 (PERF.md round 20). The
+    * rotation is a per-block shard relabeling, so every within-block
+    * balance property is untouched; it only breaks cross-block rank-0
+    * alignment.
     */
   private[graft] def snakeDeal(docs: DataFrame): DataFrame = {
     val S = 8L
@@ -3244,8 +3264,9 @@ object PipelineQueries {
     docs
       .withColumn("rk", row_number().over(wIn).cast("long") - 1L)
       .withColumn("shard",
-        when(expr(s"rk div ${S}L") % 2 === 0, col("rk") % S)
-          .otherwise(lit(S - 1) - col("rk") % S).cast("long"))
+        ((when(expr(s"rk div ${S}L") % 2 === 0, col("rk") % S)
+          .otherwise(lit(S - 1) - col("rk") % S))
+          + expr(s"(doc_id div 4096L) % ${S}L")) % S cast "long")
       .drop("rk")
   }
 

@@ -2369,7 +2369,8 @@ object SparkSqlQueries {
         |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
         |asg AS (
         |  SELECT 'sized' AS strategy,
-        |    CAST(CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+        |    CAST((CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
+        |          + (doc_id DIV 4096) % 8) % 8 AS BIGINT) AS shard,
         |    n_tokens FROM r
         |  UNION ALL
         |  SELECT 'hash', CAST(hv % 8 AS BIGINT), n_tokens
@@ -2393,7 +2394,8 @@ object SparkSqlQueries {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id DIV 4096
         |          ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
         |a AS (SELECT
-        |        CAST(CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS BIGINT) AS shard,
+        |        CAST((CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
+        |              + (doc_id DIV 4096) % 8) % 8 AS BIGINT) AS shard,
         |        n_tokens,
         |        CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS c1,
         |        CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) AS c2
