@@ -541,6 +541,77 @@ object SimilarityQueries {
           expr("CAST(CAST(percentile(nq, 0.75) / 10000 AS DECIMAL(18,6)) AS DOUBLE)").as("p75"),
           sum(when(col("nq") < 5000, 1L).otherwise(0L)).cast("long").as("n_small"))
         .orderBy(col("label"))
+    },
+
+    // ---- q_c127: hybrid retrieval — reciprocal-rank fusion ------------------
+    // The modern retrieval-serving shape (Cormack, Clarke & Büttcher,
+    // SIGIR 2009; the Elasticsearch/Vespa hybrid default): fuse a
+    // LEXICAL candidate list (BM25 over the stored postings index —
+    // q_c45's scorer, single-copy via [[TextQueries.bm25Scores]]) with a
+    // DENSE list (cosine against an exemplar vector, q_b7's kernel) by
+    // summing 1/(60 + rank) over the lists an item appears in. Items
+    // only one retriever sees still score (the union semantics that
+    // make RRF robust to disjoint candidate sets); embedding coverage
+    // is PARTIAL at sf0.1 (2 000 vectors over 5 000 docs) — exactly the
+    // production case fusion handles. Both lists cap at 100.
+    //
+    // 100 TB shape: each list is a TakeOrdered top-100 (per-partition
+    // heaps — no global sort, no corpus-sized window); rank assignment
+    // and the fusion join run on the two ≤100-row frames. The BM25 side
+    // reads only the query terms' postings (q_c45's pushdown); the
+    // dense side is one broadcast-exemplar scan of the embedding column
+    // (or an IVF probe at scale — q_c9's escape hatch, same list
+    // contract). RRF terms quantize through DECIMAL(18,6) on both
+    // engines before the exact-decimal sum — hash-exact.
+    QueryDef(
+      "q_c127_hybrid_rrf",
+      Some(s"""WITH ${TextQueries.duckBm25Cte},
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+              |ds AS (SELECT vec_id,
+              |         round(CAST(list_dot_product(v, q)
+              |           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))
+              |           AS DECIMAL(18,6)), 4) AS score
+              |       FROM e, qv WHERE vec_id <> 0),
+              |btop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS br
+              |         FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+              |dtop AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS dr
+              |         FROM (SELECT * FROM ds ORDER BY score DESC, vec_id LIMIT 100)),
+              |f AS (SELECT COALESCE(b.doc_id, d.vec_id) AS id, b.br, d.dr
+              |      FROM btop b FULL OUTER JOIN dtop d ON b.doc_id = d.vec_id)
+              |SELECT id, CAST(COALESCE(br, 0) AS BIGINT) AS bm25_rank,
+              |  CAST(COALESCE(dr, 0) AS BIGINT) AS dense_rank,
+              |  CAST(COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + br) AS DECIMAL(18,6)), 0)
+              |     + COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + dr) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf
+              |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin)
+    ) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val path = TextQueries.postingsIndex(s, d)
+      val wb = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val btop = TextQueries.bm25Scores(
+          s.read.parquet(s"$path/postings"), s.read.parquet(s"$path/stats"),
+          Seq("hash", "join", "filter"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .withColumn("br", row_number().over(wb).cast("long"))
+        .select(col("doc_id").as("id"), col("br"))
+      val e = embDouble(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val wd = Window.orderBy(col("score").desc, col("vec_id"))
+      val dtop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("score", round(expr(cosExpr), 4))
+        .orderBy(col("score").desc, col("vec_id")).limit(100)
+        .withColumn("dr", row_number().over(wd).cast("long"))
+        .select(col("vec_id").as("id"), col("dr"))
+      btop.join(dtop, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("br"), lit(0L)).cast("long").as("bm25_rank"),
+          coalesce(col("dr"), lit(0L)).cast("long").as("dense_rank"),
+          emit(coalesce(dec(lit(1.0) / (lit(60) + col("br"))), dec(lit(0)))
+            + coalesce(dec(lit(1.0) / (lit(60) + col("dr"))), dec(lit(0))))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
     }
   )
 

@@ -2406,6 +2406,37 @@ object SparkSqlQueries {
         |  CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum_b
         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    "q_c127_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(dfq), BROADCAST(stats) */ t.doc_id,
+        |    CAST(ln(1.0D + (s.n_docs - q.df + 0.5D) / (q.df + 0.5D))
+        |      * (t.tf * 2.2D) / (t.tf + 1.2D * (0.25D + 0.75D * d.dl / (s.tot / s.n_docs)))
+        |      AS DECIMAL(18,6)) AS tscore
+        |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s),
+        |bm AS (SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25 FROM scored GROUP BY 1),
+        |e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |ds AS (SELECT /*+ BROADCAST(qv) */ vec_id,
+        |         round(CAST(cosine_similarity(v, qv) AS DECIMAL(18,6)), 4) AS score
+        |       FROM e CROSS JOIN qv WHERE vec_id <> 0),
+        |btop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS br
+        |         FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |dtop AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS dr
+        |         FROM (SELECT * FROM ds ORDER BY score DESC, vec_id LIMIT 100)),
+        |f AS (SELECT COALESCE(b.doc_id, d.vec_id) AS id, b.br, d.dr
+        |      FROM btop b FULL OUTER JOIN dtop d ON b.doc_id = d.vec_id)
+        |SELECT id, CAST(COALESCE(br, 0L) AS BIGINT) AS bm25_rank,
+        |  CAST(COALESCE(dr, 0L) AS BIGINT) AS dense_rank,
+        |  CAST(COALESCE(CAST(1.0D / (60 + br) AS DECIMAL(18,6)), 0)
+        |     + COALESCE(CAST(1.0D / (60 + dr) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf
+        |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+
     "q_c126_ingest_quality_gate" ->
       """WITH t AS (
         |  SELECT doc_id, filter(split(lower(text), ' '), w -> length(w) > 0) AS ws

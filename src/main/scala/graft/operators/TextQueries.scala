@@ -2554,7 +2554,16 @@ object TextQueries {
     * stored layout, so their oracles cannot be allowed to fork.
     */
   private[graft] lazy val duckBm25FullCorpus: String =
-    """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+    s"""WITH $duckBm25Cte
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The CTE chain ending in `bm(doc_id, bm25)` — split out of
+    * [[duckBm25FullCorpus]] so q_c127's fusion oracle shares the scoring
+    * text.
+    */
+  private[graft] lazy val duckBm25Cte: String =
+    """toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -2565,10 +2574,9 @@ object TextQueries {
       |    CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
       |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.tot / s.n_docs)))
       |      AS DECIMAL(18,6)) AS tscore
-      |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s)
-      |SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
-      |FROM scored GROUP BY 1
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      |  FROM tf t JOIN dl d USING (doc_id) JOIN dfq q USING (term) CROSS JOIN stats s),
+      |bm AS (SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+      |       FROM scored GROUP BY 1)""".stripMargin
 
   /** q_c123's SEGMENTED index: the layout the q_c70 append discipline
     * produces in production — each batch persisted as its own
@@ -2644,6 +2652,18 @@ object TextQueries {
   private[graft] def bm25Score(
       postings: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame,
+      query: Seq[String]): org.apache.spark.sql.DataFrame =
+    bm25Scores(postings, stats, query)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** The full (doc_id, bm25) score frame behind [[bm25Score]]'s top-20 —
+    * exposed separately so q_c127's rank-fusion can cap at its own list
+    * length while the scoring arithmetic stays single-copy.
+    */
+  private[graft] def bm25Scores(
+      postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
       query: Seq[String]): org.apache.spark.sql.DataFrame = {
     val post = postings.filter(col("term").isin(query: _*))
     val dfq = post.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
@@ -2656,8 +2676,6 @@ object TextQueries {
           / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("tot") / col("n_docs"))))))
       .groupBy(col("doc_id"))
       .agg(emit(sum(col("tscore"))).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** Positional token frame (term, doc_id, pos) over a documents frame —
