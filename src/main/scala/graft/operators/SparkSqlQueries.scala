@@ -2775,5 +2775,8 @@ object SparkSqlQueries {
     "q_c123_bm25_compacted" -> base("q_c12_bm25"),
     // q_c107 appends batch positional postings + additive bigram counts
     // onto the base phrase index — parity proves append ≡ rebuild
-    "q_c107_phrase_append" -> base("q_c103_phrase_search"))
+    "q_c107_phrase_append" -> base("q_c103_phrase_search"),
+    // q_c128 merges the stored phrase segments back into one postings +
+    // bigram table — parity proves compaction ≡ one-shot build
+    "q_c128_phrase_compacted" -> base("q_c103_phrase_search"))
 }

@@ -1938,19 +1938,7 @@ object TextQueries {
     // whole correctness claim, and it is hash-exact.
     QueryDef(
       "q_c103_phrase_search",
-      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
-             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
-             |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
-             |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
-             |hits AS (SELECT b.w1, b.w2, b.doc_id
-             |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
-             |SELECT w1 || ' ' || w2 AS phrase,
-             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(COUNT(*) AS BIGINT) AS n_occ,
-             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-             |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-             |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+      Some(duckPhraseBrute)
     ) { (s, d) =>
       phraseSearchStored(s, phraseIndex(s, d))
     },
@@ -2007,19 +1995,7 @@ object TextQueries {
     // ([[phraseReport]]).
     QueryDef(
       "q_c107_phrase_append",
-      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-             |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
-             |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
-             |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
-             |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
-             |hits AS (SELECT b.w1, b.w2, b.doc_id
-             |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
-             |SELECT w1 || ' ' || w2 AS phrase,
-             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(COUNT(*) AS BIGINT) AS n_occ,
-             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-             |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-             |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin)
+      Some(duckPhraseBrute)
     ) { (s, d) =>
       val basePath = phraseBaseIndex(s, d)
       val batch = Tables(s, d, "documents").filter(col("doc_id") % 10 === 3)
@@ -2030,6 +2006,23 @@ object TextQueries {
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("cnt")))
         .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).cast("long").as("cnt"))
       phraseReport(s, post, bigrams)
+    },
+
+    // ---- q_c128: positional-segment compaction ------------------------------
+    // q_c123's fourth verb for the PHRASE index — the lifecycle claim
+    // generalizes because the same two properties that made the append
+    // exact make the merge exact: positional postings carry no
+    // cross-document state (a segment union IS the full postings set)
+    // and the bigram table is a pure additive count (segment tables
+    // SUM). Compaction reads ONLY the stored segments — postings re-sort
+    // into one term-range layout, bigram counts sum — at O(index bytes),
+    // no corpus re-tokenize; search over the compacted artifact is the
+    // byte-identical q_c103 path against the shared brute-force oracle.
+    QueryDef(
+      "q_c128_phrase_compacted",
+      Some(duckPhraseBrute)
+    ) { (s, d) =>
+      phraseSearchStored(s, phraseCompactedIndex(s, phraseSegmentsIndex(s, d)))
     },
 
     // ---- q_c108: frequency-of-frequencies spectrum + Good-Turing ---------
@@ -2695,6 +2688,26 @@ object TextQueries {
         .as("p"))
       .select(col("p.term").as("term"), col("doc_id"), col("p.pos").as("pos"))
 
+  /** The brute-force full-corpus phrase report oracle — ONE text shared
+    * by q_c103 (stored search), q_c107 (append) and q_c128 (compaction):
+    * all three must reproduce the lead-window adjacency scan, whatever
+    * the stored layout.
+    */
+  private[graft] lazy val duckPhraseBrute: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2
+      |       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM t WHERE len(ts) >= 2)),
+      |top AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+      |        ORDER BY cnt DESC, w1, w2 LIMIT 5),
+      |hits AS (SELECT b.w1, b.w2, b.doc_id
+      |         FROM bg b JOIN top tp ON b.w1 = tp.w1 AND b.w2 = tp.w2)
+      |SELECT w1 || ' ' || w2 AS phrase,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM hits GROUP BY w1, w2 ORDER BY phrase""".stripMargin
+
   /** Build the positional phrase index at `path` over a documents frame
     * (the FULL corpus for q_c103/q_c106, the doc_id % 10 <> 3 base for
     * q_c107 — ONE recipe, so the two stores cannot drift in layout or
@@ -2750,6 +2763,44 @@ object TextQueries {
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
       buildPhraseIndex(s,
         Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3), path)
+    }
+
+  /** q_c128's SEGMENTED phrase index — each corpus slice built as its
+    * own segment via the SAME [[buildPhraseIndex]] recipe (seg0 = the
+    * doc_id % 10 <> 3 base, seg1 = the arriving batch), the bm25
+    * segments pattern.
+    */
+  private val phraseSegmentsBuilt = new graft.core.StoredArtifact("graft-phrase-segments")
+
+  private[graft] def phraseSegmentsIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    phraseSegmentsBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      buildPhraseIndex(s,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3), s"$path/seg0")
+      buildPhraseIndex(s,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 === 3), s"$path/seg1")
+    }
+
+  /** The COMPACTED phrase artifact: segment postings merged into one
+    * term-range-sorted table, segment bigram tables summed. Keyed on the
+    * segment directory's snapshot — compaction is a function of the
+    * stored segments alone.
+    */
+  private val phraseCompactedBuilt = new graft.core.StoredArtifact("graft-phrase-compacted")
+
+  private[graft] def phraseCompactedIndex(
+      s: org.apache.spark.sql.SparkSession, segPath: String): String =
+    phraseCompactedBuilt.getOrBuild(
+      segPath, graft.core.SessionMemo.snapshot(s, Seq(segPath))) { path =>
+      s.read.parquet(s"$segPath/seg0/postings", s"$segPath/seg1/postings")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      s.read.parquet(s"$segPath/seg0/bigrams", s"$segPath/seg1/bigrams")
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/bigrams")
     }
 
   /** The top-`nPhrases` corpus bigrams (count-desc, lexicographic

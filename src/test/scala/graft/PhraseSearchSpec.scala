@@ -95,6 +95,32 @@ class PhraseSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(baseDocs.nonEmpty && baseDocs.forall(_ % 10 != 3))
   }
 
+  test("q_c128: compacted segments == full stored search; bigram table == one-shot build") {
+    import org.apache.spark.sql.functions.col
+    val compacted = SparkEntry.queries("q_c128_phrase_compacted")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c103_phrase_search")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(compacted.nonEmpty && compacted == stored,
+      "phrase compaction must lose nothing vs a one-shot build")
+    // the summed segment bigram tables equal the full build's table —
+    // the additive-count property the merge relies on
+    val segPath = graft.operators.TextQueries.phraseSegmentsIndex(spark, sf)
+    val path = graft.operators.TextQueries.phraseCompactedIndex(spark, segPath)
+    val fullPath = graft.operators.TextQueries.phraseIndex(spark, sf)
+    def bigrams(p: String) = spark.read.parquet(s"$p/bigrams")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(bigrams(path) === bigrams(fullPath))
+    // pushdown survives compaction and the compacted search never
+    // touches the corpus
+    val plan = graft.operators.TextQueries.phraseSearchStored(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term")
+        || plan.contains("PushedFilters: [IsNotNull(term), In(term"),
+      s"term filter not pushed on the compacted scan:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet") && plan.contains(path))
+  }
+
   test("term predicate pushes into the positional postings scan") {
     val path = graft.operators.TextQueries.phraseIndex(spark, sf)
     val plan = graft.operators.TextQueries.phraseSearchStored(spark, path)
