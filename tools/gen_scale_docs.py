@@ -100,6 +100,48 @@ def gen_documents_heaps(n, rng, scale):
     return _finish_documents(texts, n, rng, vocab)
 
 
+def gen_documents_skew(n, rng, scale):
+    """Heavy-tail length mode (round 20, q_c122/q_c124 robustness): most
+    docs are 20-2000 tokens (Pareto alpha=1.2) with n/500 giants of
+    20k-60k tokens — the "one book among tweets" shape that stresses
+    size-aware shard dealing (the first deal round's intrinsic spread
+    floors any block-local balancer; chunk-then-export is the
+    documented answer, see gen_documents_skewchunk). Dense doc_ids."""
+    lens = np.minimum((20 + rng.pareto(1.2, n) * 40).astype(int), 2000)
+    giants = rng.choice(n, max(1, n // 500), replace=False)
+    lens[giants] = rng.integers(20000, 60000, len(giants))
+    texts = [("tok " * int(l)).strip() for l in lens]
+    return _finish_documents(texts, n, rng, VOCAB)
+
+
+def gen_documents_skewchunk(n, rng, scale):
+    """The skew corpus AFTER context-window chunking (every unit <= 512
+    tokens, same token mass) with SPARSE doc_ids (parent*1000 + chunk) —
+    the fixture that caught the unrotated snake deal concentrating on
+    shard 0 (PERF.md round 20: 16006 bp -> 159 bp after the blk-mod-S
+    rotation). Gappy ids are realistic post-dedup; any assignment rule
+    must not assume dense ids."""
+    lens = np.minimum((20 + rng.pareto(1.2, n) * 40).astype(int), 2000)
+    giants = rng.choice(n, max(1, n // 500), replace=False)
+    lens[giants] = rng.integers(20000, 60000, len(giants))
+    ids, texts = [], []
+    for i, l in enumerate(lens):
+        full, rem = divmod(int(l), 512)
+        for j, p in enumerate([512] * full + ([rem] if rem else [])):
+            ids.append(i * 1000 + j)
+            texts.append(("tok " * p).strip())
+    m = len(texts)
+    lang = [LANGS[int(i)] for i in rng.integers(0, len(LANGS), size=m)]
+    source = [f"src{int(i)}" for i in rng.integers(0, 20, size=m)]
+    return pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(lang),
+        "source": pa.array(source),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+
+
 def gen_embeddings(n, rng):
     dim, n_labels = 64, 10
     centroids = rng.standard_normal((n_labels, dim)).astype(np.float32) * 0.08
@@ -119,7 +161,8 @@ def main():
     mode = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    gen = {"uniform": gen_documents, "heaps": gen_documents_heaps}[mode]
+    gen = {"uniform": gen_documents, "heaps": gen_documents_heaps,
+           "skew": gen_documents_skew, "skewchunk": gen_documents_skewchunk}[mode]
     docs = gen(5000 * scale, rng, scale)
     emb = gen_embeddings(2000 * scale, rng)
     # write_split (shared helper, pq_write.py) bounds the row groups and
