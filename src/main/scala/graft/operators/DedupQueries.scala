@@ -914,6 +914,28 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- q_c129: signature-segment compaction -------------------------------
+    // The compaction verb for the THIRD index family: per-batch
+    // signature segments (48 B/doc rows, per-document state only) merge
+    // back into one doc_id-range-sorted table, restoring the point-
+    // lookup/merge-join pruning a q_c68-style segment accumulation
+    // erodes (k files per doc-range probe, min/max spans interleaved).
+    // The merge reads ONLY the stored segments — signatures are never
+    // recomputed and the corpus text is never touched — and candidates
+    // off the compacted table carry the full-corpus q_c1 oracle: with
+    // BM25 (q_c123), phrase (q_c128) and MinHash all compacting
+    // exactly, the build/search/append/compact lifecycle is a property
+    // of the stored-index DISCIPLINE (no cross-document stored state
+    // except additive scalars), not of any one index.
+    QueryDef(
+      "q_c129_minhash_compacted",
+      Some(s"""WITH $duckMinhashCand
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
+    ) { (s, d) =>
+      minhashSearchStored(s, minhashCompactedIndex(s, minhashSegmentsIndex(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ---- q_c75: winnowing fingerprint overlap (MOSS) ----------------------
     // Robust local fingerprinting (Schleimer, Wilkerson & Aho, SIGMOD
     // 2003 — the MOSS plagiarism detector): per document, hash every
@@ -1590,6 +1612,42 @@ object DedupQueries {
       d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
       minhashSignatures(s, d)
         .filter(col("doc_id") % 10 =!= 3)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/sigs")
+    }
+
+  /** q_c129's SEGMENTED signature index — base and batch signatures
+    * each persisted as their own doc_id-sorted segment (the bm25/phrase
+    * segments pattern).
+    */
+  private val minhashSegmentsBuilt =
+    new graft.core.StoredArtifact("graft-minhash-segments")
+
+  private[graft] def minhashSegmentsIndex(s: SparkSession, d: String): String =
+    minhashSegmentsBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val sigs = minhashSignatures(s, d)
+      Seq(("seg0", col("doc_id") % 10 =!= 3), ("seg1", col("doc_id") % 10 === 3))
+        .foreach { case (seg, pred) =>
+          sigs.filter(pred)
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$path/$seg/sigs")
+        }
+    }
+
+  /** The COMPACTED signature artifact: segment tables merged into one
+    * doc_id-range-sorted table. Keyed on the segment directory's
+    * snapshot — compaction is a function of the stored segments alone.
+    */
+  private val minhashCompactedBuilt =
+    new graft.core.StoredArtifact("graft-minhash-compacted")
+
+  private[graft] def minhashCompactedIndex(s: SparkSession, segPath: String): String =
+    minhashCompactedBuilt.getOrBuild(
+      segPath, graft.core.SessionMemo.snapshot(s, Seq(segPath))) { path =>
+      s.read.parquet(s"$segPath/seg0/sigs", s"$segPath/seg1/sigs")
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/sigs")

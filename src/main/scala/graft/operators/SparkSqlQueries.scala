@@ -2769,6 +2769,9 @@ object SparkSqlQueries {
     // are both exact
     "q_c66_minhash_stored" -> base("q_c1_minhash_lsh"),
     "q_c68_minhash_append" -> base("q_c1_minhash_lsh"),
+    // q_c129 merges the stored signature segments back into one
+    // doc_id-sorted table — parity proves compaction ≡ one-shot build
+    "q_c129_minhash_compacted" -> base("q_c1_minhash_lsh"),
     "q_c70_bm25_append" -> base("q_c12_bm25"),
     // q_c123 merges the stored segments back into one postings table —
     // parity proves compaction ≡ one-shot build

@@ -61,6 +61,29 @@ class StoredMinhashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(baseIds.nonEmpty && baseIds.forall(_ % 10 != 3))
   }
 
+  test("q_c129: compacted segments == stored search == q_c1; segments genuinely split") {
+    import org.apache.spark.sql.functions.col
+    val compacted = SparkEntry.queries("q_c129_minhash_compacted")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = SparkEntry.queries("q_c66_minhash_stored")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(compacted.nonEmpty && compacted == stored,
+      "signature compaction must lose nothing vs the one-shot index")
+    // the segments are a real partition of the corpus by the batch rule
+    val segPath = graft.operators.DedupQueries.minhashSegmentsIndex(spark, sf)
+    val seg0 = spark.read.parquet(s"$segPath/seg0/sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val seg1 = spark.read.parquet(s"$segPath/seg1/sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(seg0.nonEmpty && seg0.forall(_ % 10 != 3))
+    assert(seg1.nonEmpty && seg1.forall(_ % 10 == 3))
+    // the compacted table is the exact union, one row per doc
+    val path = graft.operators.DedupQueries.minhashCompactedIndex(spark, segPath)
+    val merged = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(merged.sorted.toSeq == (seg0 ++ seg1).sorted.toSeq)
+  }
+
   test("a warm session reuses the index; the signature table is small") {
     import graft.operators.DedupQueries
     val p1 = DedupQueries.minhashIndex(spark, sf)
