@@ -53,7 +53,10 @@ object Verify {
       "q_c45_bm25_stored" -> ("bm25_index",
         () => graft.operators.TextQueries.postingsIndex(spark, sfDir)),
       "q_c66_minhash_stored" -> ("minhash_index",
-        () => graft.operators.DedupQueries.minhashIndex(spark, sfDir))
+        () => graft.operators.DedupQueries.minhashIndex(spark, sfDir)),
+      "q_c131_ivf_stage1" -> ("ivf_index",
+        () => graft.operators.SimilarityQueries.int8CompactedIndex(
+          spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))
     ).collect {
       // both conditions: the query must have been SELECTED this run (a
       // subset re-run into a reused outDir must not rebuild indexes it

@@ -555,6 +555,12 @@ object SimilarityQueries {
     // is PARTIAL at sf0.1 (2 000 vectors over 5 000 docs) — exactly the
     // production case fusion handles. Both lists cap at 100.
     //
+    // Id-space convention: the fixture generates embeddings INDEPENDENTLY
+    // of documents, so vec_id N is treated as an alias for doc_id N BY
+    // CONVENTION (the same doc_id = vec_id join rule as q_c93/q_c98's
+    // source join) — the fused list exercises the union semantics, not a
+    // semantic doc→vector mapping the synthetic data does not provide.
+    //
     // 100 TB shape: each list is a TakeOrdered top-100 (per-partition
     // heaps — no global sort, no corpus-sized window); rank assignment
     // and the fusion join run on the two ≤100-row frames. The BM25 side
@@ -612,6 +618,54 @@ object SimilarityQueries {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
         .limit(20)
+    },
+
+    // ---- q_c130: int8-IVF segment compaction --------------------------------
+    // The fourth verb for the FOURTH (and last) stored-index family:
+    // per-batch code segments — base codes under the Lloyd-trained
+    // quantizer, batch codes under the same FROZEN model (q_c71's
+    // append discipline) — merge back into ONE cell-range-sorted codes
+    // table. Code rows are per-vector (no cross-vector state) and the
+    // model (cents + (dim, nprobe, k)) is carried through unchanged, so
+    // compact ≡ append EXACTLY: the compacted search is spec-pinned to
+    // q_c71's stored-∪-batch search (Int8CompactSpec), and compaction
+    // reads ONLY the stored segments — the spec deletes the corpus copy
+    // first, the same proof StoredBm25Spec runs for q_c123. What the
+    // merge buys at read time is the q_c129 argument: k segment files
+    // per probed cell erode row-group locality (each probe touches
+    // every segment's cell span); one cell-sorted table restores
+    // min/max pruning to a contiguous span per probed cell. q_c72's
+    // drift monitor decides WHEN to pay this merge.
+    // Approximate search class (q_c9/q_c71) ⇒ rows-only driver check.
+    QueryDef("q_c130_ivf_compacted", None) { (s, d) =>
+      val path = int8CompactedIndex(s, int8SegmentsIndex(s, d))
+      val (fn, nprobe, _) = frozenQuantizer(s, path)
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.Int8Ops.register(s)
+      val e = graft.core.CachedRdds.registerDf(
+        embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ivfSearchCodes(s, s.read.parquet(s"$path/codes"), e, fn, nprobe)
+    },
+
+    // ---- q_c131: artifact-only symmetric-int8 stage-1 search ----------------
+    // The external-reader proof query for the int8-IVF artifact — the
+    // one stored index whose encoding (packed int8 BINARY) is most
+    // engine-specific. Every input is read from the COMPACTED index
+    // alone (codes + cents + model; the float corpus is never touched):
+    // queries are the corpus' own vec_id % 100 = 0 rows SERVED FROM
+    // THEIR STORED CODES, centroids are re-quantized through the same
+    // pack_int8 rule, and both the probe ranking and the stage-1 scores
+    // are the SYMMETRIC int8 cosine (int8_cos_qq) — integer dot and
+    // norms with one sqrt/multiply/divide tail, so every score is
+    // BIT-DETERMINISTIC across IEEE engines (no float-summation-order
+    // exposure anywhere). tools/compare_oracle.py replays this result
+    // in DuckDB from the artifact parquet files alone (hex-unpacking
+    // the BINARY codes) — the fourth external-reader parity row.
+    // No corpus-relative SQL oracle exists (the quantizer is learned
+    // model state, the q_c9 class) ⇒ rows-only driver check; the DuckDB
+    // replay is the stronger gate.
+    QueryDef("q_c131_ivf_stage1", None) { (s, d) =>
+      ivfStage1Sym(s, int8CompactedIndex(s, int8SegmentsIndex(s, d)))
     }
   )
 
@@ -823,6 +877,98 @@ object SimilarityQueries {
       while (i < dim) { cents(c * dim + i) = v(i); i += 1 }
     }
     (graft.functions.NearestCells.register(s, cents, dim), nprobe, k)
+  }
+
+  /** q_c130's SEGMENTED int8 index — base and batch codes each persisted
+    * as their own segment (the bm25/minhash/phrase segments pattern),
+    * with the frozen model (cents + (dim, nprobe, k)) carried alongside
+    * so every later verb is a function of the artifact alone. seg0 is
+    * the base index's codes; seg1 is the arriving vec_id % 10 = 3 batch
+    * coded under the FROZEN quantizer (q_c71's append discipline — the
+    * base floats are never re-read).
+    */
+  private val int8SegmentsBuilt =
+    new graft.core.StoredArtifact("graft-int8-segments")
+
+  private[graft] def int8SegmentsIndex(s: SparkSession, d: String): String =
+    int8SegmentsBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/embeddings.parquet"))) { path =>
+      val base = int8BaseIndex(s, d)
+      val (fn, _, _) = frozenQuantizer(s, base)
+      graft.functions.Int8Ops.register(s)
+      Seq("model", "cents").foreach { t =>
+        s.read.parquet(s"$base/$t").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/$t")
+      }
+      s.read.parquet(s"$base/codes")
+        .write.mode("overwrite").parquet(s"$path/seg0/codes")
+      embDouble(s, d).filter(col("vec_id") % 10 === 3)
+        .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+        .select(col("vec_id"), col("cell"), expr("pack_int8(v)").as("q8"))
+        .write.mode("overwrite").parquet(s"$path/seg1/codes")
+    }
+
+  /** The COMPACTED int8 artifact: segment code tables merged into one
+    * cell-range-sorted table, model carried through. Keyed on the
+    * segment directory's snapshot — compaction is a function of the
+    * stored segments alone (Int8CompactSpec deletes the corpus copy
+    * before compacting to prove it).
+    */
+  private val int8CompactedBuilt =
+    new graft.core.StoredArtifact("graft-int8-compacted")
+
+  private[graft] def int8CompactedIndex(s: SparkSession, segPath: String): String =
+    int8CompactedBuilt.getOrBuild(
+      segPath, graft.core.SessionMemo.snapshot(s, Seq(segPath))) { path =>
+      Seq("model", "cents").foreach { t =>
+        s.read.parquet(s"$segPath/$t").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/$t")
+      }
+      s.read.parquet(s"$segPath/seg0/codes", s"$segPath/seg1/codes")
+        .repartitionByRange(col("cell"), col("vec_id"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+
+  /** q_c131's artifact-only stage-1: queries served from their own
+    * stored codes, probe ranking and candidate scores both the
+    * symmetric int8 cosine. Every arithmetic step is either exact
+    * integer (dots, norms — |x| ≤ 127, so all partial sums are exact in
+    * double regardless of order) or a single IEEE op (sqrt, multiply,
+    * divide), so the scores — and therefore the rank order under the
+    * (score DESC, id ASC) tie-break — are bit-identical in any IEEE-754
+    * engine. The DuckDB replay in tools/compare_oracle.py leans on
+    * exactly this.
+    */
+  private[graft] def ivfStage1Sym(
+      s: SparkSession, path: String, fetch: Int = 20): DataFrame = {
+    graft.functions.Int8Ops.register(s)
+    val nprobe = s.read.parquet(s"$path/model").head.getInt(1)
+    val codes = s.read.parquet(s"$path/codes")
+    val cq = s.read.parquet(s"$path/cents")
+      .select(col("cell"), expr("pack_int8(ctr)").as("c8"))
+    val queries = codes.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q8").as("p8"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("pscore").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cq)) // |queries| × k model rows
+      .withColumn("pscore", expr("int8_cos_qq(p8, c8)"))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("p8"), col("cell"))
+    val wCell = Window.partitionBy(col("query_id"), col("cell"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ascore", expr("int8_cos_qq(q8, p8)"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= fetch)
+      .withColumn("arank", row_number().over(wQ).cast("long"))
+      .filter(col("arank") <= fetch)
+      .select(col("query_id"), col("arank"), col("vec_id"), col("ascore"))
+      .orderBy(col("query_id"), col("arank"))
   }
 
   /** The corpus frame q_c9 trains and searches over. */

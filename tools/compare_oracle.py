@@ -145,6 +145,53 @@ if "phrase_index" in index_paths and (only is None or "q_c103_phrase_search" in 
           CAST(MAX(doc_id) AS BIGINT) AS last_doc
         FROM occ GROUP BY w1, w2 ORDER BY phrase""")
 
+if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
+    # Symmetric-int8 stage-1 search from the stored IVF artifact alone:
+    # hex-unpack the packed int8 BINARY codes, re-quantize the stored
+    # centroids through the same half-away-from-zero pack rule, rank
+    # probe cells and candidates by the symmetric int8 cosine. Every
+    # score is (exact integer dot) / (sqrt * sqrt tail) — bit-identical
+    # across IEEE engines, so the compare is exact.
+    idx = index_paths["ivf_index"]
+    cos = lambda a, b: (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])) AS DOUBLE) / greatest("
+        f"sqrt(CAST(list_sum(list_transform({a}, v -> v * v)) AS DOUBLE)) * "
+        f"sqrt(CAST(list_sum(list_transform({b}, v -> v * v)) AS DOUBLE)), 1e-12)")
+    replay_parity("q_c131_from_stored_index", "q_c131_ivf_stage1", f"""
+        WITH m AS (SELECT nprobe FROM '{idx}/model/*.parquet'),
+        cq AS (SELECT cell, list_transform(ctr,
+                 x -> CAST(CASE WHEN x * s >= 0 THEN floor(x * s + 0.5)
+                           ELSE ceil(x * s - 0.5) END AS BIGINT)) AS c8
+               FROM (SELECT cell, ctr,
+                       127.0 / greatest(list_max(list_transform(ctr, x -> abs(x))), 1e-12) AS s
+                     FROM '{idx}/cents/*.parquet')),
+        co AS (SELECT vec_id, cell, hex(q8) AS hx, octet_length(q8) AS n
+               FROM '{idx}/codes/*.parquet'),
+        cu AS (SELECT vec_id, cell, list_transform(range(1, n + 1),
+                 i -> CASE WHEN CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS BIGINT) > 127
+                      THEN CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS BIGINT) - 256
+                      ELSE CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS BIGINT) END) AS xs
+               FROM co),
+        q AS (SELECT vec_id AS query_id, xs AS p FROM cu WHERE vec_id % 100 = 0),
+        ps AS (SELECT q.query_id, q.p, cq.cell, {cos('q.p', 'cq.c8')} AS pscore
+               FROM q CROSS JOIN cq),
+        pr AS (SELECT query_id, p, cell FROM
+                 (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY pscore DESC, cell) AS prank FROM ps)
+               WHERE prank <= (SELECT nprobe FROM m)),
+        sc AS (SELECT pr.query_id, cu.vec_id, pr.cell, {cos('cu.xs', 'pr.p')} AS ascore
+               FROM pr JOIN cu ON cu.cell = pr.cell AND cu.vec_id <> pr.query_id),
+        c1 AS (SELECT * FROM
+                 (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, cell
+                    ORDER BY ascore DESC, vec_id) AS crk FROM sc)
+               WHERE crk <= 20),
+        f AS (SELECT query_id, vec_id, ascore,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ascore DESC, vec_id) AS arank FROM c1)
+        SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
+        FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
+
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"FAIL ({len(fails)}):")
 for n, m in fails:
