@@ -2703,8 +2703,8 @@ object PipelineQueries {
              |        CAST((CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
              |              + (doc_id // 4096) % 8) % 8 AS BIGINT) AS shard,
              |        n_tokens,
-             |        CAST('0x' || substr(h, 1, 15) AS BIGINT) AS c1,
-             |        CAST('0x' || substr(h, 16, 15) AS BIGINT) AS c2
+             |        CAST(CAST('0x' || substr(h, 1, 16) AS UBIGINT) AS HUGEINT) AS c1,
+             |        CAST(CAST('0x' || substr(h, 17, 16) AS UBIGINT) AS HUGEINT) AS c2
              |      FROM r)
              |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -2796,8 +2796,8 @@ object PipelineQueries {
              |  FROM documents),
              |g AS (SELECT doc_id, n_tokens,
              |        CAST(((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 % 8 AS BIGINT) AS shard,
-             |        CAST('0x' || substr(h, 1, 15) AS BIGINT) AS c1,
-             |        CAST('0x' || substr(h, 16, 15) AS BIGINT) AS c2
+             |        CAST(CAST('0x' || substr(h, 1, 16) AS UBIGINT) AS HUGEINT) AS c1,
+             |        CAST(CAST('0x' || substr(h, 17, 16) AS UBIGINT) AS HUGEINT) AS c2
              |      FROM t),
              |va AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_a,
              |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_a,
@@ -3197,34 +3197,66 @@ object PipelineQueries {
   /** q_c126's gate frame — base vs batch rule-pass permilles from ONE
     * scan through the shared [[TextQueries.rulesFlags]] projection,
     * stacked to one row per rule with delta and the ≥50 ‰ alarm.
+    * Decomposed as ADDITIVE sums ([[gateSums]]) + a nonlinear report
+    * tail ([[gateReport]]) so the streaming ingestion twin
+    * ([[graft.streaming.StreamingOps.gateUpdates]]) accumulates the
+    * identical per-group counters and serves through the identical
+    * permille/alarm arithmetic — and so the whole query is ONE pass
+    * over the corpus (the r15 advice fix: the previous shape filtered
+    * the grouped frame twice into a crossJoin, executing the rules
+    * scan twice unless the exchange was reused).
     */
-  private[graft] def ingestQualityGate(s: SparkSession, d: String): DataFrame = {
-    val f = TextQueries.rulesFlags(
-        Tables(s, d, "documents").select(col("doc_id"), col("text")))
+  private[graft] def ingestQualityGate(s: SparkSession, d: String): DataFrame =
+    gateReport(gateSums(
+      Tables(s, d, "documents").select(col("doc_id"), col("text"))))
+
+  /** The gate's ADDITIVE accumulation: rule flags through the shared
+    * [[TextQueries.rulesFlags]] projection, summed per base/batch group
+    * (the doc_id % 10 = 3 arriving-batch convention). 2 rows of 6
+    * counters — the state a streaming twin can maintain under a
+    * complete-mode groupBy, and linear so any prefix union of
+    * micro-batches aggregates to the batch value.
+    */
+  private[graft] def gateSums(docs: DataFrame): DataFrame =
+    TextQueries.rulesFlags(docs)
       .withColumn("grp",
         when(col("doc_id") % 10 === 3, "batch").otherwise("base"))
-    val ag = f.groupBy(col("grp")).agg(
-      expr("CAST(SUM(r_words) * 1000 DIV COUNT(*) AS BIGINT)").as("words_pm"),
-      expr("CAST(SUM(r_wlen) * 1000 DIV COUNT(*) AS BIGINT)").as("wlen_pm"),
-      expr("CAST(SUM(r_stop) * 1000 DIV COUNT(*) AS BIGINT)").as("stop_pm"),
-      expr("CAST(SUM(r_ttr) * 1000 DIV COUNT(*) AS BIGINT)").as("ttr_pm"),
-      expr("CAST(SUM(pass) * 1000 DIV COUNT(*) AS BIGINT)").as("pass_pm"))
-    val base = ag.filter(col("grp") === "base")
-      .select(col("words_pm").as("a_words"), col("wlen_pm").as("a_wlen"),
-        col("stop_pm").as("a_stop"), col("ttr_pm").as("a_ttr"),
-        col("pass_pm").as("a_pass"))
-    val batch = ag.filter(col("grp") === "batch")
-      .select(col("words_pm").as("b_words"), col("wlen_pm").as("b_wlen"),
-        col("stop_pm").as("b_stop"), col("ttr_pm").as("b_ttr"),
-        col("pass_pm").as("b_pass"))
-    base.crossJoin(batch) // two 1-row stat frames
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("r_words")).cast("long").as("s_words"),
+        sum(col("r_wlen")).cast("long").as("s_wlen"),
+        sum(col("r_stop")).cast("long").as("s_stop"),
+        sum(col("r_ttr")).cast("long").as("s_ttr"),
+        sum(col("pass")).cast("long").as("s_pass"))
+
+  /** The gate's report tail over the 2-row sums frame: pivot base/batch
+    * into one row with a single conditional aggregation (no crossJoin,
+    * no second corpus-sized stage), derive integer permilles, stack to
+    * one row per rule with delta and the ≥50 ‰ alarm. ONE copy shared
+    * by batch q_c126 and the streaming serve
+    * ([[graft.streaming.StreamingOps.gateServe]]).
+    */
+  private[graft] def gateReport(sums: DataFrame): DataFrame = {
+    val sides = Seq("a" -> "base", "b" -> "batch")
+    val cols = Seq("s_words", "s_wlen", "s_stop", "s_ttr", "s_pass")
+    val aggs = sides.flatMap { case (p, g) =>
+      sum(when(col("grp") === g, col("n"))).cast("long").as(s"${p}_n") +:
+        cols.map(c => sum(when(col("grp") === g, col(c))).cast("long")
+          .as(s"${p}_$c"))
+    }
+    val pms = sides.flatMap { case (p, _) =>
+      cols.map(c => expr(s"CAST(${p}_$c * 1000 DIV ${p}_n AS BIGINT)")
+        .as(s"${p}_$c".replace("s_", "") + "_pm"))
+    }
+    sums.agg(aggs.head, aggs.tail: _*) // one row: both sides' counters
+      .select(pms: _*)
       .select(expr(
         """stack(5,
-          |  'pass_pm', a_pass, b_pass,
-          |  'r_stop_pm', a_stop, b_stop,
-          |  'r_ttr_pm', a_ttr, b_ttr,
-          |  'r_wlen_pm', a_wlen, b_wlen,
-          |  'r_words_pm', a_words, b_words) AS (metric, base_pm, batch_pm)
+          |  'pass_pm', a_pass_pm, b_pass_pm,
+          |  'r_stop_pm', a_stop_pm, b_stop_pm,
+          |  'r_ttr_pm', a_ttr_pm, b_ttr_pm,
+          |  'r_wlen_pm', a_wlen_pm, b_wlen_pm,
+          |  'r_words_pm', a_words_pm, b_words_pm) AS (metric, base_pm, batch_pm)
           |""".stripMargin))
       .select(col("metric"), col("base_pm"), col("batch_pm"),
         (col("batch_pm") - col("base_pm")).cast("long").as("delta_pm"),
@@ -3271,17 +3303,19 @@ object PipelineQueries {
   }
 
   /** The per-shard digest aggregate over any frame carrying
-    * (shard, n_tokens, h) — the two 60-bit additive digests (md5 split
-    * at hex digit 15/30; sums in exact DECIMAL(38,0), reduced mod 2^60).
-    * ONE copy shared by q_c124's manifest, q_c125's version diff and
-    * the streaming ingestion twin ([[graft.streaming.StreamingOps
+    * (shard, n_tokens, h) — two additive digests over the md5's two
+    * 64-bit halves (hex digits 1–16 / 17–32, so ALL 128 md5 bits enter
+    * a checksum — the r15 advice fix; the earlier 15/30 split dropped
+    * the last byte); sums in exact DECIMAL(38,0), reduced mod 2^60 at
+    * emit. ONE copy shared by q_c124's manifest, q_c125's version diff
+    * and the streaming ingestion twin ([[graft.streaming.StreamingOps
     * .manifestUpdates]]).
     */
   private[graft] def manifestDigest(assigned: DataFrame): DataFrame =
     assigned
       .select(col("shard"), col("n_tokens"),
-        expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("c1"),
-        expr("CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT)").as("c2"))
+        expr("CAST(conv(substring(h, 1, 16), 16, 10) AS DECIMAL(20,0))").as("c1"),
+        expr("CAST(conv(substring(h, 17, 16), 16, 10) AS DECIMAL(20,0))").as("c2"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
@@ -3290,14 +3324,24 @@ object PipelineQueries {
         expr("CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
           .as("checksum_b"))
 
+  /** The manifest's per-document columns as column-level helpers (the
+    * lcgShard pattern) — ONE copy consumed by [[manifestProjection]]
+    * and the streaming twin ([[graft.streaming.StreamingOps
+    * .manifestUpdates]]), so the token definition and the digest input
+    * cannot fork between batch and live ingestion (r15 advice fix).
+    */
+  private[graft] def manifestTokens: org.apache.spark.sql.Column =
+    size(split(col("text"), " ")).cast("long")
+  private[graft] def manifestHash: org.apache.spark.sql.Column =
+    md5(col("text"))
+
   /** The (doc_id, n_tokens, h) corpus projection both manifest queries
     * digest over.
     */
   private def manifestProjection(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5(col("text")).as("h"))
+      .select(col("doc_id"), manifestTokens.as("n_tokens"),
+        manifestHash.as("h"))
 
   /** q_c124's manifest frame — the snake assignment plus the shared
     * per-shard digests.

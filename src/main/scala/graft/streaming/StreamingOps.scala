@@ -528,8 +528,10 @@ object StreamingOps {
 
   /** Streaming ingestion twin of the q_c124/q_c125 manifest family:
     * each arriving (doc_id, text) row is shard-assigned and md5-chunked
-    * STATELESSLY through the SHARED hash rule + digest aggregate
-    * ([[graft.operators.PipelineQueries.lcgShard]] /
+    * STATELESSLY through the SHARED hash rule + token/md5 projection +
+    * digest aggregate ([[graft.operators.PipelineQueries.lcgShard]] /
+    * [[graft.operators.PipelineQueries.manifestTokens]]+[[graft.operators
+    * .PipelineQueries.manifestHash]] /
     * [[graft.operators.PipelineQueries.manifestDigest]] — ONE copy with
     * the batch manifests), and per-shard digest state accumulates under
     * a complete-mode groupBy: 8 cells regardless of stream length. The
@@ -546,8 +548,32 @@ object StreamingOps {
     graft.operators.PipelineQueries.manifestDigest(
       docs.select(
         graft.operators.PipelineQueries.lcgShard.as("shard"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
-        md5(col("text")).as("h")))
+        graft.operators.PipelineQueries.manifestTokens.as("n_tokens"),
+        graft.operators.PipelineQueries.manifestHash.as("h")))
+
+  /** Streaming ingestion twin of q_c126's quality gate: arriving
+    * (doc_id, text) rows are rule-flagged STATELESSLY through the
+    * SHARED [[graft.operators.PipelineQueries.gateSums]] accumulation
+    * (one copy with the batch gate — the q_c101/q_c104 linearity
+    * class), and the per-group counters merge under a complete-mode
+    * groupBy: 2 rows of 6 additive cells regardless of stream length.
+    * This is the gate a live ingest pipeline actually runs — the
+    * quality axis of batch admission, decided before the batch pollutes
+    * the pool.
+    */
+  def gateUpdates(docs: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.gateSums(docs)
+
+  /** Serve the admission report from the streamed counters through the
+    * SAME tail as batch q_c126 ([[graft.operators.PipelineQueries
+    * .gateReport]]) — the nonlinear permille/alarm arithmetic runs at
+    * READ time over the linear counter state (the q_c28 lambda-split),
+    * so serve ≡ batch after any prefix of micro-batches.
+    */
+  def gateServe(state: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.gateReport(
+      state.select(col("grp") +: Seq("n", "s_words", "s_wlen", "s_stop",
+        "s_ttr", "s_pass").map(c => col(c).cast("long").as(c)): _*))
 
   // ---- streaming passage-level dedup (q_c20 twin) ------------------------
 

@@ -57,4 +57,46 @@ class IngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fixture exercises both gate outcomes
     assert(gate.exists(_._5 == 1L) && gate.exists(_._5 == 0L))
   }
+
+  test("streaming gate: served admission report == batch q_c126 after every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.core.Tables(sp, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def batchGate(docs: Seq[(Long, String)]) =
+      graft.operators.PipelineQueries.gateReport(
+        graft.operators.PipelineQueries.gateSums(
+          sp.createDataFrame(docs).toDF("doc_id", "text")))
+        .collect().map(_.toString).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps
+      .gateUpdates(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_gate").toString)
+      .format("memory").queryName("gatestate").outputMode("complete").start()
+    // uneven micro-batches; the served report after EACH prefix must
+    // equal the batch gate over that prefix union — the additive
+    // counter state + shared report tail cannot drift from batch
+    val cuts = Seq(5, 170, rows.length)
+    var prev = 0
+    for (cut <- cuts) {
+      input.addData(rows.slice(prev, cut).toSeq)
+      q.processAllAvailable()
+      val served = graft.streaming.StreamingOps
+        .gateServe(sp.table("gatestate")).collect().map(_.toString).toSeq
+      assert(served === batchGate(rows.take(cut).toSeq),
+        s"prefix $cut: streamed gate must equal the batch gate")
+      prev = cut
+    }
+    q.stop()
+    // and the full-stream serve IS the registered query's answer
+    val full = SparkEntry.queries("q_c126_ingest_quality_gate")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(batchGate(rows.toSeq) === full)
+    graft.core.CachedRdds.drain()
+  }
 }

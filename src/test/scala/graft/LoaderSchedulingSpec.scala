@@ -356,13 +356,11 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
             md5(col("text")).as("h")))
       .select(col("shard"), col("h"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    def chunks(h: String) =
-      (java.lang.Long.parseLong(h.substring(0, 15), 16),
-        java.lang.Long.parseLong(h.substring(15, 30), 16))
+    def chunks(h: String) = Spec128.chunks(h)
     val expect = raw.groupBy(_._1).map { case (sh, g) =>
       val cs = g.map(x => chunks(x._2))
-      (sh, cs.map(c => BigInt(c._1)).sum.mod(BigInt(M)).toLong,
-        cs.map(c => BigInt(c._2)).sum.mod(BigInt(M)).toLong)
+      (sh, cs.map(_._1).sum.mod(BigInt(M)).toLong,
+        cs.map(_._2).sum.mod(BigInt(M)).toLong)
     }
     assert(manifest.map(r => (r._1, r._4, r._5)).toSet ===
       expect.map(e => (e._1, e._2, e._3)).toSet,
@@ -373,12 +371,12 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val forged = chunks(md5Hex(h0 + "!"))
     val orig = chunks(h0)
     val row0 = manifest.find(_._1 == sh0).get
-    val forgedA = (BigInt(row0._4) - BigInt(orig._1) + BigInt(forged._1))
+    val forgedA = (BigInt(row0._4) - orig._1 + forged._1)
       .mod(BigInt(M)).toLong
     assert(forgedA != row0._4, "a substituted doc must move the digest")
     // additivity (the mergeable-aggregate property): splitting a shard's
     // rows arbitrarily and summing partial digests lands on the total
-    val g0 = raw.filter(_._1 == sh0).map(x => BigInt(chunks(x._2)._1))
+    val g0 = raw.filter(_._1 == sh0).map(x => chunks(x._2)._1)
     val (l, rpart) = g0.splitAt(g0.length / 2)
     assert((l.sum.mod(BigInt(M)) + rpart.sum.mod(BigInt(M))).mod(BigInt(M)).toLong == row0._4)
   }
@@ -415,7 +413,7 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def digests(ids: Long => Boolean) = rows.filter(r => ids(r._1))
       .groupBy(r => lcg(r._1)).map { case (sh, g) =>
         val cs = g.map(r => chunks(md5Hex(r._2)))
-        (sh, (cs.map(c => BigInt(c._1)).sum.mod(M), cs.map(c => BigInt(c._2)).sum.mod(M)))
+        (sh, (cs.map(_._1).sum.mod(M), cs.map(_._2).sum.mod(M)))
       }
     val va = digests(_ % 10 != 3)
     val vb = digests(_ => true)
@@ -469,11 +467,18 @@ class LoaderSchedulingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
-  private def chunks(h: String): (Long, Long) =
-    (java.lang.Long.parseLong(h.substring(0, 15), 16),
-      java.lang.Long.parseLong(h.substring(15, 30), 16))
+  // 64-bit md5 halves (hex 1-16 / 17-32): ALL 128 bits enter the digest
+  private def chunks(h: String): (BigInt, BigInt) = Spec128.chunks(h)
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+/** 64-bit md5 halves (hex digits 1-16 / 17-32) as BigInts — the
+  * spec-side twin of PipelineQueries.manifestDigest's chunk rule.
+  */
+object Spec128 {
+  def chunks(h: String): (BigInt, BigInt) =
+    (BigInt(h.substring(0, 16), 16), BigInt(h.substring(16, 32), 16))
 }
