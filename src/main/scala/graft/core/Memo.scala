@@ -65,6 +65,19 @@ object SessionMemo {
   private val evictionHooked =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+  // per-session cumulative admission bytes (the session's memo WORKING
+  // SET — what the suite would hold if the budget were large enough) and
+  // a once-per-session under-provisioning warning latch. Weak keys: a
+  // stopped session's counters must not be pinned. No behavior change —
+  // the r15 scale10 sessions measured the knee (1.17 GB working set vs
+  // the 1 GB heap/8 default) from the admission log by hand; this
+  // surfaces the same under-provisioning the moment it happens instead
+  // of after the eviction variance shows up in a bench.
+  private val workingSet =
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val budgetWarnedSet =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Memo storage budget in bytes. Default heap/8: the unified memory
     * manager protects `storageFraction` (half) of unified memory from
@@ -379,7 +392,21 @@ object SessionMemo {
           val bytes = s.sparkContext.getRDDStorageInfo
             .find(_.id == rdd.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
           val df = s.createDataFrame(rdd, built.schema)
-          synchronized { builds(kind) = builds.getOrElse(kind, 0L) + 1L }
+          synchronized {
+            builds(kind) = builds.getOrElse(kind, 0L) + 1L
+            // running working-set total; warn ONCE when it first crosses
+            // the budget — the operator's cue to raise
+            // spark.graft.memo.maxBytes (or the heap) to >= the working
+            // set before run-to-run victim variance does the telling
+            val tot = Option(workingSet.get(s)).map(_.longValue).getOrElse(0L) + bytes
+            workingSet.put(s, java.lang.Long.valueOf(tot))
+            if (tot > maxBytes(s) && budgetWarnedSet.add(s))
+              System.err.println(
+                s"[memo] WORKING SET $tot B has crossed the budget ${maxBytes(s)} B " +
+                  "— evictions (and re-builds or disk-tier scans) ahead; size " +
+                  "spark.graft.memo.maxBytes to at least the working set " +
+                  "(per-entry sizes are in the admission lines above)")
+          }
           val spillTo = if (bytes > maxBytes(s) && diskTierEnabled(s)) spillRoot(s) else None
           // one admission line per build: the tier decision is the whole
           // story when reading a bench (memo-warm vs rebuild vs disk scan)
@@ -448,6 +475,14 @@ object SessionMemo {
       }
     }
   }
+
+  /** Test hook: the session's cumulative admission bytes. */
+  private[graft] def sessionWorkingSet(s: SparkSession): Long =
+    synchronized(Option(workingSet.get(s)).map(_.longValue).getOrElse(0L))
+
+  /** Test hook: whether the under-provisioning warning fired for `s`. */
+  private[graft] def budgetWarned(s: SparkSession): Boolean =
+    synchronized(budgetWarnedSet.contains(s))
 
   /** Test hook: whether any entry of this kind is currently held. */
   private[graft] def occupied(kind: String): Boolean =

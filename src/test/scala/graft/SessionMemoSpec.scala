@@ -268,4 +268,48 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       SessionMemo.evict(Some(spark))
     }
   }
+  test("working-set warning fires once when cumulative admissions cross the budget, never under it") {
+    writeDocs(baseDocs)
+    // fresh sessions: the latch and counter are per-session, and the
+    // suite's shared session has already accumulated admissions
+    val roomy = spark.newSession()
+    val tight = spark.newSession()
+    try {
+      // plenty of budget: two builds, no warning
+      roomy.conf.set("spark.graft.memo.maxBytes", (256L * 1024 * 1024).toString)
+      Seq("ws_r1", "ws_r2").foreach { k =>
+        SessionMemo.getOrBuild(roomy, k, dir, Seq(s"$dir/documents.parquet")) {
+          roomy.range(1000).toDF("id")
+        }.count()
+      }
+      assert(SessionMemo.sessionWorkingSet(roomy) > 0L)
+      assert(!SessionMemo.budgetWarned(roomy),
+        "an under-budget working set must not warn")
+      // tight budget: each entry fits alone, but the SECOND admission
+      // pushes the running total over — exactly the r15 scale10 shape
+      // (working set 1.17 GB vs a 1 GB budget) the warning exists for
+      val one = {
+        SessionMemo.getOrBuild(tight, "ws_probe", dir, Seq(s"$dir/documents.parquet")) {
+          tight.range(1000).toDF("id")
+        }.count()
+        SessionMemo.heldBytes("ws_probe").get
+      }
+      tight.conf.set("spark.graft.memo.maxBytes", (one + one / 2).toString)
+      Seq("ws_t1", "ws_t2").foreach { k =>
+        SessionMemo.getOrBuild(tight, k, dir, Seq(s"$dir/documents.parquet")) {
+          tight.range(1000).toDF("id")
+        }.count()
+      }
+      assert(SessionMemo.sessionWorkingSet(tight) > one + one / 2,
+        "fixture must actually cross the budget")
+      assert(SessionMemo.budgetWarned(tight),
+        "crossing the budget must raise the under-provisioning warning")
+    } finally {
+      graft.core.CachedRdds.drain()
+      SessionMemo.awaitDemotions()
+      SessionMemo.evict(Some(roomy))
+      SessionMemo.evict(Some(tight))
+    }
+  }
+
 }
