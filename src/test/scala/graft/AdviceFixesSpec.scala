@@ -151,6 +151,19 @@ class AdviceFixesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { pending.decrementAndGet(); () }
   }
 
+  test("q_c126 gate plan scans the corpus exactly once (r15 advice: no double rules scan)") {
+    // the r15 shape filtered the grouped frame twice into a crossJoin —
+    // two full rules scans for a 2-row aggregate. The rewrite pivots
+    // base/batch with ONE conditional aggregation, so the executed plan
+    // must contain exactly one parquet scan of documents
+    val plan = SparkEntry.queries("q_c126_ingest_quality_gate")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 documents scan, found $scans:\n" +
+      plan.take(1500))
+  }
+
   test("parquetRows counts rows under nested (partitioned) layouts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pqrows").toString
     val s = spark
