@@ -666,6 +666,30 @@ object SimilarityQueries {
     // replay is the stronger gate.
     QueryDef("q_c131_ivf_stage1", None) { (s, d) =>
       ivfStage1Sym(s, int8CompactedIndex(s, int8SegmentsIndex(s, d)))
+    },
+
+    // ---- q_c132: IVF nprobe frontier calibration ----------------------------
+    // q_c120's calibration verb for the OTHER approximate family: where
+    // the LSH frontier trades (bands, rows) against candidate volume,
+    // the IVF frontier trades nprobe against scanned rows — the two
+    // knobs a pipeline owner actually turns. For each grid point
+    // (1, 2, √k — the clustered-data operating point, k/4, k/2 — the
+    // shipped uniform-fixture setting), run the REGISTERED two-stage
+    // search over the stored compacted codes and score recall@5 against
+    // the exact brute-force top-5 (q_b7's kernel, same query set), next
+    // to the measured scanned-rows fraction (probed cells' populations
+    // off the stored codes table — the index's own accounting, no
+    // corpus read). Integer permille outputs.
+    //
+    // 100 TB shape: ground truth is ONE broadcast-queries corpus scan;
+    // each grid point joins the ≤|queries|·nprobe probe list against
+    // the k-row cell histogram (bytes) and reuses the registered search
+    // plan. A calibration harness run on an ingest sample, not a
+    // per-ingest cost (the q_c120 contract). Quantizer is learned model
+    // state ⇒ rows-only driver check; IvfFrontierSpec pins monotone
+    // recall, monotone scanned fraction, and the endpoint floors.
+    QueryDef("q_c132_ivf_nprobe_frontier", None) { (s, d) =>
+      ivfNprobeFrontier(s, d)
     }
   )
 
@@ -969,6 +993,59 @@ object SimilarityQueries {
       .filter(col("arank") <= fetch)
       .select(col("query_id"), col("arank"), col("vec_id"), col("ascore"))
       .orderBy(col("query_id"), col("arank"))
+  }
+
+  /** q_c132's frontier: recall@5 (vs exact brute force) and scanned-rows
+    * permille per nprobe grid point, off the stored compacted index.
+    * The grid spans the decisions the ANN literature argues about:
+    * minimum fan-out (1, 2), the clustered-data structural point √k,
+    * and the uniform-fixture escalation k/4 → k/2.
+    */
+  private[graft] def ivfNprobeFrontier(s: SparkSession, d: String): DataFrame = {
+    val path = int8CompactedIndex(s, int8SegmentsIndex(s, d))
+    val (fn, _, k) = frozenQuantizer(s, path)
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.Int8Ops.register(s)
+    val e = graft.core.CachedRdds.registerDf(
+      embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = s.read.parquet(s"$path/codes")
+    // exact ground truth: q_b7's kernel at depth 5, same query set
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(expr(cosExpr), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    // per-cell populations from the index's own codes table — the
+    // scanned-rows accounting reads k rows of histogram, never the corpus
+    val cellSizes = codes.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    val corpusStats = codes.agg(count(lit(1)).cast("long").as("n_corpus"))
+    val grid = Seq(1, 2, sqrtNprobe(k), k / 4, k / 2)
+      .map(np => math.min(k, math.max(1, np))).distinct.sorted
+    grid.map { np =>
+      val res = ivfSearchCodes(s, codes, e, fn, np)
+        .select(col("query_id"), col("vec_id"))
+      val stats = truth.join(res.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      val scanned = probeQueries(e, fn, np)
+        .select(col("query_id"), col("cell"))
+        .join(cellSizes, Seq("cell"))
+        .agg(sum(col("cn")).cast("long").as("rows_scanned"),
+          countDistinct(col("query_id")).cast("long").as("n_queries"))
+      stats.crossJoin(scanned).crossJoin(broadcast(corpusStats)) // 1-row frames
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_true"),
+          col("n_hit"),
+          expr("CAST(n_hit * 1000 DIV n_true AS BIGINT)").as("recall_pm"),
+          col("rows_scanned"),
+          expr("CAST(rows_scanned * 1000 DIV (n_queries * n_corpus) AS BIGINT)")
+            .as("scanned_pm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe"))
   }
 
   /** The corpus frame q_c9 trains and searches over. */
