@@ -59,7 +59,7 @@ object Bench {
     // similarity + the four stored-index lifecycles
     "q_b7_cosine_topk", "q_c9_ann_ivf", "q_c29_semantic_dedup",
     "q_c12_bm25", "q_c45_bm25_stored", "q_c66_minhash_stored",
-    "q_c103_phrase_search",
+    "q_c103_phrase_search", "q_c130_ivf_compacted",
     // filtering / scoring / loader scheduling
     "q_b8_percentiles", "q_c24_decontaminate", "q_c25_sequence_pack",
     "q_c30_quality_classifier", "q_c31_rules_filter", "q_c36_dsir_resample",
@@ -72,7 +72,7 @@ object Bench {
     "q_c85_candidate_agreement", "q_c95_winnow_calibration",
     "q_c105_family_diameter", "q_c117_pipeline_funnel",
     "q_c118_funnel_corpus", "q_c119_quality_funnel_corpus",
-    "q_c120_lsh_band_grid",
+    "q_c120_lsh_band_grid", "q_c132_ivf_nprobe_frontier",
     // multimodal chain
     "q_c10_multimodal_stats", "q_c11_media_features", "q_c41_media_neardup")
 

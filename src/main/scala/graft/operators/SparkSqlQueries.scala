@@ -2397,8 +2397,8 @@ object SparkSqlQueries {
         |        CAST((CASE WHEN (rk DIV 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
         |              + (doc_id DIV 4096) % 8) % 8 AS BIGINT) AS shard,
         |        n_tokens,
-        |        CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS c1,
-        |        CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) AS c2
+        |        CAST(conv(substring(h, 1, 16), 16, 10) AS DECIMAL(20,0)) AS c1,
+        |        CAST(conv(substring(h, 17, 16), 16, 10) AS DECIMAL(20,0)) AS c2
         |      FROM r)
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -2484,8 +2484,8 @@ object SparkSqlQueries {
         |  FROM documents),
         |g AS (SELECT doc_id, n_tokens,
         |        CAST(((doc_id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 8 AS BIGINT) AS shard,
-        |        CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS c1,
-        |        CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) AS c2
+        |        CAST(conv(substring(h, 1, 16), 16, 10) AS DECIMAL(20,0)) AS c1,
+        |        CAST(conv(substring(h, 17, 16), 16, 10) AS DECIMAL(20,0)) AS c2
         |      FROM t),
         |va AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_a,
         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_a,
