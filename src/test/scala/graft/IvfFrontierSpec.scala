@@ -60,4 +60,40 @@ class IvfFrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("frontier is deterministic run-to-run") {
     assert(rows() === rows())
   }
+
+  test("mid-grid point == an independently recomputed registered search") {
+    // pins the frontier's per-point recall to the registered search
+    // recomputed from scratch at the same fan-out — any future frontier
+    // plan change (e.g. a shared-scan rewrite; two were measured SLOWER
+    // and rejected, PERF.md round 21) must keep this equality
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityQueries
+    val out = rows()
+    val np = out(out.size / 2)._1.toInt
+    val path = SimilarityQueries.int8CompactedIndex(
+      spark, SimilarityQueries.int8SegmentsIndex(spark, sf))
+    val (fn, _, _) = SimilarityQueries.frozenQuantizer(spark, path)
+    graft.functions.CosineSimilarity.register(spark)
+    val e = graft.core.CachedRdds.registerDf(
+      SimilarityQueries.ivfCorpus(spark, sf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = spark.read.parquet(s"$path/codes")
+    val res = SimilarityQueries.ivfSearchCodes(spark, codes, e, fn, np)
+      .select(col("query_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(expr("CAST(cosine_similarity(v, qv) AS DECIMAL(18,6))"), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val nHit = truth.join(res, Seq("query_id", "vec_id"), "left_semi").count()
+    val row = out.find(_._1 == np.toLong).get
+    assert(row._4 === nHit,
+      s"frontier n_hit at nprobe=$np must equal the independent search's")
+    graft.core.CachedRdds.drain()
+  }
 }
