@@ -3313,9 +3313,7 @@ object PipelineQueries {
     */
   private[graft] def manifestDigest(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("shard"), col("n_tokens"),
-        expr("CAST(conv(substring(h, 1, 16), 16, 10) AS DECIMAL(20,0))").as("c1"),
-        expr("CAST(conv(substring(h, 17, 16), 16, 10) AS DECIMAL(20,0))").as("c2"))
+      .select(col("shard"), col("n_tokens"), md5ChunkA.as("c1"), md5ChunkB.as("c2"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
@@ -3323,6 +3321,17 @@ object PipelineQueries {
           .as("checksum_a"),
         expr("CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
           .as("checksum_b"))
+
+  /** The md5 64-bit-half chunk columns over an in-scope `h` md5-hex
+    * column — ONE copy of the chunk rule shared by [[manifestDigest]]
+    * and the segment-retirement digests
+    * ([[TextQueries.segmentRetirementPlan]]), so the additive-digest
+    * arithmetic cannot fork across artifact families.
+    */
+  private[graft] def md5ChunkA: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(h, 1, 16), 16, 10) AS DECIMAL(20,0))")
+  private[graft] def md5ChunkB: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(h, 17, 16), 16, 10) AS DECIMAL(20,0))")
 
   /** The manifest's per-document columns as column-level helpers (the
     * lcgShard pattern) — ONE copy consumed by [[manifestProjection]]

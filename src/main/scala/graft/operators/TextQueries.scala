@@ -2194,8 +2194,80 @@ object TextQueries {
           expr("CAST(max_tf * 1000 DIV cf AS BIGINT)").as("top_doc_share_pm"))
         .orderBy(col("cf").desc, col("term"))
         .limit(50)
+    },
+
+    // ---- q_c133: segment-retirement plan (the GC half of compaction) --------
+    // Compaction (q_c123/q_c128/q_c129/q_c130) leaves superseded segment
+    // directories behind; this is the verdict that makes deleting them
+    // SAFE: per-segment additive row digests (md5 of the canonical
+    // posting row, split into the manifest family's two 64-bit chunks —
+    // ONE chunk rule via [[PipelineQueries.md5ChunkA]]/[[PipelineQueries
+    // .md5ChunkB]]) summed mod 2^60, next to the compacted table's
+    // digest. Because the digests are additive and duplicate-sensitive
+    // (SUM, not XOR — multiplicity counts), Σ segment digests ==
+    // compacted digest proves the compacted table holds EXACTLY the
+    // segment union — rows lost, forged or double-merged all move it —
+    // so the verdict retires the input set atomically. The storage half
+    // of the LSM lifecycle: build → search → append → compact → RETIRE.
+    //
+    // 100 TB shape: one column-pruned scan per artifact into a 1-row
+    // map-side-combined digest; verdicts are joins of 1-row frames.
+    // Reads ONLY stored artifacts (never the corpus) ⇒ rows-only driver
+    // check; Bm25RetirementSpec pins the verdict against an independent
+    // driver-side fold and proves tamper sensitivity (a dropped and a
+    // forged row each flip retire to 0).
+    QueryDef("q_c133_segment_retirement", None) { (s, d) =>
+      val segPath = bm25SegmentsIndex(s, d)
+      val cPath = bm25CompactedIndex(s, segPath)
+      segmentRetirementPlan(
+        Seq("seg0" -> s.read.parquet(s"$segPath/seg0/postings"),
+          "seg1" -> s.read.parquet(s"$segPath/seg1/postings")),
+        s.read.parquet(s"$cPath/postings"))
     }
   )
+
+  /** q_c133's verdict frame over any segment family: one digest row per
+    * segment plus the compacted table's row, every row carrying the
+    * atomic `retire` verdict (1 iff Σ segment digests == the compacted
+    * digest on both 64-bit chunks AND row counts conserve). The
+    * canonical row string pins column order, so schema drift between a
+    * segment and the compacted table also breaks the digest (by
+    * design — retiring segments whose reader would decode differently
+    * is exactly the mistake this gate exists to catch).
+    */
+  private[graft] def segmentRetirementPlan(
+      segments: Seq[(String, org.apache.spark.sql.DataFrame)],
+      compacted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val M = "1152921504606846976" // 2^60
+    def digestOf(name: String, df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.map(col)
+      df.select(md5(concat_ws("|", cols: _*)).as("h"))
+        .select(PipelineQueries.md5ChunkA.as("c1"), PipelineQueries.md5ChunkB.as("c2"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          expr(s"CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % $M AS BIGINT)").as("checksum_a"),
+          expr(s"CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % $M AS BIGINT)").as("checksum_b"))
+        .select(lit(name).as("segment"), col("n_rows"),
+          col("checksum_a"), col("checksum_b"))
+    }
+    val segRows = segments.map { case (n, df) => digestOf(n, df) }
+      .reduce(_ unionByName _)
+    val compRow = digestOf("compacted", compacted)
+    // Σ over the per-segment 60-bit digests, re-reduced mod 2^60 — the
+    // additive law that makes the union provable without a row-level diff
+    val segTotal = segRows.agg(
+      sum(col("n_rows")).cast("long").as("u_rows"),
+      expr(s"CAST(SUM(CAST(checksum_a AS DECIMAL(38,0))) % $M AS BIGINT)").as("u_a"),
+      expr(s"CAST(SUM(CAST(checksum_b AS DECIMAL(38,0))) % $M AS BIGINT)").as("u_b"))
+    val verdict = segTotal.crossJoin( // two 1-row frames
+        compRow.select(col("n_rows").as("c_rows"),
+          col("checksum_a").as("c_a"), col("checksum_b").as("c_b")))
+      .select(when(col("u_rows") === col("c_rows")
+        && col("u_a") === col("c_a") && col("u_b") === col("c_b"), 1L)
+        .otherwise(0L).as("retire"))
+    segRows.unionByName(compRow)
+      .crossJoin(broadcast(verdict))
+      .orderBy(col("segment"))
+  }
 
   /** Adjacent-bigram frame (doc_id, w1, w2) over `documents` — the shared
     * generator for q_c80's estimation and q_c84's evaluation (map-only,

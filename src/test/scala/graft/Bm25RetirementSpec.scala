@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextQueries
+
+/** q_c133 — the segment-retirement verdict (the GC half of the
+  * stored-index lifecycle): additive per-segment digests prove the
+  * compacted table holds exactly the segment union before any segment
+  * directory is listed for deletion. The gates are (a) the verdict
+  * fires on the real artifacts, (b) the digest equals an independent
+  * driver-side BigInt fold, and (c) tampering with the compacted table
+  * — dropping a row OR forging one in place — flips retire to 0.
+  */
+class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-bm25retire-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val M = BigInt(1152921504606846976L) // 2^60
+
+  test("real artifacts: every row carries retire=1; rows conserve") {
+    val out = SparkEntry.queries("q_c133_segment_retirement")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out.map(_._1) === Seq("compacted", "seg0", "seg1"))
+    assert(out.forall(_._5 == 1L), s"compaction must be retirable: $out")
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("seg0")._2 + byName("seg1")._2 == byName("compacted")._2)
+    // digest additivity across segments is literal in the output
+    assert((BigInt(byName("seg0")._3) + BigInt(byName("seg1")._3)).mod(M)
+      == BigInt(byName("compacted")._3))
+  }
+
+  test("digest equals an independent driver-side fold of the segment rows") {
+    val segPath = TextQueries.bm25SegmentsIndex(spark, sf)
+    val rows = spark.read.parquet(s"$segPath/seg0/postings").collect()
+    // canonical row string: columns in SORTED NAME order, '|'-joined —
+    // replicate with java MD5 and BigInt chunk sums
+    val names = spark.read.parquet(s"$segPath/seg0/postings").columns.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var (sa, sb) = (BigInt(0), BigInt(0))
+    rows.foreach { r =>
+      val s0 = names.map(n => String.valueOf(r.get(r.fieldIndex(n)))).mkString("|")
+      val h = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      sa += BigInt(h.substring(0, 16), 16)
+      sb += BigInt(h.substring(16, 32), 16)
+    }
+    val out = SparkEntry.queries("q_c133_segment_retirement")(spark, sf)
+      .filter(col("segment") === "seg0").collect()(0)
+    assert(BigInt(out.getLong(2)) == sa.mod(M) && BigInt(out.getLong(3)) == sb.mod(M),
+      "engine digest must equal the independent fold")
+  }
+
+  test("a dropped row and a forged row each flip the verdict to 0") {
+    val segPath = TextQueries.bm25SegmentsIndex(spark, sf)
+    val segs = Seq(
+      "seg0" -> spark.read.parquet(s"$segPath/seg0/postings"),
+      "seg1" -> spark.read.parquet(s"$segPath/seg1/postings"))
+    val comp = spark.read.parquet(
+      s"${TextQueries.bm25CompactedIndex(spark, segPath)}/postings")
+    def verdict(c: org.apache.spark.sql.DataFrame): Seq[Long] =
+      TextQueries.segmentRetirementPlan(segs, c)
+        .select(col("retire")).collect().map(_.getLong(0)).toSeq
+    assert(verdict(comp).forall(_ == 1L))
+    // drop one arbitrary posting row
+    val first = comp.limit(1)
+    val dropped = comp.exceptAll(first)
+    assert(verdict(dropped).forall(_ == 0L), "a lost row must block retirement")
+    // forge one row in place (same count — only the digest catches it)
+    val forged = dropped.unionByName(
+      first.withColumn("tf", col("tf") + 1L))
+    assert(verdict(forged).forall(_ == 0L), "a forged row must block retirement")
+  }
+}

@@ -73,6 +73,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c110_tokenizer_fertility" // all three model-bound counters (same exclusion)
         - "q_c130_ivf_compacted" - "q_c131_ivf_stage1" // frozen Lloyd quantizer = driver state (q_c9 class)
         - "q_c132_ivf_nprobe_frontier" // probes the same learned quantizer (same exclusion)
+        - "q_c133_segment_retirement" // digests stored artifact paths, not corpus views
         - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }
 
