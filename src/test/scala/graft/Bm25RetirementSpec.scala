@@ -88,4 +88,20 @@ class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
       first.withColumn("tf", col("tf") + 1L))
     assert(verdict(forged).forall(_ == 0L), "a forged row must block retirement")
   }
+
+  test("the verb is family-general: MinHash signature segments retire too") {
+    import graft.operators.DedupQueries
+    val segPath = DedupQueries.minhashSegmentsIndex(spark, sf)
+    val cPath = DedupQueries.minhashCompactedIndex(spark, segPath)
+    val out = TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> spark.read.parquet(s"$segPath/seg0/sigs"),
+          "seg1" -> spark.read.parquet(s"$segPath/seg1/sigs")),
+        spark.read.parquet(s"$cPath/sigs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(out.map(_._1) === Seq("compacted", "seg0", "seg1"))
+    assert(out.forall(_._3 == 1L),
+      s"signature compaction must be retirable: $out")
+    assert(out.filter(_._1 != "compacted").map(_._2).sum ==
+      out.find(_._1 == "compacted").get._2)
+  }
 }
