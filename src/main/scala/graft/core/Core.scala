@@ -63,7 +63,17 @@ object GraftSession {
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
         (shufflePartitions * 4).toString,
       "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
-      "spark.graft.broadcastBytes" -> (64L * 1024 * 1024).toString)
+      "spark.graft.broadcastBytes" -> (64L * 1024 * 1024).toString,
+      // narrow rerank windows: at production embedding widths the query
+      // vector the default tail drags through the two top-fetch sorts is
+      // dim × 8 B per probed candidate row (12 KB at dim 1536); the
+      // narrow form sorts ids+score and re-joins qv after the cut —
+      // measured 15–27 % faster per search at dims 384–1536 and equal at
+      // 64 (RerankWidthHarness, PERF.md round 21). Local default stays
+      // fat: the sandbox's per-broadcast job overhead dominates when one
+      // query runs many searches (the q_c132 grid measured 14.1 vs
+      // 9.7 s at scale10 under it).
+      "spark.graft.rerank.narrowWindows" -> "true")
 
   /** Cluster-profile session: applies [[clusterConfs]] and leaves the
     * master/deploy settings to spark-submit.

@@ -1273,7 +1273,7 @@ object SimilarityQueries {
       .withColumn("ascore",
         expr("aggregate(zip_with(q8, qv, (a, b) -> a * b), 0D, (acc, y) -> acc + y)" +
           " / greatest(sqrt(aggregate(q8, 0D, (acc, y) -> acc + CAST(y AS DOUBLE) * y)), 1e-12D)"))
-    rerankTail(cands, e, fetch)
+    rerankTail(cands, e, fetch, Some(queryFrame(e)))
   }
 
   /** The query side of the rerank searches: fixed query ids, each probing
@@ -1287,19 +1287,43 @@ object SimilarityQueries {
   /** Shared tail of the two-stage searches: per-cell + per-query pushdown
     * of the int8 stage-1 scores to the over-fetch depth, then the exact
     * rerank over only `fetch` full-precision rows per query.
+    *
+    * Two window layouts, dispatched on `spark.graft.rerank.narrowWindows`
+    * (default FALSE — the local harness winner; TRUE in
+    * [[graft.core.GraftSession.clusterConfs]]): the default carries the
+    * query vector through the two row_number sorts, the narrow form
+    * sorts (ids, ascore) only and re-joins qv from the tiny `queries`
+    * frame after the cut. Measured (RerankWidthHarness, PERF.md round
+    * 21): per-search the narrow form is equal at dim 64 and 15–27 %
+    * faster at dims 384–1536 (qv is dim × 8 B per probed candidate row
+    * through the sorts — 12 KB at 1536); what keeps it out of the local
+    * default is the sandbox's per-broadcast job overhead, which the
+    * 5-searches-per-query q_c132 grid pays 5× (14.1 vs 9.7 s at
+    * scale10). Same rows out either way — the sort keys never involved
+    * qv — and RerankNarrowSpec pins the equality.
     */
-  private def rerankTail(scored: DataFrame, e: DataFrame, fetch: Int): DataFrame = {
+  private def rerankTail(
+      scored: DataFrame, e: DataFrame, fetch: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
+    val narrow = queries.nonEmpty &&
+      e.sparkSession.conf.get("spark.graft.rerank.narrowWindows", "false") == "true"
     val wCell = Window.partitionBy(col("query_id"), col("cell"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val wQ = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("vec_id"))
-    val cands = scored
+    val base = if (narrow)
+      scored.select(col("query_id"), col("cell"), col("vec_id"), col("ascore"))
+    else scored
+    val cut = base
       // same per-cell pushdown as ivfSearch, at the over-fetched depth
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= fetch)
       .withColumn("arank", row_number().over(wQ))
       .filter(col("arank") <= fetch)
-      .select(col("query_id"), col("qv"), col("vec_id"))
+    val cands = if (narrow)
+      cut.select(col("query_id"), col("vec_id"))
+        .join(broadcast(queries.get), Seq("query_id"))
+    else cut.select(col("query_id"), col("qv"), col("vec_id"))
     // exact rerank: only `fetch` full-precision rows per query
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     cands.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
@@ -1309,6 +1333,13 @@ object SimilarityQueries {
       .select(col("query_id"), col("rank"), col("vec_id"), emit(col("score")).as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The fixed query set of the rerank searches: one (query_id, qv) row
+    * per query — what the narrow tail re-joins after its windows.
+    */
+  private def queryFrame(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** Round-13 STORED int8 index (NEXT.md lead 4): materialize the
     * quantized corpus as a narrow parquet index table
@@ -1356,7 +1387,7 @@ object SimilarityQueries {
       .join(broadcast(probeQueries(e, fn, nprobe)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("ascore", expr("int8_cos_q(q8, qv)"))
-    rerankTail(cands, e, fetch)
+    rerankTail(cands, e, fetch, Some(queryFrame(e)))
   }
 
   /** The structural nprobe for clustered data: √k (the standard IVF
