@@ -73,6 +73,7 @@ object Bench {
     "q_c105_family_diameter", "q_c117_pipeline_funnel",
     "q_c118_funnel_corpus", "q_c119_quality_funnel_corpus",
     "q_c120_lsh_band_grid", "q_c132_ivf_nprobe_frontier",
+    "q_c133_segment_retirement",
     // multimodal chain
     "q_c10_multimodal_stats", "q_c11_media_features", "q_c41_media_neardup")
 
