@@ -56,7 +56,13 @@ object Verify {
         () => graft.operators.DedupQueries.minhashIndex(spark, sfDir)),
       "q_c131_ivf_stage1" -> ("ivf_index",
         () => graft.operators.SimilarityQueries.int8CompactedIndex(
-          spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))
+          spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir))),
+      "q_c133_segment_retirement" -> ("bm25_segments",
+        () => {
+          val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
+          val comp = graft.operators.TextQueries.bm25CompactedIndex(spark, seg)
+          s"$seg $comp" // "<segments> <compacted>", space-joined (temp paths are space-free)
+        })
     ).collect {
       // both conditions: the query must have been SELECTED this run (a
       // subset re-run into a reused outDir must not rebuild indexes it

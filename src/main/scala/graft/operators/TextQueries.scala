@@ -2240,8 +2240,15 @@ object TextQueries {
       compacted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val M = "1152921504606846976" // 2^60
     def digestOf(name: String, df: org.apache.spark.sql.DataFrame) = {
-      val cols = df.columns.sorted.map(col)
-      df.select(md5(concat_ws("|", cols: _*)).as("h"))
+      // BINARY columns canonicalize through hex: concat_ws would cast
+      // raw bytes to a (lossy) UTF-8 string, collapsing distinct codes
+      // onto replacement characters — the int8-IVF q8 column is exactly
+      // that shape. hex() is injective and engine-neutral.
+      val cols = df.schema.fields.sortBy(_.name).map { f =>
+        if (f.dataType == org.apache.spark.sql.types.BinaryType) hex(col(f.name))
+        else col(f.name)
+      }
+      df.select(md5(concat_ws("|", cols.toIndexedSeq: _*)).as("h"))
         .select(PipelineQueries.md5ChunkA.as("c1"), PipelineQueries.md5ChunkB.as("c2"))
         .agg(count(lit(1)).cast("long").as("n_rows"),
           expr(s"CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % $M AS BIGINT)").as("checksum_a"),

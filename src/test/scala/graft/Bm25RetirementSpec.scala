@@ -104,4 +104,33 @@ class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 != "compacted").map(_._2).sum ==
       out.find(_._1 == "compacted").get._2)
   }
+
+  test("binary artifacts retire too: int8-IVF code segments (hex canonicalization)") {
+    import graft.operators.SimilarityQueries
+    val segPath = SimilarityQueries.int8SegmentsIndex(spark, sf)
+    val cPath = SimilarityQueries.int8CompactedIndex(spark, segPath)
+    def seg(p: String) = spark.read.parquet(p)
+    val out = TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> seg(s"$segPath/seg0/codes"),
+          "seg1" -> seg(s"$segPath/seg1/codes")),
+        seg(s"$cPath/codes"))
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq
+    assert(out.forall(_._2 == 1L),
+      s"int8 code compaction must be retirable: $out")
+    // the BINARY column genuinely participates: flipping one byte of one
+    // q8 blob (same row count, same ids) must move the digest
+    val comp = seg(s"$cPath/codes")
+    val first = comp.limit(1)
+    val forged = comp.exceptAll(first).unionByName(
+      first.selectExpr("vec_id", "cell",
+        "concat(CAST(X'7f' AS BINARY), substring(q8, 2)) AS q8"))
+    val verdicts = TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> seg(s"$segPath/seg0/codes"),
+          "seg1" -> seg(s"$segPath/seg1/codes")),
+        forged)
+      .select(org.apache.spark.sql.functions.col("retire"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(verdicts.forall(_ == 0L),
+      "a flipped code byte must block retirement (hex canon is injective)")
+  }
 }

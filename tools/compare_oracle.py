@@ -192,6 +192,36 @@ if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
         SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
         FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
 
+if "bm25_segments" in index_paths and (only is None or "q_c133_segment_retirement" in only):
+    # The retirement verdict recomputed from the artifact files alone:
+    # same canonical row string (columns in sorted-name order, '|'-joined),
+    # same md5 64-bit-half chunks, same additive mod-2^60 sums, same
+    # atomic verdict — the GC decision is auditable by any engine.
+    segp, compp = index_paths["bm25_segments"].split(" ")
+    dig = lambda name, src: f"""
+        SELECT '{name}' AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(CAST('0x' || substr(h, 1, 16) AS UBIGINT) AS HUGEINT))
+            % 1152921504606846976 AS BIGINT) AS checksum_a,
+          CAST(SUM(CAST(CAST('0x' || substr(h, 17, 16) AS UBIGINT) AS HUGEINT))
+            % 1152921504606846976 AS BIGINT) AS checksum_b
+        FROM (SELECT md5(concat_ws('|', dl, doc_id, term, tf)) AS h
+              FROM '{src}/*.parquet')"""
+    replay_parity("q_c133_from_stored_segments", "q_c133_segment_retirement", f"""
+        WITH d AS ({dig('seg0', segp + '/seg0/postings')}
+          UNION ALL {dig('seg1', segp + '/seg1/postings')}
+          UNION ALL {dig('compacted', compp + '/postings')}),
+        u AS (SELECT SUM(n_rows) AS u_rows,
+                CAST(SUM(CAST(checksum_a AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS u_a,
+                CAST(SUM(CAST(checksum_b AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS u_b
+              FROM d WHERE segment <> 'compacted'),
+        c AS (SELECT n_rows AS c_rows, checksum_a AS c_a, checksum_b AS c_b
+              FROM d WHERE segment = 'compacted'),
+        v AS (SELECT CAST(CASE WHEN u.u_rows = c.c_rows AND u.u_a = c.c_a
+                          AND u.u_b = c.c_b THEN 1 ELSE 0 END AS BIGINT) AS retire
+              FROM u, c)
+        SELECT d.segment, d.n_rows, d.checksum_a, d.checksum_b, v.retire
+        FROM d, v ORDER BY d.segment""")
+
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"FAIL ({len(fails)}):")
 for n, m in fails:
