@@ -2237,22 +2237,40 @@ object TextQueries {
     */
   private[graft] def segmentRetirementPlan(
       segments: Seq[(String, org.apache.spark.sql.DataFrame)],
-      compacted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      compacted: org.apache.spark.sql.DataFrame,
+      weightCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val M = "1152921504606846976" // 2^60
     def digestOf(name: String, df: org.apache.spark.sql.DataFrame) = {
       // BINARY columns canonicalize through hex: concat_ws would cast
       // raw bytes to a (lossy) UTF-8 string, collapsing distinct codes
       // onto replacement characters — the int8-IVF q8 column is exactly
       // that shape. hex() is injective and engine-neutral.
-      val cols = df.schema.fields.sortBy(_.name).map { f =>
-        if (f.dataType == org.apache.spark.sql.types.BinaryType) hex(col(f.name))
-        else col(f.name)
-      }
-      df.select(md5(concat_ws("|", cols.toIndexedSeq: _*)).as("h"))
-        .select(PipelineQueries.md5ChunkA.as("c1"), PipelineQueries.md5ChunkB.as("c2"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          expr(s"CAST(SUM(CAST(c1 AS DECIMAL(38,0))) % $M AS BIGINT)").as("checksum_a"),
-          expr(s"CAST(SUM(CAST(c2 AS DECIMAL(38,0))) % $M AS BIGINT)").as("checksum_b"))
+      val cols = df.schema.fields
+        .filterNot(f => weightCol.contains(f.name))
+        .sortBy(_.name).map { f =>
+          if (f.dataType == org.apache.spark.sql.types.BinaryType) hex(col(f.name))
+          else col(f.name)
+        }
+      // WEIGHTED mode (weightCol set): digest = Σ chunk(key) · weight —
+      // linear in the weight, so it is invariant under the aggregation
+      // compaction applies to additive tables (Σ over segment rows of
+      // chunk·cnt_i = Σ over compacted keys of chunk·Σcnt_i): the
+      // retirement law for tables whose compaction SUMS rather than
+      // unions (the phrase bigram table). n_rows then reports the total
+      // weight (the conserved quantity) instead of the row count.
+      // Unweighted mode is the wt = 1 special case and produces the
+      // EXACT digests of the original formulation (Σ(c mod M) mod M =
+      // Σc mod M — mod is additive).
+      val wt = weightCol.map(c => col(c).cast("decimal(18,0)"))
+        .getOrElse(lit(1).cast("decimal(18,0)"))
+      df.select(md5(concat_ws("|", cols.toIndexedSeq: _*)).as("h"), wt.as("wt"))
+        .select(PipelineQueries.md5ChunkA.as("c1"),
+          PipelineQueries.md5ChunkB.as("c2"), col("wt"))
+        .agg(sum(col("wt")).cast("long").as("n_rows"),
+          expr(s"CAST(SUM(CAST(c1 % $M AS DECIMAL(20,0)) * wt) % $M AS BIGINT)")
+            .as("checksum_a"),
+          expr(s"CAST(SUM(CAST(c2 % $M AS DECIMAL(20,0)) * wt) % $M AS BIGINT)")
+            .as("checksum_b"))
         .select(lit(name).as("segment"), col("n_rows"),
           col("checksum_a"), col("checksum_b"))
     }

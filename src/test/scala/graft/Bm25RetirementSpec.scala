@@ -133,4 +133,42 @@ class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdicts.forall(_ == 0L),
       "a flipped code byte must block retirement (hex canon is injective)")
   }
+
+  test("aggregated tables retire via the weighted digest: phrase bigrams") {
+    import org.apache.spark.sql.functions.col
+    val segPath = TextQueries.phraseSegmentsIndex(spark, sf)
+    val cPath = TextQueries.phraseCompactedIndex(spark, segPath)
+    def seg(p: String) = spark.read.parquet(p)
+    // the postings half unions on compact → plain row digests retire it
+    val postings = TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> seg(s"$segPath/seg0/postings"),
+          "seg1" -> seg(s"$segPath/seg1/postings")),
+        seg(s"$cPath/postings"))
+      .select(col("retire")).collect().map(_.getLong(0)).toSeq
+    assert(postings.forall(_ == 1L), "phrase postings must retire row-wise")
+    // the bigram half AGGREGATES on compact (counts sum): plain row
+    // digests must refuse (the compacted rows are not the union)...
+    val bigramSegs = Seq("seg0" -> seg(s"$segPath/seg0/bigrams"),
+      "seg1" -> seg(s"$segPath/seg1/bigrams"))
+    val comp = seg(s"$cPath/bigrams")
+    val rowMode = TextQueries.segmentRetirementPlan(bigramSegs, comp)
+      .select(col("retire")).collect().map(_.getLong(0)).toSeq
+    assert(rowMode.forall(_ == 0L),
+      "row digests must refuse an aggregated compaction (it is not a union)")
+    // ...while the cnt-weighted digest is aggregation-invariant and retires
+    val weighted = TextQueries.segmentRetirementPlan(bigramSegs, comp, Some("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(weighted.forall(_._3 == 1L),
+      s"weighted digests must retire the summed bigram table: $weighted")
+    // n_rows reports the conserved total weight in weighted mode
+    val byName = weighted.map(r => r._1 -> r._2).toMap
+    assert(byName("seg0") + byName("seg1") == byName("compacted"))
+    // tampering with one count blocks it
+    val first = comp.limit(1)
+    val forged = comp.exceptAll(first)
+      .unionByName(first.withColumn("cnt", col("cnt") + 1L))
+    val v2 = TextQueries.segmentRetirementPlan(bigramSegs, forged, Some("cnt"))
+      .select(col("retire")).collect().map(_.getLong(0)).toSeq
+    assert(v2.forall(_ == 0L), "a bumped count must block retirement")
+  }
 }
