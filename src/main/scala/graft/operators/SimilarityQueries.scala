@@ -890,7 +890,7 @@ object SimilarityQueries {
     */
   private[graft] def frozenQuantizer(
       s: SparkSession, path: String): (String, Int, Int) = {
-    val meta = s.read.parquet(s"$path/model").head
+    val meta = s.read.parquet(s"$path/model").head()
     val (dim, nprobe, k) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val rows = s.read.parquet(s"$path/cents").collect()
     val cents = new Array[Double](k * dim)
@@ -967,7 +967,7 @@ object SimilarityQueries {
   private[graft] def ivfStage1Sym(
       s: SparkSession, path: String, fetch: Int = 20): DataFrame = {
     graft.functions.Int8Ops.register(s)
-    val nprobe = s.read.parquet(s"$path/model").head.getInt(1)
+    val nprobe = s.read.parquet(s"$path/model").head().getInt(1)
     val codes = s.read.parquet(s"$path/codes")
     val cq = s.read.parquet(s"$path/cents")
       .select(col("cell"), expr("pack_int8(ctr)").as("c8"))
@@ -1416,7 +1416,7 @@ object SimilarityQueries {
       nClusters: Int = 64,
       alpha: Double = 0.25,
       seed: Long = 1042L): DataFrame = {
-    val dim = e.select(size(col("v"))).head.getInt(0)
+    val dim = e.select(size(col("v"))).head().getInt(0)
     val rnd = new java.util.Random(seed)
     val centers = (0 until nClusters).map { c =>
       val raw = Array.fill(dim)(rnd.nextGaussian())

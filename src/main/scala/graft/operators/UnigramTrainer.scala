@@ -109,7 +109,8 @@ object UnigramTrainer {
       subs.unpersist(false)
 
       // fixed inventory through EM, (count DESC, piece ASC) canonical order
-      var rows = logps((singles ++ multi).sortBy { case (p, c) => (-c, p) })
+      var rows = logps(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        (singles ++ multi).sortBy { case (p, c) => (-c, p) }))
 
       var r = 0
       while (r < emRounds) {
