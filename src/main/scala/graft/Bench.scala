@@ -67,7 +67,7 @@ object Bench {
     "q_c49_quality_ensemble",
     // trainers + LM statistics (the job-heavy cold class)
     "q_c33_bpe_train", "q_c80_kn_bigram_lm", "q_c87_kn_trigram_ppl",
-    "q_c110_tokenizer_fertility",
+    "q_c110_tokenizer_fertility", "q_c137_classifier_train",
     // calibration + capstones (the most expensive bench rows)
     "q_c85_candidate_agreement", "q_c95_winnow_calibration",
     "q_c105_family_diameter", "q_c117_pipeline_funnel",
@@ -255,7 +255,20 @@ object Bench {
         }
       } else None
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","tier":"$tier","queries":$qs,"queries_raw":$raw,"jobs":$jobsJson,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_passes","sink":"$sinkMode","tier":"$tier","queries":$qs,"queries_raw":$raw,"jobs":$jobsJson,"probes":$probesJson,"failed":$failedJson${quality.getOrElse("")},"sf":"$sfDir"}"""
+    println(jsonLine)
+    // durable copy of the SAME line: the driver's BENCH_r{N}.json keeps
+    // only a truncated stdout tail, so for two straight rounds the
+    // adopted per-query numbers survived nowhere parseable (judge r16).
+    // SPARK_GRAFT_BENCH_OUT overrides the path; default bench_out.json
+    // in the cwd. Best-effort — an unwritable path must not sink a
+    // finished bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), jsonLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

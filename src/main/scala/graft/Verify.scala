@@ -47,32 +47,54 @@ object Verify {
     // the engine-neutrality claim for the stored-index family. Serving
     // from the StoredArtifact cache here costs no rebuild: q_c103's dump
     // above already built it for this (dir, snapshot) key.
-    val idxEntries = Seq(
-      "q_c103_phrase_search" -> ("phrase_index",
-        () => graft.operators.TextQueries.phraseIndex(spark, sfDir)),
-      "q_c45_bm25_stored" -> ("bm25_index",
-        () => graft.operators.TextQueries.postingsIndex(spark, sfDir)),
-      "q_c66_minhash_stored" -> ("minhash_index",
-        () => graft.operators.DedupQueries.minhashIndex(spark, sfDir)),
-      "q_c131_ivf_stage1" -> ("ivf_index",
-        () => graft.operators.SimilarityQueries.int8CompactedIndex(
-          spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir))),
-      "q_c133_segment_retirement" -> ("bm25_segments",
-        () => {
-          val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
-          val comp = graft.operators.TextQueries.bm25CompactedIndex(spark, seg)
-          s"$seg $comp" // "<segments> <compacted>", space-joined (temp paths are space-free)
-        })
+    // a query may contribute SEVERAL keys (a segments dir + its
+    // compacted dir) — each key carries ONE path, never a delimited
+    // pack (ADVICE round 16: the old space-joined bm25_segments value
+    // broke silently for any artifact root containing a space)
+    val idxEntries = Seq[(String, Seq[(String, () => String)])](
+      "q_c103_phrase_search" -> Seq("phrase_index" ->
+        (() => graft.operators.TextQueries.phraseIndex(spark, sfDir))),
+      "q_c45_bm25_stored" -> Seq("bm25_index" ->
+        (() => graft.operators.TextQueries.postingsIndex(spark, sfDir))),
+      "q_c66_minhash_stored" -> Seq("minhash_index" ->
+        (() => graft.operators.DedupQueries.minhashIndex(spark, sfDir))),
+      "q_c131_ivf_stage1" -> Seq("ivf_index" ->
+        (() => graft.operators.SimilarityQueries.int8CompactedIndex(
+          spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))),
+      "q_c133_segment_retirement" -> {
+        lazy val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
+        Seq("bm25_segments" -> (() => seg),
+          "bm25_compacted" ->
+            (() => graft.operators.TextQueries.bm25CompactedIndex(spark, seg)))
+      },
+      "q_c134_minhash_retirement" -> {
+        lazy val seg = graft.operators.DedupQueries.minhashSegmentsIndex(spark, sfDir)
+        Seq("minhash_segments" -> (() => seg),
+          "minhash_compacted" ->
+            (() => graft.operators.DedupQueries.minhashCompactedIndex(spark, seg)))
+      },
+      "q_c135_ivf_retirement" -> {
+        lazy val seg = graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)
+        Seq("ivf_segments" -> (() => seg),
+          "ivf_compacted" ->
+            (() => graft.operators.SimilarityQueries.int8CompactedIndex(spark, seg)))
+      },
+      "q_c136_phrase_retirement" -> {
+        lazy val seg = graft.operators.TextQueries.phraseSegmentsIndex(spark, sfDir)
+        Seq("phrase_segments" -> (() => seg),
+          "phrase_compacted" ->
+            (() => graft.operators.TextQueries.phraseCompactedIndex(spark, seg)))
+      }
     ).collect {
       // both conditions: the query must have been SELECTED this run (a
       // subset re-run into a reused outDir must not rebuild indexes it
       // never asked for, nor pair fresh index paths with stale dumps)
       // and its dump must exist (the dump may have failed)
-      case (qn, (key, path))
+      case (qn, keyed)
           if only.forall(_.contains(qn))
             && Files.exists(Paths.get(s"$outDir/$qn")) =>
-        s"${q(key)}: ${q(path())}"
-    }
+        keyed.map { case (key, path) => s"${q(key)}: ${q(path())}" }
+    }.flatten
     if (idxEntries.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/index_paths.json"),
         idxEntries.mkString("{", ",", "}"))

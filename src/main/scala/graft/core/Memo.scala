@@ -65,16 +65,23 @@ object SessionMemo {
   private val evictionHooked =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
-  // per-session cumulative admission bytes (the session's memo WORKING
-  // SET — what the suite would hold if the budget were large enough) and
-  // a once-per-session under-provisioning warning latch. Weak keys: a
-  // stopped session's counters must not be pinned. No behavior change —
-  // the r15 scale10 sessions measured the knee (1.17 GB working set vs
-  // the 1 GB heap/8 default) from the admission log by hand; this
-  // surfaces the same under-provisioning the moment it happens instead
-  // of after the eviction variance shows up in a bench.
+  // per-session working set: the LATEST admitted size per (kind, dir)
+  // key (the session's memo WORKING SET — what the suite would hold
+  // simultaneously if the budget were large enough) and a
+  // once-per-session under-provisioning warning latch. Keyed per entry,
+  // not accumulated per admission (ADVICE round 16): a re-build of the
+  // same key after eviction, a snapshot change, or the over-budget
+  // drop-per-query path REPLACES its old size instead of adding to it,
+  // so long multi-rebuild sessions can't over-report and warn when the
+  // simultaneous set actually fits. Weak keys: a stopped session's
+  // counters must not be pinned. The r15 scale10 sessions measured the
+  // knee (1.17 GB working set vs the 1 GB heap/8 default) from the
+  // admission log by hand; this surfaces the same under-provisioning
+  // the moment it happens instead of after the eviction variance shows
+  // up in a bench.
   private val workingSet =
-    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[(String, String), Long]]()
   private val budgetWarnedSet =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -394,12 +401,18 @@ object SessionMemo {
           val df = s.createDataFrame(rdd, built.schema)
           synchronized {
             builds(kind) = builds.getOrElse(kind, 0L) + 1L
-            // running working-set total; warn ONCE when it first crosses
-            // the budget — the operator's cue to raise
-            // spark.graft.memo.maxBytes (or the heap) to >= the working
-            // set before run-to-run victim variance does the telling
-            val tot = Option(workingSet.get(s)).map(_.longValue).getOrElse(0L) + bytes
-            workingSet.put(s, java.lang.Long.valueOf(tot))
+            // per-key working-set update (latest size wins — a rebuild
+            // replaces, never adds); warn ONCE when the simultaneous
+            // total first crosses the budget — the operator's cue to
+            // raise spark.graft.memo.maxBytes (or the heap) to >= the
+            // working set before run-to-run victim variance does the
+            // telling
+            val perKey = Option(workingSet.get(s)).getOrElse {
+              val m = scala.collection.mutable.Map.empty[(String, String), Long]
+              workingSet.put(s, m); m
+            }
+            perKey(key) = bytes
+            val tot = perKey.values.sum
             if (tot > maxBytes(s) && budgetWarnedSet.add(s))
               System.err.println(
                 s"[memo] WORKING SET $tot B has crossed the budget ${maxBytes(s)} B " +
@@ -476,9 +489,10 @@ object SessionMemo {
     }
   }
 
-  /** Test hook: the session's cumulative admission bytes. */
+  /** Test hook: the session's simultaneous working set (Σ latest
+    * admitted size per key — rebuilds of a key replace, never add). */
   private[graft] def sessionWorkingSet(s: SparkSession): Long =
-    synchronized(Option(workingSet.get(s)).map(_.longValue).getOrElse(0L))
+    synchronized(Option(workingSet.get(s)).map(_.values.sum).getOrElse(0L))
 
   /** Test hook: whether the under-provisioning warning fired for `s`. */
   private[graft] def budgetWarned(s: SparkSession): Boolean =

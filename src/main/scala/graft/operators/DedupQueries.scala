@@ -1423,6 +1423,25 @@ object DedupQueries {
             col("observed_recall"), col("expected_recall"))
       }.reduce(_ unionByName _)
         .orderBy(col("bands"), col("rows_per_band"))
+    },
+
+    // ---- q_c134: MinHash segment retirement ----------------------------------
+    // The q_c133 GC verdict instantiated for the MinHash signature
+    // family: the compacted signature table (q_c129) retires its source
+    // segments iff the additive per-segment digests prove it holds
+    // EXACTLY their multiset union. Columns are all numeric (doc_id +
+    // six mh longs), so the canonical row encoding is the bare
+    // '|'-joined form — engine-neutral, replayed by DuckDB from the
+    // artifact parquet alone (tools/compare_oracle.py). Reads ONLY
+    // stored artifacts ⇒ rows-only; the family law itself is
+    // spec-pinned in RetirementPropertySpec/Bm25RetirementSpec.
+    QueryDef("q_c134_minhash_retirement", None) { (s, d) =>
+      val segPath = minhashSegmentsIndex(s, d)
+      val cPath = minhashCompactedIndex(s, segPath)
+      TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> s.read.parquet(s"$segPath/seg0/sigs"),
+          "seg1" -> s.read.parquet(s"$segPath/seg1/sigs")),
+        s.read.parquet(s"$cPath/sigs"))
     }
   )
 

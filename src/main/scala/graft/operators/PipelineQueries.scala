@@ -3239,14 +3239,23 @@ object PipelineQueries {
   private[graft] def gateReport(sums: DataFrame): DataFrame = {
     val sides = Seq("a" -> "base", "b" -> "batch")
     val cols = Seq("s_words", "s_wlen", "s_stop", "s_ttr", "s_pass")
+    // counters coalesce to 0 and the DIV guards against n = 0 (ADVICE
+    // round 16): a sums frame with one group absent (an empty base or
+    // an all-base prefix in the streaming twin) yields a DEFINED report
+    // — all-zero permilles for the missing side, non-null delta/alarm —
+    // instead of NULL counters poisoning the whole row. When both
+    // groups are present (every registered input) the coalesce and
+    // greatest are identities, so q_c126 stays hash-exact.
     val aggs = sides.flatMap { case (p, g) =>
-      sum(when(col("grp") === g, col("n"))).cast("long").as(s"${p}_n") +:
-        cols.map(c => sum(when(col("grp") === g, col(c))).cast("long")
-          .as(s"${p}_$c"))
+      coalesce(sum(when(col("grp") === g, col("n"))), lit(0L)).cast("long")
+        .as(s"${p}_n") +:
+        cols.map(c => coalesce(sum(when(col("grp") === g, col(c))), lit(0L))
+          .cast("long").as(s"${p}_$c"))
     }
     val pms = sides.flatMap { case (p, _) =>
-      cols.map(c => expr(s"CAST(${p}_$c * 1000 DIV ${p}_n AS BIGINT)")
-        .as(s"${p}_$c".replace("s_", "") + "_pm"))
+      cols.map(c =>
+        expr(s"CAST(${p}_$c * 1000 DIV greatest(${p}_n, 1) AS BIGINT)")
+          .as(s"${p}_$c".replace("s_", "") + "_pm"))
     }
     sums.agg(aggs.head, aggs.tail: _*) // one row: both sides' counters
       .select(pms: _*)

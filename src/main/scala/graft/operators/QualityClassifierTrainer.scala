@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of the quality classifier — the LEARNED model
+  * the fixed-weight q_c30 stands in for (fastText-style hashed linear
+  * classifier: Joulin et al. 2016; quality filtering as "gold vs raw"
+  * classification: GPT-3 §A / CCNet / DCLM). q_c30/q_c49 SCORE with a
+  * fixed LCG weight vector; this trains the weights by full-batch
+  * logistic regression, with labels distilled from the REGISTERED
+  * Gopher-rules filter ([[TextQueries.rulesFlags]] `pass` — the
+  * rules-as-teacher setup used when no curated gold corpus exists).
+  *
+  * Distributed shape per iteration — the Lloyd / BpeTrainer discipline
+  * (driver holds MODEL state only, never data):
+  *   1. the corpus is featurized ONCE into a session-memoized
+  *      (doc_id, y, n_tokens, cnts[64]) frame — one map-side projection
+  *      (token → [[TextQueries.tokenBucket64]] hash bucket → count
+  *      array via a HOF fold; labels ride the same projection because
+  *      rulesFlags PRESERVES its input columns), no shuffle;
+  *   2. each iteration is ONE map-side-combinable aggregation to a
+  *      single 67-cell row (64 gradient sums + bias gradient + log-loss
+  *      + correct count) — the only traffic is partial-agg merges;
+  *   3. the driver applies w ← w − η·g/n (65 doubles of model state).
+  * At 100 TB: T iterations cost T aggregation-only scans of the CACHED
+  * 65-ints-per-doc feature frame (≪ the corpus; ~0.5 KB/doc), and the
+  * model is 65 doubles regardless of corpus size.
+  *
+  * Determinism (the trainer trajectory is spec-pinned to an independent
+  * driver-side fold, so aggregation ORDER must not leak into results):
+  * every per-document double (margin → sigmoid → residual/loss) is
+  * computed row-locally in a FIXED fold order, then quantized to
+  * DECIMAL before the cross-document SUM — exact decimal addition is
+  * order-independent, so the gradient (and therefore the whole weight
+  * trajectory) is identical under any partitioning. The quantization
+  * step (1e-12 on gradients, 1e-6 on loss) is part of the model
+  * definition, not a tolerance.
+  */
+object QualityClassifierTrainer {
+
+  /** Hashed feature dimensionality — q_c30's bucket count (shared rule). */
+  val D = 64
+
+  /** One trajectory row: statistics at the CURRENT weights (before the
+    * iteration's update), all integers so the trajectory is exactly
+    * reproducible. `gradBiasMicros` is the bias gradient sum in 1e-6
+    * units — the convergence signal (→ 0 as the fit settles).
+    */
+  final case class IterStat(iter: Long, nDocs: Long, nCorrect: Long,
+                            accPm: Long, lossMicros: Long, gradBiasMicros: Long)
+
+  final case class Model(wBias: Double, w: Array[Double], trajectory: Seq[IterStat])
+
+  // one training run per (dir, iters) + content snapshot (the BpeTrainer
+  // model-cache discipline); the model is pure data, not session-bound
+  private val modelCache = new graft.core.BuildOnceCache[(String, Int), Model]
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
+  /** The (doc_id, y, n_tokens, cnts[D]) training frame — ONE map-side
+    * projection over documents (labels from the registered rules filter,
+    * features from the registered bucket hash), session-memoized so the
+    * T training scans and q_c138's scoring pass share one featurize.
+    */
+  private[graft] def featureFrame(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionMemo.getOrBuild(
+      s, "cls_features", d, Seq(s"$d/documents.parquet")) {
+      TextQueries.rulesFlags(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("pass").cast("long").as("y"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+        .select(col("doc_id"), col("y"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          // hash each token ONCE, then fold the bucket ids into a count
+          // array — O(D) array copies per token, zero shuffles
+          expr(s"""aggregate(transform(toks, w -> ${TextQueries.tokenBucket64}),
+                  |  array_repeat(0L, $D),
+                  |  (acc, b) -> transform(acc, (v, i) -> IF(i = b, v + 1L, v)))"""
+            .stripMargin).as("cnts"))
+    }
+
+  /** The per-row margin column at weights (wBias, w): bias + (Σ_b
+    * cnt_b·w_b)/max(n_tokens,1), the Σ a FIXED-order index fold (zip_with
+    * then left-to-right aggregate) so the double arithmetic is identical
+    * on every engine pass and in the spec's reference fold.
+    */
+  private def marginCol(wBias: Double, w: Array[Double]) = {
+    val wLit = array(w.map(x => lit(x)).toIndexedSeq: _*)
+    aggregate(
+      zip_with(col("cnts"), wLit, (c, wt) => c.cast("double") * wt),
+      lit(0.0), (a, x) => a + x) /
+      greatest(col("n_tokens"), lit(1L)).cast("double") + lit(wBias)
+  }
+
+  /** Train `iters` full-batch iterations at learning rate η = 2.0
+    * (measured on both driver fixtures: loss monotone at every step AND
+    * positive class separation by iteration 24; η = 0.5 × 12 left the
+    * sf0.01 separation at zero)
+    * (cached per (dir, iters) + snapshot). Each iteration collects ONE
+    * row; the feature frame is built once.
+    */
+  def train(s: SparkSession, d: String, iters: Int): Model = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    modelCache.getOrBuild((d, iters), snap)(trainUncached(s, d, iters))
+  }
+
+  private def trainUncached(s: SparkSession, d: String, iters: Int): Model = {
+    val f = featureFrame(s, d)
+    val eta = 2.0
+    var wBias = 0.0
+    val w = Array.fill(D)(0.0)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[IterStat]
+    var nDocs = 0L
+    for (t <- 1 to iters) {
+      // row-local doubles (fixed fold order), quantized to exact decimal
+      // BEFORE the order-free cross-document sums
+      val scored = f.select(col("y"), col("n_tokens"), col("cnts"),
+          marginCol(wBias, w).as("m"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+        // clamp keeps ln() finite if a margin ever saturates p to 0/1
+        .withColumn("pc", least(greatest(col("p"), lit(1e-12)), lit(1.0 - 1e-12)))
+        // residuals live in (-1, 1): DECIMAL(14,12) keeps the later
+        // product with a DECIMAL(10,0) count inside precision 38
+        // (14+10+1 = 25), so the multiply — and therefore the gradient —
+        // is EXACT; a wider residual type would trip Spark's
+        // allowPrecisionLoss scale reduction (25→6 digits) and leak
+        // aggregation-order noise back into the trajectory
+        .withColumn("resid", (col("p") - col("y")).cast("decimal(14,12)"))
+        .withColumn("resid_n", ((col("p") - col("y")) /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).cast("decimal(14,12)"))
+        .withColumn("loss_u", ((-(col("y") * log(col("pc")) +
+          (lit(1L) - col("y")) * log(lit(1.0) - col("pc")))) * lit(1e6))
+          .cast("decimal(18,0)"))
+      val gradAggs =
+        (0 until D).map(b =>
+          sum(col("resid_n") * col("cnts").getItem(b).cast("decimal(10,0)"))
+            .as(s"g$b")) ++ Seq(
+          sum(col("resid")).as("gb"),
+          sum(col("loss_u")).cast("long").as("loss_micros"),
+          sum(when((col("m") > 0) === (col("y") === 1L), 1L).otherwise(0L))
+            .cast("long").as("n_correct"),
+          count(lit(1)).cast("long").as("n_docs"))
+      val row = scored.agg(gradAggs.head, gradAggs.tail: _*).head()
+      nDocs = row.getAs[Long]("n_docs")
+      val gb = row.getDecimal(D).doubleValue()
+      traj += IterStat(t.toLong, nDocs, row.getAs[Long]("n_correct"),
+        row.getAs[Long]("n_correct") * 1000L / math.max(nDocs, 1L),
+        row.getAs[Long]("loss_micros"),
+        math.round(gb * 1e6))
+      for (b <- 0 until D)
+        w(b) -= eta * row.getDecimal(b).doubleValue() / nDocs
+      wBias -= eta * gb / nDocs
+    }
+    Model(wBias, w, traj.toSeq)
+  }
+
+  /** q_c137's trajectory frame — all-integer per-iteration statistics. */
+  private[graft] def trajectoryDf(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    train(s, d, iters).trajectory
+      .map(r => (r.iter, r.nDocs, r.nCorrect, r.accPm, r.lossMicros, r.gradBiasMicros))
+      .toDF("iter", "n_docs", "n_correct", "acc_pm", "loss_micros", "grad_bias_micros")
+  }
+
+  /** q_c138's scoring frame — the TRAINED encoder applied to the corpus:
+    * per-document margin, keep/drop verdict, teacher label and agreement
+    * flag. One map-side projection over the shared feature frame (the
+    * q_c30 plan shape with learned weights swapped in — exactly the
+    * "real learned model" its design note promises).
+    */
+  private[graft] def scoresDf(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val m = train(s, d, iters)
+    featureFrame(s, d)
+      .select(col("doc_id"), col("y").as("label"), col("n_tokens"),
+        marginCol(m.wBias, m.w).as("score"))
+      .select(col("doc_id"), col("label"), col("n_tokens"), col("score"),
+        when(col("score") > 0, "keep").otherwise("drop").as("cls"),
+        when((col("score") > 0) === (col("label") === 1L), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -690,6 +690,26 @@ object SimilarityQueries {
     // recall, monotone scanned fraction, and the endpoint floors.
     QueryDef("q_c132_ivf_nprobe_frontier", None) { (s, d) =>
       ivfNprobeFrontier(s, d)
+    },
+
+    // ---- q_c135: int8-IVF segment retirement ----------------------------------
+    // The q_c133 GC verdict for the int8 code family — the BINARY-column
+    // artifact shape: packed q8 codes canonicalize through hex() inside
+    // [[TextQueries.segmentRetirementPlan]] (injective, engine-neutral —
+    // concat_ws on raw bytes would collapse distinct codes onto UTF-8
+    // replacement characters). The compacted codes table (q_c130)
+    // retires seg0/seg1 iff digests and row counts conserve; DuckDB
+    // replays the verdict from the parquet alone via the same hex
+    // canonicalization (tools/compare_oracle.py). Rows-only (stored
+    // artifacts, never the corpus); byte-flip sensitivity is pinned in
+    // RetirementPropertySpec's family sweep.
+    QueryDef("q_c135_ivf_retirement", None) { (s, d) =>
+      val segPath = int8SegmentsIndex(s, d)
+      val cPath = int8CompactedIndex(s, segPath)
+      TextQueries.segmentRetirementPlan(
+        Seq("seg0" -> s.read.parquet(s"$segPath/seg0/codes"),
+          "seg1" -> s.read.parquet(s"$segPath/seg1/codes")),
+        s.read.parquet(s"$cPath/codes"))
     }
   )
 

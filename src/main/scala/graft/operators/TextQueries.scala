@@ -2223,6 +2223,61 @@ object TextQueries {
         Seq("seg0" -> s.read.parquet(s"$segPath/seg0/postings"),
           "seg1" -> s.read.parquet(s"$segPath/seg1/postings")),
         s.read.parquet(s"$cPath/postings"))
+    },
+
+    // ---- q_c136: phrase-index segment retirement (both table shapes) --------
+    // The q_c133 GC verdict for the phrase family, which stores BOTH
+    // artifact shapes compaction distinguishes: positional postings
+    // compact by UNION (row mode — Σ segment digests must equal the
+    // compacted digest exactly) while the bigram count table compacts by
+    // per-key SUM (weighted mode — digest = Σ chunk(w1,w2)·cnt, linear
+    // in the weight and therefore aggregation-invariant). One registered
+    // row covers both: a verdict block per table, labeled by `tbl`. The
+    // phrase segment directory is only safe to delete when BOTH verdicts
+    // fire — the postings and bigrams of one segment live and die
+    // together. Rows-only (stored artifacts only); DuckDB replays both
+    // blocks from the parquet alone (tools/compare_oracle.py), length-
+    // prefixing the string terms exactly as segmentRetirementPlan does.
+    QueryDef("q_c136_phrase_retirement", None) { (s, d) =>
+      val segPath = phraseSegmentsIndex(s, d)
+      val cPath = phraseCompactedIndex(s, segPath)
+      def block(tbl: String, weight: Option[String]) =
+        segmentRetirementPlan(
+          Seq("seg0" -> s.read.parquet(s"$segPath/seg0/$tbl"),
+            "seg1" -> s.read.parquet(s"$segPath/seg1/$tbl")),
+          s.read.parquet(s"$cPath/$tbl"), weight)
+          .select(lit(tbl).as("tbl"), col("segment"), col("n_rows"),
+            col("checksum_a"), col("checksum_b"), col("retire"))
+      block("postings", None)
+        .unionByName(block("bigrams", Some("cnt")))
+        .orderBy(col("tbl"), col("segment"))
+    },
+
+    // ---- q_c137: quality-classifier TRAINING (distributed logistic GD) ------
+    // The missing trainer in the filtering trio: q_c31 is rules, q_c26 is
+    // an LM score, q_c30 scores with FIXED hashed weights — this LEARNS
+    // the weights (full-batch logistic regression over q_c30's own
+    // 64-bucket feature space, labels distilled from the registered
+    // rules filter). See [[QualityClassifierTrainer]] for the Lloyd-
+    // pattern scale shape (one featurize scan, one 67-cell aggregation
+    // per iteration, 65 doubles of driver model state) and the decimal
+    // quantization that makes the trajectory order-independent. Learned
+    // weights are driver model state (the q_c9/q_c33 class) ⇒ rows-only;
+    // ClassifierTrainerSpec pins the all-integer trajectory to an
+    // independent driver-side reference fold and proves the fit learns
+    // (accuracy up, loss down, teacher agreement beyond the fixed model).
+    QueryDef("q_c137_classifier_train", None) { (s, d) =>
+      QualityClassifierTrainer.trajectoryDf(s, d, iters = 24)
+    },
+
+    // ---- q_c138: trained-classifier corpus scoring ---------------------------
+    // The inference side of q_c137 (the q_c34 pattern): the learned
+    // weights swapped into q_c30's plan shape — per-document margin,
+    // keep/drop verdict, teacher label and agreement flag, one map-side
+    // projection over the shared feature frame. Model state ⇒ rows-only;
+    // spec pins scores to the reference fold's weights exactly.
+    QueryDef("q_c138_classifier_scores", None) { (s, d) =>
+      QualityClassifierTrainer.scoresDf(s, d, iters = 24)
     }
   )
 
@@ -2244,12 +2299,24 @@ object TextQueries {
       // BINARY columns canonicalize through hex: concat_ws would cast
       // raw bytes to a (lossy) UTF-8 string, collapsing distinct codes
       // onto replacement characters — the int8-IVF q8 column is exactly
-      // that shape. hex() is injective and engine-neutral.
+      // that shape. hex() is injective and engine-neutral. STRING
+      // columns are length-prefixed (`<len>:<value>`) so the '|'-joined
+      // row encoding stays injective even when a value CONTAINS '|'
+      // (ADVICE round 16): the prefix makes the stream uniquely
+      // decodable (read digits to ':', take len chars, expect '|'), so
+      // adjacent-column content can never shift across the separator.
+      // Numeric/hex renderings can't contain '|' and need no prefix —
+      // and keeping them bare keeps the digest cheap and the DuckDB
+      // replay one expression per column.
       val cols = df.schema.fields
         .filterNot(f => weightCol.contains(f.name))
         .sortBy(_.name).map { f =>
-          if (f.dataType == org.apache.spark.sql.types.BinaryType) hex(col(f.name))
-          else col(f.name)
+          f.dataType match {
+            case org.apache.spark.sql.types.BinaryType => hex(col(f.name))
+            case org.apache.spark.sql.types.StringType =>
+              concat(length(col(f.name)).cast("string"), lit(":"), col(f.name))
+            case _ => col(f.name)
+          }
         }
       // WEIGHTED mode (weightCol set): digest = Σ chunk(key) · weight —
       // linear in the weight, so it is invariant under the aggregation
@@ -3023,9 +3090,17 @@ object TextQueries {
     * (q_c65), which needs the raw integer signal for a deterministic
     * ordering key rather than the emitted double score.
     */
+  /** token (lambda var `w`) → hashed feature bucket in [0, 64): q_c8's
+    * rolling char hash mod 64 — the ONE bucket rule shared by q_c30's
+    * fixed-weight classifier and q_c137's TRAINED classifier features
+    * ([[QualityClassifierTrainer]]); a fork here would train on a
+    * different feature space than the fixed model scores.
+    */
+  private[graft] val tokenBucket64: String =
+    "(aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64)"
+
   private[graft] def classifierRaw(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tokHash = "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(
         col("doc_id"),
@@ -3034,9 +3109,8 @@ object TextQueries {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         expr(s"""aggregate(toks, 0L, (acc, w) ->
-                |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
+                |  acc + ($tokenBucket64 * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
           .as("wsum"))
-  }
 
   /** Session-memoized [[classifierRaw]] over the corpus: q_c30 and
     * q_c65 (PipelineQueries' curriculum) both consume the identical

@@ -57,7 +57,13 @@ class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
     val md = java.security.MessageDigest.getInstance("MD5")
     var (sa, sb) = (BigInt(0), BigInt(0))
     rows.foreach { r =>
-      val s0 = names.map(n => String.valueOf(r.get(r.fieldIndex(n)))).mkString("|")
+      // string fields carry the injective length prefix (ADVICE r16)
+      val s0 = names.map { n =>
+        r.get(r.fieldIndex(n)) match {
+          case s: String => s"${s.length}:$s"
+          case v => String.valueOf(v)
+        }
+      }.mkString("|")
       val h = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
       sa += BigInt(h.substring(0, 16), 16)
       sb += BigInt(h.substring(16, 32), 16)

@@ -99,4 +99,27 @@ class IngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchGate(rows.toSeq) === full)
     graft.core.CachedRdds.drain()
   }
+
+  test("a one-group input yields a DEFINED all-zero report side, not NULLs") {
+    // ADVICE round 16: an input whose prefix holds only base docs (the
+    // streaming twin's natural early state) must produce a report with
+    // zero counters and a non-null alarm for the absent side — a
+    // consumer reading alarm as a non-null BIGINT must not fail.
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val baseOnly = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "a plain base document with enough words to pass the gate rules"))
+    val out = graft.operators.PipelineQueries.gateReport(
+        graft.operators.PipelineQueries.gateSums(
+          baseOnly.toDF("doc_id", "text")))
+      .collect()
+    assert(out.length == 5, "all five metrics must still report")
+    out.foreach { r =>
+      assert(!r.anyNull, s"one-group report must carry no NULL cells: $r")
+      assert(r.getLong(2) == 0L, "absent batch side reports 0 permille")
+      assert(r.getLong(3) == -r.getLong(1), "delta = batch - base stays defined")
+    }
+    graft.core.CachedRdds.drain()
+  }
 }

@@ -79,4 +79,21 @@ class RetirementPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(verdict(segs, bumped, weighted = true) == 0L, s"trial $trial: bump")
     }
   }
+
+  test("string encoding is injective: a '|' in content cannot shift across columns") {
+    // ADVICE round 16: with bare '|'-joined strings, ("a|b", "c") and
+    // ("a", "b|c") hash to the same canonical row — content crossing
+    // the separator without moving the digest. The length prefix makes
+    // the encoding uniquely decodable, so these MUST NOT retire.
+    val sp = spark
+    import sp.implicits._
+    def two(rows: Seq[(String, String)]) = rows.toDF("s1", "s2")
+    val seg = Seq("seg0" -> two(Seq(("a|b", "c"))))
+    assert(TextQueries.segmentRetirementPlan(seg, two(Seq(("a", "b|c"))))
+      .select(col("retire")).head().getLong(0) == 0L,
+      "separator-shifted rows must break the digest")
+    // and the honest case still retires
+    assert(TextQueries.segmentRetirementPlan(seg, two(Seq(("a|b", "c"))))
+      .select(col("retire")).head().getLong(0) == 1L)
+  }
 }

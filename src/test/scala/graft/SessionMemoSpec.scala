@@ -304,6 +304,18 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
         "fixture must actually cross the budget")
       assert(SessionMemo.budgetWarned(tight),
         "crossing the budget must raise the under-provisioning warning")
+      // ADVICE round 16: a RE-BUILD of an already-counted key (here:
+      // after an eviction) must REPLACE its size in the working set,
+      // not add to it — the counter reports the simultaneous set, not
+      // cumulative admissions across a long multi-rebuild session
+      val before = SessionMemo.sessionWorkingSet(tight)
+      SessionMemo.evict(Some(tight))
+      SessionMemo.getOrBuild(tight, "ws_t1", dir, Seq(s"$dir/documents.parquet")) {
+        tight.range(1000).toDF("id")
+      }.count()
+      assert(SessionMemo.sessionWorkingSet(tight) == before,
+        s"same-key rebuild must not grow the working set " +
+          s"($before -> ${SessionMemo.sessionWorkingSet(tight)})")
     } finally {
       graft.core.CachedRdds.drain()
       SessionMemo.awaitDemotions()

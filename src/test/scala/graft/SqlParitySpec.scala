@@ -74,6 +74,9 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c130_ivf_compacted" - "q_c131_ivf_stage1" // frozen Lloyd quantizer = driver state (q_c9 class)
         - "q_c132_ivf_nprobe_frontier" // probes the same learned quantizer (same exclusion)
         - "q_c133_segment_retirement" // digests stored artifact paths, not corpus views
+        - "q_c134_minhash_retirement" - "q_c135_ivf_retirement" // same exclusion (q_c133 class)
+        - "q_c136_phrase_retirement" // same exclusion (q_c133 class)
+        - "q_c137_classifier_train" - "q_c138_classifier_scores" // learned weights = driver model state (q_c33 trainer class)
         - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }
 

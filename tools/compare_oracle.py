@@ -192,27 +192,36 @@ if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
         SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
         FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
 
-if "bm25_segments" in index_paths and (only is None or "q_c133_segment_retirement" in only):
-    # The retirement verdict recomputed from the artifact files alone:
-    # same canonical row string (columns in sorted-name order, '|'-joined),
-    # same md5 64-bit-half chunks, same additive mod-2^60 sums, same
-    # atomic verdict — the GC decision is auditable by any engine.
-    segp, compp = index_paths["bm25_segments"].split(" ")
-    dig = lambda name, src: f"""
-        SELECT '{name}' AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
-          CAST(SUM(CAST(CAST('0x' || substr(h, 1, 16) AS UBIGINT) AS HUGEINT))
-            % 1152921504606846976 AS BIGINT) AS checksum_a,
-          CAST(SUM(CAST(CAST('0x' || substr(h, 17, 16) AS UBIGINT) AS HUGEINT))
-            % 1152921504606846976 AS BIGINT) AS checksum_b
-        FROM (SELECT md5(concat_ws('|', dl, doc_id, term, tf)) AS h
+# Retirement-verdict replays: the GC decision recomputed from the artifact
+# files alone — same canonical row encoding (columns in sorted-name order,
+# '|'-joined, STRING values length-prefixed `<len>:<value>` so content can
+# never shift across the separator, BINARY values hex()'d), same md5
+# 64-bit-half chunks, same additive mod-2^60 sums (weighted mode multiplies
+# each chunk by the row's weight before summing), same atomic verdict — the
+# decision to delete a segment directory is auditable by any engine.
+M60 = 1152921504606846976
+
+def retire_dig(name, src, canon_cols, weight=None):
+    n = f"CAST(SUM({weight}) AS BIGINT)" if weight else "CAST(COUNT(*) AS BIGINT)"
+    w = f" * {weight}" if weight else ""
+    keep = f", {weight}" if weight else ""
+    return f"""
+        SELECT '{name}' AS segment, {n} AS n_rows,
+          CAST(SUM(CAST(CAST('0x' || substr(h, 1, 16) AS UBIGINT) AS HUGEINT){w})
+            % {M60} AS BIGINT) AS checksum_a,
+          CAST(SUM(CAST(CAST('0x' || substr(h, 17, 16) AS UBIGINT) AS HUGEINT){w})
+            % {M60} AS BIGINT) AS checksum_b
+        FROM (SELECT md5(concat_ws('|', {canon_cols})) AS h{keep}
               FROM '{src}/*.parquet')"""
-    replay_parity("q_c133_from_stored_segments", "q_c133_segment_retirement", f"""
-        WITH d AS ({dig('seg0', segp + '/seg0/postings')}
-          UNION ALL {dig('seg1', segp + '/seg1/postings')}
-          UNION ALL {dig('compacted', compp + '/postings')}),
+
+def retire_replay(name, dumped_query, segp, compp, table, canon_cols, weight=None):
+    replay_parity(name, dumped_query, f"""
+        WITH d AS ({retire_dig('seg0', f'{segp}/seg0/{table}', canon_cols, weight)}
+          UNION ALL {retire_dig('seg1', f'{segp}/seg1/{table}', canon_cols, weight)}
+          UNION ALL {retire_dig('compacted', f'{compp}/{table}', canon_cols, weight)}),
         u AS (SELECT SUM(n_rows) AS u_rows,
-                CAST(SUM(CAST(checksum_a AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS u_a,
-                CAST(SUM(CAST(checksum_b AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS u_b
+                CAST(SUM(CAST(checksum_a AS HUGEINT)) % {M60} AS BIGINT) AS u_a,
+                CAST(SUM(CAST(checksum_b AS HUGEINT)) % {M60} AS BIGINT) AS u_b
               FROM d WHERE segment <> 'compacted'),
         c AS (SELECT n_rows AS c_rows, checksum_a AS c_a, checksum_b AS c_b
               FROM d WHERE segment = 'compacted'),
@@ -221,6 +230,50 @@ if "bm25_segments" in index_paths and (only is None or "q_c133_segment_retiremen
               FROM u, c)
         SELECT d.segment, d.n_rows, d.checksum_a, d.checksum_b, v.retire
         FROM d, v ORDER BY d.segment""")
+
+lp = lambda c: f"length({c}) || ':' || {c}"  # the string length prefix
+
+if "bm25_segments" in index_paths and (only is None or "q_c133_segment_retirement" in only):
+    retire_replay("q_c133_from_stored_segments", "q_c133_segment_retirement",
+        index_paths["bm25_segments"], index_paths["bm25_compacted"],
+        "postings", f"dl, doc_id, {lp('term')}, tf")
+
+if "minhash_segments" in index_paths and (only is None or "q_c134_minhash_retirement" in only):
+    retire_replay("q_c134_from_stored_segments", "q_c134_minhash_retirement",
+        index_paths["minhash_segments"], index_paths["minhash_compacted"],
+        "sigs", "doc_id, mh0, mh1, mh2, mh3, mh4, mh5")
+
+if "ivf_segments" in index_paths and (only is None or "q_c135_ivf_retirement" in only):
+    retire_replay("q_c135_from_stored_segments", "q_c135_ivf_retirement",
+        index_paths["ivf_segments"], index_paths["ivf_compacted"],
+        "codes", "cell, hex(q8), vec_id")
+
+if "phrase_segments" in index_paths and (only is None or "q_c136_phrase_retirement" in only):
+    # both table shapes, each with its own verdict, labeled by `tbl`
+    segp, compp = index_paths["phrase_segments"], index_paths["phrase_compacted"]
+    def tdig(tbl, name, src, canon_cols, weight=None):
+        return f"SELECT '{tbl}' AS tbl, * FROM ({retire_dig(name, src, canon_cols, weight)})"
+    blocks = []
+    for tbl, canon_cols, weight in [
+            ("postings", f"doc_id, pos, {lp('term')}", None),
+            ("bigrams", f"{lp('w1')}, {lp('w2')}", "cnt")]:
+        blocks += [tdig(tbl, 'seg0', f'{segp}/seg0/{tbl}', canon_cols, weight),
+                   tdig(tbl, 'seg1', f'{segp}/seg1/{tbl}', canon_cols, weight),
+                   tdig(tbl, 'compacted', f'{compp}/{tbl}', canon_cols, weight)]
+    union = "\n          UNION ALL ".join(blocks)
+    replay_parity("q_c136_from_stored_segments", "q_c136_phrase_retirement", f"""
+        WITH d AS ({union}),
+        u AS (SELECT tbl, SUM(n_rows) AS u_rows,
+                CAST(SUM(CAST(checksum_a AS HUGEINT)) % {M60} AS BIGINT) AS u_a,
+                CAST(SUM(CAST(checksum_b AS HUGEINT)) % {M60} AS BIGINT) AS u_b
+              FROM d WHERE segment <> 'compacted' GROUP BY tbl),
+        c AS (SELECT tbl, n_rows AS c_rows, checksum_a AS c_a, checksum_b AS c_b
+              FROM d WHERE segment = 'compacted'),
+        v AS (SELECT u.tbl, CAST(CASE WHEN u.u_rows = c.c_rows AND u.u_a = c.c_a
+                          AND u.u_b = c.c_b THEN 1 ELSE 0 END AS BIGINT) AS retire
+              FROM u JOIN c ON u.tbl = c.tbl)
+        SELECT d.tbl, d.segment, d.n_rows, d.checksum_a, d.checksum_b, v.retire
+        FROM d JOIN v ON d.tbl = v.tbl ORDER BY d.tbl, d.segment""")
 
 print(f"PASS ({len(passes)}):", " ".join(passes))
 print(f"FAIL ({len(fails)}):")
