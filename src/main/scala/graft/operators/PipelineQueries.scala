@@ -2576,9 +2576,10 @@ object PipelineQueries {
               |tot AS (SELECT CAST(SUM(tok_raw) AS BIGINT) AS traw,
               |          CAST(SUM(tok_final) AS BIGINT) AS tfin FROM per)
               |SELECT source, n_raw, n_final, tok_raw, tok_final,
-              |  CAST(tok_raw * 1000 // traw AS BIGINT) AS raw_share_pm,
-              |  CAST(tok_final * 1000 // tfin AS BIGINT) AS final_share_pm,
-              |  CAST(tok_final * 1000 // tfin - tok_raw * 1000 // traw AS BIGINT) AS drift_pm
+              |  CAST(tok_raw * 1000 // greatest(traw, 1) AS BIGINT) AS raw_share_pm,
+              |  CAST(tok_final * 1000 // greatest(tfin, 1) AS BIGINT) AS final_share_pm,
+              |  CAST(tok_final * 1000 // greatest(tfin, 1)
+              |    - tok_raw * 1000 // greatest(traw, 1) AS BIGINT) AS drift_pm
               |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
     ) { (s, d) =>
       val surv = col("f_exact") === 0 && col("nr").isNull &&
@@ -2594,12 +2595,21 @@ object PipelineQueries {
       val tot = per.agg(
         sum(col("tok_raw")).cast("long").as("traw"),
         sum(col("tok_final")).cast("long").as("tfin"))
+      // the share divisions guard with greatest(·, 1) (round 17): a corpus
+      // whose funnel retains NOTHING (measured: the heaps30 fixture zeroes
+      // tfin — every doc fails some stage) must yield a defined all-zero
+      // final side, not DIVIDE_BY_ZERO under ANSI mode — the q_c126
+      // gateReport empty-group discipline. Identities whenever any tokens
+      // survive, so the hash-exact contract is untouched.
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_raw"), col("n_final"),
           col("tok_raw"), col("tok_final"),
-          expr("CAST(tok_raw * 1000 DIV traw AS BIGINT)").as("raw_share_pm"),
-          expr("CAST(tok_final * 1000 DIV tfin AS BIGINT)").as("final_share_pm"),
-          expr("CAST(tok_final * 1000 DIV tfin - tok_raw * 1000 DIV traw AS BIGINT)")
+          expr("CAST(tok_raw * 1000 DIV greatest(traw, 1L) AS BIGINT)")
+            .as("raw_share_pm"),
+          expr("CAST(tok_final * 1000 DIV greatest(tfin, 1L) AS BIGINT)")
+            .as("final_share_pm"),
+          expr("CAST(tok_final * 1000 DIV greatest(tfin, 1L)" +
+            " - tok_raw * 1000 DIV greatest(traw, 1L) AS BIGINT)")
             .as("drift_pm"))
         .orderBy(col("source"))
     },

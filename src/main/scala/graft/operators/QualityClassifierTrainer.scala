@@ -104,6 +104,33 @@ object QualityClassifierTrainer {
     modelCache.getOrBuild((d, iters), snap)(trainUncached(s, d, iters))
   }
 
+  /** The per-row scored frame at weights (wBias, w): margin, sigmoid,
+    * clamp, quantized residuals and loss — ONE definition shared by the
+    * full-corpus trainer (q_c137) and the holdout-validated trainer
+    * (q_c139), so the model arithmetic cannot fork between them.
+    * Row-local doubles fold in a fixed order; the DECIMAL quantization
+    * happens HERE, before any cross-document sum.
+    */
+  private def scoredFrame(f: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    f.select(f.columns.map(col).toIndexedSeq :+ marginCol(wBias, w).as("m"): _*)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      // clamp keeps ln() finite if a margin ever saturates p to 0/1
+      .withColumn("pc", least(greatest(col("p"), lit(1e-12)), lit(1.0 - 1e-12)))
+      // residuals live in (-1, 1): DECIMAL(14,12) keeps the later
+      // product with a DECIMAL(10,0) count inside precision 38
+      // (14+10+1 = 25), so the multiply — and therefore the gradient —
+      // is EXACT; a wider residual type would trip Spark's
+      // allowPrecisionLoss scale reduction (25→6 digits) and leak
+      // aggregation-order noise back into the trajectory
+      .withColumn("resid", (col("p") - col("y")).cast("decimal(14,12)"))
+      .withColumn("resid_n", ((col("p") - col("y")) /
+        greatest(col("n_tokens"), lit(1L)).cast("double")).cast("decimal(14,12)"))
+      .withColumn("loss_u", ((-(col("y") * log(col("pc")) +
+        (lit(1L) - col("y")) * log(lit(1.0) - col("pc")))) * lit(1e6))
+        .cast("decimal(18,0)"))
+      .withColumn("correct",
+        when((col("m") > 0) === (col("y") === 1L), 1L).otherwise(0L))
+
   private def trainUncached(s: SparkSession, d: String, iters: Int): Model = {
     val f = featureFrame(s, d)
     val eta = 2.0
@@ -112,33 +139,14 @@ object QualityClassifierTrainer {
     val traj = scala.collection.mutable.ArrayBuffer.empty[IterStat]
     var nDocs = 0L
     for (t <- 1 to iters) {
-      // row-local doubles (fixed fold order), quantized to exact decimal
-      // BEFORE the order-free cross-document sums
-      val scored = f.select(col("y"), col("n_tokens"), col("cnts"),
-          marginCol(wBias, w).as("m"))
-        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("m"))))
-        // clamp keeps ln() finite if a margin ever saturates p to 0/1
-        .withColumn("pc", least(greatest(col("p"), lit(1e-12)), lit(1.0 - 1e-12)))
-        // residuals live in (-1, 1): DECIMAL(14,12) keeps the later
-        // product with a DECIMAL(10,0) count inside precision 38
-        // (14+10+1 = 25), so the multiply — and therefore the gradient —
-        // is EXACT; a wider residual type would trip Spark's
-        // allowPrecisionLoss scale reduction (25→6 digits) and leak
-        // aggregation-order noise back into the trajectory
-        .withColumn("resid", (col("p") - col("y")).cast("decimal(14,12)"))
-        .withColumn("resid_n", ((col("p") - col("y")) /
-          greatest(col("n_tokens"), lit(1L)).cast("double")).cast("decimal(14,12)"))
-        .withColumn("loss_u", ((-(col("y") * log(col("pc")) +
-          (lit(1L) - col("y")) * log(lit(1.0) - col("pc")))) * lit(1e6))
-          .cast("decimal(18,0)"))
+      val scored = scoredFrame(f, wBias, w)
       val gradAggs =
         (0 until D).map(b =>
           sum(col("resid_n") * col("cnts").getItem(b).cast("decimal(10,0)"))
             .as(s"g$b")) ++ Seq(
           sum(col("resid")).as("gb"),
           sum(col("loss_u")).cast("long").as("loss_micros"),
-          sum(when((col("m") > 0) === (col("y") === 1L), 1L).otherwise(0L))
-            .cast("long").as("n_correct"),
+          sum(col("correct")).cast("long").as("n_correct"),
           count(lit(1)).cast("long").as("n_docs"))
       val row = scored.agg(gradAggs.head, gradAggs.tail: _*).head()
       nDocs = row.getAs[Long]("n_docs")
@@ -152,6 +160,77 @@ object QualityClassifierTrainer {
       wBias -= eta * gb / nDocs
     }
     Model(wBias, w, traj.toSeq)
+  }
+
+  /** One holdout-trajectory row: the TRAIN split's gradient drives the
+    * update; the VAL split only reports. All integers (the IterStat
+    * discipline); `val_*` falling alongside `train_*` is the
+    * generalization evidence a production filter gate reads.
+    */
+  final case class SplitStat(iter: Long, nTrain: Long, nVal: Long,
+                             trainCorrect: Long, valCorrect: Long,
+                             trainLossMicros: Long, valLossMicros: Long)
+
+  private val splitModelCache =
+    new graft.core.BuildOnceCache[(String, Int), (Double, Array[Double], Seq[SplitStat])]
+
+  /** q_c139's holdout-validated training: gradient from the q_c37 TRAIN
+    * split only (the REGISTERED split rule — [[PipelineQueries
+    * .splitBucket]] < 800), per-iteration loss/agreement reported for
+    * train AND val from the SAME single aggregation (conditional sums —
+    * the gateReport pivot pattern), so the holdout costs zero extra
+    * scans. The val docs never influence a weight: the generalization
+    * readout is honest by construction (the q_c113 clean-holdout
+    * discipline applied to model training).
+    */
+  private[graft] def trainSplit(s: SparkSession, d: String, iters: Int)
+      : (Double, Array[Double], Seq[SplitStat]) = {
+    val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
+    splitModelCache.getOrBuild((d, iters), snap) {
+      val f = featureFrame(s, d)
+        .withColumn("tr", (PipelineQueries.splitBucket < 800).cast("boolean"))
+      val eta = 2.0
+      var wBias = 0.0
+      val w = Array.fill(D)(0.0)
+      val traj = scala.collection.mutable.ArrayBuffer.empty[SplitStat]
+      for (t <- 1 to iters) {
+        val scored = scoredFrame(f, wBias, w)
+        def onTr(c: org.apache.spark.sql.Column) = when(col("tr"), c)
+        def onVal(c: org.apache.spark.sql.Column) = when(!col("tr"), c)
+        val gradAggs =
+          (0 until D).map(b =>
+            sum(onTr(col("resid_n") * col("cnts").getItem(b).cast("decimal(10,0)")))
+              .as(s"g$b")) ++ Seq(
+            sum(onTr(col("resid"))).as("gb"),
+            coalesce(sum(onTr(col("loss_u"))), lit(0)).cast("long").as("tr_loss"),
+            coalesce(sum(onVal(col("loss_u"))), lit(0)).cast("long").as("va_loss"),
+            coalesce(sum(onTr(col("correct"))), lit(0L)).cast("long").as("tr_ok"),
+            coalesce(sum(onVal(col("correct"))), lit(0L)).cast("long").as("va_ok"),
+            coalesce(sum(onTr(lit(1L))), lit(0L)).cast("long").as("n_tr"),
+            coalesce(sum(onVal(lit(1L))), lit(0L)).cast("long").as("n_va"))
+        val row = scored.agg(gradAggs.head, gradAggs.tail: _*).head()
+        val nTr = row.getAs[Long]("n_tr")
+        val gb = row.getDecimal(D).doubleValue()
+        traj += SplitStat(t.toLong, nTr, row.getAs[Long]("n_va"),
+          row.getAs[Long]("tr_ok"), row.getAs[Long]("va_ok"),
+          row.getAs[Long]("tr_loss"), row.getAs[Long]("va_loss"))
+        for (b <- 0 until D)
+          w(b) -= eta * row.getDecimal(b).doubleValue() / nTr
+        wBias -= eta * gb / nTr
+      }
+      (wBias, w, traj.toSeq)
+    }
+  }
+
+  /** q_c139's trajectory frame — all-integer train/val statistics. */
+  private[graft] def splitTrajectoryDf(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    trainSplit(s, d, iters)._3
+      .map(r => (r.iter, r.nTrain, r.nVal, r.trainCorrect, r.valCorrect,
+        r.trainLossMicros, r.valLossMicros))
+      .toDF("iter", "n_train", "n_val", "train_correct", "val_correct",
+        "train_loss_micros", "val_loss_micros")
   }
 
   /** q_c137's trajectory frame — all-integer per-iteration statistics. */

@@ -59,52 +59,73 @@ object SimilarityQueries {
       seed: Long): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.HyperplaneSignature.register(s)
-    val sig = e.withColumn("sig", expr(s"hyperplane_sig(v, ${bands * rBits}, ${seed}L)"))
-    val bandKeys = sig.select(
-      col("vec_id"),
-      col("label"),
-      explode(
-        expr(
-          s"transform(sequence(0, ${bands - 1})," +
-            s" b -> struct(b AS band, shiftright(sig, b * $rBits) & ${(1 << rBits) - 1} AS key))"
-        )
-      ).as("bk")
-    ).select(col("vec_id"), col("label"), col("bk.band").as("band"), col("bk.key").as("key"))
+    graft.functions.Int8Ops.register(s)
+    val mask = (1 << rBits) - 1
+    // the signature AND the 1-byte/element packed codes ride the band
+    // keys (≤ 8 + d bytes per row), so everything after the ONE
+    // candidate-generating join is a map-side filter — see below
+    val sig = e
+      .withColumn("sig", expr(s"hyperplane_sig(v, ${bands * rBits}, ${seed}L)"))
+      .withColumn("q8", expr("pack_int8(v)"))
+    val bandKeys = sig
+      .select(col("vec_id"), col("label"), col("sig"), col("q8"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("key", expr(s"shiftright(sig, band * $rBits) & $mask"))
+    // CROSS-BAND DEDUP AS A MAP-SIDE FILTER (round 17): the old shape
+    // emitted every (pair, band) collision into a global .distinct() —
+    // a candidate-count-sized hash aggregate that OOM'd the scale30
+    // full-suite session (the un-deduped stream is ~bands× the pair
+    // count; on the near-uniform fixture that is O(n²/keys) rows) —
+    // then joined the survivors back to the packed codes TWICE. With
+    // sig and q8 carried through the band keys, a pair is kept only in
+    // its FIRST colliding band — the exact pair set .distinct()
+    // produced, with zero aggregation state — and the int8 prefilter
+    // runs on the SAME row with zero extra joins. Candidate rows now
+    // stream through whole-stage codegen and never buffer anywhere.
+    //
+    // "First colliding band" as pure integer ops (a HOF lambda here
+    // is NOT codegen'd and measured 1.4× SLOWER than the old distinct;
+    // this form wins): band fb collides iff the rBits-wide slice fb of
+    // x = sigA XOR sigB is zero, so keep iff x has NO zero slice below
+    // the current band. Mask the high slices to ones (y = x | ~low),
+    // then the SWAR zero-slice existence test — (y − ones) & ~y & highs,
+    // with 'ones' the per-slice LSB pattern and 'highs' the per-slice
+    // MSB pattern — is nonzero iff some slice of y is zero (the classic
+    // zero-byte trick at slice granularity; exact for existence).
+    val ones = (0 until 64 / rBits).map(i => 1L << (i * rBits)).reduce(_ | _)
+    val highs = ones << (rBits - 1)
     val cand = bandKeys.as("a")
       .join(
         bandKeys.as("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band")
           && col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id")
       )
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+      .filter(expr(
+        s"""((((a.sig ^ b.sig) | ~(shiftleft(1L, a.band * $rBits) - 1L)) - ${ones}L)
+           | & ~((a.sig ^ b.sig) | ~(shiftleft(1L, a.band * $rBits) - 1L))
+           | & ${highs}L) = 0L""".stripMargin))
     // INT8 CONSERVATIVE PREFILTER (round 13): sign-LSH banding prunes by
     // STRUCTURE, so on an unstructured corpus (the synthetic embeddings
     // are near-uniform) most same-label pairs collide in some band —
     // measured 1×→3× candidate growth drove q_c29 superlinear — and every
     // candidate used to fetch two full float64 arrays for the exact
-    // cosine. Stage the verify: join the candidates to 1-byte/element
-    // packed codes first (8× lighter payload than v), and keep only pairs
-    // whose QUANTIZED cosine reaches τ − ε − 0.001, where ε = 4√d/254 is
-    // a rigorous bound on |cos8 − cos| (per-coordinate dequantization
-    // error ≤ mx/254, ‖a‖ ≥ mx, unit-vector perturbation ≤ 2‖Δ‖/‖a‖ per
-    // side) and the 0.001 slack covers the final 4-dp rounding (a true
-    // cosine of τ − 5e-5 still rounds into the emitted set). The test is
+    // cosine. Keep only pairs whose QUANTIZED cosine reaches
+    // τ − ε − 0.001, where ε = 4√d/254 is a rigorous bound on
+    // |cos8 − cos| (per-coordinate dequantization error ≤ mx/254,
+    // ‖a‖ ≥ mx, unit-vector perturbation ≤ 2‖Δ‖/‖a‖ per side) and the
+    // 0.001 slack covers the final 4-dp rounding (a true cosine of
+    // τ − 5e-5 still rounds into the emitted set). The test is
     // CONSERVATIVE — no pair whose rounded true cosine reaches τ can be
     // dropped, so oracle parity is untouched (LshPlantedPairsSpec /
     // q_c4b / SemanticDedupSpec gate it) — while a random candidate's
     // cosine (~N(0, 1/√d), σ ≈ 0.125 at d=64) sits ~6σ below the cut:
     // the expensive float-array fetch now runs only at true near-dup
     // density, even on adversarially unstructured corpora.
-    graft.functions.Int8Ops.register(s)
-    val codes = e.select(col("vec_id"), expr("pack_int8(v)").as("q8"))
     val pre = cand
-      .join(codes.select(col("vec_id").as("vec_a"), col("q8").as("qa")), Seq("vec_a"))
-      .join(codes.select(col("vec_id").as("vec_b"), col("q8").as("qb")), Seq("vec_b"))
       .filter(expr(
-        s"int8_cos_qq(qa, qb) >= ${tau}D - 0.001D" +
-          " - 4.0D * sqrt(CAST(length(qa) AS DOUBLE)) / 254.0D"))
-      .select(col("vec_a"), col("vec_b"))
+        s"int8_cos_qq(a.q8, b.q8) >= ${tau}D - 0.001D" +
+          " - 4.0D * sqrt(CAST(length(a.q8) AS DOUBLE)) / 254.0D"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     pre
       .join(e.select(col("vec_id").as("vec_a"), col("v")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), Seq("vec_b"))

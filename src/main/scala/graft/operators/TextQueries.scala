@@ -2278,6 +2278,20 @@ object TextQueries {
     // spec pins scores to the reference fold's weights exactly.
     QueryDef("q_c138_classifier_scores", None) { (s, d) =>
       QualityClassifierTrainer.scoresDf(s, d, iters = 24)
+    },
+
+    // ---- q_c139: holdout-validated classifier training ----------------------
+    // q_c137 with the production discipline: the gradient comes from the
+    // REGISTERED q_c37 train split only, and every iteration reports
+    // train AND val loss/agreement from one conditional aggregation (no
+    // extra scan — the gateReport pivot pattern). Val docs never touch a
+    // weight, so the val columns are an honest generalization readout
+    // (the q_c113 clean-holdout discipline applied to training). Model
+    // state ⇒ rows-only; ClassifierTrainerSpec pins the trajectory to
+    // the reference fold restricted to the same split and proves val
+    // loss falls with train loss.
+    QueryDef("q_c139_classifier_holdout", None) { (s, d) =>
+      QualityClassifierTrainer.splitTrajectoryDf(s, d, iters = 24)
     }
   )
 

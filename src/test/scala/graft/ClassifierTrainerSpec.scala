@@ -149,6 +149,57 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("q_c139 holdout trajectory == reference fold on the split; val loss falls") {
+    // reference: identical GD but the gradient folds ONLY train-split
+    // docs (the registered q_c37 rule: LCG bucket < 800), while loss and
+    // agreement are folded per split
+    val docs = collectDocs()
+    def isTrain(id: Long): Boolean =
+      ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L < 800L
+    val eta = 2.0
+    var bias = 0.0
+    val w = Array.fill(D)(0.0)
+    val refTraj = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- 1 to iters) {
+      val g = Array.fill(D)(BigDecimal(0))
+      var gb = BigDecimal(0)
+      var (trLoss, vaLoss) = (BigInt(0), BigInt(0))
+      var (trOk, vaOk, nTr, nVa) = (0L, 0L, 0L, 0L)
+      docs.foreach { doc =>
+        val nD = math.max(doc.n, 1L).toDouble
+        val m = doc.cnts.indices
+          .foldLeft(0.0)((a, i) => a + doc.cnts(i).toDouble * w(i)) / nD + bias
+        val p = 1.0 / (1.0 + math.exp(-m))
+        val pc = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+        val lossU = q((-(doc.y * math.log(pc) +
+          (1L - doc.y) * math.log(1.0 - pc))) * 1e6, 0).toBigInt
+        val ok = (m > 0) == (doc.y == 1L)
+        if (isTrain(doc.docId)) {
+          nTr += 1; trLoss += lossU; if (ok) trOk += 1
+          gb += q(p - doc.y, 12)
+          val residN = q((p - doc.y) / nD, 12)
+          for (b <- 0 until D) g(b) += residN * BigDecimal(doc.cnts(b))
+        } else { nVa += 1; vaLoss += lossU; if (ok) vaOk += 1 }
+      }
+      refTraj += ((t.toLong, nTr, nVa, trOk, vaOk, trLoss.toLong, vaLoss.toLong))
+      for (b <- 0 until D) w(b) -= eta * g(b).doubleValue / nTr
+      bias -= eta * gb.doubleValue / nTr
+    }
+    val eng = SparkEntry.queries("q_c139_classifier_holdout")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(eng === refTraj.toSeq,
+      "the holdout trajectory must equal the split-restricted reference fold")
+    // both splits non-trivial, and the fit GENERALIZES: val loss falls
+    assert(refTraj.head._2 > 0 && refTraj.head._3 > 0)
+    assert(eng.last._7 < eng.head._7,
+      s"val loss must fall: ${eng.head._7} -> ${eng.last._7} micros")
+    assert(eng.last._6 < eng.head._6,
+      s"train loss must fall: ${eng.head._6} -> ${eng.last._6} micros")
+    graft.core.CachedRdds.drain()
+  }
+
   test("q_c138 scores are the reference model's margins, bit-exactly") {
     val docs = collectDocs()
     val (bias, w, _) = refTrain(docs)

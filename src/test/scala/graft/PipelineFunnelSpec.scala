@@ -173,4 +173,30 @@ class PipelineFunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fixture must exercise a non-zero drift somewhere
     assert(drift.exists(_._8 != 0L), "fixture must exercise non-zero drift")
   }
+
+  test("q_c121 on an everything-fails corpus: defined zeros, not DIVIDE_BY_ZERO") {
+    // round 17: the heaps30 scale fixture zeroed the funnel's surviving
+    // token mass (every doc fails some stage) and the unguarded
+    // tok_final DIV tfin threw under ANSI mode. Reproduce: a corpus of
+    // only <50-word documents (all fail q_c31's r_words) must yield a
+    // defined report with an all-zero final side.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("funnel_allfail").toString
+    graft.core.Tables(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) < 50)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.core.Tables(spark, sf, "embeddings")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_c121_funnel_mixture_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, nFinal, tokFinal, rawPm, finPm, driftPm) =>
+      assert(nFinal == 0L && tokFinal == 0L, s"$src: fixture must drop everything")
+      assert(finPm == 0L, s"$src: empty final side reports 0 permille")
+      assert(driftPm == -rawPm, s"$src: drift stays defined")
+    }
+    graft.core.CachedRdds.drain()
+    graft.core.SessionMemo.evict(Some(spark))
+  }
 }

@@ -77,6 +77,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c134_minhash_retirement" - "q_c135_ivf_retirement" // same exclusion (q_c133 class)
         - "q_c136_phrase_retirement" // same exclusion (q_c133 class)
         - "q_c137_classifier_train" - "q_c138_classifier_scores" // learned weights = driver model state (q_c33 trainer class)
+        - "q_c139_classifier_holdout" // same exclusion (trainer class)
         - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }
 
