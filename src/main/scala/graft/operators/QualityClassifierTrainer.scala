@@ -150,6 +150,12 @@ object QualityClassifierTrainer {
           count(lit(1)).cast("long").as("n_docs"))
       val row = scored.agg(gradAggs.head, gradAggs.tail: _*).head()
       nDocs = row.getAs[Long]("n_docs")
+      // fail fast on a degenerate corpus: with zero documents the
+      // decimal sums are NULL (getDecimal would NPE) and the weight
+      // update divides by zero — the round-16 empty-group discipline
+      // (ADVICE round 17)
+      require(nDocs > 0,
+        s"classifier training needs a non-empty corpus ($d has 0 documents)")
       val gb = row.getDecimal(D).doubleValue()
       traj += IterStat(t.toLong, nDocs, row.getAs[Long]("n_correct"),
         row.getAs[Long]("n_correct") * 1000L / math.max(nDocs, 1L),
@@ -179,9 +185,15 @@ object QualityClassifierTrainer {
     * .splitBucket]] < 800), per-iteration loss/agreement reported for
     * train AND val from the SAME single aggregation (conditional sums —
     * the gateReport pivot pattern), so the holdout costs zero extra
-    * scans. The val docs never influence a weight: the generalization
-    * readout is honest by construction (the q_c113 clean-holdout
-    * discipline applied to model training).
+    * scans. The val readout is the REGISTERED val split only —
+    * splitBucket ∈ [800, 900), exactly [[PipelineQueries.splitLabel]]'s
+    * "val" — so the q_c37 TEST split ([900, 1000)) is consumed by
+    * neither gradient nor model selection: it stays untouched for a
+    * final one-shot evaluation (ADVICE round 17 — the old `!tr` val
+    * definition silently folded the test split into the per-iteration
+    * readout). The val docs never influence a weight: the
+    * generalization readout is honest by construction (the q_c113
+    * clean-holdout discipline applied to model training).
     */
   private[graft] def trainSplit(s: SparkSession, d: String, iters: Int)
       : (Double, Array[Double], Seq[SplitStat]) = {
@@ -189,6 +201,8 @@ object QualityClassifierTrainer {
     splitModelCache.getOrBuild((d, iters), snap) {
       val f = featureFrame(s, d)
         .withColumn("tr", (PipelineQueries.splitBucket < 800).cast("boolean"))
+        .withColumn("va", (PipelineQueries.splitBucket >= 800
+          && PipelineQueries.splitBucket < 900).cast("boolean"))
       val eta = 2.0
       var wBias = 0.0
       val w = Array.fill(D)(0.0)
@@ -196,7 +210,7 @@ object QualityClassifierTrainer {
       for (t <- 1 to iters) {
         val scored = scoredFrame(f, wBias, w)
         def onTr(c: org.apache.spark.sql.Column) = when(col("tr"), c)
-        def onVal(c: org.apache.spark.sql.Column) = when(!col("tr"), c)
+        def onVal(c: org.apache.spark.sql.Column) = when(col("va"), c)
         val gradAggs =
           (0 until D).map(b =>
             sum(onTr(col("resid_n") * col("cnts").getItem(b).cast("decimal(10,0)")))
@@ -210,6 +224,11 @@ object QualityClassifierTrainer {
             coalesce(sum(onVal(lit(1L))), lit(0L)).cast("long").as("n_va"))
         val row = scored.agg(gradAggs.head, gradAggs.tail: _*).head()
         val nTr = row.getAs[Long]("n_tr")
+        // an empty train split makes every gradient NULL and the update
+        // 0/0 — fail fast instead of silently producing NaN weights
+        // (ADVICE round 17)
+        require(nTr > 0,
+          s"holdout training needs a non-empty train split ($d yields 0 train docs)")
         val gb = row.getDecimal(D).doubleValue()
         traj += SplitStat(t.toLong, nTr, row.getAs[Long]("n_va"),
           row.getAs[Long]("tr_ok"), row.getAs[Long]("va_ok"),

@@ -57,6 +57,14 @@ object SimilarityQueries {
       bands: Int,
       rBits: Int,
       seed: Long): DataFrame = {
+    // the SWAR first-colliding-band test below computes (y − ones) on
+    // longs; at rBits ≤ 2 an identical-signature pair at a high band
+    // makes y = −2^(band·rBits) with a dense 'ones' pattern, and the
+    // subtraction underflows Long.MIN_VALUE (ANSI overflow). rBits ≥ 3
+    // keeps |ones| small enough that y − ones cannot underflow for any
+    // y ≥ Long.MIN_VALUE + ones (ADVICE round 17).
+    require(rBits >= 3, s"lshCosinePairs needs rBits >= 3 (got $rBits): " +
+      "the SWAR band filter's subtraction can underflow at narrower slices")
     graft.functions.CosineSimilarity.register(s)
     graft.functions.HyperplaneSignature.register(s)
     graft.functions.Int8Ops.register(s)

@@ -60,7 +60,12 @@ class Bm25RetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
       // string fields carry the injective length prefix (ADVICE r16)
       val s0 = names.map { n =>
         r.get(r.fieldIndex(n)) match {
-          case s: String => s"${s.length}:$s"
+          // code-POINT count: the engine (Spark length) and DuckDB
+          // (length) both count code points, while Java String.length
+          // counts UTF-16 units — they diverge on supplementary-plane
+          // characters, so the reference must fold the same prefix
+          // (ADVICE round 17)
+          case s: String => s"${s.codePointCount(0, s.length)}:$s"
           case v => String.valueOf(v)
         }
       }.mkString("|")

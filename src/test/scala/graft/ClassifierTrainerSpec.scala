@@ -154,8 +154,13 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // docs (the registered q_c37 rule: LCG bucket < 800), while loss and
     // agreement are folded per split
     val docs = collectDocs()
-    def isTrain(id: Long): Boolean =
-      ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L < 800L
+    def bucket(id: Long): Long =
+      ((id % 1000000007L) * 1103515245L + 12345L) % 1000000007L % 1000L
+    def isTrain(id: Long): Boolean = bucket(id) < 800L
+    // the REGISTERED val split only (splitLabel's [800, 900)): the test
+    // split [900, 1000) is excluded from the per-iteration readout so
+    // model selection never consumes it (ADVICE round 17)
+    def isVal(id: Long): Boolean = { val b = bucket(id); b >= 800L && b < 900L }
     val eta = 2.0
     var bias = 0.0
     val w = Array.fill(D)(0.0)
@@ -180,7 +185,7 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
           gb += q(p - doc.y, 12)
           val residN = q((p - doc.y) / nD, 12)
           for (b <- 0 until D) g(b) += residN * BigDecimal(doc.cnts(b))
-        } else { nVa += 1; vaLoss += lossU; if (ok) vaOk += 1 }
+        } else if (isVal(doc.docId)) { nVa += 1; vaLoss += lossU; if (ok) vaOk += 1 }
       }
       refTraj += ((t.toLong, nTr, nVa, trOk, vaOk, trLoss.toLong, vaLoss.toLong))
       for (b <- 0 until D) w(b) -= eta * g(b).doubleValue / nTr
