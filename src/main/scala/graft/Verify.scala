@@ -58,6 +58,8 @@ object Verify {
         (() => graft.operators.TextQueries.postingsIndex(spark, sfDir))),
       "q_c66_minhash_stored" -> Seq("minhash_index" ->
         (() => graft.operators.DedupQueries.minhashIndex(spark, sfDir))),
+      "q_c138_classifier_scores" -> Seq("cls_model" ->
+        (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir))),
       "q_c131_ivf_stage1" -> Seq("ivf_index" ->
         (() => graft.operators.SimilarityQueries.int8CompactedIndex(
           spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))),

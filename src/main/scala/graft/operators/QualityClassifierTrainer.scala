@@ -241,6 +241,48 @@ object QualityClassifierTrainer {
     }
   }
 
+  /** The trained model persisted as an ENGINE-NEUTRAL parquet artifact —
+    * the same stored-index discipline as the BM25/MinHash/IVF/phrase
+    * families ([[graft.core.StoredArtifact]] lifecycle): `weights/`
+    * holds one (bucket, weight) row per feature and `meta/` one row of
+    * (w_bias, eta, iters, d, n_docs) hyperparameters, so ANY parquet
+    * reader can score the corpus from the artifact alone — no session
+    * cache, no Spark (tools/compare_oracle.py replays q_c138's scores
+    * in DuckDB from weights + documents and compares bit-exactly; the
+    * margin arithmetic is a fixed-order fold of IEEE ops, so equal
+    * inputs give equal bits). 65 doubles: the artifact is O(model),
+    * never O(corpus).
+    */
+  private val modelArtifactBuilt = new graft.core.StoredArtifact("graft-cls-model")
+
+  private[graft] def modelArtifact(s: SparkSession, d: String, iters: Int = 24): String =
+    modelArtifactBuilt.getOrBuild(
+      s"$d#$iters",
+      graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val m = train(s, d, iters)
+      val sp = s
+      import sp.implicits._
+      m.w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toDF("bucket", "weight")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+      Seq((m.wBias, 2.0, iters.toLong, D.toLong, m.trajectory.last.nDocs))
+        .toDF("w_bias", "eta", "iters", "d", "n_docs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+  /** q_c138's scoring served FROM the stored artifact (weights read back
+    * off parquet, not the session cache) — the load side of the
+    * engine-neutrality claim; ClassifierTrainerSpec pins it
+    * row-identical to the cache-served [[scoresDf]].
+    */
+  private[graft] def scoresFromArtifact(s: SparkSession, d: String, path: String): DataFrame = {
+    val w = new Array[Double](D)
+    s.read.parquet(s"$path/weights").collect()
+      .foreach(r => w(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("weight"))
+    val wBias = s.read.parquet(s"$path/meta").head().getAs[Double]("w_bias")
+    scoreFrame(featureFrame(s, d), wBias, w)
+  }
+
   /** q_c139's trajectory frame — all-integer train/val statistics. */
   private[graft] def splitTrajectoryDf(s: SparkSession, d: String, iters: Int): DataFrame = {
     val sp = s
@@ -269,13 +311,19 @@ object QualityClassifierTrainer {
     */
   private[graft] def scoresDf(s: SparkSession, d: String, iters: Int): DataFrame = {
     val m = train(s, d, iters)
-    featureFrame(s, d)
-      .select(col("doc_id"), col("y").as("label"), col("n_tokens"),
-        marginCol(m.wBias, m.w).as("score"))
+    scoreFrame(featureFrame(s, d), m.wBias, m.w)
+  }
+
+  /** The q_c138 output projection at explicit weights — ONE definition
+    * shared by the cache-served [[scoresDf]] and the artifact-served
+    * [[scoresFromArtifact]], so the two paths cannot fork.
+    */
+  private def scoreFrame(f: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    f.select(col("doc_id"), col("y").as("label"), col("n_tokens"),
+        marginCol(wBias, w).as("score"))
       .select(col("doc_id"), col("label"), col("n_tokens"), col("score"),
         when(col("score") > 0, "keep").otherwise("drop").as("cls"),
         when((col("score") > 0) === (col("label") === 1L), 1L).otherwise(0L)
           .as("correct"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -205,6 +205,28 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("the persisted model artifact round-trips: stored weights serve q_c138 exactly") {
+    val path = QualityClassifierTrainer.modelArtifact(spark, sf, iters)
+    // the stored 65 doubles are the trained model's, bit-exactly
+    val m = QualityClassifierTrainer.train(spark, sf, iters)
+    val stored = spark.read.parquet(s"$path/weights")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stored.size == D)
+    (0 until D).foreach(b => assert(stored(b.toLong) == m.w(b),
+      s"stored weight $b must be the trained weight, bit-exactly"))
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert(meta.getAs[Double]("w_bias") == m.wBias)
+    assert(meta.getAs[Long]("iters") == iters.toLong)
+    // scoring FROM the artifact ≡ scoring from the session cache, row
+    // for row — the engine-neutrality claim's load side
+    val fromStored = QualityClassifierTrainer.scoresFromArtifact(spark, sf, path)
+      .collect().map(_.toString).toSeq
+    val fromCache = SparkEntry.queries("q_c138_classifier_scores")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromStored.nonEmpty && fromStored == fromCache)
+    graft.core.CachedRdds.drain()
+  }
+
   test("q_c138 scores are the reference model's margins, bit-exactly") {
     val docs = collectDocs()
     val (bias, w, _) = refTrain(docs)

@@ -192,6 +192,57 @@ if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
         SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
         FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
 
+if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in only):
+    # Trained-classifier scoring from the STORED MODEL alone: the 65
+    # doubles (weights + bias) are read off the artifact parquet and
+    # inlined as shortest-round-trip literals (a correctly-rounded parse
+    # restores the exact bits), then the margin is re-folded in the
+    # engine's FIXED index order b = 0..63 — every double op is the same
+    # IEEE op on both engines, so the compare is bit-exact (the IVF
+    # replay's discipline). Labels re-derive from the q_c31 rules over
+    # the documents parquet: weights + documents, no Spark.
+    idx = index_paths["cls_model"]
+    mcon = duckdb.connect()
+    wdf = mcon.execute(
+        f"SELECT bucket, weight FROM '{idx}/weights/*.parquet' ORDER BY bucket").df()
+    bias = float(mcon.execute(f"SELECT w_bias FROM '{idx}/meta/*.parquet'").fetchone()[0])
+    ws = [float(w) for w in wdf["weight"]]
+    fold = "0.0"
+    for b, w in enumerate(ws):
+        fold = f"({fold} + CAST(c{b} AS DOUBLE) * {w!r})"
+    margin = f"({fold} / CAST(greatest(n_tokens, 1) AS DOUBLE) + {bias!r})"
+    bucket = ("(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+              "[CAST(ascii(x) AS BIGINT) for x in string_split(w, '')]), "
+              "(acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)")
+    cnt_cols = ",\n               ".join(
+        f"len(list_filter(bs, x -> x = {b})) AS c{b}" for b in range(len(ws)))
+    replay_parity("q_c138_from_stored_model", "q_c138_classifier_scores", f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM '{sfdir}/documents.parquet'),
+        rt AS (SELECT doc_id, [w for w in string_split(lower(text), ' ') if len(w) > 0] AS ws
+               FROM '{sfdir}/documents.parquet'),
+        rm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sumlen,
+                 CAST(len(list_intersect(ws, ['the','of','and','to','in'])) AS BIGINT) AS stop_hits,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+               FROM rt),
+        lab AS (SELECT doc_id,
+                  CAST(CASE WHEN n_words >= 50 AND 3 * n_words <= sumlen
+                    AND 2 * sumlen <= 9 * n_words AND stop_hits >= 1
+                    AND 5 * uniq >= 2 * n_words THEN 1 ELSE 0 END AS BIGINT) AS label
+                FROM rm),
+        h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                list_transform(toks, w -> {bucket}) AS bs
+              FROM t),
+        c AS (SELECT doc_id, n_tokens,
+               {cnt_cols}
+              FROM h),
+        sc AS (SELECT doc_id, n_tokens, {margin} AS score FROM c)
+        SELECT sc.doc_id, lab.label, sc.n_tokens, sc.score,
+          CASE WHEN sc.score > 0 THEN 'keep' ELSE 'drop' END AS cls,
+          CAST(CASE WHEN (sc.score > 0) = (lab.label = 1) THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""")
+
 # Retirement-verdict replays: the GC decision recomputed from the artifact
 # files alone — same canonical row encoding (columns in sorted-name order,
 # '|'-joined, STRING values length-prefixed `<len>:<value>` so content can
