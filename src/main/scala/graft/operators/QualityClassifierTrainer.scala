@@ -65,19 +65,27 @@ object QualityClassifierTrainer {
     */
   private[graft] def featureFrame(s: SparkSession, d: String): DataFrame =
     graft.core.SessionMemo.getOrBuild(
-      s, "cls_features", d, Seq(s"$d/documents.parquet")) {
-      TextQueries.rulesFlags(Tables(s, d, "documents"))
-        .select(col("doc_id"), col("pass").cast("long").as("y"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
-        .select(col("doc_id"), col("y"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          // hash each token ONCE, then fold the bucket ids into a count
-          // array — O(D) array copies per token, zero shuffles
-          expr(s"""aggregate(transform(toks, w -> ${TextQueries.tokenBucket64}),
-                  |  array_repeat(0L, $D),
-                  |  (acc, b) -> transform(acc, (v, i) -> IF(i = b, v + 1L, v)))"""
-            .stripMargin).as("cnts"))
-    }
+      s, "cls_features", d, Seq(s"$d/documents.parquet"))(
+      featurize(Tables(s, d, "documents")))
+
+  /** The text → (doc_id, y, n_tokens, cnts[D]) featurization as a PURE
+    * stateless projection over any (doc_id, text) frame — extracted so
+    * the streaming twin ([[graft.streaming.StreamingOps
+    * .classifierScoresTrained]]) runs the IDENTICAL expression tree per
+    * micro-batch (no memo — a memo has no meaning across batches).
+    */
+  private[graft] def featurize(docs: DataFrame): DataFrame =
+    TextQueries.rulesFlags(docs)
+      .select(col("doc_id"), col("pass").cast("long").as("y"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), col("y"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // hash each token ONCE, then fold the bucket ids into a count
+        // array — O(D) array copies per token, zero shuffles
+        expr(s"""aggregate(transform(toks, w -> ${TextQueries.tokenBucket64}),
+                |  array_repeat(0L, $D),
+                |  (acc, b) -> transform(acc, (v, i) -> IF(i = b, v + 1L, v)))"""
+          .stripMargin).as("cnts"))
 
   /** The per-row margin column at weights (wBias, w): bias + (Σ_b
     * cnt_b·w_b)/max(n_tokens,1), the Σ a FIXED-order index fold (zip_with
@@ -276,12 +284,28 @@ object QualityClassifierTrainer {
     * row-identical to the cache-served [[scoresDf]].
     */
   private[graft] def scoresFromArtifact(s: SparkSession, d: String, path: String): DataFrame = {
+    val (wBias, w) = loadModel(s, path)
+    scoreFrame(featureFrame(s, d), wBias, w)
+  }
+
+  /** Read the 65-double model back off a stored artifact — the load
+    * side shared by [[scoresFromArtifact]] and the streaming twin's
+    * reference state.
+    */
+  private[graft] def loadModel(s: SparkSession, path: String): (Double, Array[Double]) = {
     val w = new Array[Double](D)
     s.read.parquet(s"$path/weights").collect()
       .foreach(r => w(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("weight"))
-    val wBias = s.read.parquet(s"$path/meta").head().getAs[Double]("w_bias")
-    scoreFrame(featureFrame(s, d), wBias, w)
+    (s.read.parquet(s"$path/meta").head().getAs[Double]("w_bias"), w)
   }
+
+  /** The q_c138 scoring as a PURE per-row projection at explicit
+    * weights (no memo, no sort) — the form a micro-batch can run;
+    * [[scoreFrame]] is this plus the batch presentation sort.
+    */
+  private[graft] def scoreProjection(
+      docs: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    scoreCols(featurize(docs), wBias, w)
 
   /** q_c139's trajectory frame — all-integer train/val statistics. */
   private[graft] def splitTrajectoryDf(s: SparkSession, d: String, iters: Int): DataFrame = {
@@ -314,16 +338,19 @@ object QualityClassifierTrainer {
     scoreFrame(featureFrame(s, d), m.wBias, m.w)
   }
 
-  /** The q_c138 output projection at explicit weights — ONE definition
-    * shared by the cache-served [[scoresDf]] and the artifact-served
-    * [[scoresFromArtifact]], so the two paths cannot fork.
+  /** The q_c138 output columns over a feature frame at explicit weights
+    * — ONE definition shared by the cache-served [[scoresDf]], the
+    * artifact-served [[scoresFromArtifact]] and the streaming
+    * [[scoreProjection]], so the paths cannot fork.
     */
-  private def scoreFrame(f: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+  private def scoreCols(f: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
     f.select(col("doc_id"), col("y").as("label"), col("n_tokens"),
         marginCol(wBias, w).as("score"))
       .select(col("doc_id"), col("label"), col("n_tokens"), col("score"),
         when(col("score") > 0, "keep").otherwise("drop").as("cls"),
         when((col("score") > 0) === (col("label") === 1L), 1L).otherwise(0L)
           .as("correct"))
-      .orderBy(col("doc_id"))
+
+  private def scoreFrame(f: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    scoreCols(f, wBias, w).orderBy(col("doc_id"))
 }

@@ -241,6 +241,21 @@ object StreamingOps {
   def classifierScores(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.classifierProjection(docs)
 
+  /** Streaming twin of q_c138's TRAINED scoring: the persisted model
+    * (65 doubles, loaded once from the stored artifact via
+    * [[graft.operators.QualityClassifierTrainer.loadModel]] — reference
+    * state, exactly like q_c61's Bloom summary) applied per arriving
+    * document as the IDENTICAL batch expression tree
+    * ([[graft.operators.QualityClassifierTrainer.scoreProjection]]) in
+    * append mode — zero state, no watermark. This closes the trained
+    * path's twin gap: the fixed-weight q_c30 had [[classifierScores]];
+    * the learned filter now has the same batch ≡ stream guarantee
+    * (StreamingOpsSpec pins row equality across triggers).
+    */
+  def classifierScoresTrained(
+      docs: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    graft.operators.QualityClassifierTrainer.scoreProjection(docs, wBias, w)
+
   /** Stateless streaming twin of q_c37: label a live ingestion stream
     * with its train/val/test assignment — the hash split's stability
     * property (assignment is a pure function of doc_id) is exactly what

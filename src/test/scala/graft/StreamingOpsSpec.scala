@@ -542,6 +542,40 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming TRAINED classifier scoring equals batch q_c138 on persisted weights") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the model is REFERENCE STATE: trained batch-side, persisted, then
+    // loaded from the stored artifact (never retrained per batch)
+    val path = graft.operators.QualityClassifierTrainer.modelArtifact(sp, dir)
+    val (bias, w) = graft.operators.QualityClassifierTrainer.loadModel(sp, path)
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps
+      .classifierScoresTrained(input.toDF().toDF("doc_id", "text"), bias, w)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_clst").toString)
+      .format("memory").queryName("clstrained").outputMode("append").start()
+    // deliberately uneven batches: 1 doc, the bulk, a 9-doc tail
+    for (chunk <- Seq(docs.take(1), docs.slice(1, docs.length - 9),
+        docs.takeRight(9))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = sp.table("clstrained").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    q.stop()
+    val batch = SparkEntry.queries("q_c138_classifier_scores")(sp, dir)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(streamed.nonEmpty && streamed == batch,
+      "trained scoring must be identical on the batch and stream paths")
+  }
+
   test("streaming source-mixture (fMGWS) equals batch q_c28 with a late new source") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
