@@ -2537,6 +2537,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_c140: the TRAINED quality funnel corpus --------------------------
+    // q_c119 with the learned model in the retention seat: near-dup
+    // families keep their best member by q_c137's trained margin
+    // (q_c138's exact arithmetic, integer micros) instead of the fixed
+    // LCG key — the reference-grade pipeline shape, where the filter
+    // that survived holdout validation (q_c139) decides which duplicate
+    // lives. Same shared flag-frame builder, same exact/rules/
+    // decontamination stages, ONE retention-rule copy
+    // ([[qualityDropIdsWith]]) — only the tiny drop-id set changes.
+    // Production flips every conf-dispatched consumer at once via
+    // `spark.graft.quality.trained` (TrainedQualitySpec pins q_c119
+    // under the conf ≡ this registered plan, plus the fixed side
+    // unchanged); this row registers the trained side standalone so the
+    // driver checks it with no conf. Learned weights are model state ⇒
+    // rows-only; TrainedQualitySpec gates the funnel shares (survivors
+    // non-empty, non-family survivors IDENTICAL to q_c119's, symmetric
+    // difference confined to dup-family members).
+    //
+    // 100 TB shape: identical to q_c119 — one corpus scan meeting
+    // broadcast flag sets; training amortizes across the session via
+    // the model cache (and persists via the stored artifact).
+    QueryDef("q_c140_trained_quality_funnel", None) { (s, d) =>
+      funnelFlagsWith(s, d)(qualityDropIdsWith(s, d,
+          QualityClassifierTrainer.trainedQualityKey(s, d)))
+        .filter(col("f_exact") === 0 && col("nr").isNull
+          && col("pass") === 1 && col("ct").isNull)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q_c121: funnel mixture drift --------------------------------------
     // What the funnel does to the SOURCE MIXTURE — the quantity trainers
     // actually sample by (token share, not doc share: q_c117 counts
@@ -2975,33 +3005,54 @@ object PipelineQueries {
     */
   private[graft] def ensembleSignals(s: SparkSession, d: String): DataFrame = {
     graft.functions.CharBigramStats.register(s)
+    // `spark.graft.quality.trained` swaps the classifier VOTE from
+    // q_c30's fixed LCG sign to q_c137's trained verdict — evaluated as
+    // the EXACT q_c138 margin (same cnts fold, same marginExpr IEEE
+    // arithmetic) inside this same fused projection, so the flip costs
+    // zero extra scans. Default off keeps q_c49/q_c102's oracles exact;
+    // both sides pinned by TrainedQualitySpec.
+    val trained = s.conf.get("spark.graft.quality.trained", "false").toBoolean
     val tokHash =
       "aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L)"
     // ONE corpus scan computes all three map-side signals
-    val mapSide = Tables(s, d, "documents")
+    val sigCols = Seq(col("doc_id"),
+      // q_c31's four integer rules, conjoined
+      when(size(col("ws")) >= 50
+        && lit(3) * size(col("ws")) <= expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
+        && lit(2) * expr("aggregate(ws, 0L, (a, w) -> a + length(w))") <= lit(9) * size(col("ws"))
+        && expr("size(array_intersect(ws, array('the','of','and','to','in')))") >= 1
+        && lit(5) * expr("size(array_distinct(ws))") >= lit(2) * size(col("ws")),
+        1).otherwise(0).as("v_rules"),
+      // q_c30's raw integer signal (the sign is the fixed v_cls)
+      expr(s"""aggregate(toks, 0L, (acc, w) ->
+              |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
+        .as("wsum"),
+      size(col("toks")).cast("long").as("n_toks"),
+      // q_c38's entropy ≥ 4.0 (exact decimal division, q_c38's form)
+      when(col("st.n_bigrams") > 0
+        && emit((dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000"))
+          / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
+        1).otherwise(0).as("v_ent")) ++
+      (if (trained) Seq(
+        expr(s"""aggregate(transform(toks, w -> ${TextQueries.tokenBucket64}),
+                |  array_repeat(0L, ${QualityClassifierTrainer.D}),
+                |  (acc, b) -> transform(acc, (v, i) -> IF(i = b, v + 1L, v)))"""
+          .stripMargin).as("cnts")) else Nil)
+    val projected = Tables(s, d, "documents")
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"),
         expr("char_bigram_stats(text)").as("st"))
-      .select(col("doc_id"),
-        // q_c31's four integer rules, conjoined
-        when(size(col("ws")) >= 50
-          && lit(3) * size(col("ws")) <= expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
-          && lit(2) * expr("aggregate(ws, 0L, (a, w) -> a + length(w))") <= lit(9) * size(col("ws"))
-          && expr("size(array_intersect(ws, array('the','of','and','to','in')))") >= 1
-          && lit(5) * expr("size(array_distinct(ws))") >= lit(2) * size(col("ws")),
-          1).otherwise(0).as("v_rules"),
-        // q_c30's raw integer signal (the sign is v_cls)
-        expr(s"""aggregate(toks, 0L, (acc, w) ->
-                |  acc + (($tokHash % 64) * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
-          .as("wsum"),
-        size(col("toks")).cast("long").as("n_toks"),
-        // q_c38's entropy ≥ 4.0 (exact decimal division, q_c38's form)
-        when(col("st.n_bigrams") > 0
-          && emit((dec(expr("CAST(st.ent_s AS DECIMAL(18,0)) / 1000000"))
-            / dec(col("st.n_bigrams"))).cast(D38)) >= 4.0,
-          1).otherwise(0).as("v_ent"))
-      .withColumn("v_cls", when(col("wsum") > 0, 1).otherwise(0))
+      .select(sigCols: _*)
+    val mapSide =
+      if (trained) {
+        val m = QualityClassifierTrainer.train(s, d, 24)
+        projected.withColumn("v_cls",
+          when(QualityClassifierTrainer
+            .marginExpr(m.wBias, m.w, col("cnts"), col("n_toks")) > 0, 1)
+            .otherwise(0))
+          .drop("cnts")
+      } else projected.withColumn("v_cls", when(col("wsum") > 0, 1).otherwise(0))
     // the corpus-global branch: q_c26's scoring off the SHARED tf memo
     val tf = TextQueries.tfUnigram(s, d)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n_tokens"))
@@ -3062,10 +3113,19 @@ object PipelineQueries {
     * action and q_c119's funnel stage. Its DuckDB twin is
     * [[duckQualityDrop]].
     */
-  private[graft] def qualityDropIds(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualityDropIds(s: SparkSession, d: String): DataFrame =
+    qualityDropIdsWith(s, d, TextQueries.qualityKeyFrame(s, d))
+
+  /** The retention rule over an EXPLICIT quality key frame — ONE copy
+    * of "keep each family's best member (qkey DESC, tie → min doc_id)"
+    * whatever scores the members: the fixed key, or q_c137's trained
+    * margin (q_c140).
+    */
+  private[graft] def qualityDropIdsWith(
+      s: SparkSession, d: String, qk: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("qkey").desc, col("doc_id"))
-    familyQualityFrame(s, d)
+    familyQualityFrameWith(s, d, qk)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") =!= 1).select(col("doc_id"))
   }
@@ -3109,8 +3169,15 @@ object PipelineQueries {
     * so the monitor and the action can never score different members.
     */
   private[graft] def familyQualityFrame(s: SparkSession, d: String): DataFrame =
-    TextQueries.qualityKeyFrame(s, d)
-      .select(col("doc_id"), col("qkey"))
+    familyQualityFrameWith(s, d, TextQueries.qualityKeyFrame(s, d))
+
+  /** The family frame over an EXPLICIT quality key — q_c140 passes the
+    * trained key directly (registered standalone, no conf), while the
+    * conf-dispatched consumers go through [[familyQualityFrame]].
+    */
+  private def familyQualityFrameWith(
+      s: SparkSession, d: String, qk: DataFrame): DataFrame =
+    qk.select(col("doc_id"), col("qkey"))
       .join(broadcast(ccFamiliesShared(s, d)), Seq("doc_id"))
 
   /** DuckDB `m(doc_id, cluster_id, qkey)` CTE — the oracle twin of

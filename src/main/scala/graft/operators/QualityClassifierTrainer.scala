@@ -92,12 +92,39 @@ object QualityClassifierTrainer {
     * then left-to-right aggregate) so the double arithmetic is identical
     * on every engine pass and in the spec's reference fold.
     */
-  private def marginCol(wBias: Double, w: Array[Double]) = {
+  private def marginCol(wBias: Double, w: Array[Double]) =
+    marginExpr(wBias, w, col("cnts"), col("n_tokens"))
+
+  /** The margin at explicit (cnts, nTokens) columns — exposed so the
+    * trained ensemble signal ([[PipelineQueries.ensembleSignals]] under
+    * `spark.graft.quality.trained`) evaluates the EXACT q_c138
+    * arithmetic (same fixed fold order, same IEEE ops) inside its own
+    * fused projection; a re-derivation there could disagree on
+    * documents whose margin sits at the threshold.
+    */
+  private[graft] def marginExpr(
+      wBias: Double, w: Array[Double],
+      cnts: org.apache.spark.sql.Column,
+      nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val wLit = array(w.map(x => lit(x)).toIndexedSeq: _*)
     aggregate(
-      zip_with(col("cnts"), wLit, (c, wt) => c.cast("double") * wt),
+      zip_with(cnts, wLit, (c, wt) => c.cast("double") * wt),
       lit(0.0), (a, x) => a + x) /
-      greatest(col("n_tokens"), lit(1L)).cast("double") + lit(wBias)
+      greatest(nTokens, lit(1L)).cast("double") + lit(wBias)
+  }
+
+  /** The TRAINED quality key — (doc_id, n_tokens, qkey) with qkey the
+    * q_c138 margin in integer micros (CAST truncation of a bit-exact
+    * double is deterministic), the drop-in replacement for
+    * [[TextQueries.qualityKeyFrame]]'s fixed-weight key when
+    * `spark.graft.quality.trained` is on: higher = better, ties broken
+    * downstream by min doc_id exactly as before. Model state ⇒ the
+    * trained key has no SQL twin; consumers flip to rows-only gates.
+    */
+  private[graft] def trainedQualityKey(s: SparkSession, d: String): DataFrame = {
+    val m = train(s, d, 24)
+    featureFrame(s, d).select(col("doc_id"), col("n_tokens"),
+      (marginCol(m.wBias, m.w) * lit(1e6)).cast("long").as("qkey"))
   }
 
   /** Train `iters` full-batch iterations at learning rate η = 2.0

@@ -3150,7 +3150,17 @@ object TextQueries {
     */
   private[graft] def qualityKeyFrame(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    classifierRawShared(s, d)
+    // `spark.graft.quality.trained` (default off) swaps the FIXED-weight
+    // quality key for q_c137's TRAINED margin across every consumer at
+    // once (q_c65 curriculum, q_c114 regret, q_c116 retention, q_c119
+    // funnel) — the production flip from the bootstrap model to the
+    // learned one. Default off keeps the registered oracles exact; both
+    // flip sides are pinned by TrainedQualitySpec (the EventDispatchSpec
+    // discipline), and the trained side is REGISTERED standalone as
+    // q_c140 so the driver checks it without any conf.
+    if (s.conf.get("spark.graft.quality.trained", "false").toBoolean)
+      QualityClassifierTrainer.trainedQualityKey(s, d)
+    else classifierRawShared(s, d)
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") === 0, 500L)
           .otherwise(expr("((wsum + 1024 * n_tokens) * 1000) DIV (2048 * n_tokens)"))
