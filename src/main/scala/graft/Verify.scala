@@ -63,6 +63,8 @@ object Verify {
       "q_c131_ivf_stage1" -> Seq("ivf_index" ->
         (() => graft.operators.SimilarityQueries.int8CompactedIndex(
           spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))),
+      "q_c141_retirement_gc" -> Seq("bm25_gc" ->
+        (() => graft.operators.TextQueries.bm25GcIndex(spark, sfDir))),
       "q_c133_segment_retirement" -> {
         lazy val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
         Seq("bm25_segments" -> (() => seg),

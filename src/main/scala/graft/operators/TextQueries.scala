@@ -2292,6 +2292,42 @@ object TextQueries {
     // loss falls with train loss.
     QueryDef("q_c139_classifier_holdout", None) { (s, d) =>
       QualityClassifierTrainer.splitTrajectoryDf(s, d, iters = 24)
+    },
+
+    // ---- q_c141: segment retirement GC (the verb the verdict certifies) -----
+    // q_c133 CERTIFIES retire-ability; this query ACTS on it — the LSM
+    // maintenance step a stored index actually runs: build segments,
+    // compact, recompute the digest verdict, and DELETE the retired
+    // segment directories (atomically gated: all segments certify or
+    // none is dropped), journaling the decision to a gc_log the deleted
+    // segments can no longer contradict. The emitted rows are the
+    // PROOF-OF-SERVICE: the q_c45 BM25 search served from the post-GC
+    // artifact (compacted postings + stats alone), with the GC outcome
+    // (n_dropped from the journal, n_live_segments from the live
+    // directory listing) on every row. Rows-only (stored artifacts
+    // only); RetirementGcSpec proves search(pre-GC segments) ≡
+    // search(post-GC) with the corpus DELETED first, and that a
+    // tampered compaction refuses to drop anything; DuckDB reproduces
+    // this entire frame from the artifact files alone
+    // (tools/compare_oracle.py, tenth parity row).
+    //
+    // 100 TB shape: the verdict is one column-pruned scan per artifact
+    // into additive digest state; the deletion is O(1) metadata; the
+    // search reads only the query terms' postings. Nothing rescans the
+    // corpus.
+    QueryDef("q_c141_retirement_gc", None) { (s, d) =>
+      val path = bm25GcIndex(s, d)
+      val log = s.read.parquet(s"$path/gc_log")
+      val nDropped = log.agg(
+        sum(when(col("action") === "dropped", 1L).otherwise(0L))
+          .cast("long").as("n_dropped"))
+      val segDir = new org.apache.hadoop.fs.Path(s"$path/segments")
+      val fs = segDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nLive = if (fs.exists(segDir)) fs.listStatus(segDir).length.toLong else 0L
+      bm25SearchStored(s, s"$path/compacted", Seq("hash", "join", "filter"))
+        .crossJoin(broadcast(nDropped))
+        .withColumn("n_live_segments", lit(nLive))
+        .orderBy(col("bm25").desc, col("doc_id"))
     }
   )
 
@@ -2798,6 +2834,81 @@ object TextQueries {
         .agg(sum(col("n_docs")).cast("double").as("n_docs"),
           sum(col("tot")).cast("double").as("tot"))
         .write.mode("overwrite").parquet(s"$path/stats")
+    }
+
+  /** The retirement GC VERB — the action the q_c133-class verdict
+    * certifies. Recomputes the digest verdict over the given segment
+    * table paths vs the compacted table, and ONLY if EVERY segment's
+    * verdict fires (Σ segment digests ≡ compacted digest on both 64-bit
+    * chunks AND rows conserve, atomically per segment) deletes the
+    * segment directories; otherwise every directory is kept — the gate
+    * can refuse (RetirementGcSpec proves a tampered compaction keeps
+    * the segments). Returns the journal rows (segment, n_rows,
+    * checksum_a, checksum_b, retire, action) the caller persists as the
+    * artifact's gc_log: the deletion decision stays auditable by any
+    * engine after the segments are gone.
+    */
+  private[graft] def retirementGc(
+      s: org.apache.spark.sql.SparkSession,
+      segments: Seq[(String, String)],
+      compactedRoot: String,
+      table: String): Seq[(String, Long, Long, Long, Long, String)] = {
+    val verdict = segmentRetirementPlan(
+      segments.map { case (n, p) => n -> s.read.parquet(s"$p/$table") },
+      s.read.parquet(s"$compactedRoot/$table"), None)
+      .collect()
+    // ALL segments must certify before ANY is dropped: the compacted
+    // table replaces the whole set, so a single failing segment means
+    // the compaction is not a faithful union and nothing may go
+    val retireAll = verdict.forall(_.getAs[Long]("retire") == 1L)
+    if (retireAll) {
+      val conf = s.sparkContext.hadoopConfiguration
+      segments.foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, true); ()
+      }
+    }
+    verdict.toSeq.map { r =>
+      val seg = r.getAs[String]("segment")
+      val action =
+        if (seg == "compacted") "kept"
+        else if (retireAll) "dropped" else "kept"
+      (seg, r.getAs[Long]("n_rows"), r.getAs[Long]("checksum_a"),
+        r.getAs[Long]("checksum_b"), r.getAs[Long]("retire"), action)
+    }
+  }
+
+  /** q_c141's GC'd BM25 artifact — segments built, compacted, verdict
+    * computed, retired segments DELETED, journal written; its OWN
+    * artifact copy (the shared q_c123 segments artifact must stay
+    * intact for q_c133's replay — GC is destructive by design, so it
+    * never acts on another query's store).
+    */
+  private val bm25GcBuilt = new graft.core.StoredArtifact("graft-bm25-gc")
+
+  private[graft] def bm25GcIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25GcBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      writeBm25Segment(Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 =!= 3), s"$path/segments/seg0")
+      writeBm25Segment(Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 === 3), s"$path/segments/seg1")
+      s.read.parquet(s"$path/segments/seg0/postings", s"$path/segments/seg1/postings")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/compacted/postings")
+      s.read.parquet(s"$path/segments/seg0/stats", s"$path/segments/seg1/stats")
+        .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+          sum(col("tot")).cast("double").as("tot"))
+        .write.mode("overwrite").parquet(s"$path/compacted/stats")
+      val log = retirementGc(s,
+        Seq("seg0" -> s"$path/segments/seg0", "seg1" -> s"$path/segments/seg1"),
+        s"$path/compacted", "postings")
+      val sp = s
+      import sp.implicits._
+      log.toDF("segment", "n_rows", "checksum_a", "checksum_b", "retire", "action")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/gc_log")
     }
 
   /** BM25 top-20 served from the stored index: the scan reads ONLY the

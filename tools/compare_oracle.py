@@ -192,6 +192,37 @@ if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
         SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
         FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
 
+if "bm25_gc" in index_paths and (only is None or "q_c141_retirement_gc" in only):
+    # Post-GC search + GC outcome from the GC'd artifact alone: the q_c45
+    # BM25 scoring over the surviving compacted postings/stats, n_dropped
+    # re-counted from the gc_log journal, and n_live_segments re-derived
+    # by GLOBBING the artifact's segments directory — if the engine
+    # claimed a drop it didn't perform (or performed one it didn't
+    # journal), the filesystem contradicts the dumped frame here.
+    idx = index_paths["bm25_gc"]
+    replay_parity("q_c141_from_gc_artifact", "q_c141_retirement_gc", f"""
+        WITH p AS (SELECT term, doc_id, tf, dl FROM '{idx}/compacted/postings/*.parquet'
+                   WHERE term IN ('hash','join','filter')),
+        s AS (SELECT n_docs, tot FROM '{idx}/compacted/stats/*.parquet'),
+        dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1),
+        scored AS (
+          SELECT p.doc_id,
+            CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+              * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.tot / s.n_docs)))
+              AS DECIMAL(18,6)) AS tscore
+          FROM p JOIN dfq q USING (term) CROSS JOIN s),
+        bm AS (SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+               FROM scored GROUP BY 1),
+        g AS (SELECT CAST(SUM(CASE WHEN action = 'dropped' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dropped
+              FROM '{idx}/gc_log/*.parquet'),
+        live AS (SELECT CAST(COUNT(DISTINCT regexp_extract(file, 'segments/([^/]+)/', 1))
+                   AS BIGINT) AS n_live_segments
+                 FROM glob('{idx}/segments/*/*/*.parquet'))
+        SELECT bm.doc_id, bm.bm25, g.n_dropped, live.n_live_segments
+        FROM bm CROSS JOIN g CROSS JOIN live
+        ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 20""")
+
 if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in only):
     # Trained-classifier scoring from the STORED MODEL alone: the 65
     # doubles (weights + bias) are read off the artifact parquet and
