@@ -7,7 +7,14 @@ near-duplicate families, 5 langs (en-dominant), 20 sources; embeddings
 unit-normalized 64-dim float with a weak 10-label tilt. Seed fixed at
 1042 so every run reproduces byte-identical parquet.
 
-Usage: gen_scale_docs.py <outdir> [scale=10]
+Usage: gen_scale_docs.py <outdir> [scale=10] [mode=heaps]
+Modes: heaps (DEFAULT — production-shaped Heaps/Zipf vocabulary, the
+round-over-round scale receipt), uniform (fixed 30-word vocab — the
+deliberately ADVERSARIAL shingle-density probe; expect q_c3's n²
+candidate class), skew, skewchunk (heavy-tail length fixtures).
+Scale sessions should pair the heaps fixture with the memo budget its
+own working-set warning prescribes (4 GB at scale 30:
+SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.memo.maxBytes=4294967296").
 Writes <outdir>/documents.parquet and <outdir>/embeddings.parquet with
 scale * (5000 docs, 2000 vectors). Other tables should be symlinked from
 sf0.1 (only documents/embeddings feed the heavy-five queries).
@@ -158,7 +165,11 @@ def gen_embeddings(n, rng):
 def main():
     outdir = sys.argv[1]
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    mode = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+    # heaps is the DEFAULT since round 18: production-shaped vocabulary
+    # growth (the comparable round-over-round receipt); the fixed-vocab
+    # uniform mode is the documented ADVERSARIAL density probe (q_c3's
+    # disk-full class) and must be asked for explicitly
+    mode = sys.argv[3] if len(sys.argv) > 3 else "heaps"
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     gen = {"uniform": gen_documents, "heaps": gen_documents_heaps,
