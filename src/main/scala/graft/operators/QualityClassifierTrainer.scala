@@ -334,6 +334,32 @@ object QualityClassifierTrainer {
       docs: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
     scoreCols(featurize(docs), wBias, w)
 
+  /** q_c142's one-shot TEST evaluation — the final number a production
+    * filter ships with. The q_c37 test split ([[PipelineQueries
+    * .splitBucket]] ≥ 900) is scored EXACTLY ONCE, with the final
+    * holdout-trained weights (q_c139's — gradient from train only, val
+    * only reported): no gradient ever folded a test doc, no
+    * per-iteration readout ever showed one (ADVICE round 17 closed that
+    * leak), so this aggregate is an unbiased generalization estimate by
+    * construction. One filtered scan of the memoized feature frame into
+    * a single all-integer row; deterministic via the same decimal
+    * quantization as the trajectories.
+    */
+  private[graft] def testEvalDf(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val (wBias, w, _) = trainSplit(s, d, iters)
+    val f = featureFrame(s, d)
+      .filter(PipelineQueries.splitBucket >= 900)
+    scoredFrame(f, wBias, w)
+      .agg(
+        count(lit(1)).cast("long").as("n_test"),
+        coalesce(sum(col("correct")), lit(0L)).cast("long").as("n_correct"),
+        coalesce(sum(col("loss_u")), lit(0)).cast("long").as("loss_micros"))
+      .select(col("n_test"), col("n_correct"),
+        (col("n_correct") * 1000L / greatest(col("n_test"), lit(1L)))
+          .cast("long").as("acc_pm"),
+        col("loss_micros"))
+  }
+
   /** q_c139's trajectory frame — all-integer train/val statistics. */
   private[graft] def splitTrajectoryDf(s: SparkSession, d: String, iters: Int): DataFrame = {
     val sp = s

@@ -2294,6 +2294,20 @@ object TextQueries {
       QualityClassifierTrainer.splitTrajectoryDf(s, d, iters = 24)
     },
 
+    // ---- q_c142: one-shot test-split evaluation ------------------------------
+    // The final member of the train/val/test discipline: q_c139 trains
+    // on the registered train split and reads val per iteration; this
+    // row consumes the TEST split ([900, 1000)) exactly once, with the
+    // final holdout-trained weights — the unbiased generalization
+    // number a production filter gate ships with (no gradient, no
+    // model-selection readout ever saw a test doc). ONE filtered scan
+    // of the shared feature memo into a single all-integer row. Model
+    // state ⇒ rows-only; ClassifierTrainerSpec pins the row to the
+    // split-restricted reference fold exactly.
+    QueryDef("q_c142_classifier_test_eval", None) { (s, d) =>
+      QualityClassifierTrainer.testEvalDf(s, d, iters = 24)
+    },
+
     // ---- q_c141: segment retirement GC (the verb the verdict certifies) -----
     // q_c133 CERTIFIES retire-ability; this query ACTS on it — the LSM
     // maintenance step a stored index actually runs: build segments,

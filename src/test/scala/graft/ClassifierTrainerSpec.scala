@@ -202,6 +202,27 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"val loss must fall: ${eng.head._7} -> ${eng.last._7} micros")
     assert(eng.last._6 < eng.head._6,
       s"train loss must fall: ${eng.head._6} -> ${eng.last._6} micros")
+    // q_c142: the one-shot TEST evaluation at the final holdout-trained
+    // weights equals the reference fold over the untouched test split
+    val testDocs = docs.filter(d => bucket(d.docId) >= 900L)
+    assert(testDocs.nonEmpty, "the test split must be non-trivial")
+    var (refLoss, refOk) = (BigInt(0), 0L)
+    testDocs.foreach { doc =>
+      val nD = math.max(doc.n, 1L).toDouble
+      val m = doc.cnts.indices
+        .foldLeft(0.0)((a, i) => a + doc.cnts(i).toDouble * w(i)) / nD + bias
+      val p = 1.0 / (1.0 + math.exp(-m))
+      val pc = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+      refLoss += q((-(doc.y * math.log(pc) +
+        (1L - doc.y) * math.log(1.0 - pc))) * 1e6, 0).toBigInt
+      if ((m > 0) == (doc.y == 1L)) refOk += 1
+    }
+    val ev = SparkEntry.queries("q_c142_classifier_test_eval")(spark, sf).head()
+    assert(ev.getLong(0) == testDocs.length.toLong)
+    assert(ev.getLong(1) == refOk)
+    assert(ev.getLong(2) == refOk * 1000L / testDocs.length)
+    assert(ev.getLong(3) == refLoss.toLong,
+      "test loss must equal the reference fold exactly")
     graft.core.CachedRdds.drain()
   }
 
