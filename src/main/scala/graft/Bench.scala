@@ -69,6 +69,7 @@ object Bench {
     "q_c33_bpe_train", "q_c80_kn_bigram_lm", "q_c87_kn_trigram_ppl",
     "q_c110_tokenizer_fertility", "q_c137_classifier_train",
     "q_c138_classifier_scores", "q_c139_classifier_holdout",
+    "q_c143_model_drift",
     // calibration + capstones (the most expensive bench rows)
     "q_c85_candidate_agreement", "q_c95_winnow_calibration",
     "q_c105_family_diameter", "q_c117_pipeline_funnel",

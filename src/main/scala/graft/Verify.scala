@@ -60,11 +60,19 @@ object Verify {
         (() => graft.operators.DedupQueries.minhashIndex(spark, sfDir))),
       "q_c138_classifier_scores" -> Seq("cls_model" ->
         (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir))),
+      "q_c143_model_drift" -> Seq("cls_model_drift" ->
+        (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir))),
       "q_c131_ivf_stage1" -> Seq("ivf_index" ->
         (() => graft.operators.SimilarityQueries.int8CompactedIndex(
           spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))),
       "q_c141_retirement_gc" -> Seq("bm25_gc" ->
         (() => graft.operators.TextQueries.bm25GcIndex(spark, sfDir))),
+      "q_c144_minhash_gc" -> Seq("minhash_gc" ->
+        (() => graft.operators.DedupQueries.minhashGcIndex(spark, sfDir))),
+      "q_c145_ivf_gc" -> Seq("ivf_gc" ->
+        (() => graft.operators.SimilarityQueries.int8GcIndex(spark, sfDir))),
+      "q_c146_phrase_gc" -> Seq("phrase_gc" ->
+        (() => graft.operators.TextQueries.phraseGcIndex(spark, sfDir))),
       "q_c133_segment_retirement" -> {
         lazy val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
         Seq("bm25_segments" -> (() => seg),

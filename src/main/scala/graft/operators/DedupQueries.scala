@@ -270,7 +270,7 @@ object DedupQueries {
     * by the derived path ([[minhashCandidates]]) and the stored-index
     * path ([[minhashSearchStored]]), so the two can never drift.
     */
-  private def candidatesFromSigs(sig: DataFrame): DataFrame = {
+  private[graft] def candidatesFromSigs(sig: DataFrame): DataFrame = {
     val bands = (0 until 3)
       .map { bandIdx =>
         sig.select(
@@ -1442,6 +1442,28 @@ object DedupQueries {
         Seq("seg0" -> s.read.parquet(s"$segPath/seg0/sigs"),
           "seg1" -> s.read.parquet(s"$segPath/seg1/sigs")),
         s.read.parquet(s"$cPath/sigs"))
+    },
+
+    // ---- q_c144: MinHash-signature retirement GC -----------------------------
+    // The q_c141 GC verb for the MinHash family: build signature
+    // segments, compact, recompute the q_c134 digest verdict, DELETE
+    // the certified segment directories (atomically gated), journal to
+    // gc_log. Frame = the q_c66 banded candidate search served from the
+    // post-GC compacted signature table + the GC outcome
+    // ([[TextQueries.gcServe]]). Rows-only (stored artifacts only);
+    // RetirementGcSpec proves post-GC candidates ≡ the pre-GC
+    // segment-union candidates with the corpus deleted first; DuckDB
+    // reproduces the frame from the GC'd artifact alone
+    // (tools/compare_oracle.py).
+    //
+    // 100 TB shape: the digest is one column-pruned scan per artifact
+    // into additive 1-row state; the candidate search shuffles 48 B/doc
+    // signatures on band keys, never the corpus.
+    QueryDef("q_c144_minhash_gc", None) { (s, d) =>
+      val path = minhashGcIndex(s, d)
+      TextQueries.gcServe(s, path,
+        minhashSearchStored(s, s"$path/compacted"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -1670,5 +1692,33 @@ object DedupQueries {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/sigs")
+    }
+
+  /** q_c144's GC'd MinHash artifact — signature segments built,
+    * compacted, the q_c134 verdict recomputed, retired segment
+    * directories DELETED (atomically gated), journal written; its OWN
+    * artifact copy (GC is destructive by design — it never acts on
+    * q_c134's shared segments store).
+    */
+  private val minhashGcBuilt = new graft.core.StoredArtifact("graft-minhash-gc")
+
+  private[graft] def minhashGcIndex(s: SparkSession, d: String): String =
+    minhashGcBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val sigs = minhashSignatures(s, d)
+      Seq(("seg0", col("doc_id") % 10 =!= 3), ("seg1", col("doc_id") % 10 === 3))
+        .foreach { case (seg, pred) =>
+          sigs.filter(pred)
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$path/segments/$seg/sigs")
+        }
+      s.read.parquet(s"$path/segments/seg0/sigs", s"$path/segments/seg1/sigs")
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/compacted/sigs")
+      TextQueries.writeGcLog(s, TextQueries.retirementGc(s,
+        Seq("seg0" -> s"$path/segments/seg0", "seg1" -> s"$path/segments/seg1"),
+        s"$path/compacted", Seq("sigs" -> None)), path)
     }
 }

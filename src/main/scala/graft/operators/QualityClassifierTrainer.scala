@@ -303,7 +303,86 @@ object QualityClassifierTrainer {
       Seq((m.wBias, 2.0, iters.toLong, D.toLong, m.trajectory.last.nDocs))
         .toDF("w_bias", "eta", "iters", "d", "n_docs")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // the TRAINING-TIME score distribution, persisted beside the
+      // weights: the baseline q_c143's drift monitor compares arriving
+      // batches against. All-integer (keep counts + margin micros sums
+      // — raw sums, never integer division: truncating division on
+      // negative sums diverges between engines), so the row is
+      // engine-neutral and the DuckDB replay is exact.
+      scoreStats(scoresDf(s, d, iters))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
     }
+
+  /** The all-integer score-distribution row over any q_c138-shaped
+    * frame — (n_docs, n_keep, keep_pm, margin_sum_micros): ONE
+    * definition shared by the artifact's training-time baseline and
+    * q_c143's arriving-batch side, so the drift compare cannot fork.
+    * Margins truncate toward zero at micros (Spark double→long cast;
+    * the DuckDB replay uses trunc() to match), keep_pm guards the
+    * empty-batch case with greatest(n, 1).
+    */
+  private def scoreStats(scored: DataFrame): DataFrame =
+    scored.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(when(col("cls") === "keep", 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_keep"),
+      coalesce(sum((col("score") * lit(1e6)).cast("long")), lit(0L))
+        .cast("long").as("margin_sum_micros"))
+      .select(col("n_docs"), col("n_keep"),
+        (col("n_keep") * 1000L / greatest(col("n_docs"), lit(1L)))
+          .cast("long").as("keep_pm"),
+        col("margin_sum_micros"))
+
+  /** Drift-alarm thresholds. TWO signals, because either can be dead
+    * alone: a conservative model (this corpus — max weight + bias < 0,
+    * every verdict is drop) never moves its keep rate no matter how
+    * the text shifts, but its margin MEAN still tracks the arriving
+    * distribution; conversely a calibrated-threshold model can flip
+    * verdicts while the mean barely moves. 100 permille of keep rate
+    * (10 points) or 100 000 micros of mean margin (0.1 logit units —
+    * ≥ 5σ of the batch-mean sampling noise at the registered batch
+    * sizes) — neither is explainable by sampling noise.
+    */
+  private[graft] val driftKeepPmThreshold     = 100L
+  private[graft] val driftMeanMicrosThreshold = 100000L
+
+  /** q_c143's drift report — the production trigger for RETRAINING: an
+    * arriving batch is scored with the STORED weights (never retrained
+    * per batch) and its keep-rate AND mean margin are compared to the
+    * artifact's persisted training-time baseline; the alarm fires at
+    * either [[driftKeepPmThreshold]] or [[driftMeanMicrosThreshold]].
+    * Mean margins divide with `div` — EXACT-integer trunc-toward-zero
+    * division, which DuckDB's `//` matches on negative sums (double
+    * division + cast would not be provably engine-stable here). One
+    * map-side scoring projection over the batch + one 3-cell aggregate
+    * + the broadcast 1-row baseline read: nothing rescans the training
+    * corpus.
+    */
+  private[graft] def driftReport(
+      s: SparkSession, path: String, batch: DataFrame): DataFrame = {
+    val (wBias, w) = loadModel(s, path)
+    val base = s.read.parquet(s"$path/baseline")
+      .select(col("n_docs").as("n_base"), col("keep_pm").as("keep_pm_base"),
+        col("margin_sum_micros").as("ms_base"))
+    scoreStats(scoreProjection(batch, wBias, w))
+      .select(col("n_docs").as("n_batch"), col("keep_pm").as("keep_pm_batch"),
+        col("margin_sum_micros").as("ms_batch"))
+      .crossJoin(broadcast(base))
+      .withColumn("mean_margin_micros_base",
+        expr("ms_base div greatest(n_base, 1)"))
+      .withColumn("mean_margin_micros_batch",
+        expr("ms_batch div greatest(n_batch, 1)"))
+      .withColumn("delta_keep_pm", col("keep_pm_batch") - col("keep_pm_base"))
+      .withColumn("delta_mean_micros",
+        col("mean_margin_micros_batch") - col("mean_margin_micros_base"))
+      .withColumn("alarm",
+        when(abs(col("delta_keep_pm")) >= driftKeepPmThreshold ||
+             abs(col("delta_mean_micros")) >= driftMeanMicrosThreshold, 1L)
+          .otherwise(0L))
+      .select(col("n_base"), col("keep_pm_base"), col("mean_margin_micros_base"),
+        col("n_batch"), col("keep_pm_batch"), col("mean_margin_micros_batch"),
+        col("delta_keep_pm"), col("delta_mean_micros"), col("alarm"))
+  }
 
   /** q_c138's scoring served FROM the stored artifact (weights read back
     * off parquet, not the session cache) — the load side of the

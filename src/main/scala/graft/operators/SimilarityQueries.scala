@@ -739,6 +739,28 @@ object SimilarityQueries {
         Seq("seg0" -> s.read.parquet(s"$segPath/seg0/codes"),
           "seg1" -> s.read.parquet(s"$segPath/seg1/codes")),
         s.read.parquet(s"$cPath/codes"))
+    },
+
+    // ---- q_c145: int8-IVF retirement GC --------------------------------------
+    // The q_c141 GC verb for the int8 code family: build code segments
+    // under the FROZEN quantizer, compact (model/cents carried
+    // through), recompute the q_c135 digest verdict over the packed
+    // BINARY codes, DELETE the certified segment directories
+    // (atomically gated), journal to gc_log. Frame = the q_c131
+    // symmetric-int8 stage-1 search served from the post-GC compacted
+    // artifact + the GC outcome ([[TextQueries.gcServe]]). Rows-only
+    // (stored artifacts only); RetirementGcSpec proves post-GC search ≡
+    // the pre-GC segment-union search with the embeddings copy deleted
+    // first; DuckDB reproduces the frame from the GC'd artifact alone
+    // (tools/compare_oracle.py).
+    //
+    // 100 TB shape: the digest is one column-pruned scan per artifact
+    // into additive 1-row state; stage-1 scans stored int8 codes at
+    // 0.17× the float bytes, cell-routed.
+    QueryDef("q_c145_ivf_gc", None) { (s, d) =>
+      val path = int8GcIndex(s, d)
+      TextQueries.gcServe(s, path, ivfStage1Sym(s, s"$path/compacted"))
+        .orderBy(col("query_id"), col("arank"))
     }
   )
 
@@ -1003,6 +1025,40 @@ object SimilarityQueries {
         .write.mode("overwrite").parquet(s"$path/codes")
     }
 
+  /** q_c145's GC'd int8-IVF artifact — code segments built under the
+    * frozen quantizer, compacted with model/cents carried through, the
+    * q_c135 verdict recomputed, retired segment directories DELETED
+    * (atomically gated), journal written; its OWN artifact copy (GC is
+    * destructive by design — it never acts on q_c135's shared
+    * segments store).
+    */
+  private val int8GcBuilt = new graft.core.StoredArtifact("graft-int8-gc")
+
+  private[graft] def int8GcIndex(s: SparkSession, d: String): String =
+    int8GcBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/embeddings.parquet"))) { path =>
+      val base = int8BaseIndex(s, d)
+      val (fn, _, _) = frozenQuantizer(s, base)
+      graft.functions.Int8Ops.register(s)
+      s.read.parquet(s"$base/codes")
+        .write.mode("overwrite").parquet(s"$path/segments/seg0/codes")
+      embDouble(s, d).filter(col("vec_id") % 10 === 3)
+        .withColumn("cell", expr(s"element_at($fn(v, 1), 1)"))
+        .select(col("vec_id"), col("cell"), expr("pack_int8(v)").as("q8"))
+        .write.mode("overwrite").parquet(s"$path/segments/seg1/codes")
+      Seq("model", "cents").foreach { t =>
+        s.read.parquet(s"$base/$t").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/compacted/$t")
+      }
+      s.read.parquet(s"$path/segments/seg0/codes", s"$path/segments/seg1/codes")
+        .repartitionByRange(col("cell"), col("vec_id"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$path/compacted/codes")
+      TextQueries.writeGcLog(s, TextQueries.retirementGc(s,
+        Seq("seg0" -> s"$path/segments/seg0", "seg1" -> s"$path/segments/seg1"),
+        s"$path/compacted", Seq("codes" -> None)), path)
+    }
+
   /** q_c131's artifact-only stage-1: queries served from their own
     * stored codes, probe ranking and candidate scores both the
     * symmetric int8 cosine. Every arithmetic step is either exact
@@ -1016,9 +1072,21 @@ object SimilarityQueries {
   private[graft] def ivfStage1Sym(
       s: SparkSession, path: String, fetch: Int = 20): DataFrame = {
     graft.functions.Int8Ops.register(s)
-    val nprobe = s.read.parquet(s"$path/model").head().getInt(1)
-    val codes = s.read.parquet(s"$path/codes")
-    val cq = s.read.parquet(s"$path/cents")
+    ivfStage1SymFrames(s,
+      s.read.parquet(s"$path/model").head().getInt(1),
+      s.read.parquet(s"$path/codes"),
+      s.read.parquet(s"$path/cents"), fetch)
+  }
+
+  /** [[ivfStage1Sym]] over explicit frames — the tail shared by the
+    * stored-path serve and RetirementGcSpec's pre-GC segment-union
+    * search, so the two cannot drift. Requires Int8Ops registered.
+    */
+  private[graft] def ivfStage1SymFrames(
+      s: SparkSession, nprobe: Int, codes: DataFrame, cents: DataFrame,
+      fetch: Int = 20): DataFrame = {
+    graft.functions.Int8Ops.register(s)
+    val cq = cents
       .select(col("cell"), expr("pack_int8(ctr)").as("c8"))
     val queries = codes.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("q8").as("p8"))

@@ -2308,6 +2308,32 @@ object TextQueries {
       QualityClassifierTrainer.testEvalDf(s, d, iters = 24)
     },
 
+    // ---- q_c143: trained-model drift monitor ---------------------------------
+    // The production trigger for RETRAINING: an ARRIVING batch (the
+    // q_c70 append convention — doc_id % 10 = 3) is scored with the
+    // STORED model artifact's weights, and its keep-rate AND mean
+    // margin are compared to the training-time baseline persisted
+    // INSIDE the artifact; the alarm fires at ≥ 100 permille keep-rate
+    // divergence OR ≥ 100 000 micros mean-margin divergence (two
+    // signals because a conservative all-drop model — this corpus —
+    // never moves its keep rate, while its margin mean still tracks
+    // the arriving text). Model state ⇒ rows-only;
+    // ClassifierTrainerSpec pins the row against an independent fold
+    // and proves the alarm fires on a constructed drifted batch and
+    // stays quiet on the in-distribution one. DuckDB reproduces the
+    // ENTIRE row from the artifact + documents alone
+    // (tools/compare_oracle.py, eleventh parity row) — baseline off the
+    // stored parquet, batch side re-scored from the stored weights.
+    //
+    // 100 TB shape: one map-side scoring projection over the BATCH
+    // (never the training corpus) + one 3-cell aggregate + a broadcast
+    // 1-row baseline read.
+    QueryDef("q_c143_model_drift", None) { (s, d) =>
+      val path = QualityClassifierTrainer.modelArtifact(s, d)
+      QualityClassifierTrainer.driftReport(s, path,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 === 3))
+    },
+
     // ---- q_c141: segment retirement GC (the verb the verdict certifies) -----
     // q_c133 CERTIFIES retire-ability; this query ACTS on it — the LSM
     // maintenance step a stored index actually runs: build segments,
@@ -2331,17 +2357,30 @@ object TextQueries {
     // corpus.
     QueryDef("q_c141_retirement_gc", None) { (s, d) =>
       val path = bm25GcIndex(s, d)
-      val log = s.read.parquet(s"$path/gc_log")
-      val nDropped = log.agg(
-        sum(when(col("action") === "dropped", 1L).otherwise(0L))
-          .cast("long").as("n_dropped"))
-      val segDir = new org.apache.hadoop.fs.Path(s"$path/segments")
-      val fs = segDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val nLive = if (fs.exists(segDir)) fs.listStatus(segDir).length.toLong else 0L
-      bm25SearchStored(s, s"$path/compacted", Seq("hash", "join", "filter"))
-        .crossJoin(broadcast(nDropped))
-        .withColumn("n_live_segments", lit(nLive))
+      gcServe(s, path,
+        bm25SearchStored(s, s"$path/compacted", Seq("hash", "join", "filter")))
         .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
+    // ---- q_c146: phrase-index retirement GC ---------------------------------
+    // The q_c141 GC verb for the phrase family — the MULTI-TABLE case
+    // the family-general gate exists for: a phrase segment stores BOTH
+    // positional postings (row-mode digest) and a bigram count table
+    // (weighted-mode digest, linear in cnt), and the directory may only
+    // drop when BOTH tables certify — the q_c136 "live and die
+    // together" invariant, now enforced by the ACTION. Frame = the
+    // q_c103 phrase search served from the post-GC compacted artifact
+    // + the GC outcome ([[gcServe]]). Rows-only (stored artifacts);
+    // RetirementGcSpec proves post-GC search ≡ the pre-GC segment-union
+    // search with the corpus deleted first; DuckDB reproduces the frame
+    // from the GC'd artifact alone (tools/compare_oracle.py).
+    //
+    // 100 TB shape: digests are one column-pruned scan per table into
+    // additive 1-row state; the search reads only the top-phrase terms.
+    QueryDef("q_c146_phrase_gc", None) { (s, d) =>
+      val path = phraseGcIndex(s, d)
+      gcServe(s, path, phraseSearchStored(s, s"$path/compacted"))
+        .orderBy(col("phrase"))
     }
   )
 
@@ -2851,30 +2890,41 @@ object TextQueries {
     }
 
   /** The retirement GC VERB — the action the q_c133-class verdict
-    * certifies. Recomputes the digest verdict over the given segment
-    * table paths vs the compacted table, and ONLY if EVERY segment's
-    * verdict fires (Σ segment digests ≡ compacted digest on both 64-bit
-    * chunks AND rows conserve, atomically per segment) deletes the
-    * segment directories; otherwise every directory is kept — the gate
-    * can refuse (RetirementGcSpec proves a tampered compaction keeps
-    * the segments). Returns the journal rows (segment, n_rows,
-    * checksum_a, checksum_b, retire, action) the caller persists as the
-    * artifact's gc_log: the deletion decision stays auditable by any
-    * engine after the segments are gone.
+    * certifies, family-general: `tables` names every table a segment
+    * directory stores, with the optional weight column of the
+    * weighted-digest (per-key SUM compaction) shape — ("postings",
+    * None) for BM25, ("sigs", None) for MinHash, ("codes", None) for
+    * int8-IVF, and BOTH ("postings", None) + ("bigrams", Some("cnt"))
+    * for the phrase family, whose tables live and die together.
+    * Recomputes the digest verdict over the given segment table paths
+    * vs the compacted tables, and ONLY if EVERY (table × segment)
+    * verdict fires (Σ segment digests ≡ compacted digest on both
+    * 64-bit chunks AND rows conserve) deletes the segment directories;
+    * otherwise every directory is kept — the gate can refuse
+    * (RetirementGcSpec proves a tampered compaction keeps the
+    * segments). Returns the journal rows (tbl, segment, n_rows,
+    * checksum_a, checksum_b, retire, action) the caller persists as
+    * the artifact's gc_log: the deletion decision stays auditable by
+    * any engine after the segments are gone.
     */
   private[graft] def retirementGc(
       s: org.apache.spark.sql.SparkSession,
       segments: Seq[(String, String)],
       compactedRoot: String,
-      table: String): Seq[(String, Long, Long, Long, Long, String)] = {
-    val verdict = segmentRetirementPlan(
-      segments.map { case (n, p) => n -> s.read.parquet(s"$p/$table") },
-      s.read.parquet(s"$compactedRoot/$table"), None)
-      .collect()
-    // ALL segments must certify before ANY is dropped: the compacted
-    // table replaces the whole set, so a single failing segment means
-    // the compaction is not a faithful union and nothing may go
-    val retireAll = verdict.forall(_.getAs[Long]("retire") == 1L)
+      tables: Seq[(String, Option[String])])
+      : Seq[(String, String, Long, Long, Long, Long, String)] = {
+    val verdicts = tables.map { case (tbl, weight) =>
+      tbl -> segmentRetirementPlan(
+        segments.map { case (n, p) => n -> s.read.parquet(s"$p/$tbl") },
+        s.read.parquet(s"$compactedRoot/$tbl"), weight)
+        .collect()
+    }
+    // ALL tables of ALL segments must certify before ANY directory is
+    // dropped: the compacted set replaces the whole segment set, so a
+    // single failing (table, segment) means the compaction is not a
+    // faithful union and nothing may go
+    val retireAll =
+      verdicts.forall(_._2.forall(_.getAs[Long]("retire") == 1L))
     if (retireAll) {
       val conf = s.sparkContext.hadoopConfiguration
       segments.foreach { case (_, p) =>
@@ -2882,14 +2932,51 @@ object TextQueries {
         hp.getFileSystem(conf).delete(hp, true); ()
       }
     }
-    verdict.toSeq.map { r =>
-      val seg = r.getAs[String]("segment")
-      val action =
-        if (seg == "compacted") "kept"
-        else if (retireAll) "dropped" else "kept"
-      (seg, r.getAs[Long]("n_rows"), r.getAs[Long]("checksum_a"),
-        r.getAs[Long]("checksum_b"), r.getAs[Long]("retire"), action)
+    verdicts.flatMap { case (tbl, verdict) =>
+      verdict.toSeq.map { r =>
+        val seg = r.getAs[String]("segment")
+        val action =
+          if (seg == "compacted") "kept"
+          else if (retireAll) "dropped" else "kept"
+        (tbl, seg, r.getAs[Long]("n_rows"), r.getAs[Long]("checksum_a"),
+          r.getAs[Long]("checksum_b"), r.getAs[Long]("retire"), action)
+      }
     }
+  }
+
+  /** Persist [[retirementGc]] journal rows as a GC artifact's gc_log. */
+  private[graft] def writeGcLog(
+      s: org.apache.spark.sql.SparkSession,
+      log: Seq[(String, String, Long, Long, Long, Long, String)],
+      path: String): Unit = {
+    val sp = s
+    import sp.implicits._
+    log.toDF("tbl", "segment", "n_rows", "checksum_a", "checksum_b",
+        "retire", "action")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/gc_log")
+  }
+
+  /** The GC proof-of-service tail shared by all four families' GC rows
+    * (q_c141/q_c144/q_c145/q_c146): the family's search frame served
+    * from the post-GC artifact, with the GC outcome on every row —
+    * n_dropped re-counted from the journal (DISTINCT segments with a
+    * dropped action — a multi-table family journals one row per table
+    * but drops each directory once) and n_live_segments from the LIVE
+    * directory listing, so a drop the engine claimed but did not
+    * perform (or performed but did not journal) contradicts the frame.
+    */
+  private[graft] def gcServe(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      search: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nDropped = s.read.parquet(s"$path/gc_log")
+      .filter(col("action") === "dropped")
+      .agg(countDistinct(col("segment")).cast("long").as("n_dropped"))
+    val segDir = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = segDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nLive = if (fs.exists(segDir)) fs.listStatus(segDir).length.toLong else 0L
+    search
+      .crossJoin(broadcast(nDropped))
+      .withColumn("n_live_segments", lit(nLive))
   }
 
   /** q_c141's GC'd BM25 artifact — segments built, compacted, verdict
@@ -2916,13 +3003,9 @@ object TextQueries {
         .agg(sum(col("n_docs")).cast("double").as("n_docs"),
           sum(col("tot")).cast("double").as("tot"))
         .write.mode("overwrite").parquet(s"$path/compacted/stats")
-      val log = retirementGc(s,
+      writeGcLog(s, retirementGc(s,
         Seq("seg0" -> s"$path/segments/seg0", "seg1" -> s"$path/segments/seg1"),
-        s"$path/compacted", "postings")
-      val sp = s
-      import sp.implicits._
-      log.toDF("segment", "n_rows", "checksum_a", "checksum_b", "retire", "action")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/gc_log")
+        s"$path/compacted", Seq("postings" -> None)), path)
     }
 
   /** BM25 top-20 served from the stored index: the scan reads ONLY the
@@ -3104,6 +3187,38 @@ object TextQueries {
         .groupBy(col("w1"), col("w2"))
         .agg(sum(col("cnt")).cast("long").as("cnt"))
         .write.mode("overwrite").parquet(s"$path/bigrams")
+    }
+
+  /** q_c146's GC'd phrase artifact — segments built, compacted (postings
+    * by union, bigrams by per-key sum), BOTH tables' verdicts computed,
+    * retired segment directories DELETED only when every verdict fires,
+    * journal written; its OWN artifact copy (GC is destructive by
+    * design — it never acts on q_c136's shared segments store).
+    */
+  private val phraseGcBuilt = new graft.core.StoredArtifact("graft-phrase-gc")
+
+  private[graft] def phraseGcIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    phraseGcBuilt.getOrBuild(
+      d, graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      buildPhraseIndex(s,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 =!= 3),
+        s"$path/segments/seg0")
+      buildPhraseIndex(s,
+        Tables(s, d, "documents").filter(col("doc_id") % 10 === 3),
+        s"$path/segments/seg1")
+      s.read.parquet(s"$path/segments/seg0/postings", s"$path/segments/seg1/postings")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/compacted/postings")
+      s.read.parquet(s"$path/segments/seg0/bigrams", s"$path/segments/seg1/bigrams")
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+        .write.mode("overwrite").parquet(s"$path/compacted/bigrams")
+      writeGcLog(s, retirementGc(s,
+        Seq("seg0" -> s"$path/segments/seg0", "seg1" -> s"$path/segments/seg1"),
+        s"$path/compacted",
+        Seq("postings" -> None, "bigrams" -> Some("cnt"))), path)
     }
 
   /** The top-`nPhrases` corpus bigrams (count-desc, lexicographic

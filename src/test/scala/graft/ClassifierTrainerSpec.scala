@@ -248,6 +248,67 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("q_c143 drift monitor: row equals the reference fold; alarm fires on a drifted batch") {
+    val path = QualityClassifierTrainer.modelArtifact(spark, sf, iters)
+    val docs = collectDocs()
+    val (bias, w, _) = refTrain(docs)
+    def marginOf(d: Doc): Double =
+      d.cnts.indices.foldLeft(0.0)((a, i) =>
+        a + d.cnts(i).toDouble * w(i)) / math.max(d.n, 1L).toDouble + bias
+    // the engine's integer discipline: trunc-toward-zero micros, raw
+    // sums, trunc-division means (Java long / ≡ Spark div ≡ DuckDB //)
+    def stats(sub: Seq[Doc]): (Long, Long, Long) = {
+      var (keep, msum) = (0L, 0L)
+      sub.foreach { d =>
+        val m = marginOf(d)
+        if (m > 0) keep += 1
+        msum += (m * 1e6).toLong
+      }
+      (sub.length.toLong, keep * 1000L / math.max(sub.length, 1L),
+        msum / math.max(sub.length, 1L))
+    }
+    val (nb, kpmB, meanB) = stats(docs)
+    val (nt, kpmT, meanT) = stats(docs.filter(_.docId % 10 == 3))
+    val expAlarm =
+      if (math.abs(kpmT - kpmB) >= QualityClassifierTrainer.driftKeepPmThreshold ||
+          math.abs(meanT - meanB) >= QualityClassifierTrainer.driftMeanMicrosThreshold)
+        1L else 0L
+    val out = SparkEntry.queries("q_c143_model_drift")(spark, sf).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((nb, kpmB, meanB)),
+      "baseline side must equal the reference fold")
+    assert((out.getLong(3), out.getLong(4), out.getLong(5)) == ((nt, kpmT, meanT)),
+      "batch side must equal the reference fold")
+    assert(out.getLong(6) == kpmT - kpmB)
+    assert(out.getLong(7) == meanT - meanB)
+    assert(out.getLong(8) == expAlarm)
+    assert(expAlarm == 0L,
+      "the registered %10 batch must be in-distribution — a row that always alarms is dead")
+    // A DRIFTED batch must fire. The trained model is all-drop on this
+    // corpus (max weight + bias < 0), so NO constructible batch moves
+    // the keep rate — the drift construction targets the margin MEAN:
+    // single-token documents whose token hashes to the bucket FARTHEST
+    // (in weight) from the training-time mean margin; each such doc
+    // scores exactly w(b) + bias.
+    val meanBase = meanB.toDouble / 1e6
+    val bestB = w.indices.maxBy(b => math.abs(w(b) + bias - meanBase))
+    val driftMicros = ((w(bestB) + bias) * 1e6).toLong - meanB
+    assert(math.abs(driftMicros) >= QualityClassifierTrainer.driftMeanMicrosThreshold,
+      s"a constructible batch must clear the mean-drift threshold (got $driftMicros)")
+    def bucketOf(tok: String): Int =
+      (tok.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % 1000000007L) % 64).toInt
+    val tok = Iterator.from(0).map(i => s"t$i").find(t => bucketOf(t) == bestB).get
+    val sp = spark
+    import sp.implicits._
+    val batchDf = (1L to 10L).map(i => (1000000L + i, tok))
+      .toDF("doc_id", "text")
+    val rep = QualityClassifierTrainer.driftReport(spark, path, batchDf).head()
+    assert(rep.getLong(5) == ((w(bestB) + bias) * 1e6).toLong,
+      "constructed batch mean must be the bucket margin exactly")
+    assert(rep.getLong(8) == 1L,
+      s"the drifted batch must fire the alarm: delta_mean ${rep.getLong(7)}")
+    graft.core.CachedRdds.drain()
+  }
+
   test("q_c138 scores are the reference model's margins, bit-exactly") {
     val docs = collectDocs()
     val (bias, w, _) = refTrain(docs)

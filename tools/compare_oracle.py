@@ -93,81 +93,123 @@ def replay_parity(name, dumped_query, sql):
 
 ipath = f"{outdir}/index_paths.json"
 index_paths = json.load(open(ipath)) if os.path.exists(ipath) else {}
-if "bm25_index" in index_paths and (only is None or "q_c45_bm25_stored" in only):
-    # BM25 from the stored postings+stats alone: same fixed query terms
-    # and the byte-for-byte q_c12 scoring arithmetic the oracle uses.
-    idx = index_paths["bm25_index"]
-    replay_parity("q_c45_from_stored_index", "q_c45_bm25_stored", f"""
-        WITH p AS (SELECT term, doc_id, tf, dl FROM '{idx}/postings/*.parquet'
-                   WHERE term IN ('hash','join','filter')),
-        s AS (SELECT n_docs, tot FROM '{idx}/stats/*.parquet'),
+
+# ---- shared CTE builders: ONE copy of each family's replay arithmetic, --
+# ---- reused by the plain stored-search row and the post-GC row so the ---
+# ---- two replays cannot fork. -------------------------------------------
+
+def bm25_cte(root):
+    """BM25 scoring of the fixed query terms off a postings+stats root;
+    exposes bm(doc_id, bm25) — the byte-for-byte q_c12 arithmetic."""
+    return f"""
+        p AS (SELECT term, doc_id, tf, dl FROM '{root}/postings/*.parquet'
+              WHERE term IN ('hash','join','filter')),
+        s AS (SELECT n_docs, tot FROM '{root}/stats/*.parquet'),
         dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1),
         scored AS (
           SELECT p.doc_id,
             CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
               * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.tot / s.n_docs)))
               AS DECIMAL(18,6)) AS tscore
-          FROM p JOIN dfq q USING (term) CROSS JOIN s)
-        SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
-        FROM scored GROUP BY 1
-        ORDER BY bm25 DESC, doc_id LIMIT 20""")
-if "minhash_index" in index_paths and (only is None or "q_c66_minhash_stored" in only):
-    # Banded candidate generation from the stored 48 B/doc signature
-    # table alone — the q_c1/q_c66 dedup blocker without the corpus.
-    idx = index_paths["minhash_index"]
-    replay_parity("q_c66_from_stored_index", "q_c66_minhash_stored", f"""
-        WITH sig AS (SELECT * FROM '{idx}/sigs/*.parquet'),
+          FROM p JOIN dfq q USING (term) CROSS JOIN s),
+        bm AS (SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
+               FROM scored GROUP BY 1)"""
+
+def minhash_cte(root):
+    """Banded candidate generation off a stored signature root; exposes
+    cand(doc_a, doc_b)."""
+    return f"""
+        sig AS (SELECT * FROM '{root}/sigs/*.parquet'),
         bands AS (
           SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
           UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
           UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+def phrase_cte(root):
+    """Top-5 phrase selection + (doc, pos+1) adjacency off a stored
+    postings+bigrams root; exposes rep(phrase, n_docs, n_occ, first_doc,
+    last_doc)."""
+    return f"""
+        top AS (SELECT w1, w2 FROM '{root}/bigrams/*.parquet'
+                ORDER BY cnt DESC, w1, w2 LIMIT 5),
+        pp AS (SELECT term, doc_id, pos FROM '{root}/postings/*.parquet'),
+        occ AS (SELECT tp.w1, tp.w2, a.doc_id
+                FROM top tp
+                JOIN pp a ON a.term = tp.w1
+                JOIN pp b ON b.term = tp.w2 AND b.doc_id = a.doc_id
+                          AND b.pos = a.pos + 1),
+        rep AS (SELECT w1 || ' ' || w2 AS phrase,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_occ,
+          CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+          CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM occ GROUP BY w1, w2)"""
+
+def gc_cte(idx):
+    """GC outcome off a GC'd artifact root: n_dropped re-counted from the
+    gc_log journal (DISTINCT segments with a dropped action — a
+    multi-table family journals one row per table but drops each
+    directory once) and n_live_segments re-derived by GLOBBING the
+    artifact's segments directory — if the engine claimed a drop it
+    didn't perform (or performed one it didn't journal), the filesystem
+    contradicts the dumped frame here."""
+    return f"""
+        g AS (SELECT CAST(COUNT(DISTINCT CASE WHEN action = 'dropped'
+                     THEN segment END) AS BIGINT) AS n_dropped
+              FROM '{idx}/gc_log/*.parquet'),
+        live AS (SELECT CAST(COUNT(DISTINCT regexp_extract(file, 'segments/([^/]+)/', 1))
+                   AS BIGINT) AS n_live_segments
+                 FROM glob('{idx}/segments/*/*/*.parquet'))"""
+
+if "bm25_index" in index_paths and (only is None or "q_c45_bm25_stored" in only):
+    # BM25 from the stored postings+stats alone: same fixed query terms
+    # and the byte-for-byte q_c12 scoring arithmetic the oracle uses.
+    idx = index_paths["bm25_index"]
+    replay_parity("q_c45_from_stored_index", "q_c45_bm25_stored", f"""
+        WITH {bm25_cte(idx)}
+        SELECT doc_id, bm25 FROM bm
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")
+if "minhash_index" in index_paths and (only is None or "q_c66_minhash_stored" in only):
+    # Banded candidate generation from the stored 48 B/doc signature
+    # table alone — the q_c1/q_c66 dedup blocker without the corpus.
+    idx = index_paths["minhash_index"]
+    replay_parity("q_c66_from_stored_index", "q_c66_minhash_stored", f"""
+        WITH {minhash_cte(idx)}
         SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""")
 if "phrase_index" in index_paths and (only is None or "q_c103_phrase_search" in only):
     # Phrase search from the stored positional postings + bigram table
     # alone: top-5 phrase selection and the (doc, pos+1) intersection.
     idx = index_paths["phrase_index"]
     replay_parity("q_c103_from_stored_index", "q_c103_phrase_search", f"""
-        WITH top AS (SELECT w1, w2 FROM '{idx}/bigrams/*.parquet'
-                     ORDER BY cnt DESC, w1, w2 LIMIT 5),
-        p AS (SELECT term, doc_id, pos FROM '{idx}/postings/*.parquet'),
-        occ AS (SELECT tp.w1, tp.w2, a.doc_id
-                FROM top tp
-                JOIN p a ON a.term = tp.w1
-                JOIN p b ON b.term = tp.w2 AND b.doc_id = a.doc_id
-                          AND b.pos = a.pos + 1)
-        SELECT w1 || ' ' || w2 AS phrase,
-          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-          CAST(COUNT(*) AS BIGINT) AS n_occ,
-          CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-          CAST(MAX(doc_id) AS BIGINT) AS last_doc
-        FROM occ GROUP BY w1, w2 ORDER BY phrase""")
+        WITH {phrase_cte(idx)}
+        SELECT phrase, n_docs, n_occ, first_doc, last_doc
+        FROM rep ORDER BY phrase""")
 
-if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
-    # Symmetric-int8 stage-1 search from the stored IVF artifact alone:
-    # hex-unpack the packed int8 BINARY codes, re-quantize the stored
-    # centroids through the same half-away-from-zero pack rule, rank
-    # probe cells and candidates by the symmetric int8 cosine. Every
-    # score is (exact integer dot) / (sqrt * sqrt tail) — bit-identical
-    # across IEEE engines, so the compare is exact.
-    idx = index_paths["ivf_index"]
+def ivf_stage1_cte(root):
+    """Symmetric-int8 stage-1 search off a stored IVF root: hex-unpack
+    the packed int8 BINARY codes, re-quantize the stored centroids
+    through the same half-away-from-zero pack rule, rank probe cells and
+    candidates by the symmetric int8 cosine. Every score is (exact
+    integer dot) / (sqrt * sqrt tail) — bit-identical across IEEE
+    engines. Exposes res(query_id, arank, vec_id, ascore)."""
     cos = lambda a, b: (
         f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
         f"i -> {a}[i] * {b}[i])) AS DOUBLE) / greatest("
         f"sqrt(CAST(list_sum(list_transform({a}, v -> v * v)) AS DOUBLE)) * "
         f"sqrt(CAST(list_sum(list_transform({b}, v -> v * v)) AS DOUBLE)), 1e-12)")
-    replay_parity("q_c131_from_stored_index", "q_c131_ivf_stage1", f"""
-        WITH m AS (SELECT nprobe FROM '{idx}/model/*.parquet'),
+    return f"""
+        m AS (SELECT nprobe FROM '{root}/model/*.parquet'),
         cq AS (SELECT cell, list_transform(ctr,
                  x -> CAST(CASE WHEN x * s >= 0 THEN floor(x * s + 0.5)
                            ELSE ceil(x * s - 0.5) END AS BIGINT)) AS c8
                FROM (SELECT cell, ctr,
                        127.0 / greatest(list_max(list_transform(ctr, x -> abs(x))), 1e-12) AS s
-                     FROM '{idx}/cents/*.parquet')),
+                     FROM '{root}/cents/*.parquet')),
         co AS (SELECT vec_id, cell, hex(q8) AS hx, octet_length(q8) AS n
-               FROM '{idx}/codes/*.parquet'),
+               FROM '{root}/codes/*.parquet'),
         cu AS (SELECT vec_id, cell, list_transform(range(1, n + 1),
                  i -> CASE WHEN CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS BIGINT) > 127
                       THEN CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS BIGINT) - 256
@@ -188,51 +230,71 @@ if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
                WHERE crk <= 20),
         f AS (SELECT query_id, vec_id, ascore,
                 ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY ascore DESC, vec_id) AS arank FROM c1)
-        SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
-        FROM f WHERE arank <= 20 ORDER BY query_id, arank""")
+                  ORDER BY ascore DESC, vec_id) AS arank FROM c1),
+        res AS (SELECT query_id, CAST(arank AS BIGINT) AS arank, vec_id, ascore
+                FROM f WHERE arank <= 20)"""
+
+if "ivf_index" in index_paths and (only is None or "q_c131_ivf_stage1" in only):
+    idx = index_paths["ivf_index"]
+    replay_parity("q_c131_from_stored_index", "q_c131_ivf_stage1", f"""
+        WITH {ivf_stage1_cte(idx)}
+        SELECT query_id, arank, vec_id, ascore FROM res
+        ORDER BY query_id, arank""")
 
 if "bm25_gc" in index_paths and (only is None or "q_c141_retirement_gc" in only):
     # Post-GC search + GC outcome from the GC'd artifact alone: the q_c45
-    # BM25 scoring over the surviving compacted postings/stats, n_dropped
-    # re-counted from the gc_log journal, and n_live_segments re-derived
-    # by GLOBBING the artifact's segments directory — if the engine
-    # claimed a drop it didn't perform (or performed one it didn't
-    # journal), the filesystem contradicts the dumped frame here.
+    # BM25 scoring over the surviving compacted postings/stats + gc_cte.
     idx = index_paths["bm25_gc"]
     replay_parity("q_c141_from_gc_artifact", "q_c141_retirement_gc", f"""
-        WITH p AS (SELECT term, doc_id, tf, dl FROM '{idx}/compacted/postings/*.parquet'
-                   WHERE term IN ('hash','join','filter')),
-        s AS (SELECT n_docs, tot FROM '{idx}/compacted/stats/*.parquet'),
-        dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY 1),
-        scored AS (
-          SELECT p.doc_id,
-            CAST(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-              * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.tot / s.n_docs)))
-              AS DECIMAL(18,6)) AS tscore
-          FROM p JOIN dfq q USING (term) CROSS JOIN s),
-        bm AS (SELECT doc_id, CAST(SUM(tscore) AS DOUBLE) AS bm25
-               FROM scored GROUP BY 1),
-        g AS (SELECT CAST(SUM(CASE WHEN action = 'dropped' THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_dropped
-              FROM '{idx}/gc_log/*.parquet'),
-        live AS (SELECT CAST(COUNT(DISTINCT regexp_extract(file, 'segments/([^/]+)/', 1))
-                   AS BIGINT) AS n_live_segments
-                 FROM glob('{idx}/segments/*/*/*.parquet'))
+        WITH {bm25_cte(idx + '/compacted')},
+        {gc_cte(idx)}
         SELECT bm.doc_id, bm.bm25, g.n_dropped, live.n_live_segments
         FROM bm CROSS JOIN g CROSS JOIN live
         ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 20""")
 
-if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in only):
-    # Trained-classifier scoring from the STORED MODEL alone: the 65
-    # doubles (weights + bias) are read off the artifact parquet and
-    # inlined as shortest-round-trip literals (a correctly-rounded parse
-    # restores the exact bits), then the margin is re-folded in the
-    # engine's FIXED index order b = 0..63 — every double op is the same
-    # IEEE op on both engines, so the compare is bit-exact (the IVF
-    # replay's discipline). Labels re-derive from the q_c31 rules over
-    # the documents parquet: weights + documents, no Spark.
-    idx = index_paths["cls_model"]
+if "minhash_gc" in index_paths and (only is None or "q_c144_minhash_gc" in only):
+    # MinHash GC: banded candidates off the surviving compacted
+    # signature table + gc_cte.
+    idx = index_paths["minhash_gc"]
+    replay_parity("q_c144_from_gc_artifact", "q_c144_minhash_gc", f"""
+        WITH {minhash_cte(idx + '/compacted')},
+        {gc_cte(idx)}
+        SELECT cand.doc_a, cand.doc_b, g.n_dropped, live.n_live_segments
+        FROM cand CROSS JOIN g CROSS JOIN live
+        ORDER BY doc_a, doc_b""")
+
+if "ivf_gc" in index_paths and (only is None or "q_c145_ivf_gc" in only):
+    # int8-IVF GC: symmetric stage-1 off the surviving compacted
+    # model/cents/codes + gc_cte.
+    idx = index_paths["ivf_gc"]
+    replay_parity("q_c145_from_gc_artifact", "q_c145_ivf_gc", f"""
+        WITH {ivf_stage1_cte(idx + '/compacted')},
+        {gc_cte(idx)}
+        SELECT res.query_id, res.arank, res.vec_id, res.ascore,
+          g.n_dropped, live.n_live_segments
+        FROM res CROSS JOIN g CROSS JOIN live
+        ORDER BY query_id, arank""")
+
+if "phrase_gc" in index_paths and (only is None or "q_c146_phrase_gc" in only):
+    # Phrase GC (the multi-table family): the q_c103 search off the
+    # surviving compacted postings+bigrams + gc_cte.
+    idx = index_paths["phrase_gc"]
+    replay_parity("q_c146_from_gc_artifact", "q_c146_phrase_gc", f"""
+        WITH {phrase_cte(idx + '/compacted')},
+        {gc_cte(idx)}
+        SELECT rep.phrase, rep.n_docs, rep.n_occ, rep.first_doc, rep.last_doc,
+          g.n_dropped, live.n_live_segments
+        FROM rep CROSS JOIN g CROSS JOIN live
+        ORDER BY phrase""")
+
+def cls_margin_parts(idx):
+    """(margin_sql, bucket_sql, cnt_cols_sql) for a stored cls model:
+    the 65 doubles (weights + bias) are read off the artifact parquet
+    and inlined as shortest-round-trip literals (a correctly-rounded
+    parse restores the exact bits); the margin re-folds in the engine's
+    FIXED index order b = 0..63 — every double op is the same IEEE op
+    on both engines, so score compares are bit-exact (the IVF replay's
+    discipline)."""
     mcon = duckdb.connect()
     wdf = mcon.execute(
         f"SELECT bucket, weight FROM '{idx}/weights/*.parquet' ORDER BY bucket").df()
@@ -247,6 +309,14 @@ if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in
               "(acc, ch) -> (acc * 31 + ch) % 1000000007) % 64)")
     cnt_cols = ",\n               ".join(
         f"len(list_filter(bs, x -> x = {b})) AS c{b}" for b in range(len(ws)))
+    return margin, bucket, cnt_cols
+
+if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in only):
+    # Trained-classifier scoring from the STORED MODEL alone: weights +
+    # documents, no Spark. Labels re-derive from the q_c31 rules over
+    # the documents parquet.
+    idx = index_paths["cls_model"]
+    margin, bucket, cnt_cols = cls_margin_parts(idx)
     replay_parity("q_c138_from_stored_model", "q_c138_classifier_scores", f"""
         WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                    FROM '{sfdir}/documents.parquet'),
@@ -273,6 +343,52 @@ if "cls_model" in index_paths and (only is None or "q_c138_classifier_scores" in
           CASE WHEN sc.score > 0 THEN 'keep' ELSE 'drop' END AS cls,
           CAST(CASE WHEN (sc.score > 0) = (lab.label = 1) THEN 1 ELSE 0 END AS BIGINT) AS correct
         FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""")
+
+if "cls_model_drift" in index_paths and (only is None or "q_c143_model_drift" in only):
+    # Drift monitor from the artifact + documents alone: baseline read
+    # off the stored baseline parquet, the arriving batch (doc_id % 10
+    # = 3) re-scored with the stored weights, same integer discipline
+    # (margins trunc'd toward zero at micros — matching Spark's
+    # double→long cast — raw sums; mean margins via BIGINT `//`, which
+    # truncates toward zero on negatives exactly like Spark's `div`).
+    # Alarm = keep-rate ≥ 100 permille OR mean margin ≥ 100000 micros.
+    idx = index_paths["cls_model_drift"]
+    margin, bucket, cnt_cols = cls_margin_parts(idx)
+    replay_parity("q_c143_from_stored_model", "q_c143_model_drift", f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM '{sfdir}/documents.parquet' WHERE doc_id % 10 = 3),
+        h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                list_transform(toks, w -> {bucket}) AS bs
+              FROM t),
+        c AS (SELECT doc_id, n_tokens,
+               {cnt_cols}
+              FROM h),
+        sc AS (SELECT doc_id, {margin} AS score FROM c),
+        b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                CAST(COALESCE(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep,
+                CAST(COALESCE(SUM(CAST(trunc(score * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+                  AS ms_batch
+              FROM sc),
+        base AS (SELECT n_docs AS n_base, keep_pm AS keep_pm_base,
+                   margin_sum_micros AS ms_base
+                 FROM '{idx}/baseline/*.parquet'),
+        j AS (SELECT base.n_base, base.keep_pm_base,
+                CAST(base.ms_base // greatest(base.n_base, 1) AS BIGINT)
+                  AS mean_margin_micros_base,
+                b.n_batch,
+                CAST(b.n_keep * 1000 // greatest(b.n_batch, 1) AS BIGINT)
+                  AS keep_pm_batch,
+                CAST(b.ms_batch // greatest(b.n_batch, 1) AS BIGINT)
+                  AS mean_margin_micros_batch
+              FROM b CROSS JOIN base)
+        SELECT n_base, keep_pm_base, mean_margin_micros_base,
+          n_batch, keep_pm_batch, mean_margin_micros_batch,
+          keep_pm_batch - keep_pm_base AS delta_keep_pm,
+          mean_margin_micros_batch - mean_margin_micros_base AS delta_mean_micros,
+          CAST(CASE WHEN abs(keep_pm_batch - keep_pm_base) >= 100
+                      OR abs(mean_margin_micros_batch - mean_margin_micros_base) >= 100000
+               THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        FROM j""")
 
 # Retirement-verdict replays: the GC decision recomputed from the artifact
 # files alone — same canonical row encoding (columns in sorted-name order,
