@@ -313,25 +313,36 @@ object QualityClassifierTrainer {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
     }
 
-  /** The all-integer score-distribution row over any q_c138-shaped
-    * frame — (n_docs, n_keep, keep_pm, margin_sum_micros): ONE
-    * definition shared by the artifact's training-time baseline and
-    * q_c143's arriving-batch side, so the drift compare cannot fork.
-    * Margins truncate toward zero at micros (Spark double→long cast;
-    * the DuckDB replay uses trunc() to match), keep_pm guards the
-    * empty-batch case with greatest(n, 1).
+  /** The LINEAR cells of the score-distribution row — (n_docs, n_keep,
+    * margin_sum_micros), all additive: per-document margins truncate
+    * toward zero at micros BEFORE the sum (Spark double→long cast; the
+    * DuckDB replay uses trunc() to match), so the aggregate is a plain
+    * sum of per-row integers and therefore micro-batch-accumulable —
+    * the q_c126 gateSums lambda-split, which is what makes the drift
+    * monitor streamable ([[graft.streaming.StreamingOps.driftUpdates]]
+    * runs THIS aggregation in complete mode).
     */
-  private def scoreStats(scored: DataFrame): DataFrame =
+  private[graft] def scoreSums(scored: DataFrame): DataFrame =
     scored.agg(
       count(lit(1)).cast("long").as("n_docs"),
       coalesce(sum(when(col("cls") === "keep", 1L).otherwise(0L)), lit(0L))
         .cast("long").as("n_keep"),
       coalesce(sum((col("score") * lit(1e6)).cast("long")), lit(0L))
         .cast("long").as("margin_sum_micros"))
-      .select(col("n_docs"), col("n_keep"),
-        (col("n_keep") * 1000L / greatest(col("n_docs"), lit(1L)))
-          .cast("long").as("keep_pm"),
-        col("margin_sum_micros"))
+
+  /** The nonlinear read-time tail over the linear cells: keep rate in
+    * permille (empty-batch guarded with greatest(n, 1)). ONE definition
+    * shared by the artifact's training-time baseline, q_c143's batch
+    * side and the streaming serve, so the stats cannot fork.
+    */
+  private[graft] def statsTail(sums: DataFrame): DataFrame =
+    sums.select(col("n_docs"), col("n_keep"),
+      (col("n_keep") * 1000L / greatest(col("n_docs"), lit(1L)))
+        .cast("long").as("keep_pm"),
+      col("margin_sum_micros"))
+
+  private def scoreStats(scored: DataFrame): DataFrame =
+    statsTail(scoreSums(scored))
 
   /** Drift-alarm thresholds. TWO signals, because either can be dead
     * alone: a conservative model (this corpus — max weight + bias < 0,
@@ -361,10 +372,21 @@ object QualityClassifierTrainer {
   private[graft] def driftReport(
       s: SparkSession, path: String, batch: DataFrame): DataFrame = {
     val (wBias, w) = loadModel(s, path)
+    driftFromStats(s, path, scoreStats(scoreProjection(batch, wBias, w)))
+  }
+
+  /** The drift compare over an already-aggregated batch-side stats row
+    * (n_docs, keep_pm, margin_sum_micros) — the tail shared by the
+    * batch [[driftReport]] and the streaming serve
+    * ([[graft.streaming.StreamingOps.driftServe]]), so the alarm
+    * arithmetic cannot fork between the two paths.
+    */
+  private[graft] def driftFromStats(
+      s: SparkSession, path: String, batchStats: DataFrame): DataFrame = {
     val base = s.read.parquet(s"$path/baseline")
       .select(col("n_docs").as("n_base"), col("keep_pm").as("keep_pm_base"),
         col("margin_sum_micros").as("ms_base"))
-    scoreStats(scoreProjection(batch, wBias, w))
+    batchStats
       .select(col("n_docs").as("n_batch"), col("keep_pm").as("keep_pm_batch"),
         col("margin_sum_micros").as("ms_batch"))
       .crossJoin(broadcast(base))

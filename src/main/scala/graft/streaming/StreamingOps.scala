@@ -256,6 +256,35 @@ object StreamingOps {
       docs: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
     graft.operators.QualityClassifierTrainer.scoreProjection(docs, wBias, w)
 
+  /** Streaming twin of q_c143's drift monitor, accumulation half:
+    * arriving documents score STATELESSLY with the persisted model
+    * (identical [[graft.operators.QualityClassifierTrainer
+    * .scoreProjection]] expression tree as batch) and fold into the
+    * LINEAR drift cells — ONE row of three additive longs (n_docs,
+    * n_keep, margin_sum_micros; per-row margins truncate to micros
+    * BEFORE the sum, which is what makes the aggregate linear) under a
+    * complete-mode global aggregation, the q_c126 gateUpdates shape.
+    * State is 3 cells regardless of stream length.
+    */
+  def driftUpdates(docs: DataFrame, wBias: Double, w: Array[Double]): DataFrame =
+    graft.operators.QualityClassifierTrainer.scoreSums(
+      graft.operators.QualityClassifierTrainer.scoreProjection(docs, wBias, w))
+
+  /** Serve the drift report from the streamed cells through the SAME
+    * read-time tails as batch q_c143 ([[graft.operators
+    * .QualityClassifierTrainer.statsTail]] for the nonlinear keep-rate,
+    * [[graft.operators.QualityClassifierTrainer.driftFromStats]] for
+    * the baseline compare and the two-signal alarm) — serve ≡ batch
+    * after any prefix of micro-batches, the production retrain trigger
+    * evaluated LIVE as the batch streams in (StreamingOpsSpec pins
+    * equality across uneven triggers).
+    */
+  def driftServe(s: SparkSession, path: String, state: DataFrame): DataFrame =
+    graft.operators.QualityClassifierTrainer.driftFromStats(s, path,
+      graft.operators.QualityClassifierTrainer.statsTail(
+        state.select(Seq("n_docs", "n_keep", "margin_sum_micros")
+          .map(c => col(c).cast("long").as(c)): _*)))
+
   /** Stateless streaming twin of q_c37: label a live ingestion stream
     * with its train/val/test assignment — the hash split's stability
     * property (assignment is a pure function of doc_id) is exactly what

@@ -576,6 +576,51 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "trained scoring must be identical on the batch and stream paths")
   }
 
+  test("streaming drift monitor: serve == batch drift report after EVERY micro-batch prefix") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // model + baseline are REFERENCE STATE off the stored artifact —
+    // the monitor never retrains or rescans the training corpus
+    val path = graft.operators.QualityClassifierTrainer.modelArtifact(sp, dir)
+    val (bias, w) = graft.operators.QualityClassifierTrainer.loadModel(sp, path)
+    val docs = graft.core.Tables(sp, dir, "documents")
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps
+      .driftUpdates(input.toDF().toDF("doc_id", "text"), bias, w)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_drift").toString)
+      .format("memory").queryName("drift_cells").outputMode("complete").start()
+    // deliberately uneven: 1 doc, the bulk, a 7-doc tail; after EVERY
+    // trigger the served report equals the batch report over the prefix
+    var seen = Seq.empty[(Long, String)]
+    for (chunk <- Seq(docs.take(1), docs.slice(1, docs.length - 7),
+        docs.takeRight(7))) {
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      val served = StreamingOps.driftServe(sp, path, sp.table("drift_cells"))
+        .collect().map(_.toString).toSeq
+      val batch = graft.operators.QualityClassifierTrainer
+        .driftReport(sp, path, seen.toDF("doc_id", "text"))
+        .collect().map(_.toString).toSeq
+      assert(served == batch,
+        s"streamed drift report must equal batch after ${seen.length} docs")
+    }
+    // ... and the full stream serves exactly the REGISTERED q_c143 row
+    val fin = StreamingOps.driftServe(sp, path, sp.table("drift_cells"))
+      .collect().map(_.toString).toSeq
+    q.stop()
+    val reg = SparkEntry.queries("q_c143_model_drift")(sp, dir)
+      .collect().map(_.toString).toSeq
+    graft.core.CachedRdds.drain()
+    assert(fin.nonEmpty && fin == reg)
+  }
+
   test("streaming source-mixture (fMGWS) equals batch q_c28 with a late new source") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
