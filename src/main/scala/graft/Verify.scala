@@ -62,6 +62,11 @@ object Verify {
         (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir))),
       "q_c143_model_drift" -> Seq("cls_model_drift" ->
         (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir))),
+      "q_c147_retrain_on_drift" -> Seq(
+        "cls_model_pre" ->
+          (() => graft.operators.QualityClassifierTrainer.modelArtifact(spark, sfDir)),
+        "cls_model_post" ->
+          (() => graft.operators.QualityClassifierTrainer.retrainedArtifact(spark, sfDir))),
       "q_c131_ivf_stage1" -> Seq("ivf_index" ->
         (() => graft.operators.SimilarityQueries.int8CompactedIndex(
           spark, graft.operators.SimilarityQueries.int8SegmentsIndex(spark, sfDir)))),

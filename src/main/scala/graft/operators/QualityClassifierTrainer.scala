@@ -166,8 +166,17 @@ object QualityClassifierTrainer {
       .withColumn("correct",
         when((col("m") > 0) === (col("y") === 1L), 1L).otherwise(0L))
 
-  private def trainUncached(s: SparkSession, d: String, iters: Int): Model = {
-    val f = featureFrame(s, d)
+  private def trainUncached(s: SparkSession, d: String, iters: Int): Model =
+    trainOnFrame(featureFrame(s, d), iters)
+
+  /** The full-batch GD loop over an EXPLICIT feature frame — extracted
+    * from the dir-bound trainer so q_c147's retrain-on-drift can fit
+    * the union of the training corpus and an arriving batch with the
+    * IDENTICAL update arithmetic (same η, same decimal quantization,
+    * same fixed fold order — the trajectory discipline carries over
+    * unchanged).
+    */
+  private[graft] def trainOnFrame(f: DataFrame, iters: Int): Model = {
     val eta = 2.0
     var wBias = 0.0
     val w = Array.fill(D)(0.0)
@@ -190,7 +199,7 @@ object QualityClassifierTrainer {
       // update divides by zero — the round-16 empty-group discipline
       // (ADVICE round 17)
       require(nDocs > 0,
-        s"classifier training needs a non-empty corpus ($d has 0 documents)")
+        "classifier training needs a non-empty feature frame (0 documents)")
       val gb = row.getDecimal(D).doubleValue()
       traj += IterStat(t.toLong, nDocs, row.getAs[Long]("n_correct"),
         row.getAs[Long]("n_correct") * 1000L / math.max(nDocs, 1L),
@@ -294,24 +303,125 @@ object QualityClassifierTrainer {
     modelArtifactBuilt.getOrBuild(
       s"$d#$iters",
       graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
-      val m = train(s, d, iters)
-      val sp = s
-      import sp.implicits._
-      m.w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
-        .toDF("bucket", "weight")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
-      Seq((m.wBias, 2.0, iters.toLong, D.toLong, m.trajectory.last.nDocs))
-        .toDF("w_bias", "eta", "iters", "d", "n_docs")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      // the TRAINING-TIME score distribution, persisted beside the
-      // weights: the baseline q_c143's drift monitor compares arriving
-      // batches against. All-integer (keep counts + margin micros sums
-      // — raw sums, never integer division: truncating division on
-      // negative sums diverges between engines), so the row is
-      // engine-neutral and the DuckDB replay is exact.
-      scoreStats(scoresDf(s, d, iters))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
+      writeModelArtifact(s, path, train(s, d, iters), iters,
+        scoresDf(s, d, iters))
     }
+
+  /** Persist a trained model as the engine-neutral artifact layout —
+    * weights/ + meta/ + the TRAINING-TIME score distribution as
+    * baseline/ (all-integer: keep counts + margin micros RAW sums,
+    * never integer division — truncating division on negative sums
+    * diverges between engines). ONE writer shared by the primary
+    * [[modelArtifact]] and q_c147's [[retrainedArtifact]], so the two
+    * artifacts cannot differ in layout; `scored` is the q_c138-shaped
+    * frame over the model's OWN training corpus (baseline = what the
+    * model saw at fit time, the distribution q_c143 alarms against).
+    */
+  private def writeModelArtifact(
+      s: SparkSession, path: String, m: Model, iters: Int,
+      scored: DataFrame): Unit = {
+    val sp = s
+    import sp.implicits._
+    m.w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((m.wBias, 2.0, iters.toLong, D.toLong, m.trajectory.last.nDocs))
+      .toDF("w_bias", "eta", "iters", "d", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    scoreStats(scored)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/baseline")
+  }
+
+  /** One deterministic [a-z0-9]+ token per hash bucket — driftTokens(b)
+    * is the first `t<i>` (i = 0, 1, 2, …) whose
+    * [[TextQueries.tokenBucket64]] hash lands in bucket b. A constant
+    * of the hash function (shared verbatim with the DuckDB replay's
+    * VALUES table), used by q_c147 to CONSTRUCT the drifted batch: a
+    * one-token document scores exactly w(b) + bias, so targeting the
+    * bucket farthest from the training-time mean produces the largest
+    * constructible distribution shift.
+    */
+  private[graft] val driftTokens: IndexedSeq[String] = IndexedSeq(
+    "t4", "t5", "t6", "t7", "t8", "t9", "t109", "t209", "t309", "t409",
+    "t509", "t90", "t91", "t70", "t71", "t50", "t51", "t30", "t31", "t10",
+    "t11", "t12", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t111",
+    "t112", "t113", "t114", "t115", "t116", "t117", "t118", "t119", "t219",
+    "t319", "t419", "t519", "t619", "t719", "t80", "t81", "t60", "t61",
+    "t40", "t41", "t20", "t21", "t22", "t23", "t24", "t25", "t26", "t27",
+    "t28", "t29", "t0", "t1", "t2", "t3")
+
+  /** The drift-construction bucket for a stored model: argmax over b of
+    * |trunc((w(b) + bias)·1e6) − mean_base_micros| (exact-integer micro
+    * arithmetic end to end, lowest b on ties) — deterministic given the
+    * artifact and re-derivable by any reader of its parquet (the DuckDB
+    * replay recomputes it from weights + meta + baseline alone).
+    */
+  private[graft] def driftBucket(s: SparkSession, path: String): Int = {
+    val (wBias, w) = loadModel(s, path)
+    val base = s.read.parquet(s"$path/baseline").head()
+    val meanBase = base.getAs[Long]("margin_sum_micros") /
+      math.max(base.getAs[Long]("n_docs"), 1L)
+    (0 until D).maxBy(b =>
+      (math.abs(((w(b) + wBias) * 1e6).toLong - meanBase), -b))
+  }
+
+  /** q_c147's deterministic drifted batch: 50 single-token documents
+    * (fresh doc_ids past the corpus range) whose token hashes to
+    * [[driftBucket]] — each scores exactly w(b*) + bias under the
+    * stored model, the largest constructible mean shift.
+    */
+  private[graft] def driftBatch(s: SparkSession, path: String): DataFrame = {
+    val tok = driftTokens(driftBucket(s, path))
+    val sp = s
+    import sp.implicits._
+    (1L to 50L).map(i => (10000000L + i, tok)).toDF("doc_id", "text")
+  }
+
+  /** q_c147's RETRAINED artifact — the act the drift alarm triggers:
+    * the model refit from scratch over training corpus ∪ drifted batch
+    * (labels for the batch from the same rules teacher, via the shared
+    * [[featurize]]), persisted in the identical layout with its
+    * baseline over the UNION — so the monitor, re-pointed at the new
+    * artifact, measures arriving data against the distribution the
+    * refreshed model actually saw. O(model) artifact; the retrain costs
+    * `iters` aggregation-only scans of the union feature frame.
+    */
+  private val retrainedBuilt = new graft.core.StoredArtifact("graft-cls-retrained")
+
+  private[graft] def retrainedArtifact(
+      s: SparkSession, d: String, iters: Int = 24): String =
+    retrainedBuilt.getOrBuild(
+      s"$d#$iters",
+      graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))) { path =>
+      val batch = driftBatch(s, modelArtifact(s, d, iters))
+      val f = featureFrame(s, d).unionByName(featurize(batch))
+      val m = trainOnFrame(f, iters)
+      writeModelArtifact(s, path, m, iters, scoreFrame(f, m.wBias, m.w))
+    }
+
+  /** q_c147's lifecycle frame — the monitor→act→re-baseline loop: the
+    * constructed drifted batch scored against the ORIGINAL artifact
+    * (phase `pre` — the alarm that triggers retraining) and against the
+    * RETRAINED artifact (phase `post` — the same batch under the
+    * refreshed model and its union baseline). Two rows, the q_c143
+    * drift schema + phase.
+    */
+  private[graft] def retrainReport(
+      s: SparkSession, d: String, iters: Int = 24): DataFrame = {
+    val oldPath = modelArtifact(s, d, iters)
+    val newPath = retrainedArtifact(s, d, iters)
+    val batch = driftBatch(s, oldPath)
+    driftReport(s, oldPath, batch).withColumn("phase", lit("pre"))
+      .unionByName(driftReport(s, newPath, batch).withColumn("phase", lit("post")))
+      .select(col("phase") +: driftCols.map(col): _*)
+      .orderBy(col("phase").desc)
+  }
+
+  /** The drift-report column list, single copy for q_c143/q_c147. */
+  private[graft] val driftCols: Seq[String] = Seq(
+    "n_base", "keep_pm_base", "mean_margin_micros_base",
+    "n_batch", "keep_pm_batch", "mean_margin_micros_batch",
+    "delta_keep_pm", "delta_mean_micros", "alarm")
 
   /** The LINEAR cells of the score-distribution row — (n_docs, n_keep,
     * margin_sum_micros), all additive: per-document margins truncate

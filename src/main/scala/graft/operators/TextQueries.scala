@@ -2334,6 +2334,32 @@ object TextQueries {
         Tables(s, d, "documents").filter(col("doc_id") % 10 === 3))
     },
 
+    // ---- q_c147: retrain-on-drift (the act the q_c143 alarm triggers) -------
+    // The monitor→act→re-baseline loop, the model family's analog of
+    // the q_c141 GC verb: a DETERMINISTIC drifted batch (50 one-token
+    // docs targeting the bucket farthest from the stored model's
+    // training-time mean — the largest constructible shift, re-derived
+    // from the artifact alone) fires the q_c143 alarm (phase `pre`);
+    // the pipeline's response is a RETRAIN from scratch over corpus ∪
+    // batch (same GD, same teacher, via the shared featurize) persisted
+    // as a second artifact whose baseline covers the union; phase
+    // `post` scores the same batch against the refreshed model. Model
+    // state ⇒ rows-only; ClassifierTrainerSpec pins BOTH rows to an
+    // independent reference fold (including the retrained trajectory)
+    // and proves the refit actually LEARNED the drift bucket (its
+    // weight moves against the batch's teacher label). DuckDB
+    // reproduces both rows from the two artifacts + documents alone —
+    // drift bucket argmax, token lookup, batch construction, scoring
+    // and alarms all re-derived in SQL (tools/compare_oracle.py,
+    // fifteenth parity row).
+    //
+    // 100 TB shape: the batch scores are map-side; the retrain costs
+    // `iters` aggregation-only scans of the union feature frame (the
+    // q_c137 Lloyd shape) and the artifacts stay O(model).
+    QueryDef("q_c147_retrain_on_drift", None) { (s, d) =>
+      QualityClassifierTrainer.retrainReport(s, d)
+    },
+
     // ---- q_c141: segment retirement GC (the verb the verdict certifies) -----
     // q_c133 CERTIFIES retire-ability; this query ACTS on it — the LSM
     // maintenance step a stored index actually runs: build segments,

@@ -309,6 +309,71 @@ class ClassifierTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("q_c147 retrain-on-drift: both phases equal the reference fold; pre alarms, the refit learns the bucket") {
+    val docs = collectDocs()
+    val (bias, w, _) = refTrain(docs)
+    def marginOf(d: Doc, b0: Double, ws: Array[Double]): Double =
+      d.cnts.indices.foldLeft(0.0)((a, i) =>
+        a + d.cnts(i).toDouble * ws(i)) / math.max(d.n, 1L).toDouble + b0
+    def stats(sub: Seq[Doc], b0: Double, ws: Array[Double]): (Long, Long, Long) = {
+      var (keep, msum) = (0L, 0L)
+      sub.foreach { d =>
+        val m = marginOf(d, b0, ws)
+        if (m > 0) keep += 1
+        msum += (m * 1e6).toLong
+      }
+      (sub.length.toLong, keep * 1000L / math.max(sub.length, 1L),
+        msum / math.max(sub.length, 1L))
+    }
+    // reference drift construction — same integer-micro argmax as the engine
+    val (_, _, meanB) = stats(docs, bias, w)
+    val bStar = (0 until D).maxBy(b =>
+      (math.abs(((w(b) + bias) * 1e6).toLong - meanB), -b))
+    assert(QualityClassifierTrainer.driftBucket(spark,
+      QualityClassifierTrainer.modelArtifact(spark, sf, iters)) == bStar)
+    val tok = QualityClassifierTrainer.driftTokens(bStar)
+    val sp = spark
+    import sp.implicits._
+    val batchDf = (1L to 50L).map(i => (10000000L + i, tok)).toDF("doc_id", "text")
+    // batch features+labels via the shared featurize (the collectDocs
+    // convention: engine features, INDEPENDENT training fold)
+    val batchDocs = QualityClassifierTrainer.featurize(batchDf).collect().map { r =>
+      Doc(r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3).toArray)
+    }.toSeq
+    val (bias2, w2, _) = refTrain(docs ++ batchDocs)
+    def row(baseDocs: Seq[Doc], b0: Double, ws: Array[Double])
+        : (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val (nb, kb, mb) = stats(baseDocs, b0, ws)
+      val (nt, kt, mt) = stats(batchDocs, b0, ws)
+      val alarm =
+        if (math.abs(kt - kb) >= QualityClassifierTrainer.driftKeepPmThreshold ||
+            math.abs(mt - mb) >= QualityClassifierTrainer.driftMeanMicrosThreshold)
+          1L else 0L
+      (nb, kb, mb, nt, kt, mt, kt - kb, mt - mb, alarm)
+    }
+    val expPre = row(docs, bias, w)
+    val expPost = row(docs ++ batchDocs, bias2, w2)
+    assert(expPre._9 == 1L,
+      "the constructed batch must fire the alarm pre-retrain (else the row proves nothing)")
+    val out = SparkEntry.queries("q_c147_retrain_on_drift")(spark, sf).collect()
+    assert(out.length == 2 && out(0).getString(0) == "pre" && out(1).getString(0) == "post")
+    Seq(out(0) -> expPre, out(1) -> expPost).foreach { case (r, e) =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      assert(got == e, s"${r.getString(0)} row must equal the reference fold")
+    }
+    // the refit LEARNED the drift bucket: its weight moves in the
+    // direction of the batch's teacher label (more negative for a
+    // drop-labeled batch, more positive for keep)
+    val yBatch = batchDocs.head.y
+    assert(batchDocs.forall(_.y == yBatch))
+    if (yBatch == 0L) assert(w2(bStar) < w(bStar),
+      "a drop-labeled drift batch must push the bucket weight down")
+    else assert(w2(bStar) > w(bStar),
+      "a keep-labeled drift batch must push the bucket weight up")
+    graft.core.CachedRdds.drain()
+  }
+
   test("q_c138 scores are the reference model's margins, bit-exactly") {
     val docs = collectDocs()
     val (bias, w, _) = refTrain(docs)

@@ -81,6 +81,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c137_classifier_train" - "q_c138_classifier_scores" // learned weights = driver model state (q_c33 trainer class)
         - "q_c139_classifier_holdout" - "q_c142_classifier_test_eval" // same exclusion (trainer class)
         - "q_c143_model_drift" // scores with stored learned weights (trainer class)
+        - "q_c147_retrain_on_drift" // trains + scores with learned weights (trainer class)
         - "q_c140_trained_quality_funnel" // trained weights through the q_c13 CC fixpoint (both exclusions)
         - "q_c53_heavy_hitters" - "q_c58_percentiles_approx")
   }

@@ -390,6 +390,83 @@ if "cls_model_drift" in index_paths and (only is None or "q_c143_model_drift" in
                THEN 1 ELSE 0 END AS BIGINT) AS alarm
         FROM j""")
 
+if ("cls_model_pre" in index_paths and "cls_model_post" in index_paths
+        and (only is None or "q_c147_retrain_on_drift" in only)):
+    # Retrain-on-drift from the TWO stored artifacts + nothing else:
+    # the drift bucket argmax, the token lookup, the 50-doc batch
+    # construction, both phases' scoring and alarms are all re-derived
+    # in SQL — pre off the original artifact, post off the retrained
+    # one (whose baseline covers corpus ∪ batch). The token table is
+    # the same constant as QualityClassifierTrainer.driftTokens.
+    pre_idx = index_paths["cls_model_pre"]
+    post_idx = index_paths["cls_model_post"]
+    drift_tokens = [
+        "t4", "t5", "t6", "t7", "t8", "t9", "t109", "t209", "t309", "t409",
+        "t509", "t90", "t91", "t70", "t71", "t50", "t51", "t30", "t31", "t10",
+        "t11", "t12", "t13", "t14", "t15", "t16", "t17", "t18", "t19", "t111",
+        "t112", "t113", "t114", "t115", "t116", "t117", "t118", "t119", "t219",
+        "t319", "t419", "t519", "t619", "t719", "t80", "t81", "t60", "t61",
+        "t40", "t41", "t20", "t21", "t22", "t23", "t24", "t25", "t26", "t27",
+        "t28", "t29", "t0", "t1", "t2", "t3"]
+    tok_values = ", ".join(f"({b}, '{t}')" for b, t in enumerate(drift_tokens))
+    margin_pre, bucket_sql, cnt_cols = cls_margin_parts(pre_idx)
+    margin_post, _, _ = cls_margin_parts(post_idx)
+
+    def drift_phase(sfx, idx, margin):
+        """CTE chain scoring the constructed batch against one artifact;
+        exposes j{sfx} with the nine drift-report columns."""
+        return f"""
+        t{sfx} AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM batch),
+        h{sfx} AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     list_transform(toks, w -> {bucket_sql}) AS bs
+                   FROM t{sfx}),
+        c{sfx} AS (SELECT doc_id, n_tokens, {cnt_cols} FROM h{sfx}),
+        sc{sfx} AS (SELECT doc_id, {margin} AS score FROM c{sfx}),
+        b{sfx} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                CAST(COALESCE(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep,
+                CAST(COALESCE(SUM(CAST(trunc(score * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS ms
+              FROM sc{sfx}),
+        base{sfx} AS (SELECT n_docs AS n_base, keep_pm AS keep_pm_base,
+                        margin_sum_micros AS ms_base
+                      FROM '{idx}/baseline/*.parquet'),
+        j{sfx} AS (SELECT base{sfx}.n_base, base{sfx}.keep_pm_base,
+                CAST(base{sfx}.ms_base // greatest(base{sfx}.n_base, 1) AS BIGINT)
+                  AS mean_margin_micros_base,
+                b{sfx}.n_batch,
+                CAST(b{sfx}.n_keep * 1000 // greatest(b{sfx}.n_batch, 1) AS BIGINT)
+                  AS keep_pm_batch,
+                CAST(b{sfx}.ms // greatest(b{sfx}.n_batch, 1) AS BIGINT)
+                  AS mean_margin_micros_batch
+              FROM b{sfx} CROSS JOIN base{sfx})"""
+
+    replay_parity("q_c147_from_stored_models", "q_c147_retrain_on_drift", f"""
+        WITH bsel AS (
+          SELECT w.bucket AS b
+          FROM '{pre_idx}/weights/*.parquet' w
+          CROSS JOIN (SELECT w_bias FROM '{pre_idx}/meta/*.parquet') m
+          CROSS JOIN (SELECT margin_sum_micros // greatest(n_docs, 1) AS mean_b
+                      FROM '{pre_idx}/baseline/*.parquet') base
+          ORDER BY abs(CAST(trunc((w.weight + m.w_bias) * 1000000.0) AS BIGINT)
+                       - base.mean_b) DESC, w.bucket
+          LIMIT 1),
+        tokt AS (SELECT * FROM (VALUES {tok_values}) AS tv(b, tok)),
+        batch AS (SELECT CAST(10000000 + r.i AS BIGINT) AS doc_id, tokt.tok AS text
+                  FROM range(1, 51) r(i), tokt, bsel WHERE tokt.b = bsel.b),
+        {drift_phase('A', pre_idx, margin_pre)},
+        {drift_phase('B', post_idx, margin_post)},
+        phased AS (
+          SELECT 'pre' AS phase, * FROM jA
+          UNION ALL SELECT 'post', * FROM jB)
+        SELECT phase, n_base, keep_pm_base, mean_margin_micros_base,
+          n_batch, keep_pm_batch, mean_margin_micros_batch,
+          keep_pm_batch - keep_pm_base AS delta_keep_pm,
+          mean_margin_micros_batch - mean_margin_micros_base AS delta_mean_micros,
+          CAST(CASE WHEN abs(keep_pm_batch - keep_pm_base) >= 100
+                      OR abs(mean_margin_micros_batch - mean_margin_micros_base) >= 100000
+               THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        FROM phased ORDER BY phase DESC""")
+
 # Retirement-verdict replays: the GC decision recomputed from the artifact
 # files alone — same canonical row encoding (columns in sorted-name order,
 # '|'-joined, STRING values length-prefixed `<len>:<value>` so content can
