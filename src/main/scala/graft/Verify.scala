@@ -78,6 +78,14 @@ object Verify {
         (() => graft.operators.SimilarityQueries.int8GcIndex(spark, sfDir))),
       "q_c146_phrase_gc" -> Seq("phrase_gc" ->
         (() => graft.operators.TextQueries.phraseGcIndex(spark, sfDir))),
+      // q_c148 re-emits the four GC keys so the audit replay works on a
+      // subset run too; duplicate keys carry identical session-cached
+      // paths (JSON last-wins)
+      "q_c148_gc_audit" -> Seq(
+        "bm25_gc" -> (() => graft.operators.TextQueries.bm25GcIndex(spark, sfDir)),
+        "minhash_gc" -> (() => graft.operators.DedupQueries.minhashGcIndex(spark, sfDir)),
+        "ivf_gc" -> (() => graft.operators.SimilarityQueries.int8GcIndex(spark, sfDir)),
+        "phrase_gc" -> (() => graft.operators.TextQueries.phraseGcIndex(spark, sfDir))),
       "q_c133_segment_retirement" -> {
         lazy val seg = graft.operators.TextQueries.bm25SegmentsIndex(spark, sfDir)
         Seq("bm25_segments" -> (() => seg),

@@ -2407,8 +2407,52 @@ object TextQueries {
       val path = phraseGcIndex(s, d)
       gcServe(s, path, phraseSearchStored(s, s"$path/compacted"))
         .orderBy(col("phrase"))
+    },
+
+    // ---- q_c148: cross-family GC audit pane ---------------------------------
+    // The operations view over ALL FOUR families' GC journals: one row
+    // per family — table count, journal rows, segments dropped
+    // (DISTINCT — a multi-table family journals one row per table),
+    // whether every verdict certified, and the LIVE segment count from
+    // the filesystem (a drop claimed but not performed, or performed
+    // but not journaled, shows up as n_dropped ≠ journal vs listing
+    // disagreement). Rows-only (stored artifacts only); DuckDB
+    // reproduces the whole pane from the four GC'd artifacts alone
+    // (tools/compare_oracle.py, sixteenth parity row).
+    //
+    // 100 TB shape: four 1-row aggregations over O(segments)-row
+    // journals + four directory listings. Nothing touches data.
+    QueryDef("q_c148_gc_audit", None) { (s, d) =>
+      Seq(
+        "bm25" -> bm25GcIndex(s, d),
+        "ivf" -> SimilarityQueries.int8GcIndex(s, d),
+        "minhash" -> DedupQueries.minhashGcIndex(s, d),
+        "phrase" -> phraseGcIndex(s, d))
+        .map { case (fam, p) => gcAuditRow(s, fam, p) }
+        .reduce(_.unionByName(_))
+        .orderBy(col("family"))
     }
   )
+
+  /** One q_c148 audit row over a GC'd artifact's journal + live
+    * directory listing.
+    */
+  private def gcAuditRow(
+      s: org.apache.spark.sql.SparkSession, fam: String,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val segDir = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = segDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nLive = if (fs.exists(segDir)) fs.listStatus(segDir).length.toLong else 0L
+    s.read.parquet(s"$path/gc_log").agg(
+        countDistinct(col("tbl")).cast("long").as("n_tables"),
+        count(lit(1)).cast("long").as("n_journal_rows"),
+        countDistinct(when(col("action") === "dropped", col("segment")))
+          .cast("long").as("n_dropped"),
+        min(col("retire")).cast("long").as("all_certified"))
+      .select(lit(fam).as("family"), col("n_tables"), col("n_journal_rows"),
+        col("n_dropped"), col("all_certified"))
+      .withColumn("n_live_segments", lit(nLive))
+  }
 
   /** q_c133's verdict frame over any segment family: one digest row per
     * segment plus the compacted table's row, every row carrying the

@@ -207,6 +207,22 @@ class RetirementGcSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CachedRdds.drain()
   }
 
+  test("q_c148 audit pane: one certified row per family, journals consistent with listings") {
+    val out = SparkEntry.queries("q_c148_gc_audit")(spark, sf).collect()
+    assert(out.map(_.getAs[String]("family")).toSeq ==
+      Seq("bm25", "ivf", "minhash", "phrase"))
+    out.foreach { r =>
+      val fam = r.getAs[String]("family")
+      assert(r.getAs[Long]("n_tables") == (if (fam == "phrase") 2L else 1L))
+      assert(r.getAs[Long]("n_journal_rows") == (if (fam == "phrase") 6L else 3L),
+        s"$fam journals one row per (table x segment-or-compacted)")
+      assert(r.getAs[Long]("n_dropped") == 2L)
+      assert(r.getAs[Long]("all_certified") == 1L)
+      assert(r.getAs[Long]("n_live_segments") == 0L)
+    }
+    graft.core.CachedRdds.drain()
+  }
+
   test("q_c141's registered frame is well-formed: search rows + GC outcome") {
     val out = SparkEntry.queries("q_c141_retirement_gc")(spark, sf).collect()
     assert(out.nonEmpty)

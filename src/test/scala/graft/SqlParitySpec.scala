@@ -78,6 +78,7 @@ class SqlParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         - "q_c136_phrase_retirement" // same exclusion (q_c133 class)
         - "q_c141_retirement_gc" // acts on stored artifact paths, not corpus views (q_c133 class)
         - "q_c144_minhash_gc" - "q_c145_ivf_gc" - "q_c146_phrase_gc" // same exclusion (GC verbs)
+        - "q_c148_gc_audit" // reads the four GC artifacts' journals (q_c133 class)
         - "q_c137_classifier_train" - "q_c138_classifier_scores" // learned weights = driver model state (q_c33 trainer class)
         - "q_c139_classifier_holdout" - "q_c142_classifier_test_eval" // same exclusion (trainer class)
         - "q_c143_model_drift" // scores with stored learned weights (trainer class)

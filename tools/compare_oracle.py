@@ -275,6 +275,29 @@ if "ivf_gc" in index_paths and (only is None or "q_c145_ivf_gc" in only):
         FROM res CROSS JOIN g CROSS JOIN live
         ORDER BY query_id, arank""")
 
+if (all(k in index_paths for k in ("bm25_gc", "minhash_gc", "ivf_gc", "phrase_gc"))
+        and (only is None or "q_c148_gc_audit" in only)):
+    # Cross-family GC audit pane from the four GC'd artifacts alone:
+    # journal aggregates + the LIVE segment listing per family.
+    def audit_row(fam, idx):
+        return f"""
+        SELECT '{fam}' AS family,
+          CAST(COUNT(DISTINCT tbl) AS BIGINT) AS n_tables,
+          CAST(COUNT(*) AS BIGINT) AS n_journal_rows,
+          CAST(COUNT(DISTINCT CASE WHEN action = 'dropped' THEN segment END)
+            AS BIGINT) AS n_dropped,
+          CAST(MIN(retire) AS BIGINT) AS all_certified,
+          (SELECT CAST(COUNT(DISTINCT regexp_extract(file, 'segments/([^/]+)/', 1))
+             AS BIGINT)
+           FROM glob('{idx}/segments/*/*/*.parquet')) AS n_live_segments
+        FROM '{idx}/gc_log/*.parquet'"""
+    audit_sql = " UNION ALL ".join(
+        audit_row(f, index_paths[k]) for f, k in
+        [("bm25", "bm25_gc"), ("ivf", "ivf_gc"),
+         ("minhash", "minhash_gc"), ("phrase", "phrase_gc")])
+    replay_parity("q_c148_from_gc_artifacts", "q_c148_gc_audit",
+                  audit_sql + " ORDER BY family")
+
 if "phrase_gc" in index_paths and (only is None or "q_c146_phrase_gc" in only):
     # Phrase GC (the multi-table family): the q_c103 search off the
     # surviving compacted postings+bigrams + gc_cte.
