@@ -775,13 +775,20 @@ object DedupQueries {
       val gc = g.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       val dupk = g.join(gc.filter(col("cnt") >= 2), Seq("gram"))
         .select(col("doc_id"), col("k"))
-      val nd = dupk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
-      // interval union over the SORTED dup starts: each start k covers
+      // ONE aggregation computes BOTH per-doc statistics (optimization
+      // round 18): n_dup_grams is exactly size(ks), so the previous
+      // separate count aggregation — whose upstream explode+join subtree
+      // differs from the collect_list branch's and is therefore
+      // re-executed, not AQE-stage-reused — is derived from the same
+      // collected array instead (one explode+join pass and one doc_id
+      // exchange fewer; measured isolated A/B in OPTIMIZATION_r18.md).
+      // Interval union over the SORTED dup starts: each start k covers
       // [k, k+L-1]; with ascending ks, the new coverage a start adds is
       // (k + L - 1) - max(prevEnd, k - 1) — a single integer fold
-      val nc = dupk.groupBy(col("doc_id"))
+      val ncd = dupk.groupBy(col("doc_id"))
         .agg(expr("sort_array(collect_list(k))").as("ks"))
-        .select(col("doc_id"), expr(
+        .select(col("doc_id"), size(col("ks")).cast("long").as("n_dup_grams"),
+          expr(
           s"""aggregate(ks,
              |  named_struct('cov', CAST(0 AS BIGINT), 'pe', CAST(-1 AS BIGINT)),
              |  (a, k) -> named_struct(
@@ -789,8 +796,7 @@ object DedupQueries {
              |    'pe', k + CAST(${L - 1} AS BIGINT)),
              |  a -> a.cov)""".stripMargin).as("n_cov_tokens"))
       t.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
-        .join(nd, Seq("doc_id"), "left")
-        .join(nc, Seq("doc_id"), "left")
+        .join(ncd, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
           coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"),

@@ -813,7 +813,7 @@ object PipelineQueries {
              |ORDER BY i.doc_id""".stripMargin)
     ) { (s, d) =>
       import graft.functions.BloomFilterOps
-      val docs = Tables(s, d, "documents")
+      val docs = Tables.raw(s, d, "documents")
       val retained = docs.filter(col("doc_id") % 10 =!= 3).select(md5(col("text")).as("h"))
       val snap = graft.core.SessionMemo.snapshot(s, Seq(s"$d/documents.parquet"))
       val bits = bloomBuilt.getOrBuild(d, snap)(
@@ -987,7 +987,7 @@ object PipelineQueries {
              |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
              |FROM h ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      splitProjection(Tables(s, d, "documents")).orderBy(col("doc_id"))
+      splitProjection(Tables.raw(s, d, "documents")).orderBy(col("doc_id"))
     },
 
     // ---- q_c51: JSONL corpus round-trip integrity ------------------------
@@ -1328,7 +1328,7 @@ object PipelineQueries {
              |FROM tot t JOIN g ON g.mode = t.mode AND g.batch_id = t.batch_id
              |ORDER BY t.mode, t.batch_id""".stripMargin)
     ) { (s, d) =>
-      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val docs = Tables.raw(s, d, "documents").select(col("doc_id"), col("source"))
       val nmx = docs.agg(max(col("doc_id")).cast("long").as("mx"))
       val stacked = docs.crossJoin(broadcast(nmx))
         .selectExpr("source",
@@ -1382,7 +1382,7 @@ object PipelineQueries {
              |FROM agg a JOIN tl USING (source)
              |ORDER BY a.source""".stripMargin)
     ) { (s, d) =>
-      val base = Tables(s, d, "documents")
+      val base = Tables.raw(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
           length(col("text")).cast("long").as("n_chars"),
           size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
@@ -1534,7 +1534,7 @@ object PipelineQueries {
              |FROM h JOIN thr r ON h.source = r.source
              |ORDER BY h.doc_id""".stripMargin)
     ) { (s, d) =>
-      val t = Tables(s, d, "documents")
+      val t = Tables.raw(s, d, "documents")
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
       val src = t.groupBy(col("source"))
@@ -3243,7 +3243,7 @@ object PipelineQueries {
   private[graft] def packedSpans(s: SparkSession, d: String): DataFrame = {
     val L = 512L
     val blkSize = 4096L
-    val t = Tables(s, d, "documents")
+    val t = Tables.raw(s, d, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr(s"doc_id div ${blkSize}L").as("blk"))

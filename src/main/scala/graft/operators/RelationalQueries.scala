@@ -21,6 +21,9 @@ object RelationalQueries {
   import Decimals._
 
   private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  // scan-spread opt-out for the semi/anti probes whose lineitem side is
+  // immediately collapsed to join keys (OPTIMIZATION_r18.md)
+  private def liRaw(s: SparkSession, d: String) = Tables.raw(s, d, "lineitem")
   private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
   private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
   private def supp(s: SparkSession, d: String) = Tables(s, d, "supplier")
@@ -154,7 +157,7 @@ object RelationalQueries {
              |ORDER BY p_partkey""".stripMargin)
     ) { (s, d) =>
       part(s, d)
-        .join(li(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(liRaw(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
         .select(col("p_partkey"), col("p_name"))
         .orderBy(col("p_partkey"))
     },
@@ -410,7 +413,7 @@ object RelationalQueries {
       p.crossJoin(broadcast(stats))
         .filter(dec(col("p_retailprice")) * col("n_parts") > col("price_sum"))
         .join(
-          li(s, d).filter(col("l_quantity") > 45).select(col("l_partkey")),
+          liRaw(s, d).filter(col("l_quantity") > 45).select(col("l_partkey")),
           col("p_partkey") === col("l_partkey"),
           "left_semi"
         )

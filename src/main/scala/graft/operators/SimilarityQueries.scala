@@ -24,8 +24,18 @@ object SimilarityQueries {
   import Decimals._
 
   private def embDouble(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
-      .select(
+    embDoubleOf(Tables(s, d, "embeddings"))
+
+  /** [[embDouble]] WITHOUT the scan-spread rewrite — for the q_c132
+    * frontier, whose five-point grid re-derives many small query/truth
+    * frames per run and measured slower under the extra per-derivation
+    * exchange (OPTIMIZATION_r18.md).
+    */
+  private def embDoubleRaw(s: SparkSession, d: String): DataFrame =
+    embDoubleOf(Tables.raw(s, d, "embeddings"))
+
+  private def embDoubleOf(t: DataFrame): DataFrame =
+    t.select(
         col("vec_id"),
         col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
@@ -769,8 +779,8 @@ object SimilarityQueries {
     * only per-vector rows (never component triples) carry the join.
     */
   private def sourceEmbeddings(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
-      .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+    Tables.raw(s, d, "embeddings")
+      .join(Tables.raw(s, d, "documents").select(col("doc_id"), col("source")),
         col("doc_id") === col("vec_id"))
       .select(col("source"), col("vec_id"), col("embedding"))
 
@@ -1124,7 +1134,7 @@ object SimilarityQueries {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.Int8Ops.register(s)
     val e = graft.core.CachedRdds.registerDf(
-      embDouble(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      embDoubleRaw(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val codes = s.read.parquet(s"$path/codes")
     // exact ground truth: q_b7's kernel at depth 5, same query set
     val q = e.filter(col("vec_id") % 100 === 0)

@@ -950,7 +950,7 @@ object TextQueries {
              |FROM np LEFT JOIN agg USING (doc_id)
              |ORDER BY np.doc_id""".stripMargin)
     ) { (s, d) =>
-      val toks = Tables(s, d, "documents")
+      val toks = Tables.raw(s, d, "documents")
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       // unigram model: the SAME memoized frame q_c26 uses
@@ -1399,7 +1399,7 @@ object TextQueries {
              |ORDER BY pl.doc_id""".stripMargin)
     ) { (s, d) =>
       val pl = docNll(s, d)
-        .join(Tables(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(Tables.raw(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("avg_nll"))
       val cuts = pl.groupBy(col("lang")).agg(
         expr("CAST(CAST(percentile(avg_nll, 1.0D/3) AS DECIMAL(18,6)) AS DOUBLE)").as("c33"),
@@ -1451,7 +1451,7 @@ object TextQueries {
              |CROSS JOIN nn CROSS JOIN tp
              |ORDER BY pmi DESC, cp.w1, cp.w2 LIMIT 50""".stripMargin)
     ) { (s, d) =>
-      val t = Tables(s, d, "documents")
+      val t = Tables.raw(s, d, "documents")
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       def gapPairs(g: Int) = t
@@ -1606,7 +1606,7 @@ object TextQueries {
              |FROM top JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN dsc d
              |ORDER BY top.cnt DESC, top.w1, top.w2""".stripMargin)
     ) { (s, d) =>
-      val bg = knBigrams(Tables(s, d, "documents")).select(col("w1"), col("w2"))
+      val bg = knBigrams(Tables.raw(s, d, "documents")).select(col("w1"), col("w2"))
       val (cb, lt, ct, dsc) = knBigramStats(bg)
       val top = cb.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(100)
       val dd = knDiscount
@@ -1681,7 +1681,7 @@ object TextQueries {
              |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
              |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = Tables.raw(s, d, "documents")
       val bg = knBigrams(docs)
       val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
       val (cb, lt, ct, dsc) = knBigramStats(trn)
@@ -1765,7 +1765,7 @@ object TextQueries {
              |FROM s0 CROSS JOIN dsc3 d3
              |ORDER BY s0.cnt3 DESC, s0.w1, s0.w2, s0.w3""".stripMargin)
     ) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = Tables.raw(s, d, "documents")
       val (cb, lt, ct, dsc) = knBigramStats(knBigrams(docs).select(col("w1"), col("w2")))
       val (c3, lt3, dsc3) = knTrigramStats(
         knTrigrams(docs).select(col("w1"), col("w2"), col("w3")))
@@ -1880,7 +1880,7 @@ object TextQueries {
              |    AS DECIMAL(38,6)) AS DOUBLE) AS avg_nll
              |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
-      val docs = Tables(s, d, "documents")
+      val docs = Tables.raw(s, d, "documents")
       val bg = knBigrams(docs)
       val trn = bg.filter(col("doc_id") % 17 =!= 3).select(col("w1"), col("w2"))
       val (cb, lt, ct, dsc) = knBigramStats(trn)
@@ -2088,7 +2088,7 @@ object TextQueries {
              |ORDER BY source_a, source_b""".stripMargin)
     ) { (s, d) =>
       val st = tfUnigram(s, d)
-        .join(Tables(s, d, "documents").select(col("doc_id"), col("source")),
+        .join(Tables.raw(s, d, "documents").select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .select(col("source"), col("term")).distinct()
       val v = st.groupBy(col("source")).agg(count(lit(1)).cast("long").as("vocab"))
@@ -2735,7 +2735,7 @@ object TextQueries {
   private[graft] def sourceKlFrame(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val tf = tfUnigram(s, d)
-    val srcOf = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+    val srcOf = Tables.raw(s, d, "documents").select(col("doc_id"), col("source"))
     val st = tf.join(srcOf, Seq("doc_id"))
       .groupBy(col("source"), col("term"))
       .agg(sum(col("tf")).cast("long").as("cst"))

@@ -52,7 +52,10 @@ class JobCountGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_c19_neardup_retained" -> 40, // measured 32
     "q_c26_unigram_logprob" -> 22,  // measured 17
     "q_c27_incremental_dedup" -> 19, // measured 15
-    "q_c29_semantic_dedup" -> 13,   // measured 10 (r13)
+    "q_c29_semantic_dedup" -> 17,   // measured 16 (r18 — the scan-spread
+                                    // exchange on embeddings adds AQE
+                                    // stages; the spread wins the wall
+                                    // clock, see OPTIMIZATION_r18.md)
     "q_c30_quality_classifier" -> 7, // measured 5 (map-only + sort sample + cls_raw memo build)
     "q_c31_rules_filter" -> 5,      // measured 4
     "q_c33_bpe_train" -> 24,        // measured 19 (15 argmax rounds + init, AQE off in-loop)

@@ -79,7 +79,10 @@ class SubwordCountSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("native equals HOF across the sf0.001 documents corpus, in codegen") {
-    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // raw loader: this test pins the EXPRESSION's codegen participation;
+    // under the scan-spread loader the pre-execution plan is an AQE shell
+    // whose WholeStageCodegen stages only materialize at runtime
+    val docs = graft.core.Tables.raw(spark, "/root/testdata/sf0.001", "documents")
     val cmp = docs.select(
       col("doc_id"),
       expr("subword_count(text)").as("native"),
