@@ -122,7 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSignature.injection,
       IntersectCountSorted.injection,
       SubwordCount.injection,
-      VectorSum.injection) ++ Int8Ops.injections
+      VectorSum.injection,
+      PolyHash.injection,
+      GramHashes.injection,
+      SlidingMin.injection,
+      TokenRepStats.injection) ++ Int8Ops.injections
     all.foreach(ext.injectFunction)
   }
 }

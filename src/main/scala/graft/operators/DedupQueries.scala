@@ -26,9 +26,20 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import Decimals._
 
-  /** fold of (31·acc + ascii(c)) mod 1e9+7 over the characters of `c`. */
-  private def rollingHash(c: String): String =
-    s"aggregate(split($c, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"
+  /** fold of (31·acc + ascii(c)) mod 1e9+7 over the characters of `c` —
+    * the codegen'd [[graft.functions.PolyHash]] kernel (optimization r19;
+    * value-identical to the HOF spelling the SQL twins and oracles keep,
+    * pinned in PolyHashSpec + SqlParitySpec). Callers must [[hashFns]]
+    * the session first.
+    */
+  private def rollingHash(c: String): String = s"poly_hash($c)"
+
+  /** Register the poly-hash kernel family into a session (idempotent). */
+  private def hashFns(s: SparkSession): Unit = {
+    graft.functions.PolyHash.register(s)
+    graft.functions.GramHashes.register(s)
+    graft.functions.SlidingMin.register(s)
+  }
 
   /** DuckDB twin of [[rollingHash]]. */
   private def duckRollingHash(c: String): String =
@@ -259,7 +270,18 @@ object DedupQueries {
     * re-shingling the raw text on every dedup run (see q_c66).
     */
   private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val h = shingles(s, d).select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
+    // gram_hashes instead of the shingles() string pipeline: the only
+    // consumers here are MIN aggregates over permuted hashes, and min is
+    // invariant to duplicates, so the array_distinct + shingle-string
+    // construction + per-string HOF hashing all drop out (each character
+    // is hashed ONCE via composition — optimization r19, guide §1.2).
+    // Values are provably identical to hashing the distinct shingle set;
+    // the DuckDB oracle and the SQL twin keep the string form.
+    hashFns(s)
+    val h = Tables(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr("gram_hashes(ts, 3)")).as("th"))
     val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
     }
@@ -350,8 +372,15 @@ object DedupQueries {
     */
   private[graft] def fuzzyDecontamPairs(s: SparkSession, d: String): DataFrame = {
     val isBench = col("doc_id") % 17 === 3
+    hashFns(s)
     val sh = shingles(s, d)
-    val h = sh.select(col("doc_id"), expr(rollingHash("shingle")).as("th"))
+    // signature side from the composed gram-hash stream (min-invariant to
+    // duplicates — see minhashSignatures); the exact verify below keeps
+    // the distinct shingle STRINGS, where identity (not hashes) matters
+    val h = Tables(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr("gram_hashes(ts, 3)")).as("th"))
     val mhAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * th + $b) % 1000000007L")).as(s"mh$i")
     }
@@ -536,6 +565,7 @@ object DedupQueries {
       // 8). One shuffle on doc_id, map-side-combined wide partials; th is
       // referenced 16× so Catalyst keeps its Project un-collapsed (one
       // hash per token row).
+      hashFns(s)
       val toks = Tables(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       val h = toks.select(col("doc_id"), expr(rollingHash("tok")).as("th"))
@@ -1634,18 +1664,21 @@ object DedupQueries {
     * stream (winnowing; shipped winW = 4). Map-only; shared by the batch
     * query, WinnowingSpec's guarantee fixtures, and q_c95's sweep.
     */
-  private[graft] def winnowFingerprints(docs: DataFrame, winW: Int = 4): DataFrame =
+  private[graft] def winnowFingerprints(docs: DataFrame, winW: Int = 4): DataFrame = {
+    // gram_hashes + sliding_min are the codegen'd twins of the HOF
+    // transform/aggregate/slice spelling (optimization r19, guide §1.2):
+    // same gram-hash stream (each char hashed once via composition), same
+    // window minima (sliding_min's n<w branch IS the otherwise-branch
+    // single global min). PolyHashSpec pins value equality; the SQL twin
+    // and the DuckDB oracle keep the HOF form.
+    hashFns(docs.sparkSession)
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, size(ts) - 3), i -> " +
-          "aggregate(split(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), ''), 0L," +
-          " (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L))").as("hs"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("hs")) >= winW, expr(
-          s"transform(sequence(0, size(hs) - $winW), p -> array_min(slice(hs, p + 1, $winW)))"))
-          .otherwise(array(array_min(col("hs")))))).as("fp"))
+      .select(col("doc_id"), expr("gram_hashes(ts, 3)").as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"sliding_min(hs, $winW)"))).as("fp"))
+  }
 
   /** The BASE-corpus (doc_id % 10 <> 3) signature index for q_c68's
     * append scenario — same lifecycle as [[minhashIndex]], cached under

@@ -74,7 +74,8 @@ object QualityClassifierTrainer {
     * .classifierScoresTrained]]) runs the IDENTICAL expression tree per
     * micro-batch (no memo — a memo has no meaning across batches).
     */
-  private[graft] def featurize(docs: DataFrame): DataFrame =
+  private[graft] def featurize(docs: DataFrame): DataFrame = {
+    TextQueries.registerPolyHash(docs.sparkSession)
     TextQueries.rulesFlags(docs)
       .select(col("doc_id"), col("pass").cast("long").as("y"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
@@ -86,6 +87,7 @@ object QualityClassifierTrainer {
                 |  array_repeat(0L, $D),
                 |  (acc, b) -> transform(acc, (v, i) -> IF(i = b, v + 1L, v)))"""
           .stripMargin).as("cnts"))
+  }
 
   /** The per-row margin column at weights (wBias, w): bias + (Σ_b
     * cnt_b·w_b)/max(n_tokens,1), the Σ a FIXED-order index fold (zip_with

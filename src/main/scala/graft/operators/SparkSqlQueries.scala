@@ -44,6 +44,10 @@ object SparkSqlQueries {
     graft.functions.HyperplaneSignature.register(spark)
     graft.functions.IntersectCountSorted.register(spark)
     graft.functions.SubwordCount.register(spark)
+    graft.functions.PolyHash.register(spark)
+    graft.functions.GramHashes.register(spark)
+    graft.functions.SlidingMin.register(spark)
+    graft.functions.TokenRepStats.register(spark)
   }
 
   /** Run one named query from [[sql]]. */

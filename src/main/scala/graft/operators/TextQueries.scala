@@ -426,12 +426,14 @@ object TextQueries {
              |  FROM documents)
              |SELECT doc_id, fingerprint FROM fp ORDER BY doc_id""".stripMargin)
     ) { (s, d) =>
+      graft.functions.PolyHash.register(s)
       Tables(s, d, "documents")
         .select(
           col("doc_id"),
-          expr(
-            "aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"
-          ).as("fingerprint")
+          // codegen'd twin of aggregate(split(text,''), ...) — identical
+          // values (PolyHashSpec), one pass over the bytes instead of a
+          // per-character HOF fold (optimization r19)
+          expr("poly_hash(text)").as("fingerprint")
         )
         .orderBy(col("doc_id"))
     },
@@ -2765,8 +2767,8 @@ object TextQueries {
 
   /** (term, cnt) → (term, cnt, s0, s1, s2). */
   private[graft] def cmsSlots(tc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val th = tc.withColumn("th",
-      expr("aggregate(split(term, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007L)"))
+    graft.functions.PolyHash.register(tc.sparkSession)
+    val th = tc.withColumn("th", expr("poly_hash(term)"))
     cmsParams.zipWithIndex.foldLeft(th) { case (acc, ((a, b), i)) =>
       acc.withColumn(s"s$i", ((lit(a) * col("th") + lit(b)) % 1000000007L) % cmsWidth)
     }
@@ -3421,10 +3423,19 @@ object TextQueries {
     * different feature space than the fixed model scores.
     */
   private[graft] val tokenBucket64: String =
-    "(aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000000007L) % 64)"
+    // codegen'd poly_hash kernel (identical values to the HOF char fold —
+    // PolyHashSpec); callers register via [[registerPolyHash]] first
+    "(poly_hash(w) % 64)"
+
+  /** Register the poly-hash kernel for plans that embed
+    * [[tokenBucket64]] (idempotent).
+    */
+  private[graft] def registerPolyHash(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.PolyHash.register(s)
 
   private[graft] def classifierRaw(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    registerPolyHash(docs.sparkSession)
     docs
       .select(
         col("doc_id"),
@@ -3435,6 +3446,7 @@ object TextQueries {
         expr(s"""aggregate(toks, 0L, (acc, w) ->
                 |  acc + ($tokenBucket64 * 1103515245L + 12345L) % 2048L - 1024L)""".stripMargin)
           .as("wsum"))
+  }
 
   /** Session-memoized [[classifierRaw]] over the corpus: q_c30 and
     * q_c65 (PipelineQueries' curriculum) both consume the identical
